@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Aggregation operators (SURVEY.md §2.4).
+  *
+  * Scale notes: all groupBy aggregations here are partial-aggregate +
+  * shuffle-on-key + final-aggregate (Spark does map-side combine
+  * automatically for algebraic aggregates), so shuffle volume is
+  * |groups| not |rows|. `countDistinct` expands to a two-phase
+  * aggregate (distinct shuffle then count) — at 100 TB prefer
+  * `approx_count_distinct` (HLL sketch, one pass, mergeable) which is
+  * included as the ungraded `agg_approx_distinct` twin.
+  * `rollup`/`cube`/grouping-sets expand the grouping sets before the
+  * shuffle; output stays |groups|-sized.
+  */
+object Aggregates extends OpModule {
+
+  val queries: Map[String, Q] = Map(
+    "agg_global" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+        date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_ship"))),
+
+    "agg_groupby" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(Dec2(col("l_extendedprice"))), 4).cast("double").as("sum_base_price"),
+          round(sum(Dec2(col("l_extendedprice")) * (lit(1) - Dec2(col("l_discount")))), 4)
+            .cast("double").as("sum_disc_price"),
+          round(sum(Dec2(col("l_extendedprice")) * (lit(1) - Dec2(col("l_discount")))
+            * (lit(1) + Dec2(col("l_tax")))), 4).cast("double").as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_partkey").as("nparts"),
+          countDistinct("l_suppkey").as("nsupps"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // Ungraded (no oracle): HLL sketch values differ between engines by
+    // design; the driver records a rows-only check.
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .orderBy("event_type")),
+
+    "agg_rollup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .rollup(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(Dec2(col("o_totalprice"))), 4).cast("double").as("total"))
+        .orderBy(col("yr").asc_nulls_first, col("o_orderstatus").asc_nulls_first)),
+
+    "agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(GroupingSetsSql)
+    }),
+
+    "agg_having" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(Dec2(col("o_totalprice"))), 4).cast("double").as("spend"))
+        .filter(col("n_orders") >= 12)
+        .orderBy("o_custkey")),
+
+    "agg_stats" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("vr"),
+          round(corr(col("value"), col("user_id").cast("double")), 4).as("cor"),
+          round(expr("percentile(value, 0.5)"), 4).as("med"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"))
+        .orderBy("event_type")),
+
+    "agg_collect" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          array_join(sort_array(collect_set(col("source"))), ",").as("sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+  )
+
+  private val GroupingSetsSql =
+    """SELECT c_mktsegment, c_nationkey, count(*) AS cnt, round(sum(c_acctbal), 4) AS bal
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "agg_global" ->
+      """SELECT count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+        |FROM lineitem""".stripMargin,
+
+    "agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 4) AS DOUBLE) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nparts,
+        |  count(DISTINCT l_suppkey) AS nsupps, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS cnt,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+        |ORDER BY yr NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_grouping_sets" -> GroupingSetsSql,
+
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT event_type, round(stddev_samp(value), 4) AS sd,
+        |  round(var_samp(value), 4) AS vr,
+        |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS cor,
+        |  round(quantile_cont(value, 0.5), 4) AS med,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_collect" ->
+      """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources,
+        |  CAST(sum(n) AS BIGINT) AS n_docs
+        |FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

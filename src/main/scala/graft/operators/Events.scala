@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time operators — streaming-shaped semantics graded as batch
+  * (SURVEY.md §2.8). Structured-Streaming twins live in
+  * `graft.streaming` (ungraded: the DuckDB oracle can't run streams).
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregations
+  * on a derived bucket key — at 100 TB they shuffle |buckets|, not
+  * |events|. Sessionization is the lag-gap + running-sum formulation:
+  * one shuffle on user_id then per-user sorted scans, the same
+  * distribution `session_window` would produce under Structured
+  * Streaming. Sliding windows expand each event into
+  * windowLength/slide buckets before the aggregate (4× here) — the
+  * standard overlap trade-off.
+  *
+  * Timestamp parity: windows are keyed/emitted as epoch *seconds*
+  * (BIGINT) and instants as epoch *microseconds* — integer arithmetic
+  * is timezone-free and identical in both engines, unlike formatted
+  * local timestamps.
+  */
+object Events extends OpModule {
+
+  val queries: Map[String, Q] = Map(
+    "evt_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("val_sum"))
+        .select(unix_timestamp(col("w.start")).as("win_start_s"),
+          col("event_type"), col("cnt"), col("val_sum"))
+        .orderBy("win_start_s", "event_type")),
+
+    "evt_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("val_sum"))
+        .select(unix_timestamp(col("w.start")).as("win_start_s"),
+          col("cnt"), col("val_sum"))
+        .orderBy("win_start_s")),
+
+    "evt_session" -> ((s, d) => {
+      val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTs))
+        .withColumn("is_new",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("sess_start_us"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("sess_len_us"),
+          round(sum("value"), 4).as("val_sum"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "evt_funnel" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view"),
+          min(when(col("event_type") === "click", unix_micros(col("ts")))).as("first_click"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("first_purchase"))
+        .withColumn("funnel_done",
+          col("first_view").isNotNull && col("first_click") > col("first_view")
+            && col("first_purchase") > col("first_click"))
+        .withColumn("funnel_done", coalesce(col("funnel_done"), lit(false)))
+        .orderBy("user_id")),
+
+    "evt_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val cohorts = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      val activity = e.select(col("user_id").as("a_user"), to_date(col("ts")).as("act_day")).distinct()
+      cohorts.join(activity,
+          col("a_user") === col("user_id") && col("act_day") >= col("cohort_day"))
+        .select(col("cohort_day"),
+          datediff(col("act_day"), col("cohort_day")).cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    "evt_late_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("event_id").orderBy(col("ts"), col("user_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+  )
+
+  private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  val oracles: Map[String, String] = Map(
+    "evt_tumbling" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s,
+        |  event_type, count(*) AS cnt, round(sum(value), 4) AS val_sum
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
+
+    "evt_sliding" ->
+      """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) - t.k * 900 AS win_start_s,
+        |  count(*) AS cnt, round(sum(value), 4) AS val_sum
+        |FROM events CROSS JOIN range(4) t(k)
+        |GROUP BY 1 ORDER BY win_start_s""".stripMargin,
+
+    "evt_session" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    lag(epoch_us(ts), 1) OVER ($EventWin) AS prev_us
+         |  FROM events
+         |), s AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM g
+         |), t AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(sum(is_new) OVER ($EventWin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM s
+         |)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(epoch_us(ts)) AS sess_start_us,
+         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS sess_len_us,
+         |  round(sum(value), 4) AS val_sum
+         |FROM t GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "evt_funnel" ->
+      """SELECT user_id, first_view, first_click, first_purchase,
+        |  coalesce(first_view IS NOT NULL AND first_click > first_view
+        |    AND first_purchase > first_click, false) AS funnel_done
+        |FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+        |  FROM events GROUP BY user_id
+        |) ORDER BY user_id""".stripMargin,
+
+    "evt_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, min(ts::DATE) AS cohort_day FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), activity AS (
+        |  SELECT DISTINCT user_id AS a_user, ts::DATE AS act_day FROM events
+        |)
+        |SELECT cohort_day, date_diff('day', cohort_day, act_day) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM cohorts JOIN activity
+        |  ON a_user = user_id AND act_day >= cohort_day
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "evt_late_dedup" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM (
+        |  SELECT event_id, ts, user_id, event_type,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+  )
+}

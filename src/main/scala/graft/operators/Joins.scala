@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join operators (SURVEY.md §2.3).
+  *
+  * Scale notes:
+  *  - `join_inner_equi` / `join_left_outer` / semi / anti shuffle both
+  *    sides on the join key — at 100 TB these are the canonical
+  *    sort-merge joins; AQE picks shuffled-hash when one side is small.
+  *  - `join_broadcast` pins the dimension side with an explicit
+  *    `broadcast()` hint: nation (25 rows) and region (5 rows) stay
+  *    broadcast-able at every scale factor since dimensions don't grow
+  *    with the fact tables.
+  *  - `join_multiway` is the TPC-H Q5 shape: Catalyst pushes the
+  *    orderdate filter into the orders scan, broadcasts the two tiny
+  *    dims, and shuffles only customer⋈orders⋈lineitem.
+  *  - `join_theta_range` is a band join; Spark executes it as a
+  *    broadcast-nested-loop. At scale the band predicate should be
+  *    bucketized first (join on overlapping buckets, then refine) —
+  *    the supplier side is small enough here that BNL is the right
+  *    plan.
+  *  - `join_asof` uses the range-join + row_number() formulation. Per
+  *    key the candidate fan-out is bounded by orders-per-customer, so
+  *    the shuffle stays proportional to |events| × avg-orders. A
+  *    union-timeline (single sort, lag-carry-forward) variant is the
+  *    fallback if fan-out explodes.
+  */
+object Joins extends OpModule {
+
+  val queries: Map[String, Q] = Map(
+    "join_inner_equi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    "join_broadcast" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey")),
+
+    "join_left_outer" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    }),
+
+    "join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_multiway" -> ((s, d) =>
+      Tables.region(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          round(sum(Dec2(col("l_extendedprice")) * (lit(1) - Dec2(col("l_discount")))), 4)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name")),
+
+    "join_theta_range" -> ((s, d) => {
+      val s1 = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("a_key"), col("s_acctbal").as("a_bal"))
+      val s2 = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("b_key"), col("s_acctbal").as("b_bal"))
+      s1.join(s2, col("a_bal") < col("b_bal") && col("b_bal") < col("a_bal") + 500)
+        .select(col("a_key"), col("b_key"),
+          round(col("b_bal") - col("a_bal"), 4).as("bal_gap"))
+        .orderBy("a_key", "b_key")
+    }),
+
+    "join_asof" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val o = Tables.orders(s, d)
+      val joined = e.join(o,
+        col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey").as("last_order_key"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_multiway" ->
+      """SELECT r_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE) AS revenue,
+        |  count(*) AS cnt
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "join_theta_range" ->
+      """SELECT s1.s_suppkey AS a_key, s2.s_suppkey AS b_key,
+        |  round(s2.s_acctbal - s1.s_acctbal, 4) AS bal_gap
+        |FROM supplier s1 JOIN supplier s2
+        |  ON s1.s_acctbal < s2.s_acctbal AND s2.s_acctbal < s1.s_acctbal + 500
+        |ORDER BY a_key, b_key""".stripMargin,
+
+    "join_asof" ->
+      """SELECT event_id, o_orderkey AS last_order_key,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS last_order_date
+        |FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity-search operators (SURVEY.md §2.9): brute-force
+  * cosine top-k as the correctness baseline, a hyperplane-LSH bucketed
+  * variant as the scale path, plus per-label centroid stats and the
+  * multimodal document⋈embedding join.
+  *
+  * Dot products run as `aggregate(zip_with(a, b, _*_))` higher-order
+  * functions — codegen-friendly, array-local, no explode. Floats are
+  * cast to double BEFORE multiply/accumulate so both engines sum in
+  * double precision; scores are rounded to 4 digits and every top-k
+  * rank breaks ties on the rounded score by neighbor id, making ranks
+  * deterministic cross-engine.
+  *
+  * Scale notes: brute-force kNN is O(|Q|·|N|) — correct baseline, kept
+  * for small |Q|. The LSH variant buckets vectors by the sign pattern
+  * of 8 deterministic hyperplane projections (256 buckets) and joins
+  * only within a bucket: candidate count drops ~256× and the join is a
+  * shuffle-equi-join on the bucket id, the plan shape that survives
+  * 100 TB (hyperplanes are arithmetic in (j, pos), so no side table is
+  * needed; at cluster scale the bucket id becomes the partition key).
+  */
+object LlmSim extends OpModule {
+
+  /** Σ a[i]·b[i] in double, sequential order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Hyperplane LSH bucket: bit j = sign of Σ_pos h(j,pos)·v[pos] with
+    * h(j,pos) = ((37·j + 101·pos) mod 97) / 97 − 0.5 (arithmetic-only,
+    * engine-portable). 8 bits → bucket ∈ [0, 256). pos is 1-based.
+    */
+  private def lshBucket(v: Column): Column =
+    (0 until 8).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(1), lit(64)),
+          (x, p) => x.cast("double") * (((lit(37 * j) + lit(101) * p) % 97).cast("double") / 97.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, math.pow(2, j).toLong).otherwise(0L)
+    }.reduce(_ + _)
+
+  val queries: Map[String, Q] = Map(
+    "sim_cosine_pairs" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", round(
+          dot(col("a_emb"), col("b_emb"))
+            / (norm(col("a_emb")) * norm(col("b_emb"))), 4))
+        .filter(col("cos") > 0.25)
+        .select("a_id", "b_id", "cos")
+        .orderBy("a_id", "b_id")
+    }),
+
+    "sim_knn" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      val scored = q.join(n, col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(
+          dot(col("q_emb"), col("n_emb"))
+            / (norm(col("q_emb")) * norm(col("n_emb"))), 4))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    }),
+
+    "sim_knn_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+      val scored = q.join(n, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(
+          dot(col("q_emb"), col("n_emb"))
+            / (norm(col("q_emb")) * norm(col("n_emb"))), 4))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "bucket", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    }),
+
+    "multimodal_join" -> ((s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("label").cast("long").as("label"),
+          size(col("embedding")).cast("long").as("dim"), col("n_chars"))
+        .orderBy("doc_id")),
+
+    "embed_stats" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("label").cast("long").as("label"),
+          (col("pos0") + 1).cast("long").as("pos"), col("v").cast("double").as("v"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), round(avg("v"), 4).as("centroid"),
+          round(stddev_samp(col("v")), 4).as("sd"))
+        .orderBy("label", "pos")),
+
+    "embed_norms" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          round(norm(col("embedding")), 4).as("l2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("l2"), 4).as("avg_l2"),
+          round(min("l2"), 4).as("min_l2"), round(max("l2"), 4).as("max_l2"))
+        .orderBy("label")),
+
+    // Binary-column plumbing for multimodal pipelines: text → bytes →
+    // typed metadata. Real image/audio decode is stubbed (libs absent);
+    // see graft.multimodal for the mapPartitions decode framework.
+    "multimodal_binary_meta" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "utf-8")).cast("long").as("byte_len"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("head_byte"))
+        .orderBy("doc_id")),
+  )
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  /** Unnested (id, pos, val-as-double) over a filtered embeddings set. */
+  private def unnested(alias: String, pred: String): String =
+    s"""SELECT vec_id AS ${alias}_id, unnest(range(1, len(embedding) + 1)) AS pos,
+       |  CAST(unnest(embedding) AS DOUBLE) AS v
+       |FROM embeddings WHERE $pred""".stripMargin
+
+  private val NormsSql =
+    """SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+      |) GROUP BY vec_id""".stripMargin
+
+  private val BucketsSql =
+    """SELECT vec_id, CAST(sum(CASE WHEN bproj > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+      |FROM (
+      |  SELECT vec_id, j, CAST(pow(2, j) AS BIGINT) AS pw,
+      |    sum(v * (CAST((37 * j + 101 * pos) % 97 AS DOUBLE) / 97.0 - 0.5)) AS bproj
+      |  FROM (
+      |    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+      |      CAST(unnest(embedding) AS DOUBLE) AS v
+      |    FROM embeddings
+      |  ) CROSS JOIN range(8) t(j)
+      |  GROUP BY vec_id, j
+      |) GROUP BY vec_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_pairs" ->
+      s"""WITH ua AS (${unnested("a", "vec_id < 200")}),
+         |ub AS (${unnested("b", "vec_id < 200")}),
+         |norms AS ($NormsSql),
+         |dots AS (
+         |  SELECT a_id, b_id, sum(ua.v * ub.v) AS dp
+         |  FROM ua JOIN ub ON ua.pos = ub.pos AND ua.a_id < ub.b_id
+         |  GROUP BY a_id, b_id
+         |)
+         |SELECT a_id, b_id, round(dp / (na.nrm * nb.nrm), 4) AS cos
+         |FROM dots JOIN norms na ON na.vec_id = a_id
+         |JOIN norms nb ON nb.vec_id = b_id
+         |WHERE round(dp / (na.nrm * nb.nrm), 4) > 0.25
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "sim_knn" ->
+      s"""WITH uq AS (${unnested("q", "vec_id < 10")}),
+         |un AS (${unnested("n", "true")}),
+         |norms AS ($NormsSql),
+         |scored AS (
+         |  SELECT q_id, n_id, round(sum(uq.v * un.v) / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM uq JOIN un ON uq.pos = un.pos AND uq.q_id <> un.n_id
+         |  JOIN norms nq ON nq.vec_id = uq.q_id
+         |  JOIN norms nn ON nn.vec_id = un.n_id
+         |  GROUP BY q_id, n_id, nq.nrm, nn.nrm
+         |)
+         |SELECT q_id, n_id, cos, rk FROM (
+         |  SELECT q_id, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+         |  FROM scored
+         |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "sim_knn_lsh" ->
+      s"""WITH buckets AS ($BucketsSql),
+         |uq AS (${unnested("q", "vec_id < 10")}),
+         |un AS (${unnested("n", "true")}),
+         |norms AS ($NormsSql),
+         |scored AS (
+         |  SELECT q_id, bq.bucket, n_id,
+         |    round(sum(uq.v * un.v) / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM uq JOIN un ON uq.pos = un.pos AND uq.q_id <> un.n_id
+         |  JOIN buckets bq ON bq.vec_id = uq.q_id
+         |  JOIN buckets bn ON bn.vec_id = un.n_id AND bn.bucket = bq.bucket
+         |  JOIN norms nq ON nq.vec_id = uq.q_id
+         |  JOIN norms nn ON nn.vec_id = un.n_id
+         |  GROUP BY q_id, bq.bucket, n_id, nq.nrm, nn.nrm
+         |)
+         |SELECT q_id, bucket, n_id, cos, rk FROM (
+         |  SELECT q_id, bucket, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+         |  FROM scored
+         |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "multimodal_join" ->
+      """SELECT doc_id, lang, source, CAST(label AS BIGINT) AS label,
+        |  CAST(len(embedding) AS BIGINT) AS dim, n_chars
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "embed_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label, pos, count(*) AS n,
+        |  round(avg(v), 4) AS centroid, round(stddev_samp(v), 4) AS sd
+        |FROM (
+        |  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |) GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "embed_norms" ->
+      """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+        |  round(avg(l2), 4) AS avg_l2, round(min(l2), 4) AS min_l2,
+        |  round(max(l2), 4) AS max_l2
+        |FROM (
+        |  SELECT label, round(sqrt(sum(v * v)), 4) AS l2 FROM (
+        |    SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+        |  ) GROUP BY vec_id, label
+        |) GROUP BY label ORDER BY label""".stripMargin,
+
+    "multimodal_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,322 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis + deduplication operators for LLM training-data
+  * pipelines (SURVEY.md §2.9): tokenization, n-grams, language-ID
+  * heuristic, quality scoring, fingerprinting, exact + MinHash/LSH +
+  * SimHash + n-gram-Jaccard dedup.
+  *
+  * Cross-engine parity rule: every hash used in signatures is plain
+  * integer arithmetic (`(a·x + b) mod p`) over a dense token-id
+  * assigned by rank — engine-native hash() functions differ between
+  * Spark (murmur3) and DuckDB, arithmetic does not.
+  *
+  * Scale notes:
+  *  - Tokenize/ngram are generator (explode) pipelines: no shuffle
+  *    until the terminal aggregate; the aggregate shuffles |vocab| not
+  *    |tokens| thanks to partial aggregation.
+  *  - MinHash/LSH is the sub-quadratic path: per-doc signatures (one
+  *    aggregate), then candidate pairs ONLY within equal LSH-band
+  *    buckets (an equi-join on band signature) — never an O(n²) cross
+  *    join. Band-bucket skew (a degenerate band shared by many docs)
+  *    is the 100 TB risk; AQE skew-join splitting plus a bucket-size
+  *    cap handles it.
+  *  - The dense-rank vocab build sorts |vocab| (small); at 100 TB one
+  *    would switch the token-id to a fixed arithmetic string-fold hash
+  *    to avoid the global rank entirely.
+  */
+object LlmText extends OpModule {
+
+  /** (doc_id, pos [1-based long], token) for docs under `maxDoc`. */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("token"))
+
+  /** Distinct tokens ranked alphabetically → dense integer id. */
+  private def vocab(s: SparkSession, d: String): DataFrame =
+    tokens(s, d).select("token").distinct()
+      .withColumn("tid", dense_rank().over(Window.orderBy("token")).cast("long"))
+
+  // MinHash params: 8 signatures, 4 bands of 2. Arithmetic-only hash.
+  private val P = 1000003L
+  private val NSig = 8
+
+  /** Per-doc MinHash signature rows: (doc_id, sig_i [i=0..7], band_j). */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val tv = tokens(s, d).select("doc_id", "token").distinct()
+      .join(vocab(s, d), "token")
+    val sigCols = (0 until NSig).map(i =>
+      min((col("tid") * lit(2 * i + 3) + lit(5 * i + 7)) % lit(P)).as(s"sig$i"))
+    tv.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Map[String, Q] = Map(
+    "text_tokenize" -> ((s, d) =>
+      tokens(s, d).filter(col("doc_id") < 100).orderBy("doc_id", "pos")),
+
+    "text_wordcount" -> ((s, d) =>
+      tokens(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(50)),
+
+    "text_lang_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          round(avg(size(split(col("text"), " ")).cast("double")), 4).as("avg_tokens"))
+        .orderBy("lang", "source")),
+
+    "text_ngram" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      tokens(s, d)
+        .withColumn("next", lead("token", 1).over(w))
+        .filter(col("next").isNotNull)
+        .select(concat_ws(" ", col("token"), col("next")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(50)
+    }),
+
+    "text_langid" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val stopHits = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(stopHits.cast("double") / size(toks).cast("double"), 4).as("stop_ratio"),
+        when(stopHits.cast("double") / size(toks).cast("double") > 0.05, "latin-common")
+          .otherwise("other").as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val nDistinct = size(array_distinct(toks)).cast("double")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("text_len"),
+        round((length(col("text")).cast("double") - (nTok - 1)) / nTok, 4).as("avg_token_len"),
+        round(nDistinct / nTok, 4).as("distinct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("re_tokens"))
+        .orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, d) =>
+      tokens(s, d)
+        .withColumn("contrib",
+          (ascii(col("token")) * lit(31L) + length(col("token")).cast("long")) * col("pos") % lit(1000000007L))
+        .groupBy("doc_id")
+        .agg((sum("contrib") % lit(1000000007L)).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"),
+          length(col("text")).cast("long").as("text_len"))
+        .orderBy("canonical_id")),
+
+    "dedup_minhash_sig" -> ((s, d) =>
+      minhashSigs(s, d).orderBy("doc_id")),
+
+    "dedup_near_minhash" -> ((s, d) => {
+      val sigs = minhashSigs(s, d)
+      val bands = (0 until NSig / 2).map(j =>
+        sigs.select(col("doc_id"), lit(j.toLong).as("band"),
+          (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bsig")))
+        .reduce(_ union _)
+      val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bsig"))
+      val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bsig"))
+      a.join(b, Seq("band", "bsig")).filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+        .filter(col("n_bands") >= 2)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      val tv = tokens(s, d).select("doc_id", "token").distinct()
+        .join(vocab(s, d), "token")
+        .withColumn("h", (col("tid") * 7 + 13) % lit(P))
+      val bits = tv.select(col("doc_id") +: (0 until 16).map(j =>
+        (floor(col("h") / math.pow(2, j).toLong) % 2 * 2 - 1).as(s"w$j")): _*)
+      bits.groupBy("doc_id")
+        .agg((0 until 16).map(j => sum(s"w$j").as(s"s$j")).head,
+          (0 until 16).map(j => sum(s"w$j").as(s"s$j")).tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(j =>
+            when(col(s"s$j") > 0, math.pow(2, j).toLong).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = tokens(s, d).filter(col("doc_id") < 100)
+        .withColumn("next", lead("token", 1).over(w))
+        .filter(col("next").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("token"), col("next")).as("bigram"))
+        .distinct()
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val a = grams.select(col("doc_id").as("a_id"), col("bigram"))
+      val b = grams.select(col("doc_id").as("b_id"), col("bigram"))
+      val common = a.join(b, "bigram").filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), "b_id")
+        .withColumn("jaccard",
+          round(col("n_common").cast("double")
+            / (col("a_n") + col("b_n") - col("n_common")).cast("double"), 4))
+        .filter(col("jaccard") >= 0.2)
+        .select("a_id", "b_id", "n_common", "jaccard")
+        .orderBy("a_id", "b_id")
+    }),
+  )
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  private val TokensSql =
+    """SELECT doc_id, unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+      |       unnest(string_split(text, ' ')) AS token
+      |FROM documents""".stripMargin
+
+  private val VocabSql =
+    s"""SELECT token, CAST(dense_rank() OVER (ORDER BY token) AS BIGINT) AS tid
+       |FROM (SELECT DISTINCT token FROM ($TokensSql))""".stripMargin
+
+  private val sigExprs = (0 until NSig).map(i =>
+    s"min((tid * ${2 * i + 3} + ${5 * i + 7}) % $P) AS sig$i").mkString(",\n  ")
+
+  private val MinhashSigSql =
+    s"""SELECT doc_id,
+       |  $sigExprs
+       |FROM (SELECT DISTINCT doc_id, token FROM ($TokensSql)) dt
+       |JOIN ($VocabSql) v USING (token)
+       |GROUP BY doc_id""".stripMargin
+
+  private val BandsSql = (0 until NSig / 2).map(j =>
+    s"SELECT doc_id, CAST($j AS BIGINT) AS band, sig${2 * j} * $P + sig${2 * j + 1} AS bsig FROM sigs")
+    .mkString("\nUNION ALL\n")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokenize" ->
+      s"""SELECT * FROM ($TokensSql) WHERE doc_id < 100 ORDER BY doc_id, pos""",
+
+    "text_wordcount" ->
+      s"""SELECT token, count(*) AS cnt FROM ($TokensSql)
+         |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    "text_lang_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "text_ngram" ->
+      s"""SELECT bigram, count(*) AS cnt FROM (
+         |  SELECT concat_ws(' ', token, lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS bigram,
+         |         lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+         |  FROM ($TokensSql)
+         |) WHERE next IS NOT NULL
+         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
+
+    "text_langid" ->
+      s"""SELECT doc_id,
+         |  round(CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+         |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
+         |    THEN 'latin-common' ELSE 'other' END AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS text_len,
+        |  round((CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS distinct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(sum((ascii(token) * 31 + length(token)) * pos % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
+         |FROM ($TokensSql) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
+        |  CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""SELECT * FROM ($MinhashSigSql) ORDER BY doc_id""",
+
+    "dedup_near_minhash" ->
+      s"""WITH sigs AS ($MinhashSigSql),
+         |bands AS ($BandsSql)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |  AND a.doc_id < b.doc_id
+         |GROUP BY a_id, b_id HAVING count(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tv AS (
+         |  SELECT doc_id, (tid * 7 + 13) % $P AS h
+         |  FROM (SELECT DISTINCT doc_id, token FROM ($TokensSql)) dt
+         |  JOIN ($VocabSql) v USING (token)
+         |)
+         |SELECT doc_id,
+         |  CAST(${(0 until 16).map(j =>
+              s"(CASE WHEN sum(floor(h / ${math.pow(2, j).toLong}) % 2 * 2 - 1) > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END)")
+              .mkString(" + ")} AS BIGINT) AS simhash
+         |FROM tv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT * FROM ($TokensSql) WHERE doc_id < 100),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, bigram FROM (
+         |    SELECT doc_id,
+         |      concat_ws(' ', token, lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS bigram,
+         |      lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+         |    FROM toks
+         |  ) WHERE next IS NOT NULL
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+         |  FROM grams a JOIN grams b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+         |  GROUP BY a_id, b_id
+         |)
+         |SELECT a_id, b_id, n_common,
+         |  round(CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 4) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.2
+         |ORDER BY a_id, b_id""".stripMargin,
+  )
+}

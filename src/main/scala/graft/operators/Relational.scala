@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scans, projections, filters, and scalar-expression operators
+  * (SURVEY.md §2.1–§2.2).
+  *
+  * Scale notes: every query here is a narrow (no-shuffle) pipeline over
+  * the vectorized parquet reader — filters and column selections are
+  * pushed into the scan by Catalyst (verify via `PushedFilters` /
+  * `ReadSchema` in `.explain("formatted")`), so at 100 TB these run as
+  * embarrassingly-parallel map tasks. The trailing total-order sort
+  * exists only for the correctness harness's deterministic hashing; a
+  * production caller would drop `.orderBy` and keep the scan-local
+  * pipeline shuffle-free.
+  */
+object Scans extends OpModule {
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> ((s, d) =>
+      Tables.supplier(s, d).orderBy("s_suppkey")),
+
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    // (dup multiplicity up to 5) — every lineitem-row-level query sorts
+    // over ALL its output columns so row order is total.
+    "scan_pruned" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    "filter_pred" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter((col("l_quantity").between(10, 20)
+          && col("l_returnflag").isin("A", "R")
+          && col("l_discount") > 0.02)
+          || (col("l_quantity") < 2 && col("l_linestatus") === "F"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    // Money arithmetic in DECIMAL: price/discount/tax are exact 2-dp
+    // values, so products are exact ≤6-dp decimals. Rounding those at 4
+    // digits in DOUBLE hits x.xxxx50 decimal ties where Spark
+    // (HALF_UP on shortest repr) and DuckDB (exact binary) disagree;
+    // decimal arithmetic makes the tie-break identical in both engines.
+    "project_arith" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(Dec2(col("l_extendedprice")) * (lit(1) - Dec2(col("l_discount"))), 4)
+          .cast("double").as("revenue"),
+        round(Dec2(col("l_extendedprice")) * (lit(1) - Dec2(col("l_discount")))
+          * (lit(1) + Dec2(col("l_tax"))), 4).cast("double").as("charge"),
+        when(col("l_quantity") > 25, "bulk").otherwise("small").as("qty_class"),
+        (col("l_linenumber").cast("long") * 10 + 1).as("line_code"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "charge", "qty_class", "line_code")),
+
+    "string_funcs" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat_ws(":", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        col("c_name").like("%1%").as("has_one"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).as("digits"))
+        .orderBy("c_custkey")),
+
+    "date_funcs" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_98"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od_str"))
+        .orderBy("o_orderkey")),
+
+    "math_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        abs(col("p_size") - lit(25)).cast("long").as("size_dev"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        floor(col("p_retailprice")).as("price_floor"),
+        round(sqrt(col("p_retailprice")), 4).as("price_sqrt"),
+        round(log(col("p_retailprice")), 4).as("price_ln"),
+        round(pow(col("p_size").cast("double"), 2), 1).as("size_sq"),
+        (col("p_size").cast("long") % 7).as("size_mod"))
+        .orderBy("p_partkey")),
+
+    "json_funcs" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+        get_json_object(col("props"), "$.missing").as("miss"))
+        .orderBy("event_id")),
+
+    "array_funcs" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        element_at(col("embedding"), 64).as("last_val"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("vec_sum"))
+        .orderBy("vec_id")),
+
+    "conditional_null" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg_nn"),
+        coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("OTHER")).as("seg_co"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("pos_bal"))
+        .orderBy("c_custkey")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" -> "SELECT * FROM supplier ORDER BY s_suppkey",
+
+    "scan_pruned" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity",
+
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+        |WHERE (l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R') AND l_discount > 0.02)
+        |   OR (l_quantity < 2 AND l_linestatus = 'F')
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+
+    "project_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))), 4) AS DOUBLE) AS revenue,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    * (1 + CAST(l_tax AS DECIMAL(12,2))), 4) AS DOUBLE) AS charge,
+        |  CASE WHEN l_quantity > 25 THEN 'bulk' ELSE 'small' END AS qty_class,
+        |  CAST(l_linenumber AS BIGINT) * 10 + 1 AS line_code
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge, qty_class, line_code""".stripMargin,
+
+    "string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  concat_ws(':', c_mktsegment, c_name) AS seg_name,
+        |  c_name LIKE '%1%' AS has_one,
+        |  regexp_extract(c_name, '(\d+)', 1) AS digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  date_trunc('month', o_orderdate)::DATE AS month_start,
+        |  date_diff('day', o_orderdate::DATE, DATE '1998-01-01') AS days_to_98,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS od_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "math_funcs" ->
+      """SELECT p_partkey, CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  round(sqrt(p_retailprice), 4) AS price_sqrt,
+        |  round(ln(p_retailprice), 4) AS price_ln,
+        |  round(pow(CAST(p_size AS DOUBLE), 2), 1) AS size_sq,
+        |  CAST(p_size AS BIGINT) % 7 AS size_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "json_funcs" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  json_extract_string(props, '$.missing') AS miss
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  embedding[1] AS first_val, embedding[64] AS last_val,
+        |  round((SELECT sum(CAST(u.x AS DOUBLE)) FROM unnest(embedding) AS u(x)), 4) AS vec_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "conditional_null" ->
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_nn,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_co,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}

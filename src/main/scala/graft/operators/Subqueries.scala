@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Subqueries, unnest/explode, and pivot (SURVEY.md §2.7).
+  *
+  * The subquery trio runs through `spark.sql` on temp views so
+  * Catalyst's own subquery rewrites are exercised: the scalar subquery
+  * becomes a one-row broadcast, `IN (SELECT …)` becomes a left-semi
+  * join, and the correlated Q17-shape is decorrelated into an
+  * aggregate + join — all scale-safe plans (no per-row re-execution).
+  */
+object Subqueries extends OpModule {
+
+  private def sql(tables: Seq[String], q: String): Q = (s, d) => {
+    tables.foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+    s.sql(q)
+  }
+
+  private val ScalarSql =
+    """SELECT p_partkey, p_retailprice FROM part
+      |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  private val InSql =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val CorrelatedSql =
+    """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity
+      |FROM lineitem l
+      |WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      |                      WHERE l2.l_partkey = l.l_partkey)
+      |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "subq_scalar" -> sql(Seq("part"), ScalarSql),
+    "subq_in" -> sql(Seq("orders", "customer"), InSql),
+    "subq_correlated" -> sql(Seq("lineitem"), CorrelatedSql),
+
+    "explode_unnest" -> ((s, d) =>
+      Tables.embeddings(s, d).filter(col("vec_id") < 50)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"), col("val"))
+        .orderBy("vec_id", "pos")),
+
+    "pivot_wide" -> ((s, d) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "subq_scalar" -> ScalarSql,
+    "subq_in" -> InSql,
+    "subq_correlated" -> CorrelatedSql,
+
+    "explode_unnest" ->
+      """SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+        |  unnest(embedding) AS val
+        |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, pos""".stripMargin,
+
+    "pivot_wide" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}
