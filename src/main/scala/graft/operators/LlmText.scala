@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -37,19 +37,29 @@ object LlmText extends OpModule {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("token"))
 
-  /** Distinct tokens ranked alphabetically → dense integer id. */
-  private def vocab(s: SparkSession, d: String): DataFrame =
-    tokens(s, d).select("token").distinct()
-      .withColumn("tid", dense_rank().over(Window.orderBy("token")).cast("long"))
-
   // MinHash params: 8 signatures, 4 bands of 2. Arithmetic-only hash.
   private val P = 1000003L
   private val NSig = 8
 
+  /** Token → integer id via a per-character polynomial fold
+    * `acc ← (acc·31 + codepoint) mod P`. Pure map-side arithmetic: no
+    * vocab table, no join, and crucially no global dense_rank window
+    * (which would serialize the whole vocab through one partition at
+    * 100 TB). The identical fold runs in DuckDB via
+    * `list_reduce`/`list_transform`, so signatures hash-match.
+    * Trailing-empty guard: Spark's split(token,'') keeps a trailing ''
+    * (Java split semantics), DuckDB's string_split drops it — both
+    * sides filter empties before folding.
+    */
+  private def tid(token: Column): Column =
+    aggregate(
+      transform(filter(split(token, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % lit(P))
+
   /** Per-doc MinHash signature rows: (doc_id, sig_i [i=0..7], band_j). */
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val tv = tokens(s, d).select("doc_id", "token").distinct()
-      .join(vocab(s, d), "token")
+      .withColumn("tid", tid(col("token")))
     val sigCols = (0 until NSig).map(i =>
       min((col("tid") * lit(2 * i + 3) + lit(5 * i + 7)) % lit(P)).as(s"sig$i"))
     tv.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -150,8 +160,7 @@ object LlmText extends OpModule {
 
     "dedup_simhash" -> ((s, d) => {
       val tv = tokens(s, d).select("doc_id", "token").distinct()
-        .join(vocab(s, d), "token")
-        .withColumn("h", (col("tid") * 7 + 13) % lit(P))
+        .withColumn("h", (tid(col("token")) * 7 + 13) % lit(P))
       val bits = tv.select(col("doc_id") +: (0 until 16).map(j =>
         (floor(col("h") / math.pow(2, j).toLong) % 2 * 2 - 1).as(s"w$j")): _*)
       bits.groupBy("doc_id")
@@ -195,9 +204,12 @@ object LlmText extends OpModule {
       |       unnest(string_split(text, ' ')) AS token
       |FROM documents""".stripMargin
 
-  private val VocabSql =
-    s"""SELECT token, CAST(dense_rank() OVER (ORDER BY token) AS BIGINT) AS tid
-       |FROM (SELECT DISTINCT token FROM ($TokensSql))""".stripMargin
+  /** Same per-character polynomial fold as the Spark side's `tid`. */
+  private val TidExpr =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(list_filter(string_split(token, ''), c -> c <> ''),
+       |                   c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % $P)""".stripMargin
 
   private val sigExprs = (0 until NSig).map(i =>
     s"min((tid * ${2 * i + 3} + ${5 * i + 7}) % $P) AS sig$i").mkString(",\n  ")
@@ -205,8 +217,7 @@ object LlmText extends OpModule {
   private val MinhashSigSql =
     s"""SELECT doc_id,
        |  $sigExprs
-       |FROM (SELECT DISTINCT doc_id, token FROM ($TokensSql)) dt
-       |JOIN ($VocabSql) v USING (token)
+       |FROM (SELECT DISTINCT doc_id, token, $TidExpr AS tid FROM ($TokensSql)) dt
        |GROUP BY doc_id""".stripMargin
 
   private val BandsSql = (0 until NSig / 2).map(j =>
@@ -286,8 +297,7 @@ object LlmText extends OpModule {
     "dedup_simhash" ->
       s"""WITH tv AS (
          |  SELECT doc_id, (tid * 7 + 13) % $P AS h
-         |  FROM (SELECT DISTINCT doc_id, token FROM ($TokensSql)) dt
-         |  JOIN ($VocabSql) v USING (token)
+         |  FROM (SELECT DISTINCT doc_id, token, $TidExpr AS tid FROM ($TokensSql)) dt
          |)
          |SELECT doc_id,
          |  CAST(${(0 until 16).map(j =>
