@@ -11,23 +11,23 @@ import graft.Tables
   * SimHash + n-gram-Jaccard dedup.
   *
   * Cross-engine parity rule: every hash used in signatures is plain
-  * integer arithmetic (`(a·x + b) mod p`) over a dense token-id
-  * assigned by rank — engine-native hash() functions differ between
-  * Spark (murmur3) and DuckDB, arithmetic does not.
+  * integer arithmetic (`(a·x + b) mod p`) over a polynomial string
+  * fold — engine-native hash() functions differ between Spark
+  * (murmur3) and DuckDB, arithmetic does not.
   *
   * Scale notes:
   *  - Tokenize/ngram are generator (explode) pipelines: no shuffle
   *    until the terminal aggregate; the aggregate shuffles |vocab| not
   *    |tokens| thanks to partial aggregation.
-  *  - MinHash/LSH is the sub-quadratic path: per-doc signatures (one
-  *    aggregate), then candidate pairs ONLY within equal LSH-band
-  *    buckets (an equi-join on band signature) — never an O(n²) cross
-  *    join. Band-bucket skew (a degenerate band shared by many docs)
-  *    is the 100 TB risk; AQE skew-join splitting plus a bucket-size
-  *    cap handles it.
-  *  - The dense-rank vocab build sorts |vocab| (small); at 100 TB one
-  *    would switch the token-id to a fixed arithmetic string-fold hash
-  *    to avoid the global rank entirely.
+  *  - MinHash signatures are a map-only projection (shingle → fold →
+  *    min, all array HOFs): no shuffle at any scale. LSH candidate
+  *    pairs come from bucketing docs on (band, band-signature) and
+  *    enumerating pairs inside each bucket — never an O(n²) cross
+  *    join, and no self-join (which would re-evaluate the signature
+  *    subplan once per branch). Band-bucket skew (a degenerate band
+  *    shared by many docs) is the 100 TB risk; shingling keeps random
+  *    docs out of shared buckets, and a bucket-size cap + salting is
+  *    the escape hatch for adversarial corpora.
   */
 object LlmText extends OpModule {
 
@@ -40,6 +40,7 @@ object LlmText extends OpModule {
   // MinHash params: 8 signatures, 4 bands of 2. Arithmetic-only hash.
   private val P = 1000003L
   private val NSig = 8
+  private val ShingleW = 3
 
   /** Token → integer id via a per-character polynomial fold
     * `acc ← (acc·31 + codepoint) mod P`. Pure map-side arithmetic: no
@@ -56,13 +57,44 @@ object LlmText extends OpModule {
       transform(filter(split(token, ""), c => c =!= ""), c => ascii(c).cast("long")),
       lit(0L), (acc, x) => (acc * 31 + x) % lit(P))
 
-  /** Per-doc MinHash signature rows: (doc_id, sig_i [i=0..7], band_j). */
+  /** Shingle-id combine constant (prime; values stay < P·C1 ≈ 1e9,
+    * far from Long overflow). */
+  private val C1 = 1009L
+
+  /** Per-doc MinHash signatures (doc_id, sig0..sig7), computed entirely
+    * with array higher-order functions in a per-row projection — ZERO
+    * shuffles at any scale; the only exchanges in the dedup pipeline
+    * are the (band, bsig) bucket aggregate downstream.
+    *
+    * Shingling (w=3, not unigram token sets) is what makes MinHash mean
+    * anything on a small-vocabulary corpus: two random ~100-token docs
+    * over a ~30-word vocab share nearly ALL unigrams (Jaccard ≈ 1 —
+    * measured: 4 LSH buckets of 3 847 docs each = 30M candidate pairs
+    * at sf0.1), while their 3-shingle sets are essentially disjoint.
+    *
+    * Cost shape: the per-char fold runs once per TOKEN (~5 chars each);
+    * shingle ids are then a 3-term arithmetic combine of adjacent token
+    * ids — ~4× cheaper than re-folding every shingle's ~20 chars, which
+    * matters because array HOF lambdas evaluate interpreted (no
+    * codegen). Each intermediate array lives in its own projection so
+    * downstream expressions share one evaluation (CollapseProject keeps
+    * non-cheap expressions referenced >1× in their own stage). Docs
+    * shorter than w tokens fall back to one whole-text shingle.
+    */
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val tv = tokens(s, d).select("doc_id", "token").distinct()
-      .withColumn("tid", tid(col("token")))
+    val docs = Tables.documents(s, d)
+      .withColumn("mh_ttids", transform(split(col("text"), " "), t => tid(t)))
+      .withColumn("mh_tids",
+        when(size(col("mh_ttids")) >= ShingleW,
+          transform(sequence(lit(0), size(col("mh_ttids")) - ShingleW), i =>
+            (2 to ShingleW).foldLeft(element_at(col("mh_ttids"), i + 1)) { (acc, k) =>
+              (acc * C1 + element_at(col("mh_ttids"), i + k)) % P
+            }))
+          .otherwise(array(tid(col("text")))))
     val sigCols = (0 until NSig).map(i =>
-      min((col("tid") * lit(2 * i + 3) + lit(5 * i + 7)) % lit(P)).as(s"sig$i"))
-    tv.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      array_min(transform(col("mh_tids"),
+        h => (h * lit(2 * i + 3) + lit(5 * i + 7)) % lit(P))).as(s"sig$i"))
+    docs.select(col("doc_id") +: sigCols: _*)
   }
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -145,15 +177,27 @@ object LlmText extends OpModule {
       minhashSigs(s, d).orderBy("doc_id")),
 
     "dedup_near_minhash" -> ((s, d) => {
+      // LSH candidate pairs WITHOUT a self-join: explode the 4 band
+      // signatures from one array (computing `sigs` once — a DataFrame
+      // self-join would re-evaluate the whole signature subplan per
+      // branch), bucket docs by (band, bsig), and enumerate pairs
+      // inside each bucket from a sorted collect_list. One shuffle on
+      // the bucket key + one on the pair key; candidate volume is
+      // Σ|bucket|², kept sub-quadratic by the shingled signatures.
       val sigs = minhashSigs(s, d)
-      val bands = (0 until NSig / 2).map(j =>
-        sigs.select(col("doc_id"), lit(j.toLong).as("band"),
-          (col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")).as("bsig")))
-        .reduce(_ union _)
-      val a = bands.select(col("doc_id").as("a_id"), col("band"), col("bsig"))
-      val b = bands.select(col("doc_id").as("b_id"), col("band"), col("bsig"))
-      a.join(b, Seq("band", "bsig")).filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_bands"))
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array((0 until NSig / 2).map(j =>
+          col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")): _*))
+          .as(Seq("band", "bsig")))
+      val buckets = banded.groupBy("band", "bsig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val pairs = buckets.select(explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      pairs.groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        .agg(count(lit(1)).as("n_bands"))
         .filter(col("n_bands") >= 2)
         .orderBy("a_id", "b_id")
     }),
@@ -204,21 +248,40 @@ object LlmText extends OpModule {
       |       unnest(string_split(text, ' ')) AS token
       |FROM documents""".stripMargin
 
-  /** Same per-character polynomial fold as the Spark side's `tid`. */
-  private val TidExpr =
+  /** Same per-character polynomial fold as the Spark side's `tid`,
+    * over the string-valued expression `v`. */
+  private def tidSql(v: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(list_filter(string_split(token, ''), c -> c <> ''),
+       |    list_transform(list_filter(string_split($v, ''), c -> c <> ''),
        |                   c -> CAST(ascii(c) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % $P)""".stripMargin
 
+  private val TidExpr = tidSql("token")
+
+  /** Mirrors the Spark side's shingle-id combine over token ids. */
+  private def shingleCombineSql(idx: String): String =
+    (2 to ShingleW).foldLeft(s"ttids[$idx+1]") { (acc, k) =>
+      s"(($acc) * $C1 + ttids[$idx+$k]) % $P"
+    }
+
+  private val TidsSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(ttids) >= $ShingleW
+       |       THEN list_transform(range(0, len(ttids) - ${ShingleW - 1}),
+       |              i -> ${shingleCombineSql("i")})
+       |       ELSE [${tidSql("text")}] END AS tids
+       |FROM (SELECT doc_id, text,
+       |        list_transform(string_split(text, ' '), token -> $TidExpr) AS ttids
+       |      FROM documents)""".stripMargin
+
   private val sigExprs = (0 until NSig).map(i =>
-    s"min((tid * ${2 * i + 3} + ${5 * i + 7}) % $P) AS sig$i").mkString(",\n  ")
+    s"list_min(list_transform(tids, h -> (h * ${2 * i + 3} + ${5 * i + 7}) % $P)) AS sig$i")
+    .mkString(",\n  ")
 
   private val MinhashSigSql =
     s"""SELECT doc_id,
        |  $sigExprs
-       |FROM (SELECT DISTINCT doc_id, token, $TidExpr AS tid FROM ($TokensSql)) dt
-       |GROUP BY doc_id""".stripMargin
+       |FROM ($TidsSql)""".stripMargin
 
   private val BandsSql = (0 until NSig / 2).map(j =>
     s"SELECT doc_id, CAST($j AS BIGINT) AS band, sig${2 * j} * $P + sig${2 * j + 1} AS bsig FROM sigs")
