@@ -23,11 +23,10 @@ import graft.Tables
   *    bucketized first (join on overlapping buckets, then refine) —
   *    the supplier side is small enough here that BNL is the right
   *    plan.
-  *  - `join_asof` uses the range-join + row_number() formulation. Per
-  *    key the candidate fan-out is bounded by orders-per-customer, so
-  *    the shuffle stays proportional to |events| × avg-orders. A
-  *    union-timeline (single sort, lag-carry-forward) variant is the
-  *    fallback if fan-out explodes.
+  *  - `join_asof` uses the union-timeline formulation (one sorted
+  *    window per user over events ∪ orders) rather than a range join,
+  *    whose |events| × avg-prior-orders intermediate grows
+  *    quadratically with scale.
   */
 object Joins extends OpModule {
 
@@ -93,16 +92,34 @@ object Joins extends OpModule {
     }),
 
     "join_asof" -> ((s, d) => {
-      val e = Tables.events(s, d)
-      val o = Tables.orders(s, d)
-      val joined = e.join(o,
-        col("o_custkey") === col("user_id") && col("o_orderdate") <= col("ts"))
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("o_orderkey").as("last_order_key"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+      // As-of join via a merged per-user timeline, not a range join:
+      // the range join materializes |events| × avg-prior-orders rows
+      // (1.0M at sf0.1, growing ~quadratically with sf since both
+      // factors scale with data volume) and then windows over them;
+      // the timeline is |events| + |orders| rows with ONE shuffle +
+      // sort per user key, the plan shape that survives 100 TB.
+      // Orders sort before events at equal timestamps (the predicate
+      // is inclusive: o_orderdate <= ts) and within a date ascending
+      // o_orderkey makes the running `last()` pick the max key —
+      // together matching the oracle's ORDER BY o_orderdate DESC,
+      // o_orderkey DESC choice.
+      val e = Tables.events(s, d).select(
+        col("user_id").as("k"), col("ts").as("t"), lit(1).as("is_event"),
+        col("event_id"),
+        lit(null).cast("long").as("ok"), lit(null).cast("timestamp").as("od"))
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("is_event"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("ok"), col("o_orderdate").as("od"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("t"), col("is_event"), col("ok"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.union(o)
+        .withColumn("last_order_key", last(col("ok"), ignoreNulls = true).over(w))
+        .withColumn("last_order_date", last(col("od"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1 && col("last_order_key").isNotNull)
+        .select(col("event_id"), col("last_order_key"),
+          date_format(col("last_order_date"), "yyyy-MM-dd").as("last_order_date"))
         .orderBy("event_id")
     }),
   )
