@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for the streaming surface (events-table schema with
+  * an event-time timestamp). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Per-user funnel progress carried in state: earliest view, earliest
+  * click after that view (µs since epoch; -1 = unseen). */
+case class FunnelState(viewUs: Long, clickUs: Long)
+
+/** Emitted once per user when the view→click→purchase chain completes. */
+case class FunnelHit(user_id: Long, view_us: Long, click_us: Long, purchase_us: Long)
+
+/** Structured Streaming twins of the batch event-time operators in
+  * `graft.operators.Events` (SURVEY.md §2.8 "ungraded twin" row — the
+  * DuckDB oracle can't execute streams, so these are spec-verified via
+  * MemoryStream instead of oracle-verified).
+  *
+  * Each op takes the streaming DataFrame/Dataset and returns the
+  * transformed stream; the caller owns readStream/writeStream and
+  * trigger/checkpoint policy. Designs are the standard production
+  * shapes: event-time windows behind a watermark (bounded state, late
+  * rows beyond the watermark dropped), `session_window` for gap-based
+  * sessionization, `dropDuplicatesWithinWatermark` for exactly-once-ish
+  * event dedup, and `flatMapGroupsWithState` for the cross-event funnel
+  * state machine that windowed aggregation cannot express.
+  *
+  * Scale notes: every op keys state by a high-cardinality column
+  * (window×type, user_id, event_id), so state shards across executors
+  * with the shuffle; watermarks bound state size in event-time, which
+  * is what makes a 100 TB/day stream sustainable.
+  */
+object Streams {
+
+  /** Tumbling 1h × event_type counts/sums — twin of `evt_tumbling`. */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("val_sum"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("cnt"), col("val_sum"))
+
+  /** Sliding 1h-every-15m totals — twin of `evt_sliding`. */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("val_sum"))
+      .select(col("w.start").as("win_start"), col("cnt"), col("val_sum"))
+
+  /** Gap-based sessionization via `session_window` — twin of
+    * `evt_session` (which uses the lag/cumsum batch formulation). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("val_sum"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"), col("val_sum"))
+
+  /** Event-id dedup with watermark-bounded state — twin of
+    * `evt_late_dedup`. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Cross-event view→click→purchase funnel as a per-user state
+    * machine — twin of `evt_funnel`'s strict-ordering semantics. Emits
+    * one FunnelHit the first time a user completes the chain. State is
+    * two µs timestamps per active user; with an event-time timeout
+    * (production) or the stream's end (tests) it is reclaimed.
+    */
+  def funnelHits(events: Dataset[Event]): Dataset[FunnelHit] = {
+    implicit val stateEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+    implicit val outEnc: Encoder[FunnelHit] = Encoders.product[FunnelHit]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
+          var hit: Option[FunnelHit] = None
+          // done-marker: clickUs == Long.MinValue means already emitted.
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val us = e.ts.getTime * 1000L
+            if (st.clickUs != Long.MinValue) e.event_type match {
+              case "view" if st.viewUs < 0 => st = FunnelState(us, st.clickUs)
+              case "click" if st.viewUs >= 0 && st.clickUs < 0 && us > st.viewUs =>
+                st = FunnelState(st.viewUs, us)
+              case "purchase" if st.clickUs > 0 && us > st.clickUs =>
+                hit = Some(FunnelHit(user, st.viewUs, st.clickUs, us))
+                st = FunnelState(st.viewUs, Long.MinValue)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          hit.iterator
+      }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{Event, Streams}
+
+/** MemoryStream-driven checks of the Structured Streaming twins —
+  * windows, sessionization, watermark dedup, and the funnel state
+  * machine — since the DuckDB oracle cannot execute streams.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  private def ev(id: Long, min: Long, user: Long, typ: String): Event =
+    Event(id, ts(min), user, typ, 1.0)
+
+  private def runToTable(name: String, df: org.apache.spark.sql.DataFrame,
+                         mode: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("tumbling window counts by hour and type") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 0, 1, "view"), ev(2, 10, 1, "click"),
+      ev(3, 70, 2, "view"), ev(4, 80, 2, "view"))
+    runToTable("tumbling", Streams.tumblingCounts(in.toDF()), "complete")
+    val got = spark.table("tumbling")
+      .select("win_start", "event_type", "cnt").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === Set((0L, "view", 1L), (0L, "click", 1L), (60L, "view", 2L)))
+  }
+
+  test("session window splits on gap and merges within it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 0, 1, "view"), ev(2, 20, 1, "view"),
+      ev(3, 120, 1, "view"), ev(4, 0, 2, "view"))
+    runToTable("sessions", Streams.sessionAgg(in.toDF()), "complete")
+    val got = spark.table("sessions")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // user 1: [0,20] one session of 2, [120] one of 1; user 2: one of 1.
+    assert(got === Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes same-id replays") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 0, 1, "view"), ev(1, 1, 1, "view"), ev(2, 2, 1, "click"))
+    runToTable("dedup", Streams.dedupEvents(in.toDF()), "append")
+    assert(spark.table("dedup").select("event_id").collect()
+      .map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
+  }
+
+  test("funnel state machine emits once on strict view→click→purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // user 1 completes across two micro-batches; user 2 is out of order.
+    in.addData(ev(1, 0, 1, "view"), ev(2, 10, 1, "click"),
+      ev(3, 0, 2, "purchase"), ev(4, 5, 2, "click"))
+    val out = Streams.funnelHits(in.toDS())
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      in.addData(ev(5, 20, 1, "purchase"), ev(6, 10, 2, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 20L * 60000000L)))
+  }
+}
