@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** w=3 shingle ids of a whitespace-tokenized text as `array<long>` —
+  * the native twin of the HOF pipeline in `graft.operators.LlmText`
+  * (split → per-token polynomial char fold mod P → 3-term arithmetic
+  * combine), kept bit-identical to the DuckDB oracle SQL:
+  * token fold `acc ← (acc·31 + codepoint) mod 1000003`, shingle
+  * combine `((t₀·1009 + t₁) mod P · 1009 + t₂) mod P`, and a
+  * whole-text fallback for docs shorter than 3 tokens.
+  *
+  * Exists because the HOF formulation evaluates ~|tokens| interpreted
+  * lambda steps per row; this runs as one JIT-compiled helper call per
+  * row. Codegen delegates to [[ShingleIds.compute]] rather than
+  * inlining the loops — the helper is plain JVM code, so the generated
+  * class stays small while the hot loop still JITs.
+  */
+case class ShingleIds(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_ids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleIds.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleIds.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleIds {
+  val P = 1000003L
+  val C1 = 1009L
+  val W = 3
+
+  /** Polynomial code-point fold — matches Spark
+    * `aggregate(transform(filter(split(s, ''), ...), ascii), ...)` and
+    * the DuckDB `list_reduce` twin (both are code-point based). */
+  def fold(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def compute(text: UTF8String): ArrayData = {
+    // split(" ", -1) keeps empty tokens, matching Spark's split(col, " ").
+    val toks = text.toString.split(" ", -1)
+    if (toks.length >= W) {
+      val t = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) { t(i) = fold(toks(i)); i += 1 }
+      val out = new Array[Long](toks.length - W + 1)
+      i = 0
+      while (i <= toks.length - W) {
+        var acc = t(i)
+        var k = 1
+        while (k < W) { acc = (acc * C1 + t(i + k)) % P; k += 1 }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      new GenericArrayData(Array(fold(text.toString)))
+    }
+  }
+}
+
+/** min over `(x·mul + add) mod modulus` of an `array<long>` — one
+  * MinHash signature per evaluation, with the affine constants as
+  * expression parameters (not child columns). Null/empty arrays yield
+  * null. Same codegen-over-helper pattern as [[ShingleIds]].
+  */
+case class AffineModMin(child: Expression, mul: Long, add: Long, modulus: Long)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "affine_mod_min"
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == 0) null
+      else AffineModMin.compute(arr, mul, add, modulus)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |if ($a.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.AffineModMin.compute($a, ${mul}L, ${add}L, ${modulus}L);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AffineModMin {
+  def compute(arr: ArrayData, mul: Long, add: Long, modulus: Long): Long = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = (arr.getLong(i) * mul + add) % modulus
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+}

@@ -27,12 +27,15 @@ import graft.Tables
   */
 object LlmSim extends OpModule {
 
-  /** Σ a[i]·b[i] in double, sequential order. */
+  /** Σ a[i]·b[i] in double, sequential order — native codegen'd
+    * Catalyst expression (graft.functions.DotProduct); the HOF
+    * `aggregate(zip_with(...))` twin evaluates interpreted per element
+    * and was the hot path of every similarity query. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.vecDot(a, b)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private def norm(a: Column): Column =
+    graft.functions.GraftFunctions.vecNorm(a)
 
   /** Hyperplane LSH bucket: bit j = sign of Σ_pos h(j,pos)·v[pos] with
     * h(j,pos) = ((37·j + 101·pos) mod 97) / 97 − 0.5 (arithmetic-only,
@@ -49,13 +52,16 @@ object LlmSim extends OpModule {
 
   val queries: Map[String, Q] = Map(
     "sim_cosine_pairs" -> ((s, d) => {
+      // Norms are projected per-side BEFORE the pair join so each is
+      // computed |V| times, not |V|²/2 times.
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        norm(col("embedding")).as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        norm(col("embedding")).as("b_nrm"))
       a.join(b, col("a_id") < col("b_id"))
         .withColumn("cos", round(
-          dot(col("a_emb"), col("b_emb"))
-            / (norm(col("a_emb")) * norm(col("b_emb"))), 4))
+          dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
         .filter(col("cos") > 0.25)
         .select("a_id", "b_id", "cos")
         .orderBy("a_id", "b_id")
@@ -64,12 +70,13 @@ object LlmSim extends OpModule {
     "sim_knn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          norm(col("embedding")).as("q_nrm"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        norm(col("embedding")).as("n_nrm"))
       val scored = q.join(n, col("q_id") =!= col("n_id"))
         .withColumn("cos", round(
-          dot(col("q_emb"), col("n_emb"))
-            / (norm(col("q_emb")) * norm(col("n_emb"))), 4))
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
@@ -79,14 +86,16 @@ object LlmSim extends OpModule {
 
     "sim_knn_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          lshBucket(col("embedding")).as("bucket"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("bucket"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket"))
+      val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"), col("bucket"))
       val scored = q.join(n, Seq("bucket")).filter(col("q_id") =!= col("n_id"))
         .withColumn("cos", round(
-          dot(col("q_emb"), col("n_emb"))
-            / (norm(col("q_emb")) * norm(col("n_emb"))), 4))
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)

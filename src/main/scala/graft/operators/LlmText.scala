@@ -38,9 +38,11 @@ object LlmText extends OpModule {
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("token"))
 
   // MinHash params: 8 signatures, 4 bands of 2. Arithmetic-only hash.
-  private val P = 1000003L
+  // Constants live in graft.functions.ShingleIds — the native Catalyst
+  // expression and this module's oracle SQL must agree on them.
+  private val P = graft.functions.ShingleIds.P
   private val NSig = 8
-  private val ShingleW = 3
+  private val ShingleW = graft.functions.ShingleIds.W
 
   /** Token → integer id via a per-character polynomial fold
     * `acc ← (acc·31 + codepoint) mod P`. Pure map-side arithmetic: no
@@ -59,7 +61,7 @@ object LlmText extends OpModule {
 
   /** Shingle-id combine constant (prime; values stay < P·C1 ≈ 1e9,
     * far from Long overflow). */
-  private val C1 = 1009L
+  private val C1 = graft.functions.ShingleIds.C1
 
   /** Per-doc MinHash signatures (doc_id, sig0..sig7), computed entirely
     * with array higher-order functions in a per-row projection — ZERO
@@ -72,28 +74,21 @@ object LlmText extends OpModule {
     * measured: 4 LSH buckets of 3 847 docs each = 30M candidate pairs
     * at sf0.1), while their 3-shingle sets are essentially disjoint.
     *
-    * Cost shape: the per-char fold runs once per TOKEN (~5 chars each);
-    * shingle ids are then a 3-term arithmetic combine of adjacent token
-    * ids — ~4× cheaper than re-folding every shingle's ~20 chars, which
-    * matters because array HOF lambdas evaluate interpreted (no
-    * codegen). Each intermediate array lives in its own projection so
-    * downstream expressions share one evaluation (CollapseProject keeps
-    * non-cheap expressions referenced >1× in their own stage). Docs
-    * shorter than w tokens fall back to one whole-text shingle.
+    * Evaluation is fully native: `ShingleIds` (split → per-token char
+    * fold → 3-term shingle combine) and `AffineModMin` (one signature
+    * per seed) are codegen'd Catalyst expressions in graft.functions —
+    * the earlier HOF formulation evaluated ~|tokens| interpreted lambda
+    * steps per row. The `mh_tids` array lives in its own projection so
+    * the 8 signature expressions share one evaluation (CollapseProject
+    * keeps non-cheap expressions referenced >1× in their own stage).
+    * Docs shorter than w tokens fall back to one whole-text shingle.
     */
   private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .withColumn("mh_ttids", transform(split(col("text"), " "), t => tid(t)))
-      .withColumn("mh_tids",
-        when(size(col("mh_ttids")) >= ShingleW,
-          transform(sequence(lit(0), size(col("mh_ttids")) - ShingleW), i =>
-            (2 to ShingleW).foldLeft(element_at(col("mh_ttids"), i + 1)) { (acc, k) =>
-              (acc * C1 + element_at(col("mh_ttids"), i + k)) % P
-            }))
-          .otherwise(array(tid(col("text")))))
+      .withColumn("mh_tids", graft.functions.GraftFunctions.shingleIds(col("text")))
     val sigCols = (0 until NSig).map(i =>
-      array_min(transform(col("mh_tids"),
-        h => (h * lit(2 * i + 3) + lit(5 * i + 7)) % lit(P))).as(s"sig$i"))
+      graft.functions.GraftFunctions.affineModMin(col("mh_tids"), 2 * i + 3, 5 * i + 7, P)
+        .as(s"sig$i"))
     docs.select(col("doc_id") +: sigCols: _*)
   }
 

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, ShingleIds}
+
+/** The custom Catalyst expressions must be drop-in equivalent to the
+  * declarative HOF formulations they replaced — checked here on real
+  * embeddings/documents data, plus the SQL registration path.
+  */
+class FunctionsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("vec_dot / vec_norm match the HOF formulation on real embeddings") {
+    val hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val e = Tables.embeddings(spark, sf)
+    val diff = e.select(
+      abs(GraftFunctions.vecDot(col("embedding"), col("embedding"))
+        - hofDot(col("embedding"), col("embedding"))).as("d1"),
+      abs(GraftFunctions.vecNorm(col("embedding"))
+        - sqrt(hofDot(col("embedding"), col("embedding")))).as("d2"))
+      .agg(max("d1"), max("d2")).collect().head
+    // Identical accumulation order → bitwise-equal doubles, not just close.
+    assert(diff.getDouble(0) === 0.0)
+    assert(diff.getDouble(1) === 0.0)
+  }
+
+  test("shingle_ids matches the independent scala model incl. unicode and short docs") {
+    val cases = Seq(
+      "the quick brown fox",   // 4 tokens → 2 shingles
+      "uno dos",               // short → whole-text fallback
+      "汉字 文本 测试 数据",      // non-ASCII code points
+      "a  b c",                // double space → empty token (fold 0)
+      "")                      // empty text → fallback fold("") = 0
+    def foldS(s: String): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        acc = (acc * 31 + s.codePointAt(i)) % ShingleIds.P
+        i += Character.charCount(s.codePointAt(i))
+      }
+      acc
+    }
+    def modelS(text: String): Seq[Long] = {
+      val toks = text.split(" ", -1).toSeq
+      if (toks.size >= 3) {
+        val t = toks.map(foldS)
+        (0 to toks.size - 3).map(i =>
+          ((t(i) * ShingleIds.C1 + t(i + 1)) % ShingleIds.P * ShingleIds.C1 + t(i + 2)) % ShingleIds.P)
+      } else Seq(foldS(text))
+    }
+    import spark.implicits._
+    val got = cases.toDF("text")
+      .select(GraftFunctions.shingleIds(col("text")).as("ids"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    cases.zip(got).foreach { case (text, ids) =>
+      assert(ids === modelS(text), s"text=$text")
+    }
+  }
+
+  test("affine_mod_min equals min over transformed array") {
+    import spark.implicits._
+    val df = Seq(Seq(5L, 100L, 3L), Seq(999999L)).toDF("xs")
+    val got = df.select(
+      GraftFunctions.affineModMin(col("xs"), 7, 11, 101).as("native"),
+      array_min(transform(col("xs"), x => (x * 7 + 11) % 101)).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("SQL registration exposes vec_dot/vec_norm/shingle_ids") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      """SELECT round(vec_dot(embedding, embedding) - vec_norm(embedding) * vec_norm(embedding), 6) AS z
+        |FROM emb_t LIMIT 5""".stripMargin).collect()
+    r.foreach(row => assert(math.abs(row.getDouble(0)) < 1e-6))
+    val s = spark.sql("SELECT shingle_ids('a b c d') AS ids").collect().head
+    assert(s.getSeq[Long](0).length === 2)
+  }
+}
