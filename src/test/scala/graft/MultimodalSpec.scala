@@ -1,0 +1,66 @@
+package graft
+
+import graft.multimodal.{MediaRow, Multimodal}
+
+/** The Spark-side multimodal plumbing is real even though the codec is
+  * a stub: schemas, batch shape, partition-count independence, and
+  * deterministic decode all verified here.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def blob(id: Long, w: Int, h: Int, payload: Array[Byte]): MediaRow = {
+    val header = Array[Byte]('F', 'I',
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte)
+    MediaRow(id, "image", header ++ payload)
+  }
+
+  private lazy val rows = (1L to 50L).map(i =>
+    blob(i, 640, 480, Array.tabulate(100)(j => ((i * 7 + j) % 256).toByte)))
+
+  test("typed metadata parses the binary header") {
+    import spark.implicits._
+    val meta = Multimodal.imageMeta(rows.toDS()).collect().sortBy(_.media_id)
+    assert(meta.length === 50)
+    assert(meta.forall(m => m.format == "fimg" && m.width == 640 && m.height == 480))
+    assert(meta.head.byte_len === 106L)
+  }
+
+  test("binaryStats stays a native columnar plan (no serializeFromObject)") {
+    import spark.implicits._
+    val df = Multimodal.binaryStats(rows.toDF())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapElements"), s"typed map leaked into plan:\n$plan")
+    assert(df.collect().forall(_.getLong(2) === 106L))
+  }
+
+  test("feature extraction is deterministic and batch/partition independent") {
+    import spark.implicits._
+    val a = Multimodal.imageFeatures(rows.toDS(), dim = 8, batchSize = 7, parallelism = 5)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val b = Multimodal.imageFeatures(rows.toDS(), dim = 8, batchSize = 64, parallelism = 2)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(a === b, "features must not depend on batch size or partitioning")
+    assert(a.values.forall(_.length == 8))
+    // same content → same features; different content → different
+    assert(a(1L) !== a(2L))
+  }
+
+  test("resize halves the feature dimension") {
+    import spark.implicits._
+    val feats = Multimodal.imageFeatures(rows.take(3).toDS(), dim = 8)
+    val small = Multimodal.resizeFeatures(feats).collect()
+    assert(small.forall(_.dim === 4))
+  }
+
+  test("frame sampling emits every nth fixed-size window") {
+    import spark.implicits._
+    // payload 100 bytes, frame 10 bytes → 10 frames, every 3rd → 0,3,6,9
+    val frames = Multimodal.sampleFrames(rows.take(2).toDS(), frameBytes = 10, everyNth = 3)
+      .collect().groupBy(_.media_id)
+    frames.values.foreach { fs =>
+      assert(fs.map(_.frame_no).sorted.toSeq === Seq(0, 3, 6, 9))
+      assert(fs.forall(_.frame.length === 10))
+    }
+  }
+}
