@@ -130,6 +130,62 @@ object LlmSim extends OpModule {
           round(min("l2"), 4).as("min_l2"), round(max("l2"), 4).as("max_l2"))
         .orderBy("label")),
 
+    "dedup_embedding" -> ((s, d) => {
+      // Embedding-cosine near-dup with label blocking: compare only
+      // within a label cell — the generic scale pattern (block on a
+      // cheap partitioner: cluster id, LSH bucket, metadata; then
+      // brute-force inside cells). One shuffle on the block key;
+      // Σ|cell|² candidate pairs instead of |V|²/2.
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"), norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("label"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("label"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+        .withColumn("cos", round(
+          dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
+        .filter(col("cos") >= 0.4)
+        .select(col("label").cast("long").as("label"),
+          col("a_id"), col("b_id"), col("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    "sim_knn_ivf" -> ((s, d) => {
+      // IVF ANN: coarse-quantize every vector to its nearest of C=16
+      // centroids, then search only the query's cell (nprobe=1). Real
+      // IVF k-means-trains the centroids; these are the C lowest-id
+      // vectors so the DuckDB oracle reproduces the exact partition.
+      // Assignment is a broadcast cross-score + partial-aggregated
+      // argmin (min over (−cos, c_id) structs) — map-side combine
+      // collapses the |V|·C scores to |V| rows before the shuffle, no
+      // window sort over the score matrix.
+      val C = 16
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"), norm(col("embedding")).as("nrm"))
+      val cents = e.filter(col("vec_id") < C).select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(
+          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")), 4))
+        .groupBy("vec_id")
+        .agg(min(struct((-col("ccos")).as("nc"), col("c_id").as("cid"))).as("m"),
+          first("embedding").as("embedding"), first("nrm").as("nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("m.cid").as("cell"))
+      val q = assign.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("cell"))
+      val n = assign.select(col("vec_id").as("n_id"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("cell"))
+      val scored = q.join(n, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", round(
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "cell", "n_id", "cos", "rk")
+        .orderBy("q_id", "rk")
+    }),
+
     // Binary-column plumbing for multimodal pipelines: text → bytes →
     // typed metadata. Real image/audio decode is stubbed (libs absent);
     // see graft.multimodal for the mapPartitions decode framework.
@@ -217,6 +273,69 @@ object LlmSim extends OpModule {
          |)
          |SELECT q_id, bucket, n_id, cos, rk FROM (
          |  SELECT q_id, bucket, n_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
+         |  FROM scored
+         |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |norms AS ($NormsSql),
+         |dots AS (
+         |  SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id, sum(a.v * b.v) AS dp
+         |  FROM u a JOIN u b ON a.label = b.label AND a.pos = b.pos
+         |    AND a.vec_id < b.vec_id
+         |  GROUP BY a.label, a_id, b_id
+         |)
+         |SELECT CAST(label AS BIGINT) AS label, a_id, b_id,
+         |  round(dp / (na.nrm * nb.nrm), 4) AS cos
+         |FROM dots JOIN norms na ON na.vec_id = a_id
+         |JOIN norms nb ON nb.vec_id = b_id
+         |WHERE round(dp / (na.nrm * nb.nrm), 4) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "sim_knn_ivf" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |norms AS ($NormsSql),
+         |cdots AS (
+         |  SELECT a.vec_id, b.vec_id AS c_id, sum(a.v * b.v) AS dp
+         |  FROM u a JOIN u b ON a.pos = b.pos AND b.vec_id < 16
+         |  GROUP BY a.vec_id, b.vec_id
+         |),
+         |assign AS (
+         |  SELECT vec_id, c_id AS cell FROM (
+         |    SELECT cd.vec_id, cd.c_id,
+         |      row_number() OVER (PARTITION BY cd.vec_id
+         |        ORDER BY round(cd.dp / (nv.nrm * nc.nrm), 4) DESC, cd.c_id) AS rn
+         |    FROM cdots cd JOIN norms nv ON nv.vec_id = cd.vec_id
+         |    JOIN norms nc ON nc.vec_id = cd.c_id
+         |  ) WHERE rn = 1
+         |),
+         |pairs AS (
+         |  SELECT qa.vec_id AS q_id, qa.cell, nb.vec_id AS n_id
+         |  FROM assign qa JOIN assign nb ON qa.cell = nb.cell
+         |    AND qa.vec_id < 10 AND nb.vec_id <> qa.vec_id
+         |),
+         |dots AS (
+         |  SELECT p.q_id, p.cell, p.n_id, sum(a.v * b.v) AS dp
+         |  FROM pairs p JOIN u a ON a.vec_id = p.q_id
+         |  JOIN u b ON b.vec_id = p.n_id AND b.pos = a.pos
+         |  GROUP BY p.q_id, p.cell, p.n_id
+         |),
+         |scored AS (
+         |  SELECT q_id, cell, n_id, round(dp / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM dots JOIN norms nq ON nq.vec_id = q_id
+         |  JOIN norms nn ON nn.vec_id = n_id
+         |)
+         |SELECT q_id, cell, n_id, cos, rk FROM (
+         |  SELECT q_id, cell, n_id, cos,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
          |  FROM scored
          |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
