@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+
+/** Physical-plan audits: correctness tests prove the WHAT, these prove
+  * the HOW survives a 100 TB scale-up — filters reach the parquet
+  * scan, small dimensions broadcast, equi-joins never degenerate to
+  * cartesian products, and map-side partial aggregation precedes every
+  * shuffle-ful aggregate. Plan regressions (a lost pushdown, a
+  * broadcast threshold miss) are graded failures at scale even though
+  * every row still comes back right.
+  */
+class PlansSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize the adaptive plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def treeString(df: DataFrame): String = executed(df).toString
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val scan = treeString(q("filter_pred"))
+    assert(scan.contains("PushedFilters: ["),
+      s"no pushed filters in:\n$scan")
+    assert(!scan.contains("PushedFilters: []"),
+      s"pushed-filter list is empty in:\n$scan")
+  }
+
+  test("scan_pruned reads only the projected columns") {
+    val scan = treeString(q("scan_pruned"))
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipinstruct"),
+      s"unpruned read schema: $readSchema")
+  }
+
+  test("join_broadcast and join_multiway broadcast their dimension sides") {
+    // string-match: AQE wraps finalized stages in leaf QueryStageExec
+    // nodes that TreeNode.collect does not descend into.
+    Seq("join_broadcast", "join_multiway").foreach { name =>
+      assert(treeString(q(name)).contains("BroadcastHashJoin"),
+        s"$name: no broadcast hash join in plan")
+    }
+  }
+
+  test("equi-joins never plan a cartesian product") {
+    Seq("join_inner_equi", "join_left_outer", "join_semi", "join_anti",
+      "join_multiway", "join_asof", "multimodal_join").foreach { name =>
+      assert(!treeString(q(name)).contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+    }
+  }
+
+  test("group-by aggregates do partial (map-side) aggregation before the shuffle") {
+    val plan = treeString(q("agg_groupby"))
+    // HashAggregate(partial) → Exchange → HashAggregate(final)
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("minhash signatures are a map-only plan (no shuffle before the sort)") {
+    val plan = executed(q("dedup_minhash_sig"))
+    val exchanges = plan.collect { case e: Exchange => e }
+    // the terminal orderBy is the only exchange allowed
+    assert(exchanges.length <= 1,
+      s"signature computation shuffles:\n$plan")
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // compact tree strings mark codegen stages as `*(n)`.
+    Seq("agg_groupby", "join_inner_equi", "project_arith").foreach { name =>
+      val plan = treeString(q(name))
+      assert(plan.contains("*("), s"$name: no codegen spans:\n$plan")
+    }
+  }
+
+  test("flagship entry broadcasts the filtered customer dimension") {
+    val df = SparkEntry.entry(spark)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "entry should broadcast-join the filtered customer side")
+  }
+}
