@@ -26,6 +26,9 @@ object GraftFunctions {
   def vecCosine(a: Column, b: Column): Column =
     vecDot(a, b) / (vecNorm(a) * vecNorm(b))
 
+  def lshBucket(v: Column, bits: Int): Column =
+    GraftBridge.column(HyperplaneLshBucket(GraftBridge.expression(v), bits))
+
   def shingleIds(text: Column): Column =
     GraftBridge.column(ShingleIds(GraftBridge.expression(text)))
 

@@ -57,6 +57,50 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hyperplane LSH bucket of an `array<float>` vector: bit j = sign of
+  * Σ_pos v[pos]·h(j,pos) with the arithmetic hyperplane
+  * h(j,pos) = ((37j + 101·pos) mod 97)/97 − 0.5 (pos 1-based) — no
+  * side table of random planes, so the DuckDB oracle reproduces the
+  * exact buckets. Bitwise-matches the HOF `aggregate(zip_with(...))`
+  * formulation it replaced (same ascending-index double accumulation).
+  */
+case class HyperplaneLshBucket(child: Expression, bits: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override protected def nullSafeEval(a: Any): Any =
+    HyperplaneLshBucket.compute(a.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneLshBucket.compute($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneLshBucket {
+  def compute(arr: ArrayData, bits: Int): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var i = 0
+      while (i < arr.numElements()) {
+        val p = i + 1
+        acc += arr.getFloat(i).toDouble *
+          (((37 * j + 101 * p) % 97).toDouble / 97.0 - 0.5)
+        i += 1
+      }
+      if (acc > 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+}
+
 /** Native L2 norm of an `array<float>` column: sqrt(Σ v[i]²) in double,
   * ascending index order. Same codegen rationale as [[DotProduct]].
   */

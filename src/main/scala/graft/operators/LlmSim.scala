@@ -40,15 +40,10 @@ object LlmSim extends OpModule {
   /** Hyperplane LSH bucket: bit j = sign of Σ_pos h(j,pos)·v[pos] with
     * h(j,pos) = ((37·j + 101·pos) mod 97) / 97 − 0.5 (arithmetic-only,
     * engine-portable). 8 bits → bucket ∈ [0, 256). pos is 1-based.
+    * Native codegen'd expression (graft.functions.HyperplaneLshBucket).
     */
   private def lshBucket(v: Column): Column =
-    (0 until 8).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(1), lit(64)),
-          (x, p) => x.cast("double") * (((lit(37 * j) + lit(101) * p) % 97).cast("double") / 97.0 - 0.5)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, math.pow(2, j).toLong).otherwise(0L)
-    }.reduce(_ + _)
+    graft.functions.GraftFunctions.lshBucket(v, 8)
 
   val queries: Map[String, Q] = Map(
     "sim_cosine_pairs" -> ((s, d) => {
@@ -120,6 +115,16 @@ object LlmSim extends OpModule {
         .agg(count(lit(1)).as("n"), round(avg("v"), 4).as("centroid"),
           round(stddev_samp(col("v")), 4).as("sd"))
         .orderBy("label", "pos")),
+
+    "agg_centroid_udaf" -> ((s, d) =>
+      // §2.10 UDAF surface: a typed Aggregator whose buffer is O(dim)
+      // (elementwise sums + count), merging map-side like a built-in.
+      Tables.embeddings(s, d)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(graft.functions.CentroidAggregator.asColumn(col("embedding")).as("raw"))
+        .select(col("label"),
+          transform(col("raw"), v => round(v, 4)).as("centroid"))
+        .orderBy("label")),
 
     "embed_norms" -> ((s, d) =>
       Tables.embeddings(s, d)
@@ -354,6 +359,17 @@ object LlmSim extends OpModule {
         |    CAST(unnest(embedding) AS DOUBLE) AS v
         |  FROM embeddings
         |) GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "agg_centroid_udaf" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+        |  list(round(c, 4) ORDER BY pos) AS centroid
+        |FROM (
+        |  SELECT label, pos, avg(v) AS c FROM (
+        |    SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+        |      CAST(unnest(embedding) AS DOUBLE) AS v
+        |    FROM embeddings
+        |  ) GROUP BY label, pos
+        |) GROUP BY label ORDER BY label""".stripMargin,
 
     "embed_norms" ->
       """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,

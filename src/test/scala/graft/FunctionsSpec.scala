@@ -59,6 +59,34 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("lsh_bucket matches the HOF hyperplane formulation bitwise") {
+    val hofBucket = (0 until 8).map { j =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(1), lit(64)),
+          (x, p) => x.cast("double") * (((lit(37 * j) + lit(101) * p) % 97).cast("double") / 97.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, math.pow(2, j).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    val bad = Tables.embeddings(spark, sf)
+      .select(GraftFunctions.lshBucket(col("embedding"), 8).as("native"),
+        hofBucket.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad === 0L)
+  }
+
+  test("centroid aggregator matches avg-per-position within fp tolerance") {
+    val got = SparkEntry.queries("agg_centroid_udaf")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val expect = SparkEntry.queries("embed_stats")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (l, rows) => l -> rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq }
+    got.foreach { case (l, c) =>
+      assert(c.length === 64)
+      // embed_stats rounds avg-of-rounded slightly differently; compare loosely
+      c.zip(expect(l)).foreach { case (a, b) => assert(math.abs(a - b) < 2e-4) }
+    }
+  }
+
   test("affine_mod_min equals min over transformed array") {
     import spark.implicits._
     val df = Seq(Seq(5L, 100L, 3L), Seq(999999L)).toDF("xs")

@@ -44,10 +44,19 @@ def main():
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             n_fail += 1; fails.append(name); continue
+        def norm(x):
+            # list/array-valued cells: numpy arrays (and nested ones)
+            # have ambiguous truth under ==; canonicalize to lists.
+            if hasattr(x, "tolist"):
+                return x.tolist()
+            if isinstance(x, (list, tuple)):
+                return [norm(v) for v in x]
+            return x
         bad = None
         for c in got.columns:
             gv, ev = got[c].tolist(), exp[c].tolist()
             for i, (g, e) in enumerate(zip(gv, ev)):
+                g, e = norm(g), norm(e)
                 same = (g == e) or (g is None and e is None)
                 if not same and isinstance(g, float) and isinstance(e, float):
                     same = (math.isnan(g) and math.isnan(e))
