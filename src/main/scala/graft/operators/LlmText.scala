@@ -160,6 +160,39 @@ object LlmText extends OpModule {
         .agg((sum("contrib") % lit(1000000007L)).as("fingerprint"))
         .orderBy("doc_id")),
 
+    "sample_stratified" -> ((s, d) => {
+      // Deterministic 1-in-10 stratified sample per (lang): systematic
+      // sampling on the within-stratum rank instead of rand() — random
+      // samplers don't reproduce across engines, ranks do. At scale
+      // this is one shuffle on the stratum key; for heavy strata the
+      // rank window parallelizes per stratum.
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter((col("rn") % 10) === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality_filter" -> ((s, d) => {
+      // C4-style keep/drop gate composed from the quality signals:
+      // token-count window, repetition cap, minimum mean token length.
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+      val avgTokLen = (length(col("text")).cast("double") - (nTok - 1)) / nTok
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("keep",
+          col("n_tokens") >= 5 && col("n_tokens") <= 1000 &&
+            distinctRatio > 0.1 && avgTokLen >= 2.0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          round(avg(when(col("keep"), col("n_chars"))), 4).as("kept_avg_chars"))
+        .orderBy("lang")
+    }),
+
     "dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("text")
@@ -334,6 +367,33 @@ object LlmText extends OpModule {
       s"""SELECT doc_id,
          |  CAST(sum((ascii(token) * 31 + length(token)) * pos % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
          |FROM ($TokensSql) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn % 10 = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_quality_filter" ->
+      """WITH scored AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+        |    (CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len
+        |  FROM documents
+        |), flagged AS (
+        |  SELECT lang, n_chars,
+        |    (n_tokens >= 5 AND n_tokens <= 1000 AND distinct_ratio > 0.1
+        |      AND avg_tok_len >= 2.0) AS keep
+        |  FROM scored
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(avg(CASE WHEN keep THEN n_chars END), 4) AS kept_avg_chars
+        |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
