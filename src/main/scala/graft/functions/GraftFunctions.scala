@@ -29,6 +29,9 @@ object GraftFunctions {
   def lshBucket(v: Column, bits: Int): Column =
     GraftBridge.column(HyperplaneLshBucket(GraftBridge.expression(v), bits))
 
+  def shingleStrings(text: Column, w: Int): Column =
+    GraftBridge.column(ShingleStrings(GraftBridge.expression(text), w))
+
   def shingleIds(text: Column): Column =
     GraftBridge.column(ShingleIds(GraftBridge.expression(text)))
 

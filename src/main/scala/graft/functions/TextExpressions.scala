@@ -78,6 +78,52 @@ object ShingleIds {
   }
 }
 
+/** w-gram token shingles of a whitespace-tokenized text as
+  * `array<string>` ("tok1 tok2 ... tokw"); texts shorter than w tokens
+  * yield an empty array. Native twin of the
+  * `transform(sequence(...), i -> concat_ws(...))` HOF formulation,
+  * which evaluates interpreted per shingle — this runs one JIT-compiled
+  * helper call per row. */
+case class ShingleStrings(child: Expression, w: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleStrings.compute(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleStrings.compute($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  def compute(text: UTF8String, w: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < w) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - w + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - w) {
+        sb.setLength(0)
+        var k = 0
+        while (k < w) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(i + k))
+          k += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
 /** min over `(x·mul + add) mod modulus` of an `array<long>` — one
   * MinHash signature per evaluation, with the affine constants as
   * expression parameters (not child columns). Null/empty arrays yield

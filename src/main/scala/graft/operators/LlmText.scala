@@ -94,6 +94,17 @@ object LlmText extends OpModule {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Adjacent-token bigram strings per doc as an array — the native
+    * ShingleStrings expression in the row's projection, replacing the
+    * window(lead)-over-exploded-tokens formulation that shuffled the
+    * whole token stream by doc_id just to pair neighbors. (An
+    * interpreted `transform(sequence(...))` HOF was tried in between:
+    * 5× SLOWER than the window — HOF lambda evaluation costs more than
+    * the shuffle it saves. Native codegen is what makes the map-only
+    * shape win.) */
+  private def bigramArr(text: Column): Column =
+    graft.functions.GraftFunctions.shingleStrings(text, 2)
+
   val queries: Map[String, Q] = Map(
     "text_tokenize" -> ((s, d) =>
       tokens(s, d).filter(col("doc_id") < 100).orderBy("doc_id", "pos")),
@@ -111,15 +122,11 @@ object LlmText extends OpModule {
           round(avg(size(split(col("text"), " ")).cast("double")), 4).as("avg_tokens"))
         .orderBy("lang", "source")),
 
-    "text_ngram" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      tokens(s, d)
-        .withColumn("next", lead("token", 1).over(w))
-        .filter(col("next").isNotNull)
-        .select(concat_ws(" ", col("token"), col("next")).as("bigram"))
+    "text_ngram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(bigramArr(col("text"))).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("bigram")).limit(50)
-    }),
+        .orderBy(col("cnt").desc, col("bigram")).limit(50)),
 
     "text_langid" -> ((s, d) => {
       val toks = split(col("text"), " ")
@@ -152,13 +159,20 @@ object LlmText extends OpModule {
         regexp_count(col("text"), lit("[a-z]+")).cast("long").as("re_tokens"))
         .orderBy("doc_id")),
 
-    "text_fingerprint" -> ((s, d) =>
-      tokens(s, d)
-        .withColumn("contrib",
-          (ascii(col("token")) * lit(31L) + length(col("token")).cast("long")) * col("pos") % lit(1000000007L))
-        .groupBy("doc_id")
-        .agg((sum("contrib") % lit(1000000007L)).as("fingerprint"))
-        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) => {
+      // Rolling-hash fingerprint as a per-row array fold — map-only, no
+      // token explode + shuffle. The modular sum is order-independent,
+      // so this is value-identical to the grouped formulation the
+      // oracle keeps.
+      val toks = split(col("text"), " ")
+      val contribs = transform(toks, (t, i) =>
+        (ascii(t) * lit(31L) + length(t).cast("long")) * (i + 1).cast("long") % lit(1000000007L))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (aggregate(contribs, lit(0L), (acc, x) => acc + x) % lit(1000000007L))
+            .as("fingerprint"))
+        .orderBy("doc_id")
+    }),
 
     "sample_stratified" -> ((s, d) => {
       // Deterministic 1-in-10 stratified sample per (lang): systematic
@@ -246,13 +260,13 @@ object LlmText extends OpModule {
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val grams = tokens(s, d).filter(col("doc_id") < 100)
-        .withColumn("next", lead("token", 1).over(w))
-        .filter(col("next").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("token"), col("next")).as("bigram"))
-        .distinct()
-      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(bigramArr(col("text")))).as("bigram"))
+      // per-doc set sizes map-side from the array — no aggregate over
+      // the exploded gram stream
+      val sizes = docs.select(col("doc_id"),
+        size(array_distinct(bigramArr(col("text")))).cast("long").as("n_grams"))
       val a = grams.select(col("doc_id").as("a_id"), col("bigram"))
       val b = grams.select(col("doc_id").as("b_id"), col("bigram"))
       val common = a.join(b, "bigram").filter(col("a_id") < col("b_id"))
