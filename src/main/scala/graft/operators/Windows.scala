@@ -66,6 +66,21 @@ object Windows extends OpModule {
         .orderBy("user_id", "event_id")
     }),
 
+    "win_first_last" -> ((s, d) => {
+      // first_value / last_value / nth_value over a running frame; the
+      // frame must be spelled out because last_value over the default
+      // frame is just the current row.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        first("o_orderkey").over(run).as("first_key"),
+        last("o_orderkey").over(run).as("latest_key"),
+        nth_value(col("o_orderkey"), 2).over(run).as("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "win_ntile_cume" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -115,6 +130,16 @@ object Windows extends OpModule {
          |  round(avg(value) OVER ($EventWin
          |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
          |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS latest_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "win_ntile_cume" ->
       """SELECT o_orderstatus, o_orderkey,
