@@ -19,6 +19,15 @@ import graft.Tables
 object Aggregates extends OpModule {
 
   val queries: Map[String, Q] = Map(
+    "agg_string_agg" -> ((s, d) =>
+      // Ordered string aggregation: sort_array(collect_list) gives the
+      // deterministic order string_agg(... ORDER BY) has in the oracle.
+      Tables.customer(s, d).filter(col("c_custkey") < 500)
+        .groupBy(col("c_nationkey").cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"))
+        .orderBy("c_nationkey")),
+
     "agg_global" -> ((s, d) =>
       Tables.lineitem(s, d).agg(
         count(lit(1)).as("cnt"),
@@ -114,6 +123,12 @@ object Aggregates extends OpModule {
       |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_string_agg" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey < 500
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "agg_global" ->
       """SELECT count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty,
         |  round(avg(l_extendedprice), 4) AS avg_price,

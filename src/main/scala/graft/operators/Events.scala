@@ -90,6 +90,24 @@ object Events extends OpModule {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    "evt_anomaly" -> ((s, d) => {
+      // Hourly per-type z-scores: hourly mean value vs the type's
+      // distribution of hourly means. Two aggregations (hour buckets,
+      // then per-type stats over |hours| rows) + a broadcast-sized join
+      // back — the stats side is tiny at any scale.
+      val hourly = Tables.events(s, d)
+        .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("win_start_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), avg("value").as("h_avg"))
+      val stats = hourly.groupBy(col("event_type").as("s_type"))
+        .agg(avg("h_avg").as("m"), stddev_samp(col("h_avg")).as("sd"))
+      hourly.join(broadcast(stats), col("event_type") === col("s_type"))
+        .select(col("event_type"), col("win_start_s"), col("n"),
+          round(col("h_avg"), 4).as("h_avg"),
+          round((col("h_avg") - col("m")) / col("sd"), 4).as("z"))
+        .orderBy("event_type", "win_start_s")
+    }),
+
     "evt_late_dedup" -> ((s, d) => {
       val w = Window.partitionBy("event_id").orderBy(col("ts"), col("user_id"))
       Tables.events(s, d)
@@ -163,6 +181,20 @@ object Events extends OpModule {
         |  ON a_user = user_id AND act_day >= cohort_day
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "evt_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s,
+        |    event_type, count(*) AS n, avg(value) AS h_avg
+        |  FROM events GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT event_type AS s_type, avg(h_avg) AS m, stddev_samp(h_avg) AS sd
+        |  FROM hourly GROUP BY 1
+        |)
+        |SELECT event_type, win_start_s, n, round(h_avg, 4) AS h_avg,
+        |  round((h_avg - m) / sd, 4) AS z
+        |FROM hourly JOIN stats ON event_type = s_type
+        |ORDER BY event_type, win_start_s""".stripMargin,
 
     "evt_late_dedup" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM (

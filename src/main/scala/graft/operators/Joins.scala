@@ -52,6 +52,17 @@ object Joins extends OpModule {
         .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
     }),
 
+    "join_full_outer" -> ((s, d) => {
+      // Both null sides exercised: BUILDING customers without big
+      // orders (null right) and big orders from non-BUILDING customers
+      // (null left).
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+    }),
+
     "join_semi" -> ((s, d) =>
       Tables.customer(s, d)
         .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
@@ -141,6 +152,13 @@ object Joins extends OpModule {
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
 
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer

@@ -68,6 +68,16 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each micro-batch of events joins
+    * the (small, broadcastable) static dimension — no state, no
+    * watermark needed; the static side is re-resolvable per batch so
+    * slowly-changing dimensions pick up updates on file-source refresh.
+    */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame,
+                       eventKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey), "left")
+
   /** Cross-event view→click→purchase funnel as a per-user state
     * machine — twin of `evt_funnel`'s strict-ordering semantics. Emits
     * one FunnelHit the first time a user completes the chain. State is

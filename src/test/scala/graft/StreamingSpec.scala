@@ -59,6 +59,19 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq.sorted === Seq(1L, 2L))
   }
 
+  test("stream-static join enriches each micro-batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_key", "tier")
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 0, 1, "view"), ev(2, 1, 2, "view"), ev(3, 2, 9L, "view"))
+    val joined = Streams.enrichWithStatic(in.toDF(), dim, "user_id", "user_key")
+    runToTable("enriched", joined, "append")
+    val got = spark.table("enriched").select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
   test("funnel state machine emits once on strict view→click→purchase") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
