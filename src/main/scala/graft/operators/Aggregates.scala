@@ -32,7 +32,8 @@ object Aggregates extends OpModule {
       Tables.lineitem(s, d).agg(
         count(lit(1)).as("cnt"),
         round(sum("l_quantity"), 4).as("sum_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(sum(Dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 4)
+          .as("avg_price"),
         date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
         date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_ship"))),
 
@@ -48,8 +49,10 @@ object Aggregates extends OpModule {
           round(sum(Dec2(col("l_extendedprice")) * (lit(1) - Dec2(col("l_discount")))
             * (lit(1) + Dec2(col("l_tax")))), 4).cast("double").as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          round(sum(Dec2(col("l_extendedprice"))).cast("double") / count(lit(1)), 4)
+            .as("avg_price"),
+          round(sum(Dec2(col("l_discount"))).cast("double") / count(lit(1)), 4)
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -131,7 +134,7 @@ object Aggregates extends OpModule {
 
     "agg_global" ->
       """SELECT count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
         |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
         |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
         |FROM lineitem""".stripMargin,
@@ -143,8 +146,8 @@ object Aggregates extends OpModule {
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 4) AS DOUBLE) AS sum_disc_price,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 4) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus

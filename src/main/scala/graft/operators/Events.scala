@@ -91,20 +91,27 @@ object Events extends OpModule {
     }),
 
     "evt_anomaly" -> ((s, d) => {
-      // Hourly per-type z-scores: hourly mean value vs the type's
-      // distribution of hourly means. Two aggregations (hour buckets,
-      // then per-type stats over |hours| rows) + a broadcast-sized join
-      // back — the stats side is tiny at any scale.
+      // Hourly volume z-scores per type: each hour's event count vs the
+      // type's distribution of hourly counts. Every aggregate here is
+      // ORDER-INDEPENDENT (integer count sums; exact decimal value
+      // sums), so the doubles fed to the z formula are bit-identical in
+      // both engines — round(avg(double)) formulations flipped 4-digit
+      // ties at sf0.1 when partial-sum merge order diverged from the
+      // oracle's. Two aggregations + a broadcast-sized stats join.
       val hourly = Tables.events(s, d)
         .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("win_start_s"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), avg("value").as("h_avg"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(Dec2(col("value"))), 4).cast("double").as("val_sum"))
       val stats = hourly.groupBy(col("event_type").as("s_type"))
-        .agg(avg("h_avg").as("m"), stddev_samp(col("h_avg")).as("sd"))
+        .agg(count(lit(1)).as("hrs"), sum("n").as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+      val m = col("s1").cast("double") / col("hrs")
+      val sd = sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("hrs"))
+        / (col("hrs") - 1))
       hourly.join(broadcast(stats), col("event_type") === col("s_type"))
-        .select(col("event_type"), col("win_start_s"), col("n"),
-          round(col("h_avg"), 4).as("h_avg"),
-          round((col("h_avg") - col("m")) / col("sd"), 4).as("z"))
+        .select(col("event_type"), col("win_start_s"), col("n"), col("val_sum"),
+          round((col("n") - m) / sd, 4).as("z"))
         .orderBy("event_type", "win_start_s")
     }),
 
@@ -185,14 +192,17 @@ object Events extends OpModule {
     "evt_anomaly" ->
       """WITH hourly AS (
         |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s,
-        |    event_type, count(*) AS n, avg(value) AS h_avg
+        |    event_type, count(*) AS n,
+        |    CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS val_sum
         |  FROM events GROUP BY 1, 2
         |), stats AS (
-        |  SELECT event_type AS s_type, avg(h_avg) AS m, stddev_samp(h_avg) AS sd
+        |  SELECT event_type AS s_type, count(*) AS hrs,
+        |    sum(n) AS s1, sum(n * n) AS s2
         |  FROM hourly GROUP BY 1
         |)
-        |SELECT event_type, win_start_s, n, round(h_avg, 4) AS h_avg,
-        |  round((h_avg - m) / sd, 4) AS z
+        |SELECT event_type, win_start_s, n, val_sum,
+        |  round((n - CAST(s1 AS DOUBLE) / hrs)
+        |    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / hrs) / (hrs - 1)), 4) AS z
         |FROM hourly JOIN stats ON event_type = s_type
         |ORDER BY event_type, win_start_s""".stripMargin,
 
