@@ -99,16 +99,36 @@ object Aggregates extends OpModule {
         .filter(col("n_orders") >= 12)
         .orderBy("o_custkey")),
 
-    "agg_stats" -> ((s, d) =>
-      Tables.events(s, d)
-        .groupBy("event_type")
-        .agg(
-          round(stddev_samp(col("value")), 4).as("sd"),
-          round(var_samp(col("value")), 4).as("vr"),
-          round(corr(col("value"), col("user_id").cast("double")), 4).as("cor"),
-          round(expr("percentile(value, 0.5)"), 4).as("med"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90"))
-        .orderBy("event_type")),
+    "agg_stats" -> ((s, d) => {
+      // Sample stddev/variance/Pearson-corr from exact decimal/integer
+      // power sums (Σx, Σx², Σy, Σy², Σxy) instead of the streaming
+      // built-ins: the sums are order-independent, so the doubles fed
+      // to the closed-form formulas are bit-identical in both engines
+      // (the built-ins' merge order diverges from the oracle's).
+      // Magnitudes stay far under 2^53 here; at extreme scale switch
+      // to the built-ins + looser rounding.
+      val x = Dec2(col("value"))
+      val y = col("user_id")
+      val g = Tables.events(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"),
+        round(expr("percentile(value, 0.5)"), 4).as("med"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"))
+      val n = col("n")
+      val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+      val sy = col("sy").cast("double"); val syy = col("syy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val vr = (s2 - s1 * s1 / n) / (n - 1)
+      g.select(col("event_type"),
+        round(sqrt(vr), 4).as("sd"),
+        round(vr, 4).as("vr"),
+        round((n * sxy - s1 * sy)
+          / sqrt((n * s2 - s1 * s1) * (n * syy - sy * sy)), 4).as("cor"),
+        col("med"), col("p90"))
+        .orderBy("event_type")
+    }),
 
     "agg_collect" -> ((s, d) =>
       Tables.documents(s, d)
@@ -181,12 +201,24 @@ object Aggregates extends OpModule {
         |ORDER BY o_custkey""".stripMargin,
 
     "agg_stats" ->
-      """SELECT event_type, round(stddev_samp(value), 4) AS sd,
-        |  round(var_samp(value), 4) AS vr,
-        |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS cor,
-        |  round(quantile_cont(value, 0.5), 4) AS med,
-        |  round(quantile_cont(value, 0.9), 4) AS p90
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS s1,
+        |    sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS s2,
+        |    sum(user_id) AS sy, sum(user_id * user_id) AS syy,
+        |    sum(CAST(value AS DECIMAL(12,2)) * user_id) AS sxy,
+        |    round(quantile_cont(value, 0.5), 4) AS med,
+        |    round(quantile_cont(value, 0.9), 4) AS p90
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type,
+        |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)), 4) AS sd,
+        |  round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 4) AS vr,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(s1 AS DOUBLE) * sy)
+        |    / sqrt((n * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS cor,
+        |  med, p90
+        |FROM g ORDER BY event_type""".stripMargin,
 
     "agg_collect" ->
       """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources,

@@ -19,9 +19,15 @@ object Subqueries extends OpModule {
     s.sql(q)
   }
 
+  /** "price above average" with the average comparison multiplied out
+    * to exact decimal arithmetic (p·n > Σp): avg(p_retailprice) lands
+    * EXACTLY on a 2-dp value in this data, so the float-avg form puts
+    * every part priced at the mean one summation-order bit away from
+    * flipping in or out of the result. */
   private val ScalarSql =
     """SELECT p_partkey, p_retailprice FROM part
-      |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+      |WHERE CAST(p_retailprice AS DECIMAL(12,2)) * (SELECT count(*) FROM part)
+      |    > (SELECT sum(CAST(p_retailprice AS DECIMAL(12,2))) FROM part)
       |ORDER BY p_partkey""".stripMargin
 
   private val InSql =
