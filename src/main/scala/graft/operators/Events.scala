@@ -90,6 +90,29 @@ object Events extends OpModule {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    "evt_click_attrib" -> ((s, d) => {
+      // Interval join: each click attributed to its purchases within
+      // the following hour (same user). Equi-join on user with a range
+      // predicate — sort-merge on user_id, fan-out bounded by
+      // purchases-per-user-per-hour. The streaming twin
+      // (Streams.clickToPurchase) is the watermarked stream-stream
+      // interval join with the same semantics.
+      val e = Tables.events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+      clicks.join(purch,
+          col("p_user") === col("user_id")
+            && col("p_us") >= col("c_us")
+            && col("p_us") <= col("c_us") + 3600000000L)
+        .groupBy("click_id", "user_id", "c_us")
+        .agg(min("p_us").as("first_purchase_us"),
+          count(lit(1)).as("n_purchases_1h"))
+        .orderBy("click_id")
+    }),
+
     "evt_anomaly" -> ((s, d) => {
       // Hourly volume z-scores per type: each hour's event count vs the
       // type's distribution of hourly counts. Every aggregate here is
@@ -188,6 +211,18 @@ object Events extends OpModule {
         |  ON a_user = user_id AND act_day >= cohort_day
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "evt_click_attrib" ->
+      """SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS c_us,
+        |  min(epoch_us(p.ts)) AS first_purchase_us,
+        |  count(*) AS n_purchases_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |GROUP BY click_id, c.user_id, c_us
+        |ORDER BY click_id""".stripMargin,
 
     "evt_anomaly" ->
       """WITH hourly AS (

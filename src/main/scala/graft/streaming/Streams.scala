@@ -68,6 +68,27 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases attributed to the same
+    * user's clicks within the following hour. Watermarks on BOTH sides
+    * bound the join state Spark must retain: clicks can be dropped
+    * once no purchase within range can still arrive, purchases once no
+    * older click can claim them — this is what makes an unbounded
+    * two-stream join runnable forever. Twin of the batch
+    * `evt_click_attrib` operator.
+    */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      expr("p_user = c_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
+      .select(col("click_id"), col("c_user").as("user_id"), col("c_ts"), col("p_ts"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of events joins
     * the (small, broadcastable) static dimension — no state, no
     * watermark needed; the static side is re-resolvable per batch so

@@ -10,7 +10,14 @@ import graft.streaming.{Event, Streams}
   */
 class StreamingSpec extends SparkSpec {
 
-  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+  /** Fixtures sit in 2024, not at epoch 0: Spark's stream-stream join
+    * state watermark (event-time watermark minus the join range,
+    * clamped at zero) filters epoch-adjacent rows as late — a fixture
+    * artifact that produced empty joins, not a library bug. */
+  private val Base = 1704067200000L // 2024-01-01T00:00Z
+  private val BaseMin = Base / 60000L
+
+  private def ts(min: Long): Timestamp = new Timestamp(Base + min * 60000L)
 
   private def ev(id: Long, min: Long, user: Long, typ: String): Event =
     Event(id, ts(min), user, typ, 1.0)
@@ -30,7 +37,7 @@ class StreamingSpec extends SparkSpec {
     runToTable("tumbling", Streams.tumblingCounts(in.toDF()), "complete")
     val got = spark.table("tumbling")
       .select("win_start", "event_type", "cnt").collect()
-      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+      .map(r => (r.getTimestamp(0).getTime / 60000 - BaseMin, r.getString(1), r.getLong(2)))
       .toSet
     assert(got === Set((0L, "view", 1L), (0L, "click", 1L), (60L, "view", 2L)))
   }
@@ -72,6 +79,22 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      ev(1, 0, 1, "click"),
+      ev(2, 30, 1, "purchase"),   // within 1h of click 1 → matched
+      ev(3, 90, 1, "purchase"),   // 90min after click 1 → NOT matched
+      ev(4, 10, 2, "purchase"))   // user 2 never clicked → NOT matched
+    runToTable("attrib", Streams.clickToPurchase(in.toDF()), "append")
+    val got = spark.table("attrib")
+      .select("click_id", "p_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000 - BaseMin))
+    assert(got.toSeq === Seq((1L, 30L)))
+  }
+
   test("funnel state machine emits once on strict view→click→purchase") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
@@ -89,6 +112,6 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val got = spark.table("funnel").collect()
       .map(r => (r.getLong(0), r.getLong(3))).toSeq
-    assert(got === Seq((1L, 20L * 60000000L)))
+    assert(got === Seq((1L, (Base + 20L * 60000L) * 1000L)))
   }
 }
