@@ -53,6 +53,17 @@ object Subqueries extends OpModule {
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"), col("val"))
         .orderBy("vec_id", "pos")),
 
+    "pivot_long" -> ((s, d) =>
+      // unpivot/melt: wide numeric columns → (key, metric, value) rows.
+      // Spark's native unpivot (Melt logical node); the oracle uses the
+      // portable UNION ALL formulation.
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "val")
+        .orderBy("p_partkey", "metric")),
+
     "pivot_wide" -> ((s, d) => {
       val types = Seq("click", "view", "purchase", "signup", "error")
       val p = Tables.events(s, d)
@@ -73,6 +84,12 @@ object Subqueries extends OpModule {
       """SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
         |  unnest(embedding) AS val
         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, pos""".stripMargin,
+
+    "pivot_long" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
 
     "pivot_wide" ->
       """SELECT user_id,
