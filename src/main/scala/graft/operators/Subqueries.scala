@@ -53,6 +53,25 @@ object Subqueries extends OpModule {
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"), col("val"))
         .orderBy("vec_id", "pos")),
 
+    "date_spine" -> ((s, d) => {
+      // Gap-filled monthly spine: sequence() generator from min to max
+      // order month, LEFT-joined to per-month counts (months with no
+      // orders appear as 0). The spine is one row exploded from a
+      // single aggregate — broadcastable at any scale.
+      val bounds = Tables.orders(s, d).agg(
+        date_trunc("month", min("o_orderdate")).as("lo"),
+        date_trunc("month", max("o_orderdate")).as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("mts"))
+        .select(to_date(col("mts")).as("month_start"))
+      val counts = Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("m"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(counts, col("m") === col("month_start"), "left")
+        .select(col("month_start"), coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy("month_start")
+    }),
+
     "pivot_long" -> ((s, d) =>
       // unpivot/melt: wide numeric columns → (key, metric, value) rows.
       // Spark's native unpivot (Melt logical node); the oracle uses the
@@ -84,6 +103,22 @@ object Subqueries extends OpModule {
       """SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
         |  unnest(embedding) AS val
         |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id, pos""".stripMargin,
+
+    "date_spine" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM orders
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month_start
+        |  FROM bounds
+        |), counts AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, count(*) AS n
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT month_start, coalesce(n, 0) AS n_orders
+        |FROM spine LEFT JOIN counts ON m = month_start
+        |ORDER BY month_start""".stripMargin,
 
     "pivot_long" ->
       """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
