@@ -98,6 +98,18 @@ object Scans extends OpModule {
         get_json_object(col("props"), "$.missing").as("miss"))
         .orderBy("event_id")),
 
+    "json_typed" -> ((s, d) =>
+      // Schema-driven JSON parse (from_json → struct) aggregated into
+      // per-bucket stats — the typed twin of json_funcs' path
+      // extraction. Malformed rows would null out, mirroring
+      // PERMISSIVE-mode parse semantics.
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("from_json(props, 'k INT').k").cast("long").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"), min("k").as("k_min"), max("k").as("k_max"))
+        .orderBy("event_type", "k_mod")),
+
     "array_funcs" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -163,6 +175,16 @@ object Scans extends OpModule {
         |  round(pow(CAST(p_size AS DOUBLE), 2), 1) AS size_sq,
         |  CAST(p_size AS BIGINT) % 7 AS size_mod
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "json_typed" ->
+      """SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  count(*) AS cnt,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events
+        |GROUP BY event_type, k_mod
+        |ORDER BY event_type, k_mod""".stripMargin,
 
     "json_funcs" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
