@@ -25,7 +25,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout first (the driver's primary channel), then a file copy —
+    // the round-1 bench JSON outran the driver's captured log tail and
+    // parsed as null, so persist it where truncation can't reach it.
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -66,11 +66,21 @@ object Aggregates extends OpModule {
         .orderBy("l_returnflag")),
 
     // Ungraded (no oracle): HLL sketch values differ between engines by
-    // design; the driver records a rows-only check.
+    // design; the driver records a rows-only check. The exact-count
+    // graded twin is agg_exact_distinct_users below.
     "agg_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(approx_count_distinct("user_id").as("approx_users"))
+        .orderBy("event_type")),
+
+    // Exact-count twin of agg_approx_distinct (SURVEY §2.4's promised
+    // graded form): same grouping, countDistinct, COUNT(DISTINCT) oracle.
+    "agg_exact_distinct_users" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
         .orderBy("event_type")),
 
     "agg_rollup" -> ((s, d) =>
@@ -177,6 +187,11 @@ object Aggregates extends OpModule {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nparts,
         |  count(DISTINCT l_suppkey) AS nsupps, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_exact_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_rollup" ->
       """SELECT year(o_orderdate) AS yr, o_orderstatus, count(*) AS cnt,

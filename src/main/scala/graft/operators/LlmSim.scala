@@ -119,12 +119,16 @@ object LlmSim extends OpModule {
     "agg_centroid_udaf" -> ((s, d) =>
       // §2.10 UDAF surface: a typed Aggregator whose buffer is O(dim)
       // (elementwise sums + count), merging map-side like a built-in.
+      // Graded as the posexploded (label, pos, c) projection — the
+      // array-valued centroid itself is hash-opaque to the driver's
+      // pandas oracle replay; CentroidSpec covers the array form.
       Tables.embeddings(s, d)
         .groupBy(col("label").cast("long").as("label"))
         .agg(graft.functions.CentroidAggregator.asColumn(col("embedding")).as("raw"))
-        .select(col("label"),
-          transform(col("raw"), v => round(v, 4)).as("centroid"))
-        .orderBy("label")),
+        .select(col("label"), posexplode(col("raw")).as(Seq("pos0", "c")))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          round(col("c"), 4).as("c"))
+        .orderBy("label", "pos")),
 
     "embed_norms" -> ((s, d) =>
       Tables.embeddings(s, d)
@@ -361,15 +365,12 @@ object LlmSim extends OpModule {
         |) GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "agg_centroid_udaf" ->
-      """SELECT CAST(label AS BIGINT) AS label,
-        |  list(round(c, 4) ORDER BY pos) AS centroid
+      """SELECT CAST(label AS BIGINT) AS label, pos, round(avg(v), 4) AS c
         |FROM (
-        |  SELECT label, pos, avg(v) AS c FROM (
-        |    SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
-        |      CAST(unnest(embedding) AS DOUBLE) AS v
-        |    FROM embeddings
-        |  ) GROUP BY label, pos
-        |) GROUP BY label ORDER BY label""".stripMargin,
+        |  SELECT label, unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |) GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "embed_norms" ->
       """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,

@@ -26,8 +26,9 @@ import graft.Tables
   *    join, and no self-join (which would re-evaluate the signature
   *    subplan once per branch). Band-bucket skew (a degenerate band
   *    shared by many docs) is the 100 TB risk; shingling keeps random
-  *    docs out of shared buckets, and a bucket-size cap + salting is
-  *    the escape hatch for adversarial corpora.
+  *    docs out of shared buckets, and `bucketPairs` grid-salts any
+  *    bucket past MaxBucket docs so task memory stays bounded with no
+  *    recall loss (adversarial corpora covered by MinhashSpec).
   */
 object LlmText extends OpModule {
 
@@ -93,6 +94,68 @@ object LlmText extends OpModule {
   }
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  // LSH bucket-size bound: buckets up to MaxBucket docs enumerate pairs
+  // from one collected array; beyond that the grid-salted path below
+  // takes over. SaltCap bounds per-doc replication on pathological
+  // corpora (a bucket needs > MaxBucket·SaltCap docs before group size
+  // grows past ~2·MaxBucket again).
+  private val MaxBucket = 64
+  private val SaltCap = 256L
+
+  /** All unordered doc pairs sharing a (band, bsig) bucket, with
+    * bounded task memory and NO recall loss.
+    *
+    * Common case (≤ MaxBucket docs in the bucket — shingled signatures
+    * keep random docs out of shared buckets): one sorted collect_list
+    * per bucket, pairs enumerated in-row.
+    *
+    * Degenerate buckets (boilerplate floods, adversarial corpora — the
+    * 100 TB OOM risk of an uncapped collect_list): grid salting. Each
+    * doc lands in cell g = doc_id mod s with s ≈ bcnt/MaxBucket, and is
+    * replicated to every unordered cell pair (p,q) it touches; the
+    * (band, bsig, p, q) group then holds only cells p∪q (~2·MaxBucket
+    * docs) and enumerates cross-cell pairs (self pairs only when p=q),
+    * so the union over cell pairs is EXACTLY the full bucket pair set.
+    * Replication factor is s ≤ SaltCap per doc; both branches read the
+    * same (band, bsig)-partitioned exchange, which Spark reuses.
+    */
+  private[graft] def bucketPairs(banded: DataFrame): DataFrame = {
+    val withCnt = banded.withColumn("bcnt",
+      count(lit(1)).over(Window.partitionBy("band", "bsig")))
+
+    val small = withCnt.filter(col("bcnt") <= MaxBucket)
+      .groupBy("band", "bsig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val smallPairs = small.select(explode(flatten(
+      transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+
+    val large = withCnt.filter(col("bcnt") > MaxBucket)
+      .withColumn("s",
+        least(ceil(col("bcnt").cast("double") / MaxBucket), lit(SaltCap)))
+      .withColumn("g", pmod(col("doc_id"), col("s")))
+    val cells = large.select(col("band"), col("bsig"), col("doc_id"), col("g"),
+      explode(sequence(lit(0L), col("s") - 1)).as("h"))
+      .select(col("band"), col("bsig"), col("doc_id"), col("g"),
+        least(col("g"), col("h")).as("p"), greatest(col("g"), col("h")).as("q"))
+    val grouped = cells.groupBy("band", "bsig", "p", "q")
+      .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("g")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val largePairs = grouped.select(explode(flatten(
+      transform(col("ds"), (x, i) =>
+        filter(
+          transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+            y => struct(x.getField("id").as("a_id"), y.getField("id").as("b_id"),
+              x.getField("g").as("ga"), y.getField("g").as("gb"))),
+          st => col("p") === col("q") || st.getField("ga") =!= st.getField("gb"))))).as("pr"))
+      .select(col("pr.a_id").as("a_id"), col("pr.b_id").as("b_id"))
+
+    smallPairs.unionByName(largePairs)
+  }
 
   /** Adjacent-token bigram strings per doc as an array — the native
     * ShingleStrings expression in the row's projection, replacing the
@@ -223,22 +286,18 @@ object LlmText extends OpModule {
       // signatures from one array (computing `sigs` once — a DataFrame
       // self-join would re-evaluate the whole signature subplan per
       // branch), bucket docs by (band, bsig), and enumerate pairs
-      // inside each bucket from a sorted collect_list. One shuffle on
-      // the bucket key + one on the pair key; candidate volume is
+      // inside each bucket via `bucketPairs` (collect_list for normal
+      // buckets, grid-salted exact enumeration for degenerate ones —
+      // bounded task memory at any bucket size). One shuffle on the
+      // bucket key + one on the pair key; candidate volume is
       // Σ|bucket|², kept sub-quadratic by the shingled signatures.
       val sigs = minhashSigs(s, d)
       val banded = sigs.select(col("doc_id"),
         posexplode(array((0 until NSig / 2).map(j =>
           col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")): _*))
           .as(Seq("band", "bsig")))
-      val buckets = banded.groupBy("band", "bsig")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-      val pairs = buckets.select(explode(flatten(
-        transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
-      pairs.groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      bucketPairs(banded)
+        .groupBy("a_id", "b_id")
         .agg(count(lit(1)).as("n_bands"))
         .filter(col("n_bands") >= 2)
         .orderBy("a_id", "b_id")

@@ -17,6 +17,16 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
+  /** Per-row salt from a hash of ALL the row's columns plus a fixed
+    * seed — deterministic across re-runs and partition layouts (a
+    * `monotonically_increasing_id`-based salt distributes the same
+    * data differently depending on how the input was split). Exact
+    * duplicate rows share a salt; for a hot key whose rows carry any
+    * varying column this still spreads `salts` ways.
+    */
+  private[graft] def rowSalt(df: DataFrame, salts: Int) =
+    pmod(hash(df.columns.map(col) :+ lit(0x9e3779): _*), lit(salts))
+
   /** Equi-join a skew-heavy probe side against a small dimension:
     * probe rows get a uniform deterministic-per-run salt, the
     * dimension is replicated across all salt values, and the join key
@@ -25,8 +35,7 @@ object Skew {
     */
   def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
-    val salted = skewed.withColumn(SaltCol,
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val salted = skewed.withColumn(SaltCol, rowSalt(skewed, salts))
     val replicated = dim.withColumn(SaltCol,
       explode(array((0 until salts).map(lit(_)): _*)))
     salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
@@ -39,7 +48,7 @@ object Skew {
     * buffers) — demonstrated with count+sum for determinism. */
   def saltedCountSum(df: DataFrame, key: String, valueCol: String,
                      salts: Int): DataFrame =
-    df.withColumn(SaltCol, pmod(hash(monotonically_increasing_id()), lit(salts)))
+    df.withColumn(SaltCol, rowSalt(df, salts))
       .groupBy(col(key), col(SaltCol))
       .agg(count(lit(1)).as("__cnt"), sum(valueCol).as("__sum"))
       .groupBy(col(key))

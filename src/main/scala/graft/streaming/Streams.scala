@@ -105,6 +105,12 @@ object Streams {
     * two µs timestamps per active user; with an event-time timeout
     * (production) or the stream's end (tests) it is reclaimed.
     */
+  /** Full-precision µs since epoch: Timestamp.getTime is ms-truncated,
+    * so sub-ms ordering needs the nanos field folded back in (matches
+    * the batch twin's unix_micros semantics). */
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   def funnelHits(events: Dataset[Event]): Dataset[FunnelHit] = {
     implicit val stateEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
     implicit val outEnc: Encoder[FunnelHit] = Encoders.product[FunnelHit]
@@ -115,8 +121,9 @@ object Streams {
           var st = state.getOption.getOrElse(FunnelState(-1L, -1L))
           var hit: Option[FunnelHit] = None
           // done-marker: clickUs == Long.MinValue means already emitted.
-          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val us = e.ts.getTime * 1000L
+          // event_id tie-breaks same-µs events so batch order is total.
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
             if (st.clickUs != Long.MinValue) e.event_type match {
               case "view" if st.viewUs < 0 => st = FunnelState(us, st.clickUs)
               case "click" if st.viewUs >= 0 && st.clickUs < 0 && us > st.viewUs =>

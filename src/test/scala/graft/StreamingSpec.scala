@@ -114,4 +114,25 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(got === Seq((1L, (Base + 20L * 60000L) * 1000L)))
   }
+
+  test("funnel keeps sub-millisecond precision (µs, not ms-truncated)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // view and click land in the SAME millisecond, click 500 µs later —
+    // ms-truncated ordering would see click == view and reject the
+    // strict view<click chain.
+    val view = ts(0)
+    val click = ts(0); click.setNanos(500000)
+    in.addData(Event(1, view, 9, "view", 1.0),
+      Event(2, click, 9, "click", 1.0),
+      Event(3, ts(1), 9, "purchase", 1.0))
+    val q = Streams.funnelHits(in.toDS())
+      .writeStream.format("memory").queryName("funnel_us")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("funnel_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((9L, Base * 1000L, Base * 1000L + 500L)))
+  }
 }
