@@ -195,6 +195,53 @@ object LlmSim extends OpModule {
         .orderBy("q_id", "rk")
     }),
 
+    "embed_kmeans" -> ((s, d) => {
+      // Real k-means (Lloyd), 2 fixed iterations, deterministic init
+      // (the C lowest-id vectors), cosine assignment with the same
+      // rounded-argmax-tiebreak discipline as sim_knn_ivf. Centroid
+      // updates sum FLOOR(v·1e6) as integers — order-independent, so
+      // the recomputed centroids are bit-identical across engines and
+      // partition layouts (a raw double mean is summation-order
+      // dependent and would diverge between iterations).
+      //
+      // The two iterations unroll into one logical plan; at 100 TB each
+      // iteration would persist/checkpoint its assignment (and the
+      // centroid side — C·dim rows — always broadcasts). Scoring joins
+      // the posexploded vectors to the centroid table on pos and
+      // partial-aggregates the per-(vec, cell) dot products: shuffle
+      // volume is |V|·C rows, never a window over the score matrix.
+      val C = 8
+      val u = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("vf").cast("double").as("v"))
+      val norms = u.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+      var cents = u.filter(col("vec_id") < C)
+        .select(col("vec_id").as("cell"), col("pos"), col("v").as("c"))
+      var assign: DataFrame = null
+      for (_ <- 1 to 2) {
+        val cnorms = cents.groupBy("cell").agg(sqrt(sum(col("c") * col("c"))).as("cnrm"))
+        val scored = u.join(cents, Seq("pos"))
+          .groupBy("vec_id", "cell").agg(sum(col("v") * col("c")).as("dp"))
+          .join(norms, "vec_id").join(cnorms, "cell")
+          .withColumn("cos", round(col("dp") / (col("nrm") * col("cnrm")), 4))
+        assign = scored.groupBy("vec_id")
+          .agg(min(struct((-col("cos")).as("nc"), col("cell").as("cl"))).as("m"))
+          .select(col("vec_id"), col("m.cl").as("cell"))
+        cents = assign.join(u, "vec_id")
+          .groupBy("cell", "pos")
+          .agg((sum(floor(col("v") * 1000000.0).cast("long")).cast("double")
+            / (lit(1000000.0) * count(lit(1)))).as("c"))
+      }
+      val members = assign.groupBy("cell").agg(count(lit(1)).as("n"))
+      // c is emitted UNROUNDED: s/(1e6·n) over integer s,n is one IEEE
+      // division — bit-identical in both engines, while round() at a
+      // .5 boundary is not (HALF_UP vs scaled-multiply tie-breaking).
+      cents.join(members, "cell")
+        .select(col("cell"), col("n"), col("pos"), col("c"))
+        .orderBy("cell", "pos")
+    }),
+
     // Binary-column plumbing for multimodal pipelines: text → bytes →
     // typed metadata. Real image/audio decode is stubbed (libs absent);
     // see graft.multimodal for the mapPartitions decode framework.
@@ -232,7 +279,51 @@ object LlmSim extends OpModule {
       |  GROUP BY vec_id, j
       |) GROUP BY vec_id""".stripMargin
 
+  /** One k-means assignment pass in SQL: nearest centroid from `cents`
+    * by rounded cosine, ties to the lower cell id (mirrors the Spark
+    * side's min(struct(-cos, cell)) argmin). Expects CTEs `u` (unnested
+    * vectors) and `norms`. */
+  private def kmAssignSql(cents: String): String =
+    s"""SELECT vec_id, cell FROM (
+       |  SELECT sc.vec_id, sc.cell,
+       |    row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.cos DESC, sc.cell) AS rn
+       |  FROM (
+       |    SELECT u.vec_id, c.cell,
+       |      round(sum(u.v * c.c) / (n.nrm * cn.cnrm), 4) AS cos
+       |    FROM u JOIN $cents c ON u.pos = c.pos
+       |    JOIN norms n ON n.vec_id = u.vec_id
+       |    JOIN (SELECT cell, sqrt(sum(c * c)) AS cnrm FROM $cents GROUP BY cell) cn
+       |      ON cn.cell = c.cell
+       |    GROUP BY u.vec_id, c.cell, n.nrm, cn.cnrm
+       |  ) sc
+       |) WHERE rn = 1""".stripMargin
+
+  /** One centroid-update pass in SQL: integer-sum mean of FLOOR(v·1e6)
+    * per (cell, pos) — order-independent, engine-identical. */
+  private def kmUpdateSql(assign: String): String =
+    s"""SELECT a.cell, u.pos,
+       |  CAST(sum(CAST(floor(u.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / (1000000.0 * count(*)) AS c
+       |FROM $assign a JOIN u ON u.vec_id = a.vec_id
+       |GROUP BY a.cell, u.pos""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "embed_kmeans" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |norms AS ($NormsSql),
+         |c0 AS (SELECT vec_id AS cell, pos, v AS c FROM u WHERE vec_id < 8),
+         |a1 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmUpdateSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmUpdateSql("a2")}),
+         |members AS (SELECT cell, count(*) AS n FROM a2 GROUP BY cell)
+         |SELECT c2.cell, m.n, c2.pos, c2.c AS c
+         |FROM c2 JOIN members m ON m.cell = c2.cell
+         |ORDER BY c2.cell, c2.pos""".stripMargin,
     "sim_cosine_pairs" ->
       s"""WITH ua AS (${unnested("a", "vec_id < 200")}),
          |ub AS (${unnested("b", "vec_id < 200")}),

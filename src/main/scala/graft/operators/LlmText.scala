@@ -278,6 +278,42 @@ object LlmText extends OpModule {
           length(col("text")).cast("long").as("text_len"))
         .orderBy("canonical_id")),
 
+    // Exact dedup keyed on sha2(text) instead of the raw text — at
+    // 100 TB the shuffle moves 32-byte digests, not document bodies
+    // (collision probability is negligible at any corpus size).
+    "dedup_exact_sha" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("text_sha"))
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy("canonical_id")),
+
+    "text_tfidf" -> ((s, d) => {
+      // Corpus-weighted term relevance: tf(doc, term) · ln(N / df).
+      // Corpus statistics (df, N) aggregate over ALL docs; the per-doc
+      // tf side is filtered to the output slice before its shuffle.
+      // Every input to the score is an exact integer, so the double
+      // math is engine-identical up to ln()'s last ulp (masked by
+      // round-4 like math_funcs' price_ln).
+      val toks = tokens(s, d)
+      val tf = toks.filter(col("doc_id") < 50)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tfc"))
+      val dlen = toks.filter(col("doc_id") < 50)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val dfreq = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val ndocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dlen, "doc_id").join(dfreq, "token")
+        .crossJoin(broadcast(ndocs))
+        .withColumn("tfidf", round(
+          (col("tfc").cast("double") / col("n_tok"))
+            * log(col("n_docs").cast("double") / col("df")), 4))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("doc_id", "token", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    }),
+
     "dedup_minhash_sig" -> ((s, d) =>
       minhashSigs(s, d).orderBy("doc_id")),
 
@@ -472,6 +508,32 @@ object LlmText extends OpModule {
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "dedup_exact_sha" ->
+      """SELECT sha256(text) AS text_sha, min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY canonical_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH toks AS ($TokensSql),
+         |tf AS (SELECT doc_id, token, count(*) AS tfc FROM toks
+         |       WHERE doc_id < 50 GROUP BY doc_id, token),
+         |dlen AS (SELECT doc_id, count(*) AS n_tok FROM toks
+         |         WHERE doc_id < 50 GROUP BY doc_id),
+         |dfreq AS (SELECT token, count(*) AS df FROM
+         |          (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    round((CAST(tfc AS DOUBLE) / n_tok)
+         |      * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+         |  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (token) CROSS JOIN nd
+         |)
+         |SELECT doc_id, token, tfidf, rk FROM (
+         |  SELECT doc_id, token, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rk
+         |  FROM scored
+         |) WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
 
     "dedup_minhash_sig" ->
       s"""SELECT * FROM ($MinhashSigSql) ORDER BY doc_id""",
