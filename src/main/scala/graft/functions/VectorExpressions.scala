@@ -6,9 +6,21 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native dot product over two `array<float>` columns, accumulating in
-  * double in ascending index order (the same order as the
-  * `aggregate(zip_with(...))` higher-order formulation and DuckDB's
+/** Element accessor dispatch shared by the vector expressions: each
+  * argument may be `array<float>` or `array<double>` independently
+  * (embeddings are float; derived centroids are double). */
+private[functions] object VecElem {
+  def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  /** Java accessor snippet for codegen. */
+  def acc(e: Expression): String = if (isFloat(e)) "getFloat" else "getDouble"
+  def get(x: ArrayData, i: Int, float: Boolean): Double =
+    if (float) x.getFloat(i).toDouble else x.getDouble(i)
+}
+
+/** Native dot product over two `array<float|double>` columns,
+  * accumulating in double in ascending index order (the same order as
+  * the `aggregate(zip_with(...))` higher-order formulation and DuckDB's
   * unnest-sum oracle, so rounded scores stay cross-engine stable).
   *
   * Exists because Spark's array higher-order functions evaluate their
@@ -24,6 +36,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  private lazy val lFloat = VecElem.isFloat(left)
+  private lazy val rFloat = VecElem.isFloat(right)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -31,7 +46,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += VecElem.get(x, i, lFloat) * VecElem.get(y, i, rFloat)
       i += 1
     }
     acc
@@ -46,7 +61,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += (double) $a.${VecElem.acc(left)}($i) * (double) $b.${VecElem.acc(right)}($i);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -101,8 +116,9 @@ object HyperplaneLshBucket {
   }
 }
 
-/** Native L2 norm of an `array<float>` column: sqrt(Σ v[i]²) in double,
-  * ascending index order. Same codegen rationale as [[DotProduct]].
+/** Native L2 norm of an `array<float|double>` column: sqrt(Σ v[i]²) in
+  * double, ascending index order. Same codegen rationale as
+  * [[DotProduct]].
   */
 case class L2Norm(child: Expression)
   extends UnaryExpression {
@@ -110,12 +126,14 @@ case class L2Norm(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
 
+  private lazy val cFloat = VecElem.isFloat(child)
+
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var acc = 0.0
     var i = 0
     while (i < x.numElements()) {
-      val v = x.getFloat(i).toDouble
+      val v = VecElem.get(x, i, cFloat)
       acc += v * v
       i += 1
     }
@@ -130,7 +148,7 @@ case class L2Norm(child: Expression)
       s"""
          |double $acc = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double $v = (double) $a.getFloat($i);
+         |  double $v = (double) $a.${VecElem.acc(child)}($i);
          |  $acc += $v * $v;
          |}
          |${ev.value} = java.lang.Math.sqrt($acc);

@@ -211,34 +211,47 @@ object LlmSim extends OpModule {
       // partial-aggregates the per-(vec, cell) dot products: shuffle
       // volume is |V|·C rows, never a window over the score matrix.
       val C = 8
-      val u = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
-        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
-          col("vf").cast("double").as("v"))
-      val norms = u.groupBy("vec_id").agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
-      var cents = u.filter(col("vec_id") < C)
-        .select(col("vec_id").as("cell"), col("pos"), col("v").as("c"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      // Centroids live as (cell, array<double>) rows — C rows at ANY
+      // corpus size, always broadcast; scoring is the same map-only
+      // broadcast-cross-score + partial-agg argmin shape as
+      // sim_knn_ivf, with the native vec_dot/vec_norm running over the
+      // double centroid arrays (no join-on-pos, no exploded shuffle).
+      var cents = Tables.embeddings(s, d).filter(col("vec_id") < C)
+        .select(col("vec_id").as("cell"),
+          transform(col("embedding"), _.cast("double")).as("c_emb"))
       var assign: DataFrame = null
       for (_ <- 1 to 2) {
-        val cnorms = cents.groupBy("cell").agg(sqrt(sum(col("c") * col("c"))).as("cnrm"))
-        val scored = u.join(cents, Seq("pos"))
-          .groupBy("vec_id", "cell").agg(sum(col("v") * col("c")).as("dp"))
-          .join(norms, "vec_id").join(cnorms, "cell")
-          .withColumn("cos", round(col("dp") / (col("nrm") * col("cnrm")), 4))
-        assign = scored.groupBy("vec_id")
+        val cwn = cents.withColumn("cnrm", norm(col("c_emb")))
+        assign = e.crossJoin(broadcast(cwn))
+          .withColumn("cos", round(
+            dot(col("embedding"), col("c_emb")) / (col("nrm") * col("cnrm")), 4))
+          .groupBy("vec_id")
           .agg(min(struct((-col("cos")).as("nc"), col("cell").as("cl"))).as("m"))
           .select(col("vec_id"), col("m.cl").as("cell"))
-        cents = assign.join(u, "vec_id")
-          .groupBy("cell", "pos")
-          .agg((sum(floor(col("v") * 1000000.0).cast("long")).cast("double")
+        // Update: integer-sum mean of FLOOR(v·1e6) per (cell, pos) —
+        // order-independent, so recomputed centroids are bit-identical
+        // across engines and partition layouts — then regathered into
+        // one array per cell (C·dim rows; trivially collectable).
+        cents = assign.join(e.select("vec_id", "embedding"), "vec_id")
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+          .groupBy(col("cell"), col("pos0"))
+          .agg((sum(floor(col("vf").cast("double") * 1000000.0).cast("long")).cast("double")
             / (lit(1000000.0) * count(lit(1)))).as("c"))
+          .groupBy("cell")
+          .agg(transform(sort_array(collect_list(struct(col("pos0"), col("c")))),
+            _.getField("c")).as("c_emb"))
       }
       val members = assign.groupBy("cell").agg(count(lit(1)).as("n"))
       // c is emitted UNROUNDED: s/(1e6·n) over integer s,n is one IEEE
       // division — bit-identical in both engines, while round() at a
       // .5 boundary is not (HALF_UP vs scaled-multiply tie-breaking).
-      cents.join(members, "cell")
-        .select(col("cell"), col("n"), col("pos"), col("c"))
+      cents.join(broadcast(members), "cell")
+        .select(col("cell"), col("n"),
+          posexplode(col("c_emb")).as(Seq("pos0", "c")))
+        .select(col("cell"), col("n"), (col("pos0") + 1).cast("long").as("pos"),
+          col("c"))
         .orderBy("cell", "pos")
     }),
 
