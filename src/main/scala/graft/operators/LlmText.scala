@@ -237,6 +237,49 @@ object LlmText extends OpModule {
         .orderBy("doc_id")
     }),
 
+    "text_chunk" -> ((s, d) => {
+      // Fixed-window token chunking with overlap (context-window prep
+      // for LLM training): 32-token chunks every 24 tokens. Chunks are
+      // built in-row from the split array (one explode, no token
+      // shuffle); chunk_id = start/stride so both engines derive it
+      // arithmetically.
+      val W = 32
+      val S = 24
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(0), size(col("toks")) - 1, lit(S)),
+            st => struct((st / S).cast("long").as("chunk_id"),
+              slice(col("toks"), st + 1, lit(W)).as("chunk")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          array_join(col("c.chunk"), " ").as("chunk_text"),
+          size(col("c.chunk")).cast("long").as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "sample_hash" -> ((s, d) =>
+      // Content-hash sampling: keep docs whose arithmetic text fold
+      // lands in the first 20 of 100 buckets — deterministic,
+      // engine-portable (no rand()), and stable under re-partitioning;
+      // the standard way to cut a reproducible corpus slice.
+      Tables.documents(s, d)
+        .withColumn("bucket", tid(col("text")) % 100)
+        .filter(col("bucket") < 20)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")),
+
+    "text_clean" -> ((s, d) =>
+      // C4-style normalization chain: lowercase, strip non-alnum,
+      // collapse runs of spaces, trim. Conservative character-class
+      // regexes only — identical semantics in Java regex and RE2.
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("clean"))
+        .withColumn("clean_len", length(col("clean")).cast("long"))
+        .orderBy("doc_id")),
+
     "sample_stratified" -> ((s, d) => {
       // Deterministic 1-in-10 stratified sample per (lang): systematic
       // sampling on the within-stratum rank instead of rand() — random
@@ -476,6 +519,30 @@ object LlmText extends OpModule {
       s"""SELECT doc_id,
          |  CAST(sum((ascii(token) * 31 + length(token)) * pos % 1000000007) % 1000000007 AS BIGINT) AS fingerprint
          |FROM ($TokensSql) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      """SELECT doc_id, CAST(st // 24 AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text,
+        |  CAST(len(toks[st + 1 : st + 32]) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id < 200)
+        |) ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "sample_hash" ->
+      s"""SELECT doc_id, lang, bucket FROM (
+         |  SELECT doc_id, lang, ${tidSql("text")} % 100 AS bucket FROM documents
+         |) WHERE bucket < 20 ORDER BY doc_id""".stripMargin,
+
+    "text_clean" ->
+      """SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS clean_len FROM (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g')) AS clean
+        |  FROM documents WHERE doc_id < 200
+        |) ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, lang, source, n_chars FROM (

@@ -81,6 +81,22 @@ object Windows extends OpModule {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "win_range_time" -> ((s, d) => {
+      // RANGE frame over event time: trailing-1h per-user totals. The
+      // frame bound is value-based (µs), so peers at the same instant
+      // share one frame and the result is order-independent within
+      // peers — no row-frame tiebreaker needed. Money-style decimal
+      // sum keeps the double round engine-stable.
+      val w = Window.partitionBy("user_id").orderBy(col("tus"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, d)
+        .withColumn("tus", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(Dec2(col("value"))).over(w), 4).cast("double").as("val_1h"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "win_ntile_cume" -> ((s, d) => {
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -116,6 +132,15 @@ object Windows extends OpModule {
          |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER ($EventWin) AS gap_us,
          |  lead(event_type, 1) OVER ($EventWin) AS next_type
          |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "win_range_time" ->
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER w, 4) AS DOUBLE) AS val_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "win_running" ->
       s"""SELECT user_id, event_id,
