@@ -140,6 +140,23 @@ object Aggregates extends OpModule {
         .orderBy("event_type")
     }),
 
+    "agg_mode" -> ((s, d) => {
+      // Modal value per group with a deterministic tie-break (lowest
+      // key wins) — built-in mode() tie-breaking is engine-unspecified,
+      // so both sides rank (count desc, value asc) explicitly. Two
+      // phases: |groups·values| partial-agg shuffle, then a window over
+      // the (small) distinct-combination set.
+      val counts = Tables.customer(s, d)
+        .groupBy("c_mktsegment", "c_nationkey").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("cnt").desc, col("c_nationkey"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("mode_nation"), col("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+
     "agg_collect" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang")
@@ -234,6 +251,14 @@ object Aggregates extends OpModule {
         |         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS cor,
         |  med, p90
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS mode_nation, cnt FROM (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY count(*) DESC, c_nationkey) AS rn
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey
+        |) WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
 
     "agg_collect" ->
       """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources,

@@ -90,6 +90,19 @@ object Events extends OpModule {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    "evt_path" -> ((s, d) => {
+      // Event-transition matrix (Markov counts): per-user next-event
+      // via lead(), then one partial-aggregated count per (from, to)
+      // pair — shuffle volume is |types|², not |events|.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "next_type")
+    }),
+
     "evt_click_attrib" -> ((s, d) => {
       // Interval join: each click attributed to its purchases within
       // the following hour (same user). Equi-join on user with a range
@@ -211,6 +224,15 @@ object Events extends OpModule {
         |  ON a_user = user_id AND act_day >= cohort_day
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "evt_path" ->
+      """SELECT event_type, next_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events
+        |) WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY event_type, next_type""".stripMargin,
 
     "evt_click_attrib" ->
       """SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS c_us,

@@ -195,6 +195,26 @@ object LlmSim extends OpModule {
         .orderBy("q_id", "rk")
     }),
 
+    "embed_quantize" -> ((s, d) => {
+      // Int8 scalar quantization (the storage/ANN compression staple):
+      // per-dimension [min, max] over the corpus — exact values, no
+      // sums, so the params are engine-identical — then
+      // q = round((v − lo)·255/(hi − lo)) per element. Params are
+      // C·dim rows broadcast back; the quantize pass is map-only.
+      val u = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("vf").cast("double").as("v"))
+      val params = u.groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+      u.filter(col("vec_id") < 20)
+        .join(broadcast(params), "pos")
+        .select(col("vec_id"), col("pos"),
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(round((col("v") - col("lo")) * 255.0 / (col("hi") - col("lo")))
+              .cast("long")).as("q"))
+        .orderBy("vec_id", "pos")
+    }),
+
     "embed_kmeans" -> ((s, d) => {
       // Real k-means (Lloyd), 2 fixed iterations, deterministic init
       // (the C lowest-id vectors), cosine assignment with the same
@@ -321,6 +341,20 @@ object LlmSim extends OpModule {
        |GROUP BY a.cell, u.pos""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |),
+        |params AS (SELECT pos AS p_pos, min(v) AS lo, max(v) AS hi FROM u GROUP BY pos)
+        |SELECT vec_id, pos,
+        |  CAST(CASE WHEN hi = lo THEN 0
+        |       ELSE round((v - lo) * 255.0 / (hi - lo)) END AS BIGINT) AS q
+        |FROM u JOIN params ON u.pos = params.p_pos
+        |WHERE vec_id < 20
+        |ORDER BY vec_id, pos""".stripMargin,
+
     "embed_kmeans" ->
       s"""WITH u AS (
          |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,

@@ -83,6 +83,30 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("text_chunk and text_clean stay map-only up to the terminal sort") {
+    Seq("text_chunk", "text_clean", "sample_hash").foreach { name =>
+      val exchanges = executed(q(name)).collect { case e: Exchange => e }
+      assert(exchanges.length <= 1, s"$name shuffles before the sort")
+    }
+  }
+
+  test("etl merges run as one join, never a cartesian product") {
+    Seq("etl_merge_upsert", "etl_scd2_merge").foreach { name =>
+      val plan = treeString(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+      assert(plan.contains("FullOuter"), s"$name lost its full-outer join")
+    }
+  }
+
+  test("embed_kmeans broadcasts the centroid side of every scoring pass") {
+    val plan = treeString(q("embed_kmeans"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroid side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "kmeans cross-score degenerated to a non-broadcast cartesian")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
