@@ -140,6 +140,17 @@ object Aggregates extends OpModule {
         .orderBy("event_type")
     }),
 
+    "agg_argmax" -> ((s, d) =>
+      // argmax via lexicographic struct max — one partial-aggregated
+      // pass (no window, no self-join): richest customer per segment,
+      // ties broken to the higher key by the struct's second field.
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("m"))
+        .select(col("c_mktsegment"), col("m.c_acctbal").as("top_bal"),
+          col("m.c_custkey").as("top_cust"))
+        .orderBy("c_mktsegment")),
+
     "agg_mode" -> ((s, d) => {
       // Modal value per group with a deterministic tie-break (lowest
       // key wins) — built-in mode() tie-breaking is engine-unspecified,
@@ -251,6 +262,14 @@ object Aggregates extends OpModule {
         |         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS cor,
         |  med, p90
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "agg_argmax" ->
+      """SELECT c_mktsegment, c_acctbal AS top_bal, c_custkey AS top_cust FROM (
+        |  SELECT c_mktsegment, c_acctbal, c_custkey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |  FROM customer
+        |) WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
 
     "agg_mode" ->
       """SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS mode_nation, cnt FROM (

@@ -42,10 +42,25 @@ object Subqueries extends OpModule {
       |                      WHERE l2.l_partkey = l.l_partkey)
       |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity""".stripMargin
 
+  /** Correlated LATERAL derived table with ORDER BY + LIMIT — the
+    * "top-N related rows per outer row" shape. Catalyst plans it as a
+    * lateral join with a per-group limit, not a per-row re-execution;
+    * DuckDB runs the identical text. Output key (c_custkey,
+    * o_orderkey) is unique ⇒ total order. */
+  private val LateralSql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+      |) t
+      |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "subq_scalar" -> sql(Seq("part"), ScalarSql),
     "subq_in" -> sql(Seq("orders", "customer"), InSql),
     "subq_correlated" -> sql(Seq("lineitem"), CorrelatedSql),
+    "subq_lateral" -> sql(Seq("customer", "orders"), LateralSql),
 
     "explode_unnest" -> ((s, d) =>
       Tables.embeddings(s, d).filter(col("vec_id") < 50)
@@ -98,6 +113,7 @@ object Subqueries extends OpModule {
     "subq_scalar" -> ScalarSql,
     "subq_in" -> InSql,
     "subq_correlated" -> CorrelatedSql,
+    "subq_lateral" -> LateralSql,
 
     "explode_unnest" ->
       """SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
