@@ -397,29 +397,62 @@ object LlmText extends OpModule {
         .orderBy("doc_id")
     }),
 
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
-      val grams = docs.select(col("doc_id"),
-        explode(array_distinct(bigramArr(col("text")))).as("bigram"))
-      // per-doc set sizes map-side from the array — no aggregate over
-      // the exploded gram stream
-      val sizes = docs.select(col("doc_id"),
-        size(array_distinct(bigramArr(col("text")))).cast("long").as("n_grams"))
-      val a = grams.select(col("doc_id").as("a_id"), col("bigram"))
-      val b = grams.select(col("doc_id").as("b_id"), col("bigram"))
-      val common = a.join(b, "bigram").filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-      common
-        .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), "b_id")
-        .withColumn("jaccard",
-          round(col("n_common").cast("double")
-            / (col("a_n") + col("b_n") - col("n_common")).cast("double"), 4))
-        .filter(col("jaccard") >= 0.2)
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(s, d)
         .select("a_id", "b_id", "n_common", "jaccard")
-        .orderBy("a_id", "b_id")
+        .orderBy("a_id", "b_id")),
+
+    "dedup_components" -> ((s, d) => {
+      // Canonical-doc assignment: connected components over the
+      // near-dup pair graph via 3 unrolled rounds of min-label
+      // propagation (label(d) ← min over neighbors∪self of label(n)).
+      // Both engines run exactly 3 rounds, so the output is
+      // well-defined even on graphs whose diameter exceeds 3; near-dup
+      // clusters are clique-ish, converging in 1–2. Each round is one
+      // equi-join + partial-aggregated min — the plan a 100 TB label
+      // propagation uses per superstep (with the edge list persisted
+      // between supersteps instead of recomputed, and iterated until a
+      // fixpoint counter stops changing).
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id")
+      val p = ngramJaccardPairs(s, d)
+      val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      for (_ <- 1 to 3) {
+        labels = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+          .groupBy(col("src"))
+          .agg(min(col("label")).as("label"))
+          .withColumnRenamed("src", "doc_id")
+      }
+      labels.select(col("doc_id"), col("label").as("canonical"))
+        .orderBy("doc_id")
     }),
   )
+
+  /** Near-dup pairs among docs < 100 by bigram-set Jaccard ≥ 0.2 —
+    * the declared brute-force correctness baseline (gated input), also
+    * the edge source for `dedup_components`. */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(bigramArr(col("text")))).as("bigram"))
+    // per-doc set sizes map-side from the array — no aggregate over
+    // the exploded gram stream
+    val sizes = docs.select(col("doc_id"),
+      size(array_distinct(bigramArr(col("text")))).cast("long").as("n_grams"))
+    val a = grams.select(col("doc_id").as("a_id"), col("bigram"))
+    val b = grams.select(col("doc_id").as("b_id"), col("bigram"))
+    val common = a.join(b, "bigram").filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), "b_id")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double")
+          / (col("a_n") + col("b_n") - col("n_common")).cast("double"), 4))
+      .filter(col("jaccard") >= 0.2)
+  }
 
   // ---- oracle SQL -------------------------------------------------------
 
@@ -626,27 +659,53 @@ object LlmText extends OpModule {
          |FROM tv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH toks AS (SELECT * FROM ($TokensSql) WHERE doc_id < 100),
-         |grams AS (
-         |  SELECT DISTINCT doc_id, bigram FROM (
-         |    SELECT doc_id,
-         |      concat_ws(' ', token, lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS bigram,
-         |      lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
-         |    FROM toks
-         |  ) WHERE next IS NOT NULL
-         |),
-         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
-         |common AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-         |  FROM grams a JOIN grams b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
-         |  GROUP BY a_id, b_id
-         |)
-         |SELECT a_id, b_id, n_common,
-         |  round(CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 4) AS jaccard
-         |FROM common
-         |JOIN sizes sa ON sa.doc_id = a_id
-         |JOIN sizes sb ON sb.doc_id = b_id
-         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.2
+      s"""WITH $JaccardCtes
+         |SELECT a_id, b_id, n_common, jaccard FROM scored
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_components" ->
+      s"""WITH $JaccardCtes,
+         |docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM scored
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM scored
+         |  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM docs
+         |),
+         |l0 AS (SELECT doc_id, doc_id AS label FROM docs),
+         |l1 AS (SELECT e.src AS doc_id, min(l.label) AS label
+         |       FROM edges e JOIN l0 l ON e.dst = l.doc_id GROUP BY e.src),
+         |l2 AS (SELECT e.src AS doc_id, min(l.label) AS label
+         |       FROM edges e JOIN l1 l ON e.dst = l.doc_id GROUP BY e.src),
+         |l3 AS (SELECT e.src AS doc_id, min(l.label) AS label
+         |       FROM edges e JOIN l2 l ON e.dst = l.doc_id GROUP BY e.src)
+         |SELECT doc_id, label AS canonical FROM l3 ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared CTE block ending in `scored(a_id, b_id, n_common, jaccard)`
+    * — the thresholded bigram-Jaccard pairs among docs < 100 (mirrors
+    * `ngramJaccardPairs`). */
+  private lazy val JaccardCtes: String =
+    s"""toks AS (SELECT * FROM ($TokensSql) WHERE doc_id < 100),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, bigram FROM (
+       |    SELECT doc_id,
+       |      concat_ws(' ', token, lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS bigram,
+       |      lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+       |    FROM toks
+       |  ) WHERE next IS NOT NULL
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+       |  FROM grams a JOIN grams b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+       |  GROUP BY a_id, b_id
+       |),
+       |scored AS (
+       |  SELECT a_id, b_id, n_common,
+       |    round(CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 4) AS jaccard
+       |  FROM common
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 4) >= 0.2
+       |)""".stripMargin
 }

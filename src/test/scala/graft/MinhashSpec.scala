@@ -70,6 +70,22 @@ class MinhashSpec extends SparkSpec {
     (0 until NSig).foreach(j => assert(row.getLong(1 + j) === expect(j)))
   }
 
+  test("components propagate the min label across a transitive chain") {
+    val d2 = Fixtures.tempDir()
+    Fixtures.documents(spark, d2, Seq(
+      "the quick brown fox jumps over the lazy dog", // 0
+      "the quick brown fox jumps over the lazy dog", // 1: exact dup of 0
+      "pack my box with five dozen liquor jugs today", // 2: singleton
+      "x y z w", // 3
+      "x y z q", // 4: jaccard(3,4)=0.5 → edge
+      "q r z q"  // 5: jaccard(4,5)=0.2 → edge; no 3–5 edge (chain!)
+    ))
+    val got = SparkEntry.queries("dedup_components")(spark, d2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 5 reaches 3 only transitively through 4 — needs ≥2 rounds.
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
   test("adversarial corpus: degenerate bucket takes the grid-salted path exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
