@@ -16,6 +16,13 @@ case class FunnelState(viewUs: Long, clickUs: Long)
 /** Emitted once per user when the view→click→purchase chain completes. */
 case class FunnelHit(user_id: Long, view_us: Long, click_us: Long, purchase_us: Long)
 
+/** One user-level event transition (streaming twin of `evt_path`'s
+  * lead()-derived pairs). */
+case class Transition(user_id: Long, from_type: String, to_type: String)
+
+/** Per-user tail state for transition extraction. */
+case class LastEvent(us: Long, event_id: Long, typ: String)
+
 /** Structured Streaming twins of the batch event-time operators in
   * `graft.operators.Events` (SURVEY.md §2.8 "ungraded twin" row — the
   * DuckDB oracle can't execute streams, so these are spec-verified via
@@ -110,6 +117,33 @@ object Streams {
     * the batch twin's unix_micros semantics). */
   private def micros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Per-user event-transition extraction — streaming twin of the
+    * batch `evt_path` operator. State is one (µs, event_id, type)
+    * tail per user; each micro-batch sorts its own rows in event-time
+    * and stitches to the carried tail, so ordering is exact within and
+    * across in-order batches (a late row pairs at arrival — the batch
+    * twin is the event-time truth; add a watermark + event-time
+    * timeout in production to bound state). Downstream counting is a
+    * plain streaming groupBy over the emitted pairs.
+    */
+  def transitionPairs(events: Dataset[Event]): Dataset[Transition] = {
+    implicit val stateEnc: Encoder[LastEvent] = Encoders.product[LastEvent]
+    implicit val outEnc: Encoder[Transition] = Encoders.product[Transition]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            last.foreach(l => out += Transition(user, l.typ, e.event_type))
+            last = Some(LastEvent(micros(e.ts), e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 
   def funnelHits(events: Dataset[Event]): Dataset[FunnelHit] = {
     implicit val stateEnc: Encoder[FunnelState] = Encoders.product[FunnelState]

@@ -115,6 +115,28 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq((1L, (Base + 20L * 60000L) * 1000L)))
   }
 
+  test("transition pairs stitch across micro-batches per user") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(ev(1, 0, 1, "view"), ev(2, 10, 1, "click"),
+      ev(3, 5, 2, "view"))
+    val q = Streams.transitionPairs(in.toDS())
+      .writeStream.format("memory").queryName("paths")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 must pair its first event with batch 1's carried tail
+      in.addData(ev(4, 20, 1, "purchase"), ev(5, 15, 2, "error"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("paths").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      (1L, "view", "click"), (1L, "click", "purchase"),
+      (2L, "view", "error")))
+  }
+
   test("funnel keeps sub-millisecond precision (µs, not ms-truncated)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
