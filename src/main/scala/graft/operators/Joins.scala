@@ -44,6 +44,15 @@ object Joins extends OpModule {
         .select("c_custkey", "n_name", "r_name")
         .orderBy("c_custkey")),
 
+    "join_cross" -> ((s, d) =>
+      // Deliberate small×small cartesian (nation × region, 125 rows) —
+      // the explicit crossJoin surface; any large cross join is a bug
+      // the PlansSpec cartesian checks exist to catch.
+      Tables.nation(s, d).crossJoin(broadcast(Tables.region(s, d)))
+        .select(col("n_name"), col("r_name"),
+          (col("n_regionkey") === col("r_regionkey")).as("is_home"))
+        .orderBy("n_name", "r_name")),
+
     "join_left_outer" -> ((s, d) => {
       val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
       Tables.customer(s, d)
@@ -140,6 +149,11 @@ object Joins extends OpModule {
       """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_quantity
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "join_cross" ->
+      """SELECT n_name, r_name, n_regionkey = r_regionkey AS is_home
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
 
     "join_broadcast" ->
       """SELECT c_custkey, n_name, r_name

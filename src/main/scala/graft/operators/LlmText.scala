@@ -337,14 +337,19 @@ object LlmText extends OpModule {
       // Every input to the score is an exact integer, so the double
       // math is engine-identical up to ln()'s last ulp (masked by
       // round-4 like math_funcs' price_ln).
-      val toks = tokens(s, d)
-      val tf = toks.filter(col("doc_id") < 50)
+      val docs = Tables.documents(s, d)
+      val out = docs.filter(col("doc_id") < 50)
+      val tf = out.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tfc"))
-      val dlen = toks.filter(col("doc_id") < 50)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-      val dfreq = toks.select("doc_id", "token").distinct()
+      val dlen = out.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      // df via in-row array_distinct: the corpus-wide side partial-
+      // aggregates straight to |vocab| rows — no shuffle of the
+      // distinct (doc, token) stream (was the cost of this query).
+      val dfreq = docs
+        .select(explode(array_distinct(split(col("text"), " "))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("df"))
-      val ndocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val ndocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dlen, "doc_id").join(dfreq, "token")
         .crossJoin(broadcast(ndocs))
         .withColumn("tfidf", round(
