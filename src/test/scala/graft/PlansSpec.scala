@@ -107,6 +107,24 @@ class PlansSpec extends SparkSpec {
       "kmeans cross-score degenerated to a non-broadcast cartesian")
   }
 
+  test("subq_lateral plans a lateral join, not a cartesian re-execution") {
+    assert(!treeString(q("subq_lateral")).contains("CartesianProduct"),
+      "lateral subquery degenerated to a cartesian product")
+  }
+
+  test("embed_quantize broadcasts the per-dimension params") {
+    val plan = treeString(q("embed_quantize"))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"quantization params not broadcast:\n$plan")
+  }
+
+  test("agg_argmax is one partial-aggregated pass (no window, no join)") {
+    val plan = treeString(q("agg_argmax"))
+    assert(plan.contains("partial_min") || plan.contains("partial_max"),
+      s"no partial aggregation in argmax:\n$plan")
+    assert(!plan.contains("Window"), s"argmax fell back to a window:\n$plan")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
