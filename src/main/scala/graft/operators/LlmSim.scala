@@ -195,6 +195,18 @@ object LlmSim extends OpModule {
         .orderBy("q_id", "rk")
     }),
 
+    "embed_bucket_stats" -> ((s, d) =>
+      // ANN health diagnostic: LSH bucket-occupancy histogram. A
+      // healthy hyperplane partition spreads vectors across buckets;
+      // mass collecting in few buckets predicts degenerate candidate
+      // volumes before a single pair is enumerated. Two tiny
+      // partial-aggregated passes (map-only bucket computation).
+      Tables.embeddings(s, d)
+        .select(lshBucket(col("embedding")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        .groupBy("n_vecs").agg(count(lit(1)).as("n_buckets"))
+        .orderBy("n_vecs")),
+
     "embed_quantize" -> ((s, d) => {
       // Int8 scalar quantization (the storage/ANN compression staple):
       // per-dimension [min, max] over the corpus — exact values, no
@@ -341,6 +353,12 @@ object LlmSim extends OpModule {
        |GROUP BY a.cell, u.pos""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embed_bucket_stats" ->
+      s"""WITH buckets AS ($BucketsSql)
+         |SELECT n_vecs, count(*) AS n_buckets FROM (
+         |  SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
+         |) GROUP BY n_vecs ORDER BY n_vecs""".stripMargin,
+
     "embed_quantize" ->
       """WITH u AS (
         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,

@@ -313,6 +313,34 @@ object LlmText extends OpModule {
         .orderBy("lang")
     }),
 
+    "text_perplexity_proxy" -> ((s, d) => {
+      // Language-model-free quality score: mean negative log unigram
+      // probability of each doc's tokens under the corpus distribution
+      // (a perplexity proxy — spam/garbage drifts high). Corpus stats
+      // aggregate over ALL docs; the scored slice joins against the
+      // |vocab|-row frequency table.
+      val docs = Tables.documents(s, d)
+      val toks = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val freq = docs.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = docs.agg(sum(size(split(col("text"), " "))).cast("long").as("total"))
+      toks.join(freq, "token").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("cnt").cast("double") / col("total"))), 4).as("nll"))
+        .orderBy("doc_id")
+    }),
+
+    "text_dedup_summary" -> ((s, d) =>
+      // Corpus-level dedup health metric: doc count, distinct-text
+      // count, duplicate rate — one partial-aggregated pass.
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("text").as("n_unique"),
+        round((count(lit(1)) - countDistinct("text")).cast("double")
+          / count(lit(1)), 4).as("dup_rate"))),
+
     "dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("text")
@@ -608,6 +636,26 @@ object LlmText extends OpModule {
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  round(avg(CASE WHEN keep THEN n_chars END), 4) AS kept_avg_chars
         |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_perplexity_proxy" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE doc_id < 100
+         |),
+         |freq AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |),
+         |cnts AS (SELECT token, count(*) AS cnt FROM freq GROUP BY token),
+         |total AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total FROM documents)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll
+         |FROM toks JOIN cnts USING (token) CROSS JOIN total
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_dedup_summary" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+        |  round(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*), 4) AS dup_rate
+        |FROM documents""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
