@@ -50,6 +50,23 @@ object EtlMerge extends OpModule {
         .orderBy("c_custkey")
     }),
 
+    "etl_incremental" -> ((s, d) => {
+      // High-water-mark incremental extraction — the "rows since the
+      // last load" step. The watermark is the loaded slice's max
+      // event-time (a one-row broadcast scalar, compared in µs so both
+      // engines truncate ns identically); the delta summarizes per
+      // day. At scale the watermark comes from load metadata instead
+      // of a scan, but the delta-side plan is the same pushed filter.
+      val e = Tables.events(s, d)
+      val hwm = e.filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+        .agg(max(unix_micros(col("ts"))).as("hwm"))
+      e.crossJoin(broadcast(hwm))
+        .filter(unix_micros(col("ts")) > col("hwm"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+        .orderBy("day")
+    }),
+
     "etl_scd2_merge" -> ((s, d) => {
       // base dimension: one open version per key (valid_from fixed,
       // valid_to null); delta: changed segment for every 5th key.
@@ -102,6 +119,17 @@ object EtlMerge extends OpModule {
         |       ELSE 'keep' END AS action
         |FROM base FULL OUTER JOIN delta USING (c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "etl_incremental" ->
+      """WITH hwm AS (
+        |  SELECT max(epoch_us(ts)) AS hwm FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-15'
+        |)
+        |SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events CROSS JOIN hwm
+        |WHERE epoch_us(ts) > hwm
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "etl_scd2_merge" ->
       """WITH base AS (
