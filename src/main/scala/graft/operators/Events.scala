@@ -90,6 +90,24 @@ object Events extends OpModule {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    "evt_active_users" -> ((s, d) => {
+      // DAU / trailing-7-day WAU. Cardinality collapses FIRST to
+      // distinct (day, user) pairs — every later stage works on
+      // |days·users|, not |events| — then the WAU side range-joins the
+      // day spine (|days| rows, broadcast) to the pair set. At 100 TB
+      // the pair distinct is the one big shuffle; the spine join
+      // replicates each pair ≤7×.
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      val days = dau.select(col("day").as("d0"))
+      val wau = broadcast(days).join(du,
+          col("day").between(date_sub(col("d0"), 6), col("d0")))
+        .groupBy("d0").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, col("day") === col("d0"))
+        .select("day", "dau", "wau").orderBy("day")
+    }),
+
     "evt_path" -> ((s, d) => {
       // Event-transition matrix (Markov counts): per-user next-event
       // via lead(), then one partial-aggregated count per (from, to)
@@ -224,6 +242,16 @@ object Events extends OpModule {
         |  ON a_user = user_id AND act_day >= cohort_day
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "evt_active_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        |wau AS (
+        |  SELECT d.day AS day, count(DISTINCT u.user_id) AS wau
+        |  FROM dau d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day
+        |)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
     "evt_path" ->
       """SELECT event_type, next_type, count(*) AS n FROM (
