@@ -140,6 +140,18 @@ object Aggregates extends OpModule {
         .orderBy("event_type")
     }),
 
+    "agg_weighted_avg" -> ((s, d) =>
+      // Quantity-weighted mean discount per return flag: both sums run
+      // in exact decimal (order-independent), the one double division
+      // happens last — engine-identical before the display round.
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum(Dec2(col("l_discount")) * col("l_quantity")).cast("double")
+            / sum(col("l_quantity")), 6).cast("double").as("wavg_disc"),
+          round(avg(Dec2(col("l_discount"))), 6).cast("double").as("avg_disc"))
+        .orderBy("l_returnflag")),
+
     "agg_argmax" -> ((s, d) =>
       // argmax via lexicographic struct max — one partial-aggregated
       // pass (no window, no self-join): richest customer per segment,
@@ -262,6 +274,13 @@ object Aggregates extends OpModule {
         |         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS cor,
         |  med, p90
         |FROM g ORDER BY event_type""".stripMargin,
+
+    "agg_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(12,2)) * l_quantity) AS DOUBLE)
+        |    / sum(l_quantity), 6) AS wavg_disc,
+        |  round(avg(CAST(l_discount AS DECIMAL(12,2))), 6) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_argmax" ->
       """SELECT c_mktsegment, c_acctbal AS top_bal, c_custkey AS top_cust FROM (
