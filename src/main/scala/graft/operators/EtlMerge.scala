@@ -67,6 +67,105 @@ object EtlMerge extends OpModule {
         .orderBy("day")
     }),
 
+    "etl_dq_profile" -> ((s, d) => {
+      // Per-column data-quality profile of orders — the "know your
+      // load before you trust it" step. ONE aggregation pass computes
+      // every column's null count, exact distinct count, and min/max
+      // (multi-distinct becomes a single Expand+agg plan — same order
+      // of cost as one scan, vs one scan PER column for the naive
+      // loop). The single stats row is then unpivoted in-row via an
+      // array-of-structs explode; numeric and string min/max ride in
+      // separate typed columns so the long format stays schema-clean.
+      val o = Tables.orders(s, d)
+      val nullD = lit(null).cast("double")
+      val nullS = lit(null).cast("string")
+      val stats = o.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("nn_ck"),
+        countDistinct(col("o_custkey")).as("nd_ck"),
+        min(col("o_custkey")).as("mn_ck"), max(col("o_custkey")).as("mx_ck"),
+        count(col("o_totalprice")).as("nn_tp"),
+        countDistinct(col("o_totalprice")).as("nd_tp"),
+        min(col("o_totalprice")).as("mn_tp"), max(col("o_totalprice")).as("mx_tp"),
+        count(col("o_orderstatus")).as("nn_os"),
+        countDistinct(col("o_orderstatus")).as("nd_os"),
+        min(col("o_orderstatus")).as("mn_os"), max(col("o_orderstatus")).as("mx_os"),
+        count(col("o_orderpriority")).as("nn_op"),
+        countDistinct(col("o_orderpriority")).as("nd_op"),
+        min(col("o_orderpriority")).as("mn_op"), max(col("o_orderpriority")).as("mx_op"))
+      val rows = array(
+        struct(lit("o_custkey").as("col_name"),
+          (col("n_rows") - col("nn_ck")).as("n_nulls"), col("nd_ck").as("n_distinct"),
+          col("mn_ck").cast("double").as("min_num"), col("mx_ck").cast("double").as("max_num"),
+          nullS.as("min_str"), nullS.as("max_str")),
+        struct(lit("o_totalprice").as("col_name"),
+          (col("n_rows") - col("nn_tp")).as("n_nulls"), col("nd_tp").as("n_distinct"),
+          col("mn_tp").as("min_num"), col("mx_tp").as("max_num"),
+          nullS.as("min_str"), nullS.as("max_str")),
+        struct(lit("o_orderstatus").as("col_name"),
+          (col("n_rows") - col("nn_os")).as("n_nulls"), col("nd_os").as("n_distinct"),
+          nullD.as("min_num"), nullD.as("max_num"),
+          col("mn_os").as("min_str"), col("mx_os").as("max_str")),
+        struct(lit("o_orderpriority").as("col_name"),
+          (col("n_rows") - col("nn_op")).as("n_nulls"), col("nd_op").as("n_distinct"),
+          nullD.as("min_num"), nullD.as("max_num"),
+          col("mn_op").as("min_str"), col("mx_op").as("max_str")))
+      stats.select(explode(rows).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.n_nulls").as("n_nulls"),
+          col("p.n_distinct").as("n_distinct"), col("p.min_num").as("min_num"),
+          col("p.max_num").as("max_num"), col("p.min_str").as("min_str"),
+          col("p.max_str").as("max_str"))
+        .orderBy("col_name")
+    }),
+
+    "etl_fk_orphans" -> ((s, d) => {
+      // Referential-integrity audit: orphaned foreign keys per edge,
+      // against parents with simulated partial loads (every 7th
+      // customer / 5th order missing) plus one clean edge as the
+      // control. Each edge is ONE left join on the (unique) parent key
+      // + conditional count — no second scan for the total, no anti
+      // join pass. At 100 TB the parent key projections are
+      // broadcast-sized for dims; fact-fact edges shuffle on the key
+      // exactly like the merge above.
+      def edge(name: String, child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String): DataFrame =
+        child.select(col(childKey).as("k"))
+          .join(parent.select(col(parentKey).as("k"), lit(1).as("hit")),
+            Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            (count(lit(1)) - count(col("hit"))).as("n_orphans"))
+          .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+      val c7 = Tables.customer(s, d).filter(col("c_custkey") % 7 =!= 0)
+      val o5 = Tables.orders(s, d).filter(col("o_orderkey") % 5 =!= 0)
+      edge("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey")
+        .union(edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          o5, "o_orderkey"))
+        .union(edge("orders->customer", Tables.orders(s, d), "o_custkey",
+          c7, "c_custkey"))
+        .orderBy("edge")
+    }),
+
+    "etl_cdc_compact" -> ((s, d) => {
+      // CDC compaction: latest record per key — the "collapse the
+      // change stream to current state" step. ONE partial-agg pass via
+      // lexicographic struct max on (event-time µs, event_id): no
+      // per-key sort, no window shuffle+sort, map-side combined. The
+      // (us, event_id) prefix is unique, so the riding payload columns
+      // are deterministic. The oracle states the same semantics as the
+      // conventional row_number()-DESC window.
+      val e = Tables.events(s, d)
+      e.groupBy("user_id")
+        .agg(count(lit(1)).as("n_versions"),
+          max(struct(unix_micros(col("ts")).as("us"),
+            col("event_id").as("eid"), col("event_type").as("et"),
+            col("value").as("v"))).as("last"))
+        .select(col("user_id"), col("last.eid").as("last_event_id"),
+          col("last.et").as("last_type"), col("last.v").as("last_value"),
+          col("last.us").as("last_us"), col("n_versions"))
+        .orderBy("user_id")
+    }),
+
     "etl_scd2_merge" -> ((s, d) => {
       // base dimension: one open version per key (valid_from fixed,
       // valid_to null); delta: changed segment for every 5th key.
@@ -130,6 +229,71 @@ object EtlMerge extends OpModule {
         |FROM events CROSS JOIN hwm
         |WHERE epoch_us(ts) > hwm
         |GROUP BY day ORDER BY day""".stripMargin,
+
+    "etl_dq_profile" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(o_custkey) AS nn_ck, count(DISTINCT o_custkey) AS nd_ck,
+        |    min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+        |    count(o_totalprice) AS nn_tp, count(DISTINCT o_totalprice) AS nd_tp,
+        |    min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+        |    count(o_orderstatus) AS nn_os, count(DISTINCT o_orderstatus) AS nd_os,
+        |    min(o_orderstatus) AS mn_os, max(o_orderstatus) AS mx_os,
+        |    count(o_orderpriority) AS nn_op, count(DISTINCT o_orderpriority) AS nd_op,
+        |    min(o_orderpriority) AS mn_op, max(o_orderpriority) AS mx_op
+        |  FROM orders
+        |)
+        |SELECT 'o_custkey' AS col_name, n_rows - nn_ck AS n_nulls,
+        |  nd_ck AS n_distinct, CAST(mn_ck AS DOUBLE) AS min_num,
+        |  CAST(mx_ck AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM s
+        |UNION ALL
+        |SELECT 'o_totalprice', n_rows - nn_tp, nd_tp, mn_tp, mx_tp,
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM s
+        |UNION ALL
+        |SELECT 'o_orderstatus', n_rows - nn_os, nd_os,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_os, mx_os FROM s
+        |UNION ALL
+        |SELECT 'o_orderpriority', n_rows - nn_op, nd_op,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_op, mx_op FROM s
+        |ORDER BY col_name""".stripMargin,
+
+    "etl_fk_orphans" ->
+      """WITH e1 AS (
+        |  SELECT count(*) AS n_child, count(*) - count(p.k) AS n_orphans
+        |  FROM customer LEFT JOIN
+        |    (SELECT n_nationkey AS k FROM nation) p ON c_nationkey = p.k
+        |), e2 AS (
+        |  SELECT count(*) AS n_child, count(*) - count(p.k) AS n_orphans
+        |  FROM lineitem LEFT JOIN
+        |    (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 5 <> 0) p
+        |    ON l_orderkey = p.k
+        |), e3 AS (
+        |  SELECT count(*) AS n_child, count(*) - count(p.k) AS n_orphans
+        |  FROM orders LEFT JOIN
+        |    (SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 <> 0) p
+        |    ON o_custkey = p.k
+        |)
+        |SELECT 'customer->nation' AS edge, n_child, n_orphans FROM e1
+        |UNION ALL
+        |SELECT 'lineitem->orders', n_child, n_orphans FROM e2
+        |UNION ALL
+        |SELECT 'orders->customer', n_child, n_orphans FROM e3
+        |ORDER BY edge""".stripMargin,
+
+    "etl_cdc_compact" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events
+        |)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  value AS last_value, us AS last_us, n_versions
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     "etl_scd2_merge" ->
       """WITH base AS (
