@@ -178,6 +178,19 @@ object Events extends OpModule {
           col("user_id"), col("event_type"))
         .orderBy("event_id")
     }),
+
+    "evt_value_hist" -> ((s, d) => {
+      // Fixed-width value histogram per event type: bucket label is the
+      // inclusive lower bound (width 50). Map-only bucketing + one
+      // partial agg — shuffle volume is |types|·|buckets|, not
+      // |events|; the decimal sum keeps per-bucket totals exact.
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          (floor(col("value") / 50) * 50).cast("long").as("bucket_lo"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(Dec2(col("value"))), 4).cast("double").as("sum_value"))
+        .orderBy("event_type", "bucket_lo")
+    }),
   )
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -297,5 +310,14 @@ object Events extends OpModule {
         |    row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "evt_value_hist" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 50) * 50 AS BIGINT) AS bucket_lo,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type, bucket_lo
+        |ORDER BY event_type, bucket_lo""".stripMargin,
   )
 }

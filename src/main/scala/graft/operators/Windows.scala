@@ -107,6 +107,44 @@ object Windows extends OpModule {
         round(percent_rank().over(w), 4).as("pr"))
         .orderBy("o_orderstatus", "o_orderkey")
     }),
+
+    "win_gap_islands" -> ((s, d) => {
+      // Gaps-and-islands: consecutive-active-day streaks per user. The
+      // classic anchor trick (day minus per-user row_number collapses a
+      // run of consecutive days to one constant) turns streak detection
+      // into a plain groupBy — one shuffle for the distinct, one
+      // user-partitioned window sort, one partial agg. Streaks shorter
+      // than 3 days are noise and filtered out.
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(min("day").as("streak_start"), max("day").as("streak_end"),
+          count(lit(1)).as("len"))
+        .filter(col("len") >= 3)
+        .select("user_id", "streak_start", "streak_end", "len")
+        .orderBy("user_id", "streak_start")
+    }),
+
+    "win_pct_of_total" -> ((s, d) => {
+      // Share-of-total: per-nation revenue and its percent of the grand
+      // total. The unpartitioned window runs AFTER aggregation, over the
+      // 25-row nation rollup — the single-partition frame only ever
+      // serializes a dimension-sized relation, never the fact table.
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(Dec2(col("o_totalprice"))).as("rev_d"))
+      rev.select(col("n_name"),
+          round(col("rev_d"), 4).cast("double").as("revenue"),
+          round(col("rev_d").cast("double") * 100 /
+            sum(col("rev_d")).over(Window.partitionBy()).cast("double"), 4)
+            .as("pct"))
+        .orderBy("n_name")
+    }),
   )
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -172,5 +210,31 @@ object Windows extends OpModule {
         |  round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 4) AS cd,
         |  round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 4) AS pr
         |FROM orders ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "win_gap_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), r AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        |  FROM days
+        |)
+        |SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+        |  count(*) AS len
+        |FROM r GROUP BY user_id, anchor
+        |HAVING count(*) >= 3
+        |ORDER BY user_id, streak_start""".stripMargin,
+
+    "win_pct_of_total" ->
+      """WITH rev AS (
+        |  SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_d
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name
+        |)
+        |SELECT n_name, CAST(round(rev_d, 4) AS DOUBLE) AS revenue,
+        |  round(CAST(rev_d AS DOUBLE) * 100 / CAST(sum(rev_d) OVER () AS DOUBLE), 4) AS pct
+        |FROM rev ORDER BY n_name""".stripMargin,
   )
 }
