@@ -142,6 +142,36 @@ object Joins extends OpModule {
           date_format(col("last_order_date"), "yyyy-MM-dd").as("last_order_date"))
         .orderBy("event_id")
     }),
+
+    "join_interval_bucketed" -> ((s, d) => {
+      // Scale twin of join_theta_range: a pure time-proximity join
+      // (each error event × clicks within ±15 min, across ALL users —
+      // no equi key) re-expressed as an EQUI-join on a time-grid
+      // bucket. Bucket width = window radius, so a matching click is
+      // always in the error's bucket or an adjacent one; the error
+      // side replicates to its 3 candidate buckets (bounded 3× fanout)
+      // and a residual |Δt| filter trims the grid slack. Each true
+      // pair matches exactly once (the click's single bucket hits one
+      // replica). A raw theta join is a BNL/cartesian at 100 TB; this
+      // shape shuffles both sides on the bucket key and stays
+      // sort-merge — PlansSpec locks the no-cartesian property.
+      val R = 900000000L // 15 min in µs = bucket width
+      val e = Tables.events(s, d)
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("e_us"))
+        .withColumn("b0", expr(s"e_us div $R"))
+        .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+        .drop("b0")
+      val clk = e.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("c_us"))
+        .withColumn("bucket", expr(s"c_us div $R"))
+      err.join(clk, Seq("bucket"))
+        .filter(abs(col("c_us") - col("e_us")) <= R)
+        .groupBy("err_id", "e_us")
+        .agg(count(lit(1)).as("n_nearby_clicks"),
+          min(col("c_us") - col("e_us")).as("min_delta_us"))
+        .orderBy("err_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -214,5 +244,15 @@ object Joins extends OpModule {
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "join_interval_bucketed" ->
+      """SELECT e.event_id AS err_id, epoch_us(e.ts) AS e_us,
+        |  count(*) AS n_nearby_clicks,
+        |  min(epoch_us(c.ts) - epoch_us(e.ts)) AS min_delta_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 900000000
+        |GROUP BY err_id, e_us
+        |ORDER BY err_id""".stripMargin,
   )
 }

@@ -61,6 +61,16 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("join_interval_bucketed stays an equi-join — no BNL/cartesian fallback") {
+    // the whole point of the grid-bucketing: a time-proximity join with
+    // no natural equi key must NOT plan a nested-loop join.
+    val plan = treeString(q("join_interval_bucketed"))
+    assert(!plan.contains("CartesianProduct"),
+      s"bucketed interval join degenerated to a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"bucketed interval join degenerated to a nested loop:\n$plan")
+  }
+
   test("group-by aggregates do partial (map-side) aggregation before the shuffle") {
     val plan = treeString(q("agg_groupby"))
     // HashAggregate(partial) → Exchange → HashAggregate(final)
