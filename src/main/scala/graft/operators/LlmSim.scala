@@ -98,6 +98,29 @@ object LlmSim extends OpModule {
         .orderBy("q_id", "rk")
     }),
 
+    "sim_recall_eval" -> ((s, d) => {
+      // ANN quality gate: per-query recall@5 of the LSH bucketed
+      // search against the brute-force baseline — the eval every ANN
+      // deployment needs before trusting its index. Composes the two
+      // graded kNN operators (identical rank semantics on both sides),
+      // left-joins LSH hits onto the brute truth set, and aggregates
+      // hit counts per query. Cost is the two kNN plans + dimension-
+      // sized joins; no new scan of the embedding table.
+      val brute = queries("sim_knn")(s, d).select(col("q_id"), col("n_id"))
+      val lsh = queries("sim_knn_lsh")(s, d)
+        .select(col("q_id").as("l_q"), col("n_id").as("l_n"), lit(1).as("hit"))
+      val lshCnt = lsh.groupBy("l_q").agg(count(lit(1)).as("n_lsh0"))
+      brute
+        .join(lsh, col("q_id") === col("l_q") && col("n_id") === col("l_n"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_brute"), count(col("hit")).as("n_hits"))
+        .join(lshCnt, col("q_id") === col("l_q"), "left")
+        .select(col("q_id"), col("n_brute"),
+          coalesce(col("n_lsh0"), lit(0L)).as("n_lsh"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_brute"), 4).as("recall"))
+        .orderBy("q_id")
+    }),
+
     "multimodal_join" -> ((s, d) =>
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -441,6 +464,52 @@ object LlmSim extends OpModule {
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
          |  FROM scored
          |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "sim_recall_eval" ->
+      s"""WITH uq AS (${unnested("q", "vec_id < 10")}),
+         |un AS (${unnested("n", "true")}),
+         |norms AS ($NormsSql),
+         |buckets AS ($BucketsSql),
+         |bscored AS (
+         |  SELECT q_id, n_id, round(sum(uq.v * un.v) / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM uq JOIN un ON uq.pos = un.pos AND uq.q_id <> un.n_id
+         |  JOIN norms nq ON nq.vec_id = uq.q_id
+         |  JOIN norms nn ON nn.vec_id = un.n_id
+         |  GROUP BY q_id, n_id, nq.nrm, nn.nrm
+         |),
+         |brute AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |    FROM bscored
+         |  ) WHERE rk <= 5
+         |),
+         |lscored AS (
+         |  SELECT q_id, n_id, round(sum(uq.v * un.v) / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM uq JOIN un ON uq.pos = un.pos AND uq.q_id <> un.n_id
+         |  JOIN buckets bq ON bq.vec_id = uq.q_id
+         |  JOIN buckets bn ON bn.vec_id = un.n_id AND bn.bucket = bq.bucket
+         |  JOIN norms nq ON nq.vec_id = uq.q_id
+         |  JOIN norms nn ON nn.vec_id = un.n_id
+         |  GROUP BY q_id, n_id, nq.nrm, nn.nrm
+         |),
+         |lsh AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |    FROM lscored
+         |  ) WHERE rk <= 5
+         |),
+         |lcnt AS (SELECT q_id, count(*) AS n_lsh FROM lsh GROUP BY q_id),
+         |hits AS (
+         |  SELECT b.q_id, count(*) AS n_brute, count(l.n_id) AS n_hits
+         |  FROM brute b LEFT JOIN lsh l ON l.q_id = b.q_id AND l.n_id = b.n_id
+         |  GROUP BY b.q_id
+         |)
+         |SELECT h.q_id, h.n_brute, coalesce(lcnt.n_lsh, 0) AS n_lsh, h.n_hits,
+         |  round(CAST(h.n_hits AS DOUBLE) / h.n_brute, 4) AS recall
+         |FROM hits h LEFT JOIN lcnt ON lcnt.q_id = h.q_id
+         |ORDER BY h.q_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH u AS (

@@ -415,6 +415,39 @@ object LlmText extends OpModule {
         .orderBy("a_id", "b_id")
     }),
 
+    "dedup_minhash_eval" -> ((s, d) => {
+      // Estimator health-check: for every LSH candidate pair, the
+      // MinHash Jaccard ESTIMATE (fraction of agreeing signature
+      // positions) next to the EXACT shingle-set Jaccard — the eval
+      // that tells you whether 8 signatures are enough before trusting
+      // the dedup at corpus scale. Signature and shingle-set columns
+      // are map-only projections; everything else is equi-joins on
+      // doc_id against the (sub-quadratic) candidate pair set.
+      val pairs = queries("dedup_near_minhash")(s, d)
+      val sigs = minhashSigs(s, d)
+      val aSigs = sigs.select(col("doc_id").as("sa_id") +:
+        (0 until NSig).map(i => col(s"sig$i").as(s"a_sig$i")): _*)
+      val bSigs = sigs.select(col("doc_id").as("sb_id") +:
+        (0 until NSig).map(i => col(s"sig$i").as(s"b_sig$i")): _*)
+      val tsets = Tables.documents(s, d).select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions.shingleIds(col("text"))).as("tset"))
+      val est = (0 until NSig).map(i =>
+        when(col(s"a_sig$i") === col(s"b_sig$i"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / NSig
+      pairs
+        .join(aSigs, col("a_id") === col("sa_id"))
+        .join(bSigs, col("b_id") === col("sb_id"))
+        .join(tsets.select(col("doc_id").as("ta_id"), col("tset").as("a_tset")),
+          col("a_id") === col("ta_id"))
+        .join(tsets.select(col("doc_id").as("tb_id"), col("tset").as("b_tset")),
+          col("b_id") === col("tb_id"))
+        .select(col("a_id"), col("b_id"), col("n_bands"),
+          round(est, 4).as("jac_est"),
+          round(size(array_intersect(col("a_tset"), col("b_tset"))).cast("double")
+            / size(array_union(col("a_tset"), col("b_tset"))), 4).as("jac_exact"))
+        .orderBy("a_id", "b_id")
+    }),
+
     "dedup_simhash" -> ((s, d) => {
       val tv = tokens(s, d).select("doc_id", "token").distinct()
         .withColumn("h", (tid(col("token")) * 7 + 13) % lit(P))
@@ -704,6 +737,29 @@ object LlmText extends OpModule {
          |  AND a.doc_id < b.doc_id
          |GROUP BY a_id, b_id HAVING count(*) >= 2
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_minhash_eval" ->
+      s"""WITH sigs AS ($MinhashSigSql),
+         |bands AS ($BandsSql),
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY a_id, b_id HAVING count(*) >= 2
+         |),
+         |tsets AS (SELECT doc_id, list_distinct(tids) AS tset FROM ($TidsSql))
+         |SELECT c.a_id, c.b_id, c.n_bands,
+         |  round((${(0 until NSig).map(i =>
+                s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END").mkString(" + ")}
+         |    ) / $NSig.0, 4) AS jac_est,
+         |  round(CAST(len(list_intersect(ta.tset, tb.tset)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(ta.tset, tb.tset))), 4) AS jac_exact
+         |FROM cand c
+         |JOIN sigs sa ON sa.doc_id = c.a_id
+         |JOIN sigs sb ON sb.doc_id = c.b_id
+         |JOIN tsets ta ON ta.doc_id = c.a_id
+         |JOIN tsets tb ON tb.doc_id = c.b_id
+         |ORDER BY c.a_id, c.b_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH tv AS (

@@ -13,8 +13,8 @@ class QueriesContractSpec extends SparkSpec {
   /** Pair-producing dedup/similarity queries may legitimately find no
     * pairs in the 500-doc smoke corpus. */
   private val mayBeEmpty =
-    Set("dedup_near_minhash", "dedup_ngram_jaccard", "sim_cosine_pairs",
-      "dedup_embedding")
+    Set("dedup_near_minhash", "dedup_minhash_eval", "dedup_ngram_jaccard",
+      "sim_cosine_pairs", "dedup_embedding")
 
   /** approx_count_distinct's HLL estimate is engine-specific by design;
     * the driver records a rows-only check for it (SURVEY §2.4). */
