@@ -166,6 +166,26 @@ object EtlMerge extends OpModule {
         .orderBy("user_id")
     }),
 
+    "etl_missing_days" -> ((s, d) => {
+      // Partition-completeness audit: which expected daily partitions
+      // are missing from the loaded slice. The expected spine is
+      // generated from the corpus bounds (one aggregate row exploded —
+      // broadcastable at any scale); the "loaded" side simulates a
+      // 3-day load gap and collapses to distinct days via partial agg
+      // before the anti join, so the join sees |days| rows, not
+      // |events|.
+      val e = Tables.events(s, d)
+      val loaded = e
+        .filter(!to_date(col("ts")).between(lit("2024-01-10"), lit("2024-01-12")))
+        .select(to_date(col("ts")).as("day")).distinct()
+      val bounds = e.agg(min(to_date(col("ts"))).as("lo"),
+        max(to_date(col("ts"))).as("hi"))
+      bounds
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+        .join(loaded, Seq("day"), "left_anti")
+        .orderBy("day")
+    }),
+
     "etl_scd2_merge" -> ((s, d) => {
       // base dimension: one open version per key (valid_from fixed,
       // valid_to null); delta: changed segment for every 5th key.
@@ -294,6 +314,21 @@ object EtlMerge extends OpModule {
         |  value AS last_value, us AS last_us, n_versions
         |FROM ranked WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    "etl_missing_days" ->
+      """WITH loaded AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |  WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |), bounds AS (
+        |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        |  FROM events
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds
+        |)
+        |SELECT day FROM spine
+        |WHERE day NOT IN (SELECT day FROM loaded)
+        |ORDER BY day""".stripMargin,
 
     "etl_scd2_merge" ->
       """WITH base AS (

@@ -179,6 +179,21 @@ object Events extends OpModule {
         .orderBy("event_id")
     }),
 
+    "evt_session_summary" -> ((s, d) => {
+      // Session-length distribution: how many sessions have n events,
+      // and how long they run — built ON the session operator's output
+      // (one extra |sessions|-sized aggregate, no re-scan of events).
+      // Aggregates are integer-only (counts, µs sums/maxes) with ONE
+      // final double division, so bucket stats are engine-exact.
+      queries("evt_session")(s, d)
+        .groupBy("n_events")
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum("sess_len_us").cast("double") / count(lit(1)) / 1000000.0, 4)
+            .as("avg_len_s"),
+          max("sess_len_us").as("max_len_us"))
+        .orderBy("n_events")
+    }),
+
     "evt_value_hist" -> ((s, d) => {
       // Fixed-width value histogram per event type: bucket label is the
       // inclusive lower bound (width 50). Map-only bucketing + one
@@ -310,6 +325,32 @@ object Events extends OpModule {
         |    row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "evt_session_summary" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    lag(epoch_us(ts), 1) OVER ($EventWin) AS prev_us
+         |  FROM events
+         |), s AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM g
+         |), t AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(is_new) OVER ($EventWin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM s
+         |), sess AS (
+         |  SELECT user_id, session_id, count(*) AS n_events,
+         |    max(epoch_us(ts)) - min(epoch_us(ts)) AS sess_len_us
+         |  FROM t GROUP BY user_id, session_id
+         |)
+         |SELECT n_events, count(*) AS n_sessions,
+         |  round(CAST(sum(sess_len_us) AS DOUBLE) / count(*) / 1000000.0, 4) AS avg_len_s,
+         |  max(sess_len_us) AS max_len_us
+         |FROM sess GROUP BY n_events
+         |ORDER BY n_events""".stripMargin,
 
     "evt_value_hist" ->
       """SELECT event_type,

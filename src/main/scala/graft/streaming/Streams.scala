@@ -23,6 +23,13 @@ case class Transition(user_id: Long, from_type: String, to_type: String)
 /** Per-user tail state for transition extraction. */
 case class LastEvent(us: Long, event_id: Long, typ: String)
 
+/** Per-key CDC state: the winning (latest) record + version count. */
+case class CdcState(us: Long, event_id: Long, typ: String, value: Double, n: Long)
+
+/** Current compacted row per key — streaming twin of `etl_cdc_compact`. */
+case class CdcRow(user_id: Long, last_event_id: Long, last_type: String,
+                  last_value: Double, last_us: Long, n_versions: Long)
+
 /** Structured Streaming twins of the batch event-time operators in
   * `graft.operators.Events` (SURVEY.md §2.8 "ungraded twin" row — the
   * DuckDB oracle can't execute streams, so these are spec-verified via
@@ -142,6 +149,35 @@ object Streams {
           }
           last.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** CDC latest-record compaction — streaming twin of the batch
+    * `etl_cdc_compact` operator. State per key is O(1): the winning
+    * (event-time µs, event_id) record plus a version counter; each
+    * micro-batch folds its rows in and re-emits the key's current row
+    * (Update output mode — the sink upserts by user_id). Arrival order
+    * is irrelevant: the max-by comparison is over event time, so late
+    * rows can never un-win a newer record, matching the batch twin's
+    * struct-max semantics exactly.
+    */
+  def latestState(events: Dataset[Event]): Dataset[CdcRow] = {
+    implicit val stateEnc: Encoder[CdcState] = Encoders.product[CdcState]
+    implicit val outEnc: Encoder[CdcRow] = Encoders.product[CdcRow]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[CdcState, CdcRow](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[CdcState]) =>
+          var st = state.getOption
+            .getOrElse(CdcState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+          batch.foreach { e =>
+            val us = micros(e.ts)
+            st =
+              if (us > st.us || (us == st.us && e.event_id > st.event_id))
+                CdcState(us, e.event_id, e.event_type, e.value, st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          CdcRow(user, st.event_id, st.typ, st.value, st.us, st.n)
       }
   }
 

@@ -137,6 +137,31 @@ class StreamingSpec extends SparkSpec {
       (2L, "view", "error")))
   }
 
+  test("CDC compaction keeps the latest record per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // user 1: two versions in batch 1, a LATE (older) row in batch 2 —
+    // the late row must bump n_versions but not un-win the newer record.
+    in.addData(ev(1, 10, 1, "view"), ev(2, 20, 1, "click"),
+      ev(3, 5, 2, "purchase"))
+    val q = Streams.latestState(in.toDS())
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      in.addData(ev(4, 15, 1, "error"), ev(5, 30, 2, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // memory sink in update mode appends each emission; the highest
+    // version count per user is the compacted current state (collect
+    // order across batches is not guaranteed).
+    val got = spark.table("cdc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._4) }.toSet
+    assert(got === Set((1L, 2L, "click", 3L), (2L, 5L, "view", 2L)))
+  }
+
   test("funnel keeps sub-millisecond precision (µs, not ms-truncated)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
