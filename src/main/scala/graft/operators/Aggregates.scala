@@ -180,6 +180,23 @@ object Aggregates extends OpModule {
         .orderBy("c_mktsegment")
     }),
 
+    "agg_filtered" -> ((s, d) =>
+      // Filtered-aggregate surface (the FILTER clause family): per-day
+      // totals alongside per-condition counts/sums from the SAME scan —
+      // one pass, one partial agg; the conditional decimal sum skips
+      // non-matching rows as NULL (exactly FILTER semantics, so a day
+      // with no purchases yields NULL, not 0).
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"),
+          round(sum(when(col("event_type") === "purchase", Dec2(col("value")))), 4)
+            .cast("double").as("purchase_value"),
+          round(count(when(col("event_type") === "error", 1)).cast("double")
+            / count(lit(1)), 4).as("err_rate"))
+        .orderBy("day")),
+
     "agg_collect" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang")
@@ -297,6 +314,16 @@ object Aggregates extends OpModule {
         |      ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey
         |) WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_filtered" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2)))
+        |    FILTER (WHERE event_type = 'purchase'), 4) AS DOUBLE) AS purchase_value,
+        |  round(CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE)
+        |    / count(*), 4) AS err_rate
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     "agg_collect" ->
       """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources,

@@ -176,6 +176,21 @@ object LlmText extends OpModule {
       tokens(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(50)),
 
+    "text_zipf" -> ((s, d) => {
+      // Zipf rank-frequency check over the corpus vocabulary: the
+      // top-50 terms with rank and frequency ratio to the rank-1 term
+      // (a healthy natural-language corpus decays ~1/rank; a flat
+      // curve flags boilerplate). The windows run over the 50-row
+      // aggregate only — never the token stream.
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      queries("text_wordcount")(s, d)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("ratio", round(col("cnt").cast("double") / max("cnt").over(all), 4))
+        .select("rnk", "token", "cnt", "ratio")
+        .orderBy("rnk")
+    }),
+
     "text_lang_stats" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang", "source")
@@ -578,6 +593,15 @@ object LlmText extends OpModule {
     "text_wordcount" ->
       s"""SELECT token, count(*) AS cnt FROM ($TokensSql)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    "text_zipf" ->
+      s"""WITH wc AS (
+         |  SELECT token, count(*) AS cnt FROM ($TokensSql)
+         |  GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+         |)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk,
+         |  token, cnt, round(CAST(cnt AS DOUBLE) / max(cnt) OVER (), 4) AS ratio
+         |FROM wc ORDER BY rnk""".stripMargin,
 
     "text_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,

@@ -145,6 +145,32 @@ object Windows extends OpModule {
             .as("pct"))
         .orderBy("n_name")
     }),
+
+    "win_pareto_abc" -> ((s, d) => {
+      // ABC / Pareto analysis: customers ranked by spend inside their
+      // market segment, running cumulative share of segment revenue,
+      // and A/B/C class cut at 50% / 80%. Windows are PARTITIONED by
+      // segment over the post-agg |customers| rollup — no global
+      // single-partition frame. Decimal spend sums keep the cumulative
+      // shares (and therefore the class boundaries) engine-exact.
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+        .agg(sum(Dec2(col("o_totalprice"))).as("spend_d"))
+      val w = Window.partitionBy("segment")
+        .orderBy(col("spend_d").desc, col("o_custkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      spend
+        .withColumn("cum_share", round(sum("spend_d").over(run).cast("double")
+          / sum("spend_d").over(all).cast("double"), 4))
+        .select(col("segment"), col("o_custkey"),
+          round(col("spend_d"), 4).cast("double").as("spend"),
+          col("cum_share"),
+          when(col("cum_share") <= 0.5, "A")
+            .when(col("cum_share") <= 0.8, "B").otherwise("C").as("abc"))
+        .orderBy("segment", "o_custkey")
+    }),
   )
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -236,5 +262,26 @@ object Windows extends OpModule {
         |SELECT n_name, CAST(round(rev_d, 4) AS DOUBLE) AS revenue,
         |  round(CAST(rev_d AS DOUBLE) * 100 / CAST(sum(rev_d) OVER () AS DOUBLE), 4) AS pct
         |FROM rev ORDER BY n_name""".stripMargin,
+
+    "win_pareto_abc" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment AS segment, o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend_d
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY segment, o_custkey
+        |), r AS (
+        |  SELECT segment, o_custkey, spend_d,
+        |    round(CAST(sum(spend_d) OVER (PARTITION BY segment
+        |        ORDER BY spend_d DESC, o_custkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(sum(spend_d) OVER (PARTITION BY segment) AS DOUBLE), 4)
+        |      AS cum_share
+        |  FROM spend
+        |)
+        |SELECT segment, o_custkey, CAST(round(spend_d, 4) AS DOUBLE) AS spend,
+        |  cum_share,
+        |  CASE WHEN cum_share <= 0.5 THEN 'A'
+        |       WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc
+        |FROM r ORDER BY segment, o_custkey""".stripMargin,
   )
 }
