@@ -180,6 +180,36 @@ object Aggregates extends OpModule {
         .orderBy("c_mktsegment")
     }),
 
+    "agg_salted_twophase" -> ((s, d) =>
+      // Two-phase SALTED aggregation — the hot-key mitigation pattern
+      // as a graded operator. event_type has only 5 values, so every
+      // key is a heavy hitter; phase 1 counts per (key, salt-shard)
+      // behind a 16-way deterministic salt (event_id mod 16 — stable
+      // across re-runs, unlike partition-derived salts), phase 2
+      // re-aggregates the ≤ |keys|·16 partials. The salt never reaches
+      // the output, so the oracle is the PLAIN group-by: salting must
+      // be a pure execution-strategy change, not a semantic one.
+      // n_shards makes the sharding itself assertable.
+      Tables.events(s, d)
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+        .agg(count(lit(1)).as("n"), sum(Dec2(col("value"))).as("v"))
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"),
+          round(sum("v"), 4).cast("double").as("val_sum"),
+          count(lit(1)).as("n_shards"))
+        .orderBy("event_type")),
+
+    "agg_time_rollup" -> ((s, d) => {
+      // Multi-grain reporting rollup: day / week / month aggregates of
+      // the same scan in ONE pass via GROUPING SETS (one Expand ×3 +
+      // one agg — vs three scans for the naive union). Grain columns
+      // are derived first so the sets group plain columns; inactive
+      // grains are NULL, and ordering over all three grain columns is
+      // total.
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(TimeRollupSql)
+    }),
+
     "agg_filtered" -> ((s, d) =>
       // Filtered-aggregate surface (the FILTER clause family): per-day
       // totals alongside per-condition counts/sums from the SAME scan —
@@ -205,6 +235,32 @@ object Aggregates extends OpModule {
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
   )
+
+  /** Shared Spark/DuckDB SQL — identical text runs on both engines.
+    * The grouping-set result is folded to non-null (grain, bucket)
+    * columns: NULL-able DATE outputs are a hash-compare hazard (pandas
+    * NaT ≠ NaT), so inactive grains never reach the output schema.
+    */
+  private val TimeRollupSql =
+    """WITH g AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS g_day,
+      |    CAST(date_trunc('week', ts) AS DATE) AS g_week,
+      |    CAST(date_trunc('month', ts) AS DATE) AS g_month,
+      |    user_id
+      |  FROM events
+      |), r AS (
+      |  SELECT g_day, g_week, g_month, count(*) AS n_events,
+      |    count(DISTINCT user_id) AS n_users
+      |  FROM g
+      |  GROUP BY GROUPING SETS ((g_day), (g_week), (g_month))
+      |)
+      |SELECT
+      |  CASE WHEN g_day IS NOT NULL THEN 'day'
+      |       WHEN g_week IS NOT NULL THEN 'week' ELSE 'month' END AS grain,
+      |  coalesce(g_day, g_week, g_month) AS bucket_start,
+      |  n_events, n_users
+      |FROM r
+      |ORDER BY grain, bucket_start""".stripMargin
 
   private val GroupingSetsSql =
     """SELECT c_mktsegment, c_nationkey, count(*) AS cnt, round(sum(c_acctbal), 4) AS bal
@@ -314,6 +370,20 @@ object Aggregates extends OpModule {
         |      ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey
         |) WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_salted_twophase" ->
+      """WITH shards AS (
+        |  SELECT event_type, event_id % 16 AS salt, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY event_type, salt
+        |)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(round(sum(v), 4) AS DOUBLE) AS val_sum,
+        |  count(*) AS n_shards
+        |FROM shards GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "agg_time_rollup" -> TimeRollupSql,
 
     "agg_filtered" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,

@@ -514,6 +514,26 @@ object LlmText extends OpModule {
       labels.select(col("doc_id"), col("label").as("canonical"))
         .orderBy("doc_id")
     }),
+
+    "dedup_keep_stats" -> ((s, d) => {
+      // The dedup DECISION applied: canonical labels from
+      // dedup_components joined back to the gated corpus slice and
+      // rolled up to per-lang kept/dropped counts and surviving
+      // character volume — the "how much survives the near-dup pass"
+      // report every corpus build publishes. One equi-join on doc_id
+      // plus one partial agg over the |docs<100| slice.
+      val comp = queries("dedup_components")(s, d)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("d_id"), col("lang"), col("n_chars"))
+      comp.join(docs, col("doc_id") === col("d_id"))
+        .withColumn("kept", col("canonical") === col("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          count(when(!col("kept"), 1)).as("n_dropped"),
+          sum(when(col("kept"), col("n_chars"))).as("chars_kept"))
+        .orderBy("lang")
+    }),
   )
 
   /** Near-dup pairs among docs < 100 by bigram-set Jaccard ≥ 0.2 —
@@ -817,6 +837,29 @@ object LlmText extends OpModule {
          |l3 AS (SELECT e.src AS doc_id, min(l.label) AS label
          |       FROM edges e JOIN l2 l ON e.dst = l.doc_id GROUP BY e.src)
          |SELECT doc_id, label AS canonical FROM l3 ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_stats" ->
+      s"""WITH $JaccardCtes,
+         |docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM scored
+         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM scored
+         |  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM docs
+         |),
+         |l0 AS (SELECT doc_id, doc_id AS label FROM docs),
+         |l1 AS (SELECT e.src AS doc_id, min(l.label) AS label
+         |       FROM edges e JOIN l0 l ON e.dst = l.doc_id GROUP BY e.src),
+         |l2 AS (SELECT e.src AS doc_id, min(l.label) AS label
+         |       FROM edges e JOIN l1 l ON e.dst = l.doc_id GROUP BY e.src),
+         |l3 AS (SELECT e.src AS doc_id, min(l.label) AS label
+         |       FROM edges e JOIN l2 l ON e.dst = l.doc_id GROUP BY e.src)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  count(*) FILTER (WHERE l3.label = l3.doc_id) AS n_kept,
+         |  count(*) FILTER (WHERE l3.label <> l3.doc_id) AS n_dropped,
+         |  CAST(sum(d.n_chars) FILTER (WHERE l3.label = l3.doc_id) AS BIGINT)
+         |    AS chars_kept
+         |FROM l3 JOIN documents d ON d.doc_id = l3.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
   )
 
   /** Shared CTE block ending in `scored(a_id, b_id, n_common, jaccard)`

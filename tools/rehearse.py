@@ -62,8 +62,11 @@ def main():
                     same = (math.isnan(g) and math.isnan(e))
                 if not same:
                     # tolerate pandas NaT/None/nan cross-representation
-                    if (g is None or (isinstance(g, float) and math.isnan(g))) and \
-                       (e is None or (isinstance(e, float) and math.isnan(e))):
+                    def isnull(x):
+                        if x is None: return True
+                        if isinstance(x, float) and math.isnan(x): return True
+                        return type(x).__name__ == "NaTType"
+                    if isnull(g) and isnull(e):
                         same = True
                 if not same:
                     bad = (c, i, g, e); break
