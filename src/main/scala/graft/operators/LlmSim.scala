@@ -250,6 +250,36 @@ object LlmSim extends OpModule {
         .orderBy("vec_id", "pos")
     }),
 
+    "embed_pq" -> ((s, d) => {
+      // Product quantization — the ANN compression step beyond scalar
+      // quantization: the 64-dim space splits into M=8 subspaces of 8
+      // dims; each sub-vector is coded as its nearest of K=4 codewords
+      // (the sub-vectors of the K lowest-id vectors — deterministic,
+      // like sim_knn_ivf's init — real PQ k-means-trains per subspace).
+      // Distances sum FLOOR(v·1e6) integer squares, so the argmin is
+      // order-independent and engine-exact. Plan: codebook side is
+      // K·dim rows (broadcast); element join is map-side; partial aggs
+      // collapse |V|·dim·K element terms to |V|·M·K sums before any
+      // shuffle, then a second partial-agg struct-min picks codes — no
+      // window over the distance matrix.
+      val K = 4
+      val u = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+          floor(col("vf").cast("double") * 1e6).cast("long").as("vi"))
+        .withColumn("m", expr("(pos - 1) div 8"))
+      val cb = u.filter(col("vec_id") < K)
+        .select(col("vec_id").as("k"), col("pos").as("cpos"), col("vi").as("ci"))
+      u.join(broadcast(cb), col("pos") === col("cpos"))
+        .groupBy(col("vec_id"), col("m"), col("k"))
+        .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("k"))).as("best"))
+        .select(col("vec_id"), col("m").as("subspace"),
+          col("best.k").as("code"), col("best.dist").as("dist_sq"))
+        .orderBy("vec_id", "subspace")
+    }),
+
     "embed_kmeans" -> ((s, d) => {
       // Real k-means (Lloyd), 2 fixed iterations, deterministic init
       // (the C lowest-id vectors), cosine assignment with the same
@@ -530,6 +560,29 @@ object LlmSim extends OpModule {
          |JOIN norms nb ON nb.vec_id = b_id
          |WHERE round(dp / (na.nrm * nb.nrm), 4) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "embed_pq" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, pos, (pos - 1) // 8 AS m, vi FROM u
+        |), c AS (
+        |  SELECT vec_id AS k, pos AS cpos, vi AS ci FROM e WHERE vec_id < 4
+        |), dists AS (
+        |  SELECT e.vec_id, e.m, c.k,
+        |    CAST(sum((e.vi - c.ci) * (e.vi - c.ci)) AS BIGINT) AS dist
+        |  FROM e JOIN c ON e.pos = c.cpos
+        |  GROUP BY e.vec_id, e.m, c.k
+        |), best AS (
+        |  SELECT vec_id, m, k, dist,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+        |  FROM dists
+        |)
+        |SELECT vec_id, m AS subspace, k AS code, dist AS dist_sq
+        |FROM best WHERE rn = 1
+        |ORDER BY vec_id, subspace""".stripMargin,
 
     "sim_knn_ivf" ->
       s"""WITH u AS (
