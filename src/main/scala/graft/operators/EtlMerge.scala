@@ -166,6 +166,34 @@ object EtlMerge extends OpModule {
         .orderBy("user_id")
     }),
 
+    "etl_row_hash_diff" -> ((s, d) => {
+      // Load reconciliation by ROW HASH: yesterday's slice vs today's,
+      // classified added / removed / changed / same. Each side reduces
+      // its payload to one sha-256 digest, so the full-outer compare
+      // moves (key, 32-byte hash) — never the wide payload — exactly
+      // how a 100 TB table diff stays shuffle-light. The simulated
+      // slices drop every 13th (today) / 11th (yesterday) key and
+      // perturb every 7th status so all four actions appear.
+      val o = Tables.orders(s, d)
+      val cur = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          sha2(concat_ws("|", col("o_orderstatus"), col("o_orderpriority")), 256)
+            .as("cur_h"))
+      val prev = o.filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          sha2(concat_ws("|",
+            when(col("o_orderkey") % 7 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")),
+            col("o_orderpriority")), 256).as("prev_h"))
+      cur.join(prev, Seq("k"), "full_outer")
+        .select(when(col("prev_h").isNull, "added")
+          .when(col("cur_h").isNull, "removed")
+          .when(col("cur_h") =!= col("prev_h"), "changed")
+          .otherwise("same").as("action"))
+        .groupBy("action").agg(count(lit(1)).as("n_rows"))
+        .orderBy("action")
+    }),
+
     "etl_missing_days" -> ((s, d) => {
       // Partition-completeness audit: which expected daily partitions
       // are missing from the loaded slice. The expected spine is
@@ -314,6 +342,26 @@ object EtlMerge extends OpModule {
         |  value AS last_value, us AS last_us, n_versions
         |FROM ranked WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    "etl_row_hash_diff" ->
+      """WITH cur AS (
+        |  SELECT o_orderkey AS k,
+        |    sha256(o_orderstatus || '|' || o_orderpriority) AS cur_h
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |), prev AS (
+        |  SELECT o_orderkey AS k,
+        |    sha256((CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+        |                 ELSE o_orderstatus END) || '|' || o_orderpriority)
+        |      AS prev_h
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |)
+        |SELECT CASE WHEN prev_h IS NULL THEN 'added'
+        |            WHEN cur_h IS NULL THEN 'removed'
+        |            WHEN cur_h <> prev_h THEN 'changed'
+        |            ELSE 'same' END AS action,
+        |  count(*) AS n_rows
+        |FROM cur FULL OUTER JOIN prev USING (k)
+        |GROUP BY action ORDER BY action""".stripMargin,
 
     "etl_missing_days" ->
       """WITH loaded AS (

@@ -280,6 +280,21 @@ object LlmSim extends OpModule {
         .orderBy("vec_id", "subspace")
     }),
 
+    "embed_pq_distortion" -> ((s, d) =>
+      // PQ codebook health: per-(subspace, code) usage counts and
+      // average/max distortion, rolled up from embed_pq's assignment.
+      // Unused or overloaded codes and high residual distortion are
+      // the "retrain the codebook" signals. One extra M·K-sized agg;
+      // integer distance sums keep avg_dist engine-exact (the 1e12
+      // divisor restores float² units from the 1e6-scaled integers).
+      queries("embed_pq")(s, d)
+        .groupBy("subspace", "code")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum("dist_sq").cast("double") / count(lit(1)) / 1e12, 4)
+            .as("avg_dist"),
+          max("dist_sq").as("max_dist_sq"))
+        .orderBy("subspace", "code")),
+
     "embed_kmeans" -> ((s, d) => {
       // Real k-means (Lloyd), 2 fixed iterations, deterministic init
       // (the C lowest-id vectors), cosine assignment with the same
@@ -404,6 +419,29 @@ object LlmSim extends OpModule {
        |    / (1000000.0 * count(*)) AS c
        |FROM $assign a JOIN u ON u.vec_id = a.vec_id
        |GROUP BY a.cell, u.pos""".stripMargin
+
+  /** Shared PQ CTE block ending in `best(vec_id, m, k, dist, rn)` —
+    * rn = 1 rows are the per-(vector, subspace) code assignments
+    * (mirrors the `embed_pq` DataFrame pipeline). */
+  private val PqCtes =
+    """u AS (
+      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      |  FROM embeddings
+      |), e AS (
+      |  SELECT vec_id, pos, (pos - 1) // 8 AS m, vi FROM u
+      |), c AS (
+      |  SELECT vec_id AS k, pos AS cpos, vi AS ci FROM e WHERE vec_id < 4
+      |), dists AS (
+      |  SELECT e.vec_id, e.m, c.k,
+      |    CAST(sum((e.vi - c.ci) * (e.vi - c.ci)) AS BIGINT) AS dist
+      |  FROM e JOIN c ON e.pos = c.cpos
+      |  GROUP BY e.vec_id, e.m, c.k
+      |), best AS (
+      |  SELECT vec_id, m, k, dist,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+      |  FROM dists
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "embed_bucket_stats" ->
@@ -562,27 +600,20 @@ object LlmSim extends OpModule {
          |ORDER BY a_id, b_id""".stripMargin,
 
     "embed_pq" ->
-      """WITH u AS (
-        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
-        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi
-        |  FROM embeddings
-        |), e AS (
-        |  SELECT vec_id, pos, (pos - 1) // 8 AS m, vi FROM u
-        |), c AS (
-        |  SELECT vec_id AS k, pos AS cpos, vi AS ci FROM e WHERE vec_id < 4
-        |), dists AS (
-        |  SELECT e.vec_id, e.m, c.k,
-        |    CAST(sum((e.vi - c.ci) * (e.vi - c.ci)) AS BIGINT) AS dist
-        |  FROM e JOIN c ON e.pos = c.cpos
-        |  GROUP BY e.vec_id, e.m, c.k
-        |), best AS (
-        |  SELECT vec_id, m, k, dist,
-        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
-        |  FROM dists
-        |)
-        |SELECT vec_id, m AS subspace, k AS code, dist AS dist_sq
-        |FROM best WHERE rn = 1
-        |ORDER BY vec_id, subspace""".stripMargin,
+      s"""WITH $PqCtes
+         |SELECT vec_id, m AS subspace, k AS code, dist AS dist_sq
+         |FROM best WHERE rn = 1
+         |ORDER BY vec_id, subspace""".stripMargin,
+
+    "embed_pq_distortion" ->
+      s"""WITH $PqCtes,
+         |codes AS (SELECT vec_id, m, k, dist FROM best WHERE rn = 1)
+         |SELECT m AS subspace, k AS code, count(*) AS n_vecs,
+         |  round(CAST(sum(dist) AS DOUBLE) / count(*) / 1000000000000.0, 4)
+         |    AS avg_dist,
+         |  max(dist) AS max_dist_sq
+         |FROM codes GROUP BY subspace, code
+         |ORDER BY subspace, code""".stripMargin,
 
     "sim_knn_ivf" ->
       s"""WITH u AS (

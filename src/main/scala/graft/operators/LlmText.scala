@@ -176,6 +176,32 @@ object LlmText extends OpModule {
       tokens(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(50)),
 
+    "text_cooccurrence" -> ((s, d) => {
+      // Token co-occurrence + PMI over the TOP-20 vocabulary — the
+      // collocation-mining staple. Gating the pair join to a bounded
+      // vocabulary is what makes it scale: per-doc fanout is ≤ C(20,2)
+      // = 190 pairs regardless of corpus size (an ungated token
+      // self-join is quadratic in document length). PMI inputs are all
+      // integer counts, so the ln() argument is engine-exact.
+      val tok = tokens(s, d).select("doc_id", "token").distinct()
+      val top = tok.groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(20)
+      val tv = tok.join(broadcast(top), "token")
+      val a = tv.select(col("doc_id"), col("token").as("t1"), col("df").as("df1"))
+      val b = tv.select(col("doc_id").as("doc2"), col("token").as("t2"),
+        col("df").as("df2"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      a.join(b, col("doc_id") === col("doc2") && col("t1") < col("t2"))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n_pair"), min("df1").as("df1"), min("df2").as("df2"))
+        .filter(col("n_pair") >= 5)
+        .crossJoin(broadcast(nDocs))
+        .select(col("t1"), col("t2"), col("n_pair"),
+          round(log((col("n_pair") * col("n_docs")).cast("double")
+            / (col("df1") * col("df2"))), 4).as("pmi"))
+        .orderBy("t1", "t2")
+    }),
+
     "text_zipf" -> ((s, d) => {
       // Zipf rank-frequency check over the corpus vocabulary: the
       // top-50 terms with rank and frequency ratio to the rank-1 term
@@ -613,6 +639,25 @@ object LlmText extends OpModule {
     "text_wordcount" ->
       s"""SELECT token, count(*) AS cnt FROM ($TokensSql)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    "text_cooccurrence" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM ($TokensSql)),
+         |top AS (
+         |  SELECT token, count(*) AS df FROM tok
+         |  GROUP BY token ORDER BY df DESC, token LIMIT 20
+         |),
+         |tv AS (SELECT t.doc_id, t.token, p.df
+         |       FROM tok t JOIN top p ON t.token = p.token),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.token AS t1, b.token AS t2, count(*) AS n_pair,
+         |    min(a.df) AS df1, min(b.df) AS df2
+         |  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+         |  GROUP BY t1, t2 HAVING count(*) >= 5
+         |)
+         |SELECT t1, t2, n_pair,
+         |  round(ln(CAST(n_pair * n_docs AS DOUBLE) / (df1 * df2)), 4) AS pmi
+         |FROM pairs CROSS JOIN nd ORDER BY t1, t2""".stripMargin,
 
     "text_zipf" ->
       s"""WITH wc AS (
