@@ -183,10 +183,13 @@ object LlmText extends OpModule {
       // = 190 pairs regardless of corpus size (an ungated token
       // self-join is quadratic in document length). PMI inputs are all
       // integer counts, so the ln() argument is engine-exact.
-      val tok = tokens(s, d).select("doc_id", "token").distinct()
-      val top = tok.groupBy("token").agg(count(lit(1)).as("df"))
+      val tok = tokens(s, d).select("doc_id", "token")
+      val top = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token")).limit(20)
+      // gate BEFORE the second distinct: the broadcast vocab filter cuts
+      // the dedup shuffle to the 20 kept tokens' postings only.
       val tv = tok.join(broadcast(top), "token")
+        .select("doc_id", "token", "df").distinct()
       val a = tv.select(col("doc_id"), col("token").as("t1"), col("df").as("df1"))
       val b = tv.select(col("doc_id").as("doc2"), col("token").as("t2"),
         col("df").as("df2"))
