@@ -180,6 +180,19 @@ object Aggregates extends OpModule {
         .orderBy("c_mktsegment")
     }),
 
+    "agg_quantiles" -> ((s, d) =>
+      // Multi-quantile summary per group: exact linear-interpolated
+      // p25/p50/p75/p90 of event value in ONE array-valued percentile
+      // expression — one sort-based agg pass, not four. Both engines
+      // interpolate at p·(n−1), so on identical inputs the quantiles
+      // are bit-identical; round(4) is belt-and-braces.
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("transform(percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))," +
+            " q -> round(q, 4))").as("qs"))
+        .orderBy("event_type")),
+
     "agg_salted_twophase" -> ((s, d) =>
       // Two-phase SALTED aggregation — the hot-key mitigation pattern
       // as a graded operator. event_type has only 5 values, so every
@@ -370,6 +383,13 @@ object Aggregates extends OpModule {
         |      ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey
         |) WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.9]),
+        |    q -> round(q, 4)) AS qs
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "agg_salted_twophase" ->
       """WITH shards AS (

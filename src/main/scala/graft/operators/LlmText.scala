@@ -507,6 +507,34 @@ object LlmText extends OpModule {
         .orderBy("doc_id")
     }),
 
+    "dedup_simhash_pairs" -> ((s, d) => {
+      // Simhash near-dup PAIRING — the step dedup_simhash feeds. 16-bit
+      // hashes band into 3 bit-groups (6+5+5); hamming ≤ 2 pairs must
+      // share ≥1 unchanged band (pigeonhole), so candidates come from
+      // an equi-join on (band_idx, band_value) — sub-quadratic, never
+      // all-pairs — then the exact popcount filter keeps true pairs.
+      // Band extraction is div/mod arithmetic (cross-engine identical);
+      // the final hamming uses xor + bit_count (present in both
+      // engines). Same LSH-shape as the minhash path, on a 1-word
+      // fingerprint.
+      val sh = queries("dedup_simhash")(s, d) // (doc_id, simhash)
+      def banded(idPrefix: String) = sh.select(
+        col("doc_id").as(s"${idPrefix}_id"), col("simhash").as(s"${idPrefix}_h"),
+        posexplode(array(col("simhash") % 64,
+          expr("simhash div 64") % 32,
+          expr("simhash div 2048") % 32))
+          .as(Seq(s"${idPrefix}_band", s"${idPrefix}_val")))
+      banded("a").join(banded("b"),
+          col("a_band") === col("b_band") && col("a_val") === col("b_val")
+            && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_h"), col("b_h")).distinct()
+        .withColumn("hamming",
+          bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long"))
+        .filter(col("hamming") <= 2)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(s, d)
         .select("a_id", "b_id", "n_common", "jaccard")
@@ -854,15 +882,29 @@ object LlmText extends OpModule {
          |ORDER BY c.a_id, c.b_id""".stripMargin,
 
     "dedup_simhash" ->
-      s"""WITH tv AS (
-         |  SELECT doc_id, (tid * 7 + 13) % $P AS h
-         |  FROM (SELECT DISTINCT doc_id, token, $TidExpr AS tid FROM ($TokensSql)) dt
+      s"""WITH $SimhashCtes
+         |$SimhashSelect
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $SimhashCtes,
+         |sh AS ($SimhashSelect),
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band,
+         |    CASE b.band WHEN 0 THEN simhash % 64
+         |                WHEN 1 THEN (simhash // 64) % 32
+         |                ELSE (simhash // 2048) % 32 END AS val
+         |  FROM sh CROSS JOIN (SELECT unnest(range(3)) AS band) b
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.simhash AS a_h, b.simhash AS b_h
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+         |    AND a.doc_id < b.doc_id
          |)
-         |SELECT doc_id,
-         |  CAST(${(0 until 16).map(j =>
-              s"(CASE WHEN sum(floor(h / ${math.pow(2, j).toLong}) % 2 * 2 - 1) > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END)")
-              .mkString(" + ")} AS BIGINT) AS simhash
-         |FROM tv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT a_id, b_id, CAST(bit_count(xor(a_h, b_h)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(a_h, b_h)) <= 2
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $JaccardCtes
@@ -909,6 +951,21 @@ object LlmText extends OpModule {
          |FROM l3 JOIN documents d ON d.doc_id = l3.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
   )
+
+  /** Simhash CTE list (`tv(doc_id, h)`) + the 16-bit simhash select —
+    * shared by `dedup_simhash` and `dedup_simhash_pairs`. */
+  private lazy val SimhashCtes: String =
+    s"""tv AS (
+       |  SELECT doc_id, (tid * 7 + 13) % $P AS h
+       |  FROM (SELECT DISTINCT doc_id, token, $TidExpr AS tid FROM ($TokensSql)) dt
+       |)""".stripMargin
+
+  private lazy val SimhashSelect: String =
+    s"""SELECT doc_id,
+       |  CAST(${(0 until 16).map(j =>
+          s"(CASE WHEN sum(floor(h / ${math.pow(2, j).toLong}) % 2 * 2 - 1) > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END)")
+          .mkString(" + ")} AS BIGINT) AS simhash
+       |FROM tv GROUP BY doc_id""".stripMargin
 
   /** Shared CTE block ending in `scored(a_id, b_id, n_common, jaccard)`
     * — the thresholded bigram-Jaccard pairs among docs < 100 (mirrors
