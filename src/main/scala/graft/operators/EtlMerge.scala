@@ -166,6 +166,22 @@ object EtlMerge extends OpModule {
         .orderBy("user_id")
     }),
 
+    "etl_late_dim" -> ((s, d) => {
+      // Late-arriving dimension handling: facts joined to a dimension
+      // snapshot that is missing keys (every 4th nation simulates the
+      // not-yet-loaded rows) KEEP their row under an UNKNOWN
+      // placeholder instead of silently dropping — the report stays
+      // complete while late dim rows catch up, and the UNKNOWN bucket
+      // sizes the backlog. Broadcast left join + one agg.
+      val dim = Tables.nation(s, d).filter(col("n_nationkey") % 4 =!= 0)
+      Tables.customer(s, d)
+        .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy(coalesce(col("n_name"), lit("UNKNOWN")).as("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(Dec2(col("c_acctbal"))), 4).cast("double").as("balance"))
+        .orderBy("nation")
+    }),
+
     "etl_row_hash_diff" -> ((s, d) => {
       // Load reconciliation by ROW HASH: yesterday's slice vs today's,
       // classified added / removed / changed / same. Each side reduces
@@ -342,6 +358,16 @@ object EtlMerge extends OpModule {
         |  value AS last_value, us AS last_us, n_versions
         |FROM ranked WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    "etl_late_dim" ->
+      """SELECT coalesce(n_name, 'UNKNOWN') AS nation,
+        |  count(*) AS n_customers,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 4) AS DOUBLE)
+        |    AS balance
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM nation WHERE n_nationkey % 4 <> 0) n
+        |  ON c_nationkey = n.n_nationkey
+        |GROUP BY nation ORDER BY nation""".stripMargin,
 
     "etl_row_hash_diff" ->
       """WITH cur AS (

@@ -146,6 +146,44 @@ object Windows extends OpModule {
         .orderBy("n_name")
     }),
 
+    "win_interpolate" -> ((s, d) => {
+      // Time-series gap fill with LINEAR INTERPOLATION — the ETL step
+      // between "forward fill" and "model it". Daily per-user totals
+      // (exact decimal) left-join a per-user day spine; a missing day
+      // takes pv + (nv − pv)·(Δprev/Δspan) from its bracketing
+      // observations via last/first IGNORE NULLS running frames. The
+      // spine spans each user's own [min, max] observed days, so gaps
+      // always have both brackets; identical formula text on both
+      // engines keeps the doubles bit-identical. One shuffle for the
+      // daily agg, one per-user window sort.
+      val obs = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(Dec2(col("value"))), 4).cast("double").as("val"))
+      val spine = obs.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      val wPrev = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(obs, Seq("user_id", "day"), "left")
+        .withColumn("pv", last("val", ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("val").isNotNull, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first("val", ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("val").isNotNull, col("day")),
+          ignoreNulls = true).over(wNext))
+        .select(col("user_id"), col("day"), col("val").isNotNull.as("observed"),
+          round(when(col("val").isNotNull, col("val"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (datediff(col("day"), col("pd")).cast("double")
+                / datediff(col("nd"), col("pd")))), 4).as("filled"))
+        .orderBy("user_id", "day")
+    }),
+
     "win_pareto_abc" -> ((s, d) => {
       // ABC / Pareto analysis: customers ranked by spend inside their
       // market segment, running cumulative share of segment revenue,
@@ -262,6 +300,43 @@ object Windows extends OpModule {
         |SELECT n_name, CAST(round(rev_d, 4) AS DOUBLE) AS revenue,
         |  round(CAST(rev_d AS DOUBLE) * 100 / CAST(sum(rev_d) OVER () AS DOUBLE), 4) AS pct
         |FROM rev ORDER BY n_name""".stripMargin,
+
+    "win_interpolate" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS val
+        |  FROM events GROUP BY user_id, day
+        |), bounds AS (
+        |  SELECT user_id, min(day) AS lo, max(day) AS hi FROM obs GROUP BY user_id
+        |), spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds
+        |), j AS (
+        |  SELECT s.user_id, s.day, o.val FROM spine s
+        |  LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day
+        |), w AS (
+        |  SELECT user_id, day, val,
+        |    last_value(val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN val IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j
+        |)
+        |SELECT user_id, day, val IS NOT NULL AS observed,
+        |  round(CASE WHEN val IS NOT NULL THEN val
+        |             WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             ELSE pv + (nv - pv)
+        |               * (CAST(day - pd AS DOUBLE) / (nd - pd))
+        |        END, 4) AS filled
+        |FROM w ORDER BY user_id, day""".stripMargin,
 
     "win_pareto_abc" ->
       """WITH spend AS (

@@ -48,4 +48,44 @@ class InvariantsSpec extends SparkSpec {
     val b = q("dedup_minhash_sig").collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("bucketed interval join equals the brute-force theta join") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sf)
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("e_us"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("c_us"))
+    val brute = err.join(clk, abs(col("c_us") - col("e_us")) <= 900000000L)
+      .groupBy("err_id")
+      .agg(count(lit(1)).as("n"), min(col("c_us") - col("e_us")).as("md"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = q("join_interval_bucketed").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(bucketed === brute, "grid bucketing lost or duplicated pairs")
+  }
+
+  test("salted two-phase aggregation equals the plain group-by") {
+    import org.apache.spark.sql.functions._
+    val plain = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(12,2)")), 4).cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = q("agg_salted_twophase").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted === plain, "salting changed the aggregate semantics")
+  }
+
+  test("simhash banding finds every hamming<=2 pair (no recall loss)") {
+    val sh = q("dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (i, hi) <- sh; (j, hj) <- sh
+      if i < j && java.lang.Long.bitCount(hi ^ hj) <= 2
+    } yield (i, j)).toSet
+    val got = q("dedup_simhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect, "3-band pigeonhole bucketing missed true pairs")
+  }
 }
