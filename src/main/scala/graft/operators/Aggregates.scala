@@ -180,6 +180,53 @@ object Aggregates extends OpModule {
         .orderBy("c_mktsegment")
     }),
 
+    "agg_corr_matrix" -> ((s, d) => {
+      // Pairwise Pearson correlation MATRIX over the four lineitem
+      // measures in ONE aggregation pass: every moment (Sx, Sxx, Sxy)
+      // is an exact decimal sum, so the doubles entering the corr
+      // formula are bit-identical across engines (built-in corr() sums
+      // doubles in partition order — nondeterministic under hash
+      // compare). The 10 moments reduce map-side; the 6 matrix cells
+      // unpivot from the single stats row in-row.
+      val l = Tables.lineitem(s, d)
+      def m(c: String) = Dec2(col(c))
+      val stats = l.agg(
+        count(lit(1)).as("n"),
+        sum(m("l_quantity")).as("s_q"), sum(m("l_quantity") * m("l_quantity")).as("s_qq"),
+        sum(m("l_extendedprice")).as("s_e"), sum(m("l_extendedprice") * m("l_extendedprice")).as("s_ee"),
+        sum(m("l_discount")).as("s_d"), sum(m("l_discount") * m("l_discount")).as("s_dd"),
+        sum(m("l_tax")).as("s_t"), sum(m("l_tax") * m("l_tax")).as("s_tt"),
+        sum(m("l_quantity") * m("l_extendedprice")).as("s_qe"),
+        sum(m("l_quantity") * m("l_discount")).as("s_qd"),
+        sum(m("l_quantity") * m("l_tax")).as("s_qt"),
+        sum(m("l_extendedprice") * m("l_discount")).as("s_ed"),
+        sum(m("l_extendedprice") * m("l_tax")).as("s_et"),
+        sum(m("l_discount") * m("l_tax")).as("s_dt"))
+      val nD = col("n").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      def corrOf(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+        round((nD * dbl(sxy) - dbl(sx) * dbl(sy))
+          / (sqrt(nD * dbl(sxx) - dbl(sx) * dbl(sx))
+            * sqrt(nD * dbl(syy) - dbl(sy) * dbl(sy))), 4)
+      val cells = array(
+        struct(lit("l_discount").as("col_x"), lit("l_tax").as("col_y"),
+          corrOf("s_d", "s_t", "s_dd", "s_tt", "s_dt").as("corr")),
+        struct(lit("l_extendedprice").as("col_x"), lit("l_discount").as("col_y"),
+          corrOf("s_e", "s_d", "s_ee", "s_dd", "s_ed").as("corr")),
+        struct(lit("l_extendedprice").as("col_x"), lit("l_tax").as("col_y"),
+          corrOf("s_e", "s_t", "s_ee", "s_tt", "s_et").as("corr")),
+        struct(lit("l_quantity").as("col_x"), lit("l_discount").as("col_y"),
+          corrOf("s_q", "s_d", "s_qq", "s_dd", "s_qd").as("corr")),
+        struct(lit("l_quantity").as("col_x"), lit("l_extendedprice").as("col_y"),
+          corrOf("s_q", "s_e", "s_qq", "s_ee", "s_qe").as("corr")),
+        struct(lit("l_quantity").as("col_x"), lit("l_tax").as("col_y"),
+          corrOf("s_q", "s_t", "s_qq", "s_tt", "s_qt").as("corr")))
+      stats.select(explode(cells).as("c"))
+        .select(col("c.col_x").as("col_x"), col("c.col_y").as("col_y"),
+          col("c.corr").as("corr"))
+        .orderBy("col_x", "col_y")
+    }),
+
     "agg_quantiles" -> ((s, d) =>
       // Multi-quantile summary per group: exact linear-interpolated
       // p25/p50/p75/p90 of event value in ONE array-valued percentile
@@ -383,6 +430,58 @@ object Aggregates extends OpModule {
         |      ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey
         |) WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_corr_matrix" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    sum(q) AS s_q, sum(q*q) AS s_qq, sum(e) AS s_e, sum(e*e) AS s_ee,
+        |    sum(d) AS s_d, sum(d*d) AS s_dd, sum(t) AS s_t, sum(t*t) AS s_tt,
+        |    sum(q*e) AS s_qe, sum(q*d) AS s_qd, sum(q*t) AS s_qt,
+        |    sum(e*d) AS s_ed, sum(e*t) AS s_et, sum(d*t) AS s_dt
+        |  FROM (
+        |    SELECT CAST(l_quantity AS DECIMAL(12,2)) AS q,
+        |      CAST(l_extendedprice AS DECIMAL(12,2)) AS e,
+        |      CAST(l_discount AS DECIMAL(12,2)) AS d,
+        |      CAST(l_tax AS DECIMAL(12,2)) AS t
+        |    FROM lineitem
+        |  )
+        |)
+        |SELECT 'l_discount' AS col_x, 'l_tax' AS col_y,
+        |  round((CAST(n AS DOUBLE) * CAST(s_dt AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_t AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 4) AS corr
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount',
+        |  round((CAST(n AS DOUBLE) * CAST(s_ed AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(s_ee AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 4)
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_tax',
+        |  round((CAST(n AS DOUBLE) * CAST(s_et AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_t AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(s_ee AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 4)
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount',
+        |  round((CAST(n AS DOUBLE) * CAST(s_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 4)
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_extendedprice',
+        |  round((CAST(n AS DOUBLE) * CAST(s_qe AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_e AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(s_ee AS DOUBLE) - CAST(s_e AS DOUBLE) * CAST(s_e AS DOUBLE))), 4)
+        |FROM s
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_tax',
+        |  round((CAST(n AS DOUBLE) * CAST(s_qt AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_t AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 4)
+        |FROM s
+        |ORDER BY col_x, col_y""".stripMargin,
 
     "agg_quantiles" ->
       """SELECT event_type, count(*) AS n,

@@ -179,6 +179,51 @@ object Events extends OpModule {
         .orderBy("event_id")
     }),
 
+    "evt_rfm" -> ((s, d) => {
+      // RFM (recency / frequency / monetary) user scoring. The
+      // monetary quintile is assigned by comparing against BROADCAST
+      // percentile thresholds computed on the user rollup — not by a
+      // global ntile window, which would serialize all users through
+      // one partition at 100 TB. Exact percentile + exact decimal
+      // sums keep thresholds and comparisons engine-identical.
+      val e = Tables.events(s, d)
+      val g = e.agg(max(unix_micros(col("ts"))).as("mx"))
+      val u = e.groupBy("user_id")
+        .agg(count(lit(1)).as("f_events"),
+          round(sum(Dec2(col("value"))), 4).cast("double").as("m_value"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      val r = u.crossJoin(broadcast(g))
+        .select(col("user_id"), expr("(mx - last_us) div 86400000000").as("r_days"),
+          col("f_events"), col("m_value"))
+      val t = r.agg(expr(
+        "percentile(m_value, array(0.2D, 0.4D, 0.6D, 0.8D))").as("qs"))
+      r.crossJoin(broadcast(t))
+        .select(col("user_id"), col("r_days"), col("f_events"), col("m_value"),
+          (lit(1)
+            + when(col("m_value") > element_at(col("qs"), 1), 1).otherwise(0)
+            + when(col("m_value") > element_at(col("qs"), 2), 1).otherwise(0)
+            + when(col("m_value") > element_at(col("qs"), 3), 1).otherwise(0)
+            + when(col("m_value") > element_at(col("qs"), 4), 1).otherwise(0))
+            .cast("long").as("m_score"))
+        .orderBy("user_id")
+    }),
+
+    "evt_path3" -> ((s, d) => {
+      // 3-step path mining: top-20 (from, mid, to) event trigrams by
+      // frequency. Two lead()s over one per-user window sort, then a
+      // partial-agg count — shuffle volume is |types|³ max, not
+      // |events|; the tiebroken sort keeps the LIMIT deterministic.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
     "evt_session_summary" -> ((s, d) => {
       // Session-length distribution: how many sessions have n events,
       // and how long they run — built ON the session operator's output
@@ -325,6 +370,39 @@ object Events extends OpModule {
         |    row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "evt_rfm" ->
+      """WITH g AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+        |u AS (
+        |  SELECT user_id, count(*) AS f_events,
+        |    CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS m_value,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id
+        |), r AS (
+        |  SELECT user_id, (mx - last_us) // 86400000000 AS r_days,
+        |    f_events, m_value
+        |  FROM u CROSS JOIN g
+        |), t AS (
+        |  SELECT quantile_cont(m_value, [0.2, 0.4, 0.6, 0.8]) AS qs FROM r
+        |)
+        |SELECT user_id, r_days, f_events, m_value,
+        |  CAST(1 + (CASE WHEN m_value > qs[1] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN m_value > qs[2] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN m_value > qs[3] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN m_value > qs[4] THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS m_score
+        |FROM r CROSS JOIN t ORDER BY user_id""".stripMargin,
+
+    "evt_path3" ->
+      s"""SELECT t1, t2, t3, count(*) AS n FROM (
+         |  SELECT event_type AS t1,
+         |    lead(event_type, 1) OVER ($EventWin) AS t2,
+         |    lead(event_type, 2) OVER ($EventWin) AS t3
+         |  FROM events
+         |)
+         |WHERE t3 IS NOT NULL
+         |GROUP BY t1, t2, t3
+         |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
 
     "evt_session_summary" ->
       s"""WITH g AS (
