@@ -27,6 +27,15 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution read: unions the footer schemas of every file
+    * under `paths` (columns added by newer loads surface as nulls in
+    * older files). mergeSchema is a footer-only operation — no data
+    * pass — but it reads one footer per file, so production tables
+    * should carry the merged schema in a catalog once it stabilizes.
+    */
+  def readParquetMerged(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Schema-explicit CSV read; malformed rows land in `_corrupt_record`. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               header: Boolean = true, delimiter: String = ","): DataFrame =

@@ -152,6 +152,23 @@ object Streams {
       }
   }
 
+  /** Daily active users — streaming twin of `evt_active_users`' DAU
+    * side. Exact distinct-per-window via the standard two-stage shape:
+    * watermarked dedup on (user, day) collapses the stream to first
+    * sightings (state = one tombstone per pair inside the watermark,
+    * the cardinality that matters at 100 TB/day), then a windowed
+    * count. No approximate sketch needed while the pair state is
+    * watermark-bounded.
+    */
+  def dauCounts(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"),
+        window(col("ts"), "1 day").as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("w.start").as("day_start"), col("dau"))
+
   /** CDC latest-record compaction — streaming twin of the batch
     * `etl_cdc_compact` operator. State per key is O(1): the winning
     * (event-time µs, event_id) record plus a version counter; each

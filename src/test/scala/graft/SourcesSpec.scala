@@ -38,6 +38,22 @@ class SourcesSpec extends SparkSpec {
     } finally got.unpersist()
   }
 
+  test("schema evolution: merged read surfaces late-added columns as nulls") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // v1 load: (id, name); v2 load adds a score column.
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(s"$dir/load=1")
+    Seq((3L, "c", 0.5)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/load=2")
+    val merged = graft.sources.Sources.readParquetMerged(
+      spark, s"$dir/load=1", s"$dir/load=2")
+    assert(merged.columns.toSet === Set("id", "name", "score"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2)))
+    assert(rows.toSeq === Seq((1L, true), (2L, true), (3L, false)))
+  }
+
   test("partitioned parquet write prunes on the partition column") {
     val dir = tmp()
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -137,6 +137,20 @@ class StreamingSpec extends SparkSpec {
       (2L, "view", "error")))
   }
 
+  test("streaming DAU counts distinct users per day") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // user 1 appears twice on day 1 (counted once); day 2 has two users.
+    in.addData(ev(1, 0, 1, "view"), ev(2, 60, 1, "click"),
+      ev(3, 1440, 1, "view"), ev(4, 1500, 2, "view"))
+    runToTable("dau", Streams.dauCounts(in.toDF()), "complete")
+    val got = spark.table("dau").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000 - BaseMin, r.getLong(1)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((0L, 1L), (1440L, 2L)))
+  }
+
   test("CDC compaction keeps the latest record per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
