@@ -179,6 +179,28 @@ object Events extends OpModule {
         .orderBy("event_id")
     }),
 
+    "evt_runs" -> ((s, d) => {
+      // Run-length encoding of the per-user event stream: consecutive
+      // same-type events collapse to runs; runs of ≥ 3 surface (error
+      // storms, click bursts). Type-change flag → running sum run-id →
+      // one partial agg: the same lag/cumsum discipline as
+      // sessionization, keyed on value changes instead of time gaps.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("new_run",
+          when(col("prev_type").isNull
+            || col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run_id", sum("new_run").over(run))
+        .groupBy("user_id", "run_id")
+        .agg(min("event_type").as("event_type"),
+          count(lit(1)).as("run_len"),
+          min(unix_micros(col("ts"))).as("start_us"))
+        .filter(col("run_len") >= 3)
+        .orderBy("user_id", "run_id")
+    }),
+
     "evt_rfm" -> ((s, d) => {
       // RFM (recency / frequency / monetary) user scoring. The
       // monetary quintile is assigned by comparing against BROADCAST
@@ -370,6 +392,29 @@ object Events extends OpModule {
         |    row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "evt_runs" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    lag(event_type, 1) OVER ($EventWin) AS prev_type
+         |  FROM events
+         |), s AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    CASE WHEN prev_type IS NULL OR prev_type <> event_type
+         |         THEN 1 ELSE 0 END AS new_run
+         |  FROM g
+         |), t AS (
+         |  SELECT user_id, ts, event_type,
+         |    CAST(sum(new_run) OVER ($EventWin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS run_id
+         |  FROM s
+         |)
+         |SELECT user_id, run_id, min(event_type) AS event_type,
+         |  count(*) AS run_len, min(epoch_us(ts)) AS start_us
+         |FROM t GROUP BY user_id, run_id
+         |HAVING count(*) >= 3
+         |ORDER BY user_id, run_id""".stripMargin,
 
     "evt_rfm" ->
       """WITH g AS (SELECT max(epoch_us(ts)) AS mx FROM events),

@@ -143,6 +143,41 @@ object Joins extends OpModule {
         .orderBy("event_id")
     }),
 
+    "join_asof_bounded" -> ((s, d) => {
+      // As-of join with a STALENESS BOUND — the feature-store variant:
+      // each purchase takes its most recent prior view (same user),
+      // but only if that view is ≤ 2 h old; staler features are worse
+      // than no features, so they null out rather than leak. Same
+      // union-timeline shape as join_asof (|V|+|P| rows, one shuffle +
+      // sort per user) with the bound applied as a final map-side
+      // filter on the carried timestamp — no range join, no growth
+      // with lookback depth.
+      val Bound = 7200000000L // 2h in µs
+      val e = Tables.events(s, d)
+      val v = e.filter(col("event_type") === "view").select(
+        col("user_id").as("k"), unix_micros(col("ts")).as("us"),
+        lit(0).as("is_p"), col("event_id").as("vid"),
+        lit(null).cast("long").as("pid"))
+      val p = e.filter(col("event_type") === "purchase").select(
+        col("user_id").as("k"), unix_micros(col("ts")).as("us"),
+        lit(1).as("is_p"), lit(null).cast("long").as("vid"),
+        col("event_id").as("pid"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("us"), col("is_p"), coalesce(col("vid"), col("pid")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      v.union(p)
+        .withColumn("lv_us",
+          last(when(col("is_p") === 0, col("us")), ignoreNulls = true).over(w))
+        .withColumn("lv_id",
+          last(when(col("is_p") === 0, col("vid")), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("pid").as("purchase_id"),
+          when(col("us") - col("lv_us") <= Bound, col("lv_id")).as("view_id"),
+          when(col("us") - col("lv_us") <= Bound, col("us") - col("lv_us"))
+            .as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+
     "join_interval_bucketed" -> ((s, d) => {
       // Scale twin of join_theta_range: a pure time-proximity join
       // (each error event × clicks within ±15 min, across ALL users —
@@ -244,6 +279,20 @@ object Joins extends OpModule {
         |  FROM events e JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "join_asof_bounded" ->
+      """SELECT purchase_id,
+        |  CASE WHEN gap_us <= 7200000000 THEN view_id END AS view_id,
+        |  CASE WHEN gap_us <= 7200000000 THEN gap_us END AS gap_us
+        |FROM (
+        |  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |    epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY epoch_us(v.ts) DESC, v.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |    ON v.user_id = p.user_id AND epoch_us(v.ts) <= epoch_us(p.ts)
+        |) WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "join_interval_bucketed" ->
       """SELECT e.event_id AS err_id, epoch_us(e.ts) AS e_us,

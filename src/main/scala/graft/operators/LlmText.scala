@@ -492,37 +492,30 @@ object LlmText extends OpModule {
         .orderBy("a_id", "b_id")
     }),
 
-    "dedup_simhash" -> ((s, d) => {
-      val tv = tokens(s, d).select("doc_id", "token").distinct()
-        .withColumn("h", (tid(col("token")) * 7 + 13) % lit(P))
-      val bits = tv.select(col("doc_id") +: (0 until 16).map(j =>
-        (floor(col("h") / math.pow(2, j).toLong) % 2 * 2 - 1).as(s"w$j")): _*)
-      bits.groupBy("doc_id")
-        .agg((0 until 16).map(j => sum(s"w$j").as(s"s$j")).head,
-          (0 until 16).map(j => sum(s"w$j").as(s"s$j")).tail: _*)
-        .select(col("doc_id"),
-          (0 until 16).map(j =>
-            when(col(s"s$j") > 0, math.pow(2, j).toLong).otherwise(0L))
-            .reduce(_ + _).as("simhash"))
-        .orderBy("doc_id")
-    }),
+    "dedup_simhash" -> ((s, d) =>
+      simhashDf(s, d, 16).orderBy("doc_id")),
 
     "dedup_simhash_pairs" -> ((s, d) => {
-      // Simhash near-dup PAIRING — the step dedup_simhash feeds. 16-bit
-      // hashes band into 3 bit-groups (6+5+5); hamming ≤ 2 pairs must
-      // share ≥1 unchanged band (pigeonhole), so candidates come from
-      // an equi-join on (band_idx, band_value) — sub-quadratic, never
+      // Simhash near-dup PAIRING — the step dedup_simhash feeds. The
+      // pairing fingerprint is 24-bit over the 3-SHINGLE set (same
+      // reasoning as the minhash path): on a small-vocab corpus every
+      // doc contains nearly every unigram, so token-set simhash
+      // collides regardless of width (measured: 40k of 125k possible
+      // pairs within hamming 2 at sf0.001; 9.8 s at sf0.1), while
+      // 3-shingle sets of unrelated docs are near-disjoint and random
+      // pairs sit ~12 bits apart. Hamming ≤ 2 pairs must share ≥1
+      // unchanged 8-bit band (pigeonhole), so candidates come from an
+      // equi-join on (band_idx, band_value) — sub-quadratic, never
       // all-pairs — then the exact popcount filter keeps true pairs.
-      // Band extraction is div/mod arithmetic (cross-engine identical);
-      // the final hamming uses xor + bit_count (present in both
-      // engines). Same LSH-shape as the minhash path, on a 1-word
-      // fingerprint.
-      val sh = queries("dedup_simhash")(s, d) // (doc_id, simhash)
+      // Band extraction is div/mod arithmetic (cross-engine
+      // identical); hamming is xor + bit_count (present in both
+      // engines).
+      val sh = simhashShingleDf(s, d, 24)
       def banded(idPrefix: String) = sh.select(
         col("doc_id").as(s"${idPrefix}_id"), col("simhash").as(s"${idPrefix}_h"),
-        posexplode(array(col("simhash") % 64,
-          expr("simhash div 64") % 32,
-          expr("simhash div 2048") % 32))
+        posexplode(array(col("simhash") % 256,
+          expr("simhash div 256") % 256,
+          expr("simhash div 65536") % 256))
           .as(Seq(s"${idPrefix}_band", s"${idPrefix}_val")))
       banded("a").join(banded("b"),
           col("a_band") === col("b_band") && col("a_val") === col("b_val")
@@ -887,13 +880,13 @@ object LlmText extends OpModule {
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" ->
-      s"""WITH $SimhashCtes,
-         |sh AS ($SimhashSelect),
+      s"""WITH $SimhashShingleCte,
+         |sh AS (${simhashSelect(24, "tvs")}),
          |bands AS (
          |  SELECT doc_id, simhash, b.band,
-         |    CASE b.band WHEN 0 THEN simhash % 64
-         |                WHEN 1 THEN (simhash // 64) % 32
-         |                ELSE (simhash // 2048) % 32 END AS val
+         |    CASE b.band WHEN 0 THEN simhash % 256
+         |                WHEN 1 THEN (simhash // 256) % 256
+         |                ELSE (simhash // 65536) % 256 END AS val
          |  FROM sh CROSS JOIN (SELECT unnest(range(3)) AS band) b
          |),
          |cand AS (
@@ -952,20 +945,59 @@ object LlmText extends OpModule {
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
   )
 
-  /** Simhash CTE list (`tv(doc_id, h)`) + the 16-bit simhash select —
-    * shared by `dedup_simhash` and `dedup_simhash_pairs`. */
+  /** Per-doc `bits`-wide simhash (doc_id, simhash) over a hashed-id
+    * stream — weight +1/−1 per id per bit, sign of the sum sets the
+    * bit. Bit source h < P (~2^30), so widths up to 24 stay uniform. */
+  private def simhashOver(tv: DataFrame, bits: Int): DataFrame = {
+    val weights = tv.select(col("doc_id") +: (0 until bits).map(j =>
+      (floor(col("h") / math.pow(2, j).toLong) % 2 * 2 - 1).as(s"w$j")): _*)
+    weights.groupBy("doc_id")
+      .agg((0 until bits).map(j => sum(s"w$j").as(s"s$j")).head,
+        (0 until bits).map(j => sum(s"w$j").as(s"s$j")).tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(j =>
+          when(col(s"s$j") > 0, math.pow(2, j).toLong).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Unigram-token-set simhash — the graded `dedup_simhash` surface. */
+  private[graft] def simhashDf(s: SparkSession, d: String, bits: Int): DataFrame =
+    simhashOver(tokens(s, d).select("doc_id", "token").distinct()
+      .withColumn("h", (tid(col("token")) * 7 + 13) % lit(P)), bits)
+
+  /** 3-shingle-set simhash — the pairing fingerprint (shingle sets of
+    * unrelated docs are near-disjoint where unigram sets saturate).
+    * `private[graft]` so specs can brute-force-check the banding. */
+  private[graft] def simhashShingleDf(s: SparkSession, d: String, bits: Int): DataFrame =
+    simhashOver(Tables.documents(s, d).select(col("doc_id"),
+      explode(array_distinct(
+        graft.functions.GraftFunctions.shingleIds(col("text")))).as("sid"))
+      .withColumn("h", (col("sid") * 7 + 13) % lit(P)), bits)
+
+  /** Simhash CTE list (`tv(doc_id, h)`) + the `bits`-wide simhash
+    * select — shared by `dedup_simhash` (16) and
+    * `dedup_simhash_pairs` (24). */
   private lazy val SimhashCtes: String =
     s"""tv AS (
        |  SELECT doc_id, (tid * 7 + 13) % $P AS h
        |  FROM (SELECT DISTINCT doc_id, token, $TidExpr AS tid FROM ($TokensSql)) dt
        |)""".stripMargin
 
-  private lazy val SimhashSelect: String =
+  private def simhashSelect(bits: Int, from: String = "tv"): String =
     s"""SELECT doc_id,
-       |  CAST(${(0 until 16).map(j =>
+       |  CAST(${(0 until bits).map(j =>
           s"(CASE WHEN sum(floor(h / ${math.pow(2, j).toLong}) % 2 * 2 - 1) > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END)")
           .mkString(" + ")} AS BIGINT) AS simhash
-       |FROM tv GROUP BY doc_id""".stripMargin
+       |FROM $from GROUP BY doc_id""".stripMargin
+
+  private lazy val SimhashSelect: String = simhashSelect(16)
+
+  /** Shingle-id hash stream CTE for the pairing simhash. */
+  private lazy val SimhashShingleCte: String =
+    s"""tvs AS (
+       |  SELECT doc_id, (sid * 7 + 13) % $P AS h
+       |  FROM (SELECT DISTINCT doc_id, unnest(tids) AS sid FROM ($TidsSql)) u
+       |)""".stripMargin
 
   /** Shared CTE block ending in `scored(a_id, b_id, n_common, jaccard)`
     * — the thresholded bigram-Jaccard pairs among docs < 100 (mirrors

@@ -78,7 +78,8 @@ class InvariantsSpec extends SparkSpec {
   }
 
   test("simhash banding finds every hamming<=2 pair (no recall loss)") {
-    val sh = q("dedup_simhash").collect()
+    // brute-force over the SAME 24-bit fingerprint the pairing op uses
+    val sh = graft.operators.LlmText.simhashShingleDf(spark, sf, 24).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val expect = (for {
       (i, hi) <- sh; (j, hj) <- sh

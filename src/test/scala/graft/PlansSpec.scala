@@ -71,6 +71,19 @@ class PlansSpec extends SparkSpec {
       s"bucketed interval join degenerated to a nested loop:\n$plan")
   }
 
+  test("evt_rfm assigns quintiles with broadcast thresholds, not a window") {
+    // the global-ntile formulation would serialize all users through
+    // one partition; the threshold-broadcast shape must stay window-free.
+    val plan = treeString(q("evt_rfm"))
+    assert(!plan.contains("Window"), s"rfm plan grew a window operator:\n$plan")
+  }
+
+  test("agg_corr_matrix reads lineitem exactly once for all 10 moments") {
+    val plan = treeString(q("agg_corr_matrix"))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"correlation matrix scans the table $scans times")
+  }
+
   test("group-by aggregates do partial (map-side) aggregation before the shuffle") {
     val plan = treeString(q("agg_groupby"))
     // HashAggregate(partial) → Exchange → HashAggregate(final)
