@@ -30,6 +30,19 @@ object Scans extends OpModule {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
+    "scan_table_counts" -> ((s, d) => {
+      // Row-count audit across the star schema in one result. count(*)
+      // prunes EVERY column — the scans run with `ReadSchema: struct<>`
+      // (locked by PlansSpec), so only row-group metadata drives the
+      // count and no data pages decode. At 100 TB this is the
+      // difference between a seconds-long footer pass and a full scan.
+      def cnt(name: String) =
+        Tables(s, d, name).agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("tbl"), col("n_rows"))
+      cnt("customer").union(cnt("lineitem")).union(cnt("orders"))
+        .union(cnt("part")).orderBy("tbl")
+    }),
+
     "filter_pred" -> ((s, d) =>
       Tables.lineitem(s, d)
         .filter((col("l_quantity").between(10, 20)
@@ -145,6 +158,13 @@ object Scans extends OpModule {
 
     "scan_pruned" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity",
+
+    "scan_table_counts" ->
+      """SELECT 'customer' AS tbl, count(*) AS n_rows FROM customer
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'part', count(*) FROM part
+        |ORDER BY tbl""".stripMargin,
 
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem

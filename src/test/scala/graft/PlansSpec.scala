@@ -71,6 +71,12 @@ class PlansSpec extends SparkSpec {
       s"bucketed interval join degenerated to a nested loop:\n$plan")
   }
 
+  test("scan_table_counts reads zero columns (metadata-driven count)") {
+    val plan = treeString(q("scan_table_counts"))
+    assert(plan.contains("ReadSchema: struct<>"),
+      s"count(*) scan decodes data pages:\n$plan")
+  }
+
   test("evt_rfm assigns quintiles with broadcast thresholds, not a window") {
     // the global-ntile formulation would serialize all users through
     // one partition; the threshold-broadcast shape must stay window-free.
