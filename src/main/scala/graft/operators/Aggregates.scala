@@ -180,6 +180,23 @@ object Aggregates extends OpModule {
         .orderBy("c_mktsegment")
     }),
 
+    "agg_entropy" -> ((s, d) =>
+      // Shannon entropy of each user's event-type mix — the
+      // distribution-drift metric. H = ln n − (Σ c·ln c)/n from
+      // integer counts; the Σ c·ln c double fold runs over a SORTED
+      // in-row list (≤ |types| elements), fixing summation order on
+      // both engines where a sum() over shuffled rows would not be.
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n"), sort_array(collect_list(col("c"))).as("cs"))
+        .select(col("user_id"), col("n"),
+          round(log(col("n").cast("double"))
+            - expr("aggregate(cs, CAST(0 AS DOUBLE)," +
+              " (acc, x) -> acc + CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))")
+              / col("n"), 4).as("entropy"))
+        .orderBy("user_id")),
+
     "agg_corr_matrix" -> ((s, d) => {
       // Pairwise Pearson correlation MATRIX over the four lineitem
       // measures in ONE aggregation pass: every moment (Sx, Sxx, Sxy)
@@ -430,6 +447,22 @@ object Aggregates extends OpModule {
         |      ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey
         |) WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type
+        |), u AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    list_sort(list(c)) AS cs
+        |  FROM c GROUP BY user_id
+        |)
+        |SELECT user_id, n,
+        |  round(ln(CAST(n AS DOUBLE))
+        |    - list_sum(list_transform(cs,
+        |        x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))) / n, 4)
+        |    AS entropy
+        |FROM u ORDER BY user_id""".stripMargin,
 
     "agg_corr_matrix" ->
       """WITH s AS (

@@ -179,6 +179,34 @@ object Events extends OpModule {
         .orderBy("event_id")
     }),
 
+    "evt_concurrency" -> ((s, d) => {
+      // Peak concurrent sessions per day via the sweep line: each
+      // session emits (+1 at start, −1 at end), a running sum ordered
+      // by time IS the live-session count, and the per-day max is the
+      // capacity-planning number. The sweep is partitioned BY DAY (a
+      // global total-order sweep would serialize at 100 TB; sessions
+      // crossing midnight are counted in their start day — the
+      // standard reporting convention). Ties order +1 before −1 so a
+      // session ending exactly when another starts still overlaps.
+      val sess = queries("evt_session")(s, d)
+        .select(col("user_id"), col("session_id"),
+          col("sess_start_us").as("s_us"),
+          (col("sess_start_us") + col("sess_len_us")).as("e_us"))
+      val withDay = sess.withColumn("day",
+        to_date(timestamp_micros(col("s_us"))))
+      val deltas = withDay.select(col("day"), col("s_us").as("us"),
+          lit(1L).as("delta"), col("user_id"), col("session_id"))
+        .union(withDay.select(col("day"), col("e_us").as("us"),
+          lit(-1L).as("delta"), col("user_id"), col("session_id")))
+      val w = Window.partitionBy("day")
+        .orderBy(col("us"), col("delta").desc, col("user_id"), col("session_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("live", sum("delta").over(w))
+        .groupBy("day")
+        .agg(max("live").as("peak_concurrent"), count(lit(1)).as("n_deltas"))
+        .orderBy("day")
+    }),
+
     "evt_runs" -> ((s, d) => {
       // Run-length encoding of the per-user event stream: consecutive
       // same-type events collapse to runs; runs of ≥ 3 surface (error
@@ -392,6 +420,43 @@ object Events extends OpModule {
         |    row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "evt_concurrency" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts,
+         |    lag(epoch_us(ts), 1) OVER ($EventWin) AS prev_us
+         |  FROM events
+         |), s AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM g
+         |), t AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(is_new) OVER ($EventWin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_id
+         |  FROM s
+         |), sess AS (
+         |  SELECT user_id, session_id, min(epoch_us(ts)) AS s_us,
+         |    max(epoch_us(ts)) AS e_us
+         |  FROM t GROUP BY user_id, session_id
+         |), withday AS (
+         |  SELECT user_id, session_id, s_us, e_us,
+         |    CAST(make_timestamp(s_us) AS DATE) AS day
+         |  FROM sess
+         |), deltas AS (
+         |  SELECT day, s_us AS us, 1 AS delta, user_id, session_id FROM withday
+         |  UNION ALL
+         |  SELECT day, e_us, -1, user_id, session_id FROM withday
+         |), live AS (
+         |  SELECT day, CAST(sum(delta) OVER (PARTITION BY day
+         |    ORDER BY us, delta DESC, user_id, session_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS live
+         |  FROM deltas
+         |)
+         |SELECT day, max(live) AS peak_concurrent, count(*) AS n_deltas
+         |FROM live GROUP BY day ORDER BY day""".stripMargin,
 
     "evt_runs" ->
       s"""WITH g AS (
