@@ -176,6 +176,29 @@ object LlmText extends OpModule {
       tokens(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(50)),
 
+    "text_markov_next" -> ((s, d) => {
+      // Unsmoothed bigram LM slice: P(next | token) for the top-3
+      // continuations of the 10 most frequent left-tokens — the
+      // conditional-probability table behind autocomplete-style
+      // analyses. All probabilities are integer-count ratios, so the
+      // doubles are engine-exact; the rank window runs on the
+      // |vocab|²-bounded bigram rollup, never the token stream.
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = tokens(s, d)
+        .withColumn("next", lead("token", 1).over(w))
+        .filter(col("next").isNotNull)
+      val big = pairs.groupBy("token", "next").agg(count(lit(1)).as("c2"))
+      val topTok = pairs.groupBy("token").agg(count(lit(1)).as("c1"))
+        .orderBy(col("c1").desc, col("token")).limit(10)
+      val rk = Window.partitionBy("token").orderBy(col("c2").desc, col("next"))
+      big.join(broadcast(topTok), "token")
+        .withColumn("rk", row_number().over(rk).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("token"), col("next"), col("c2"),
+          round(col("c2").cast("double") / col("c1"), 4).as("p"), col("rk"))
+        .orderBy("token", "rk")
+    }),
+
     "text_cooccurrence" -> ((s, d) => {
       // Token co-occurrence + PMI over the TOP-20 vocabulary — the
       // collocation-mining staple. Gating the pair join to a bounded
@@ -663,6 +686,29 @@ object LlmText extends OpModule {
     "text_wordcount" ->
       s"""SELECT token, count(*) AS cnt FROM ($TokensSql)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    "text_markov_next" ->
+      s"""WITH pairs AS (
+         |  SELECT token, next FROM (
+         |    SELECT token,
+         |      lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+         |    FROM ($TokensSql)
+         |  ) WHERE next IS NOT NULL
+         |),
+         |big AS (SELECT token, next, count(*) AS c2 FROM pairs GROUP BY token, next),
+         |toptok AS (
+         |  SELECT token, count(*) AS c1 FROM pairs GROUP BY token
+         |  ORDER BY c1 DESC, token LIMIT 10
+         |),
+         |ranked AS (
+         |  SELECT b.token, b.next, b.c2, t.c1,
+         |    CAST(row_number() OVER (PARTITION BY b.token
+         |      ORDER BY b.c2 DESC, b.next) AS BIGINT) AS rk
+         |  FROM big b JOIN toptok t ON b.token = t.token
+         |)
+         |SELECT token, next, c2, round(CAST(c2 AS DOUBLE) / c1, 4) AS p, rk
+         |FROM ranked WHERE rk <= 3
+         |ORDER BY token, rk""".stripMargin,
 
     "text_cooccurrence" ->
       s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM ($TokensSql)),
