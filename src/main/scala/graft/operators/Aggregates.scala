@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -178,6 +179,45 @@ object Aggregates extends OpModule {
         .select(col("c_mktsegment"),
           col("c_nationkey").cast("long").as("mode_nation"), col("cnt"))
         .orderBy("c_mktsegment")
+    }),
+
+    "agg_benford" -> ((s, d) => {
+      // Benford first-digit audit of order totals — the classic
+      // anomaly screen for fabricated numbers. The leading digit is
+      // extracted through EXACT integer cents and string conversion
+      // (integer→string renders identically in both engines;
+      // floor(log10(double)) can straddle an ulp at powers of ten).
+      // Observed share vs the Benford expectation ln(1+1/d)/ln(10),
+      // both from engine-exact inputs.
+      val cents = Dec2(col("o_totalprice")) * 100
+      val digit = substring(cents.cast("long").cast("string"), 1, 1)
+      val n = sum("n_orders").over(Window.partitionBy())
+      Tables.orders(s, d)
+        .groupBy(digit.as("digit"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(col("digit"), col("n_orders"),
+          round(col("n_orders").cast("double") / n, 4).as("observed"),
+          round(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            / log(lit(10.0)), 4).as("benford"))
+        .orderBy("digit")
+    }),
+
+    "win_mom_growth" -> ((s, d) => {
+      // Month-over-month revenue growth — the reporting staple. One
+      // shuffle for the monthly rollup, then lag over the ~80-row
+      // month series; growth pct divides exact-decimal-derived
+      // doubles. First month's growth is NULL by definition.
+      val monthly = Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(sum(Dec2(col("o_totalprice"))).as("rev_d"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_d", lag("rev_d", 1).over(w))
+        .select(col("month"),
+          round(col("rev_d"), 4).cast("double").as("revenue"),
+          round((col("rev_d").cast("double") - col("prev_d").cast("double"))
+            * 100 / col("prev_d").cast("double"), 4).as("growth_pct"))
+        .orderBy("month")
     }),
 
     "agg_entropy" -> ((s, d) =>
@@ -447,6 +487,32 @@ object Aggregates extends OpModule {
         |      ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey
         |) WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        |  FROM orders
+        |), g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM g)
+        |SELECT digit, n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / n, 4) AS observed,
+        |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 4) AS benford
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "win_mom_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_d
+        |  FROM orders GROUP BY month
+        |), g AS (
+        |  SELECT month, rev_d, lag(rev_d, 1) OVER (ORDER BY month) AS prev_d
+        |  FROM m
+        |)
+        |SELECT month, CAST(round(rev_d, 4) AS DOUBLE) AS revenue,
+        |  round((CAST(rev_d AS DOUBLE) - CAST(prev_d AS DOUBLE)) * 100
+        |    / CAST(prev_d AS DOUBLE), 4) AS growth_pct
+        |FROM g ORDER BY month""".stripMargin,
 
     "agg_entropy" ->
       """WITH c AS (

@@ -179,6 +179,18 @@ object Events extends OpModule {
         .orderBy("event_id")
     }),
 
+    "evt_seasonality" -> ((s, d) =>
+      // Activity seasonality: the hour-of-day × day-of-week matrix
+      // every ops dashboard starts from. Map-only derived keys + one
+      // partial agg — shuffle volume is at most 24·7 rows.
+      Tables.events(s, d)
+        .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          round(sum(Dec2(col("value"))), 4).cast("double").as("val_sum"))
+        .orderBy("dow", "hod")),
+
     "evt_concurrency" -> ((s, d) => {
       // Peak concurrent sessions per day via the sweep line: each
       // session emits (+1 at start, −1 at end), a running sum ordered
@@ -420,6 +432,14 @@ object Events extends OpModule {
         |    row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "evt_seasonality" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hod,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY dow, hod
+        |ORDER BY dow, hod""".stripMargin,
 
     "evt_concurrency" ->
       s"""WITH g AS (
