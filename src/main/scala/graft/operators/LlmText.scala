@@ -588,6 +588,30 @@ object LlmText extends OpModule {
         .orderBy("doc_id")
     }),
 
+    "dedup_methods_agreement" -> ((s, d) => {
+      // Method-agreement matrix across the three near-dup detectors
+      // (minhash-LSH, shingle-simhash, exact ngram-Jaccard): diagonal
+      // cells are each method's pair count, off-diagonal cells the
+      // overlap — the eval that says whether the cheap detectors
+      // agree with the exact baseline before you trust them alone.
+      // All sets restrict to the ngram baseline's doc_id < 100
+      // comparison universe; ONE self-join of the tagged pair union
+      // produces the whole matrix.
+      def pairsOf(name: String, tag: String) = queries(name)(s, d)
+        .select(lit(tag).as("m"), col("a_id"), col("b_id"))
+        .filter(col("a_id") < 100 && col("b_id") < 100)
+      val tagged = pairsOf("dedup_near_minhash", "minhash")
+        .union(pairsOf("dedup_simhash_pairs", "simhash"))
+        .union(pairsOf("dedup_ngram_jaccard", "ngram"))
+      val x = tagged.select(col("m").as("m_a"), col("a_id"), col("b_id"))
+      val y = tagged.select(col("m").as("m_b"), col("a_id").as("a2"),
+        col("b_id").as("b2"))
+      x.join(y, col("a_id") === col("a2") && col("b_id") === col("b2")
+          && col("m_a") <= col("m_b"))
+        .groupBy("m_a", "m_b").agg(count(lit(1)).as("n_common"))
+        .orderBy("m_a", "m_b")
+    }),
+
     "dedup_keep_stats" -> ((s, d) => {
       // The dedup DECISION applied: canonical labels from
       // dedup_components joined back to the gated corpus slice and
@@ -966,6 +990,47 @@ object LlmText extends OpModule {
          |l3 AS (SELECT e.src AS doc_id, min(l.label) AS label
          |       FROM edges e JOIN l2 l ON e.dst = l.doc_id GROUP BY e.src)
          |SELECT doc_id, label AS canonical FROM l3 ORDER BY doc_id""".stripMargin,
+
+    "dedup_methods_agreement" ->
+      s"""WITH $JaccardCtes,
+         |sigs AS ($MinhashSigSql),
+         |bands AS ($BandsSql),
+         |mh AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY a_id, b_id HAVING count(*) >= 2
+         |),
+         |$SimhashShingleCte,
+         |shh AS (${simhashSelect(24, "tvs")}),
+         |sbands AS (
+         |  SELECT doc_id, simhash, b.band,
+         |    CASE b.band WHEN 0 THEN simhash % 256
+         |                WHEN 1 THEN (simhash // 256) % 256
+         |                ELSE (simhash // 65536) % 256 END AS val
+         |  FROM shh CROSS JOIN (SELECT unnest(range(3)) AS band) b
+         |),
+         |shp AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      a.simhash AS a_h, b.simhash AS b_h
+         |    FROM sbands a JOIN sbands b ON a.band = b.band AND a.val = b.val
+         |      AND a.doc_id < b.doc_id
+         |  ) WHERE bit_count(xor(a_h, b_h)) <= 2
+         |),
+         |tagged AS (
+         |  SELECT 'minhash' AS m, a_id, b_id FROM mh
+         |    WHERE a_id < 100 AND b_id < 100
+         |  UNION ALL
+         |  SELECT 'ngram', a_id, b_id FROM scored
+         |  UNION ALL
+         |  SELECT 'simhash', a_id, b_id FROM shp
+         |    WHERE a_id < 100 AND b_id < 100
+         |)
+         |SELECT x.m AS m_a, y.m AS m_b, count(*) AS n_common
+         |FROM tagged x JOIN tagged y
+         |  ON x.a_id = y.a_id AND x.b_id = y.b_id AND x.m <= y.m
+         |GROUP BY m_a, m_b ORDER BY m_a, m_b""".stripMargin,
 
     "dedup_keep_stats" ->
       s"""WITH $JaccardCtes,

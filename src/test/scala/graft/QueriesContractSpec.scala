@@ -14,7 +14,8 @@ class QueriesContractSpec extends SparkSpec {
     * pairs in the 500-doc smoke corpus. */
   private val mayBeEmpty =
     Set("dedup_near_minhash", "dedup_minhash_eval", "dedup_ngram_jaccard",
-      "dedup_simhash_pairs", "sim_cosine_pairs", "dedup_embedding")
+      "dedup_simhash_pairs", "dedup_methods_agreement", "sim_cosine_pairs",
+      "dedup_embedding")
 
   /** approx_count_distinct's HLL estimate is engine-specific by design;
     * the driver records a rows-only check for it (SURVEY §2.4). */
