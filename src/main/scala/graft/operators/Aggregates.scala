@@ -181,6 +181,29 @@ object Aggregates extends OpModule {
         .orderBy("c_mktsegment")
     }),
 
+    "agg_gini" -> ((s, d) => {
+      // Gini coefficient of customer spend — the inequality summary
+      // behind the Pareto view. G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
+      // over ascending-sorted spend; every moment is an exact decimal
+      // (rank·spend products included), so G is engine-exact before
+      // its single rounding. The rank window runs on the post-agg
+      // customer rollup; at 100 TB ranks would come from a two-pass
+      // partition-offset sort, same downstream formula.
+      val spend = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(Dec2(col("o_totalprice"))).as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      val ranked = spend.withColumn("i", row_number().over(w).cast("long"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("i")).as("six"))
+        .select(col("n"),
+          round(col("sx"), 4).cast("double").as("total_spend"),
+          round((lit(2) * col("six").cast("double")
+            - (col("n") + 1).cast("double") * col("sx").cast("double"))
+            / (col("n").cast("double") * col("sx").cast("double")), 4)
+            .as("gini"))
+    }),
+
     "agg_benford" -> ((s, d) => {
       // Benford first-digit audit of order totals — the classic
       // anomaly screen for fabricated numbers. The leading digit is
@@ -487,6 +510,22 @@ object Aggregates extends OpModule {
         |      ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey
         |) WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+        |  FROM spend
+        |), m AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(x * i) AS six FROM ranked
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(round(sx, 4) AS DOUBLE) AS total_spend,
+        |  round((2 * CAST(six AS DOUBLE) - (n + 1) * CAST(sx AS DOUBLE))
+        |    / (n * CAST(sx AS DOUBLE)), 4) AS gini
+        |FROM m""".stripMargin,
 
     "agg_benford" ->
       """WITH d AS (

@@ -179,6 +179,29 @@ object Events extends OpModule {
         .orderBy("event_id")
     }),
 
+    "evt_error_recovery" -> ((s, d) => {
+      // Time-to-recovery after errors: for each error event, the gap
+      // to the user's NEXT non-error event (forward ignore-nulls frame
+      // excluding the current row), rolled up per user. Integer µs
+      // sums with one final division keep the averages engine-exact;
+      // users whose errors never recover report n_recovered < n_errors.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("rec_us", first(
+          when(col("event_type") =!= "error", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .withColumn("gap_us", col("rec_us") - unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_errors"),
+          count(col("gap_us")).as("n_recovered"),
+          round(sum("gap_us").cast("double") / count(col("gap_us")) / 1000000.0, 4)
+            .as("avg_recovery_s"))
+        .orderBy("user_id")
+    }),
+
     "evt_seasonality" -> ((s, d) =>
       // Activity seasonality: the hour-of-day × day-of-week matrix
       // every ops dashboard starts from. Map-only derived keys + one
@@ -432,6 +455,25 @@ object Events extends OpModule {
         |    row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "evt_error_recovery" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    first_value(CASE WHEN event_type <> 'error'
+         |        THEN epoch_us(ts) END IGNORE NULLS)
+         |      OVER ($EventWin
+         |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rec_us
+         |  FROM events
+         |), e AS (
+         |  SELECT user_id, rec_us - epoch_us(ts) AS gap_us
+         |  FROM g WHERE event_type = 'error'
+         |)
+         |SELECT user_id, count(*) AS n_errors,
+         |  count(gap_us) AS n_recovered,
+         |  round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0, 4)
+         |    AS avg_recovery_s
+         |FROM e GROUP BY user_id
+         |ORDER BY user_id""".stripMargin,
 
     "evt_seasonality" ->
       """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,

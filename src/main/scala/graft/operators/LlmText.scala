@@ -176,6 +176,28 @@ object LlmText extends OpModule {
       tokens(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(50)),
 
+    "text_vocab_growth" -> ((s, d) => {
+      // Heaps'-law check: vocabulary size after the first N docs, at
+      // doc-count checkpoints (sub-linear growth is the natural-corpus
+      // signature; linear growth flags id-like junk tokens). First-
+      // occurrence doc per token and per-doc token counts each come
+      // from ONE aggregation; the 3-row checkpoint spine broadcasts —
+      // no re-scan per checkpoint.
+      val firstDoc = tokens(s, d).groupBy("token").agg(min("doc_id").as("first_doc"))
+      val docTok = tokens(s, d).groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val spine = s.range(1)
+        .select(explode(array(lit(100L), lit(250L), lit(500L))).as("cp"))
+      val vocab = firstDoc.crossJoin(broadcast(spine))
+        .filter(col("first_doc") < col("cp"))
+        .groupBy("cp").agg(count(lit(1)).as("vocab_size"))
+      val toks = docTok.crossJoin(broadcast(spine))
+        .filter(col("doc_id") < col("cp"))
+        .groupBy(col("cp").as("cp2")).agg(sum("nt").as("n_tokens"))
+      vocab.join(toks, col("cp") === col("cp2"))
+        .select(col("cp"), col("n_tokens"), col("vocab_size"))
+        .orderBy("cp")
+    }),
+
     "text_markov_next" -> ((s, d) => {
       // Unsmoothed bigram LM slice: P(next | token) for the top-3
       // continuations of the 10 most frequent left-tokens — the
@@ -710,6 +732,23 @@ object LlmText extends OpModule {
     "text_wordcount" ->
       s"""SELECT token, count(*) AS cnt FROM ($TokensSql)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    "text_vocab_growth" ->
+      s"""WITH fd AS (
+         |  SELECT token, min(doc_id) AS first_doc FROM ($TokensSql)
+         |  GROUP BY token
+         |), dt AS (
+         |  SELECT doc_id, count(*) AS nt FROM ($TokensSql) GROUP BY doc_id
+         |), cp AS (SELECT CAST(unnest([100, 250, 500]) AS BIGINT) AS cp),
+         |v AS (
+         |  SELECT cp, count(*) AS vocab_size FROM fd CROSS JOIN cp
+         |  WHERE first_doc < cp GROUP BY cp
+         |), t AS (
+         |  SELECT cp AS cp2, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM dt CROSS JOIN cp WHERE doc_id < cp GROUP BY cp2
+         |)
+         |SELECT v.cp, n_tokens, vocab_size FROM v JOIN t ON cp = cp2
+         |ORDER BY v.cp""".stripMargin,
 
     "text_markov_next" ->
       s"""WITH pairs AS (
