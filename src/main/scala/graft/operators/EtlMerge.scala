@@ -166,6 +166,19 @@ object EtlMerge extends OpModule {
         .orderBy("user_id")
     }),
 
+    "etl_scd2_asof" -> ((s, d) =>
+      // Point-in-time dimension read on the SCD2 output: the version
+      // valid at the as-of date under half-open [valid_from, valid_to)
+      // semantics — how every downstream join consumes a versioned
+      // dimension. ISO date strings compare lexicographically, so the
+      // filter is a plain string range; one filter over the merge
+      // output, no extra join.
+      queries("etl_scd2_merge")(s, d)
+        .filter(col("valid_from") <= "1997-06-15"
+          && (col("valid_to").isNull || col("valid_to") > "1997-06-15"))
+        .select("c_custkey", "segment", "valid_from")
+        .orderBy("c_custkey")),
+
     "etl_late_dim" -> ((s, d) => {
       // Late-arriving dimension handling: facts joined to a dimension
       // snapshot that is missing keys (every 4th nation simulates the
@@ -405,28 +418,43 @@ object EtlMerge extends OpModule {
         |ORDER BY day""".stripMargin,
 
     "etl_scd2_merge" ->
-      """WITH base AS (
-        |  SELECT c_custkey, c_mktsegment AS segment, '1995-01-01' AS valid_from
-        |  FROM customer WHERE c_custkey % 3 <> 0
-        |), delta AS (
-        |  SELECT c_custkey, 'NEW_' || c_mktsegment AS new_segment
-        |  FROM customer WHERE c_custkey % 5 = 0
-        |), merged AS (
-        |  SELECT b.c_custkey AS b_key, b.segment, b.valid_from,
-        |         d.c_custkey AS d_key, d.new_segment
-        |  FROM base b FULL OUTER JOIN delta d ON b.c_custkey = d.c_custkey
-        |)
-        |SELECT coalesce(b_key, d_key) AS c_custkey, segment, valid_from,
-        |  '1997-06-01' AS valid_to, false AS is_current
-        |FROM merged WHERE new_segment IS NOT NULL AND segment IS NOT NULL
-        |UNION ALL
-        |SELECT coalesce(b_key, d_key), new_segment, '1997-06-01',
-        |  CAST(NULL AS VARCHAR), true
-        |FROM merged WHERE new_segment IS NOT NULL
-        |UNION ALL
-        |SELECT coalesce(b_key, d_key), segment, valid_from,
-        |  CAST(NULL AS VARCHAR), true
-        |FROM merged WHERE new_segment IS NULL
-        |ORDER BY c_custkey, valid_from, segment""".stripMargin,
+      s"""$Scd2Sql
+         |ORDER BY c_custkey, valid_from, segment""".stripMargin,
+
+    "etl_scd2_asof" ->
+      s"""WITH scd2 AS (
+         |$Scd2Sql
+         |)
+         |SELECT c_custkey, segment, valid_from FROM scd2
+         |WHERE valid_from <= '1997-06-15'
+         |  AND (valid_to IS NULL OR valid_to > '1997-06-15')
+         |ORDER BY c_custkey""".stripMargin,
   )
+
+  /** SCD2 merge result (unordered) — shared by the merge itself and
+    * the point-in-time read. (lazy: referenced by the oracles map
+    * above during object init.) */
+  private lazy val Scd2Sql =
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment AS segment, '1995-01-01' AS valid_from
+      |  FROM customer WHERE c_custkey % 3 <> 0
+      |), delta AS (
+      |  SELECT c_custkey, 'NEW_' || c_mktsegment AS new_segment
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |), merged AS (
+      |  SELECT b.c_custkey AS b_key, b.segment, b.valid_from,
+      |         d.c_custkey AS d_key, d.new_segment
+      |  FROM base b FULL OUTER JOIN delta d ON b.c_custkey = d.c_custkey
+      |)
+      |SELECT coalesce(b_key, d_key) AS c_custkey, segment, valid_from,
+      |  '1997-06-01' AS valid_to, false AS is_current
+      |FROM merged WHERE new_segment IS NOT NULL AND segment IS NOT NULL
+      |UNION ALL
+      |SELECT coalesce(b_key, d_key), new_segment, '1997-06-01',
+      |  CAST(NULL AS VARCHAR), true
+      |FROM merged WHERE new_segment IS NOT NULL
+      |UNION ALL
+      |SELECT coalesce(b_key, d_key), segment, valid_from,
+      |  CAST(NULL AS VARCHAR), true
+      |FROM merged WHERE new_segment IS NULL""".stripMargin
 }

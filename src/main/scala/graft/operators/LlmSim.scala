@@ -280,6 +280,37 @@ object LlmSim extends OpModule {
         .orderBy("vec_id", "subspace")
     }),
 
+    "sim_centroid_separation" -> ((s, d) => {
+      // Cluster-separation eval: pairwise cosine between label
+      // centroids — high values flag label pairs an ANN index (or a
+      // classifier) will confuse. The cosine is computed on
+      // integer-scaled coordinate SUMS: the per-label vector count
+      // cancels in the cosine ratio, so every aggregate is an exact
+      // integer and the doubles appear only in the final formula
+      // (sums bounded ~2.6e18 < Long.Max at this scale; a 100 TB
+      // corpus would lift the moments to DECIMAL, same plan). Two
+      // partial aggs + a pos equi-join over label pairs.
+      val u = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "vf")))
+        .select(col("label"), col("pos"),
+          floor(col("vf").cast("double") * 1e6).cast("long").as("vi"))
+      val c = u.groupBy("label", "pos").agg(sum("vi").as("sv"))
+      val a = c.select(col("label").as("la"), col("pos"), col("sv").as("sva"))
+      val b = c.select(col("label").as("lb"), col("pos").as("pos2"),
+        col("sv").as("svb"))
+      a.join(b, col("pos") === col("pos2") && col("la") < col("lb"))
+        .groupBy("la", "lb")
+        .agg(sum(col("sva") * col("svb")).as("dot"),
+          sum(col("sva") * col("sva")).as("saa"),
+          sum(col("svb") * col("svb")).as("sbb"))
+        .select(col("la"), col("lb"),
+          round(col("dot").cast("double")
+            / (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))), 4)
+            .as("cos"))
+        .orderBy("la", "lb")
+    }),
+
     "embed_pq_distortion" -> ((s, d) =>
       // PQ codebook health: per-(subspace, code) usage counts and
       // average/max distortion, rolled up from embed_pq's assignment.
@@ -604,6 +635,29 @@ object LlmSim extends OpModule {
          |SELECT vec_id, m AS subspace, k AS code, dist AS dist_sq
          |FROM best WHERE rn = 1
          |ORDER BY vec_id, subspace""".stripMargin,
+
+    "sim_centroid_separation" ->
+      """WITH u AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS vi
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, pos, CAST(sum(vi) AS BIGINT) AS sv
+        |  FROM u GROUP BY label, pos
+        |), p AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |    CAST(sum(a.sv * b.sv) AS BIGINT) AS dot,
+        |    CAST(sum(a.sv * a.sv) AS BIGINT) AS saa,
+        |    CAST(sum(b.sv * b.sv) AS BIGINT) AS sbb
+        |  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY la, lb
+        |)
+        |SELECT la, lb,
+        |  round(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 4) AS cos
+        |FROM p ORDER BY la, lb""".stripMargin,
 
     "embed_pq_distortion" ->
       s"""WITH $PqCtes,
