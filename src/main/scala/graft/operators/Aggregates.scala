@@ -181,6 +181,27 @@ object Aggregates extends OpModule {
         .orderBy("c_mktsegment")
     }),
 
+    "agg_outlier_iqr" -> ((s, d) => {
+      // IQR outlier screen per event type: values outside
+      // [Q1 − 1.5·IQR, Q3 + 1.5·IQR]. Exact percentiles broadcast
+      // back (identical interpolation on both engines ⇒ identical
+      // fences, exact comparisons); one scan + one |types|-sized agg.
+      val e = Tables.events(s, d)
+      val t = e.groupBy("event_type")
+        .agg(expr("percentile(value, array(0.25D, 0.75D))").as("q"))
+        .select(col("event_type").as("t2"),
+          element_at(col("q"), 1).as("q1"), element_at(col("q"), 2).as("q3"))
+      e.join(broadcast(t), col("event_type") === col("t2"))
+        .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+        .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") < col("lo") || col("value") > col("hi"), 1))
+            .as("n_outliers"),
+          round(min("lo"), 4).as("lo_fence"), round(min("hi"), 4).as("hi_fence"))
+        .orderBy("event_type")
+    }),
+
     "agg_gini" -> ((s, d) => {
       // Gini coefficient of customer spend — the inequality summary
       // behind the Pareto view. G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
@@ -510,6 +531,22 @@ object Aggregates extends OpModule {
         |      ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey
         |) WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_outlier_iqr" ->
+      """WITH t AS (
+        |  SELECT event_type AS t2, quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY t2
+        |), j AS (
+        |  SELECT e.event_type, e.value,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM events e JOIN t ON e.event_type = t.t2
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  count(*) FILTER (WHERE value < lo OR value > hi) AS n_outliers,
+        |  round(min(lo), 4) AS lo_fence, round(min(hi), 4) AS hi_fence
+        |FROM j GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "agg_gini" ->
       """WITH spend AS (

@@ -179,6 +179,26 @@ object Events extends OpModule {
         .orderBy("event_id")
     }),
 
+    "evt_cohort_revenue" -> ((s, d) => {
+      // Cohort LTV matrix: users bucketed by first-seen week, purchase
+      // revenue per (cohort, weeks-since). Both dates are
+      // week-truncated, so the week offset is an exact integer
+      // division; revenue sums are exact decimal. One rollup for the
+      // cohort map (broadcast-sized), one join, one partial agg.
+      val e = Tables.events(s, d)
+      val first = e.groupBy("user_id")
+        .agg(min(to_date(date_trunc("week", col("ts")))).as("cohort"))
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"),
+          col("value"))
+        .join(first, "user_id")
+        .withColumn("weeks_since", expr("datediff(wk, cohort) div 7").cast("long"))
+        .groupBy("cohort", "weeks_since")
+        .agg(countDistinct("user_id").as("n_buyers"),
+          round(sum(Dec2(col("value"))), 4).cast("double").as("revenue"))
+        .orderBy("cohort", "weeks_since")
+    }),
+
     "evt_error_recovery" -> ((s, d) => {
       // Time-to-recovery after errors: for each error event, the gap
       // to the user's NEXT non-error event (forward ignore-nulls frame
@@ -455,6 +475,21 @@ object Events extends OpModule {
         |    row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "evt_cohort_revenue" ->
+      """WITH first AS (
+        |  SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id
+        |), p AS (
+        |  SELECT e.user_id, CAST(date_trunc('week', e.ts) AS DATE) AS wk, e.value
+        |  FROM events e WHERE e.event_type = 'purchase'
+        |)
+        |SELECT cohort, CAST((wk - cohort) // 7 AS BIGINT) AS weeks_since,
+        |  count(DISTINCT p.user_id) AS n_buyers,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS revenue
+        |FROM p JOIN first ON p.user_id = first.user_id
+        |GROUP BY cohort, weeks_since
+        |ORDER BY cohort, weeks_since""".stripMargin,
 
     "evt_error_recovery" ->
       s"""WITH g AS (
