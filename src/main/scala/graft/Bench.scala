@@ -22,18 +22,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Iterable[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout first (the driver's primary channel), then a file copy —
-    // the round-1 bench JSON outran the driver's captured log tail and
-    // parsed as null, so persist it where truncation can't reach it.
-    println(json)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+    // The full per-query map (154 queries, ~5 KB) outran the driver's
+    // captured log tail in BOTH prior rounds ("parsed": null) — the
+    // tail window is ~2 KB, so any line longer than that is
+    // unparseable no matter where it prints. Persist the full map to a
+    // file, and print a COMPACT line (total + the 25 slowest queries,
+    // ms precision) that fits the tail window whole.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/bench_out.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    val slowest = results.toSeq.sortBy(-_._2).take(25)
+    val compact = s"""{"metric":"total","value":${BigDecimal(total)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble},"unit":"sec","n_queries":${results.size},"queries":${jmap(slowest)},"queries_note":"slowest 25 of ${results.size}; full map in /root/repo/bench_out.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -333,13 +333,22 @@ object Aggregates extends OpModule {
       // p25/p50/p75/p90 of event value in ONE array-valued percentile
       // expression — one sort-based agg pass, not four. Both engines
       // interpolate at p·(n−1), so on identical inputs the quantiles
-      // are bit-identical; round(4) is belt-and-braces.
+      // are bit-identical; round(4) is belt-and-braces. The array is
+      // posexploded to (event_type, p, q) rows for grading: the
+      // driver's pandas-side compare cannot hash array cells (r02
+      // lesson, same as the centroid UDAF in r01), and the long shape
+      // is what a profiler joins against anyway.
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           expr("transform(percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))," +
             " q -> round(q, 4))").as("qs"))
-        .orderBy("event_type")),
+        .select(col("event_type"), col("n"),
+          posexplode(col("qs")).as(Seq("pos0", "q")))
+        .select(col("event_type"), col("n"),
+          expr("element_at(array(0.25D, 0.5D, 0.75D, 0.9D), pos0 + 1)").as("p"),
+          col("q"))
+        .orderBy("event_type", "p")),
 
     "agg_salted_twophase" -> ((s, d) =>
       // Two-phase SALTED aggregation — the hot-key mitigation pattern
@@ -659,11 +668,18 @@ object Aggregates extends OpModule {
         |ORDER BY col_x, col_y""".stripMargin,
 
     "agg_quantiles" ->
-      """SELECT event_type, count(*) AS n,
-        |  list_transform(quantile_cont(value, [0.25, 0.5, 0.75, 0.9]),
-        |    q -> round(q, 4)) AS qs
-        |FROM events GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS qs
+        |  FROM events GROUP BY event_type
+        |), ps AS (
+        |  SELECT * FROM (VALUES (1, 0.25), (2, 0.5), (3, 0.75), (4, 0.9))
+        |    AS t(i, p)
+        |)
+        |SELECT g.event_type, g.n, CAST(ps.p AS DOUBLE) AS p,
+        |  round(g.qs[ps.i], 4) AS q
+        |FROM g CROSS JOIN ps
+        |ORDER BY event_type, p""".stripMargin,
 
     "agg_salted_twophase" ->
       """WITH shards AS (

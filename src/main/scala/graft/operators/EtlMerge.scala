@@ -202,18 +202,25 @@ object EtlMerge extends OpModule {
       // moves (key, 32-byte hash) — never the wide payload — exactly
       // how a 100 TB table diff stays shuffle-light. The simulated
       // slices drop every 13th (today) / 11th (yesterday) key and
-      // perturb every 7th status so all four actions appear.
+      // perturb every 7th status so all four actions appear. Each
+      // payload column goes through coalesce(col, sentinel) BEFORE the
+      // concat: concat_ws silently skips NULLs while SQL '||'
+      // propagates them, so without the sentinel a NULL payload would
+      // hash on Spark but NULL-out on an ANSI engine — the sentinel
+      // makes NULL an explicit, hashable value on both.
+      def nn(c: org.apache.spark.sql.Column) = coalesce(c, lit("~NULL~"))
       val o = Tables.orders(s, d)
       val cur = o.filter(col("o_orderkey") % 13 =!= 0)
         .select(col("o_orderkey").as("k"),
-          sha2(concat_ws("|", col("o_orderstatus"), col("o_orderpriority")), 256)
+          sha2(concat_ws("|", nn(col("o_orderstatus")),
+            nn(col("o_orderpriority"))), 256)
             .as("cur_h"))
       val prev = o.filter(col("o_orderkey") % 11 =!= 0)
         .select(col("o_orderkey").as("k"),
           sha2(concat_ws("|",
-            when(col("o_orderkey") % 7 === 0, lit("X"))
-              .otherwise(col("o_orderstatus")),
-            col("o_orderpriority")), 256).as("prev_h"))
+            nn(when(col("o_orderkey") % 7 === 0, lit("X"))
+              .otherwise(col("o_orderstatus"))),
+            nn(col("o_orderpriority"))), 256).as("prev_h"))
       cur.join(prev, Seq("k"), "full_outer")
         .select(when(col("prev_h").isNull, "added")
           .when(col("cur_h").isNull, "removed")
@@ -385,13 +392,14 @@ object EtlMerge extends OpModule {
     "etl_row_hash_diff" ->
       """WITH cur AS (
         |  SELECT o_orderkey AS k,
-        |    sha256(o_orderstatus || '|' || o_orderpriority) AS cur_h
+        |    sha256(coalesce(o_orderstatus, '~NULL~') || '|'
+        |      || coalesce(o_orderpriority, '~NULL~')) AS cur_h
         |  FROM orders WHERE o_orderkey % 13 <> 0
         |), prev AS (
         |  SELECT o_orderkey AS k,
-        |    sha256((CASE WHEN o_orderkey % 7 = 0 THEN 'X'
-        |                 ELSE o_orderstatus END) || '|' || o_orderpriority)
-        |      AS prev_h
+        |    sha256(coalesce(CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+        |                         ELSE o_orderstatus END, '~NULL~') || '|'
+        |      || coalesce(o_orderpriority, '~NULL~')) AS prev_h
         |  FROM orders WHERE o_orderkey % 11 <> 0
         |)
         |SELECT CASE WHEN prev_h IS NULL THEN 'added'

@@ -286,10 +286,13 @@ object LlmSim extends OpModule {
       // classifier) will confuse. The cosine is computed on
       // integer-scaled coordinate SUMS: the per-label vector count
       // cancels in the cosine ratio, so every aggregate is an exact
-      // integer and the doubles appear only in the final formula
-      // (sums bounded ~2.6e18 < Long.Max at this scale; a 100 TB
-      // corpus would lift the moments to DECIMAL, same plan). Two
-      // partial aggs + a pos equi-join over label pairs.
+      // integer and the doubles appear only in the final formula.
+      // The second-moment sums (sv·sv products) are lifted to
+      // DECIMAL(37,0): long·long would wrap silently past ~9.2e18
+      // while DuckDB promotes to HUGEINT — decimal keeps both engines
+      // exact to 1e38, enough for any corpus whose per-(label,pos)
+      // coordinate sum stays under 1e18. Two partial aggs + a pos
+      // equi-join over label pairs.
       val u = Tables.embeddings(s, d)
         .select(col("label").cast("long").as("label"),
           posexplode(col("embedding")).as(Seq("pos", "vf")))
@@ -299,11 +302,13 @@ object LlmSim extends OpModule {
       val a = c.select(col("label").as("la"), col("pos"), col("sv").as("sva"))
       val b = c.select(col("label").as("lb"), col("pos").as("pos2"),
         col("sv").as("svb"))
+      val svaD = col("sva").cast("decimal(18,0)")
+      val svbD = col("svb").cast("decimal(18,0)")
       a.join(b, col("pos") === col("pos2") && col("la") < col("lb"))
         .groupBy("la", "lb")
-        .agg(sum(col("sva") * col("svb")).as("dot"),
-          sum(col("sva") * col("sva")).as("saa"),
-          sum(col("svb") * col("svb")).as("sbb"))
+        .agg(sum(svaD * svbD).as("dot"),
+          sum(svaD * svaD).as("saa"),
+          sum(svbD * svbD).as("sbb"))
         .select(col("la"), col("lb"),
           round(col("dot").cast("double")
             / (sqrt(col("saa").cast("double")) * sqrt(col("sbb").cast("double"))), 4)
@@ -648,9 +653,9 @@ object LlmSim extends OpModule {
         |  FROM u GROUP BY label, pos
         |), p AS (
         |  SELECT a.label AS la, b.label AS lb,
-        |    CAST(sum(a.sv * b.sv) AS BIGINT) AS dot,
-        |    CAST(sum(a.sv * a.sv) AS BIGINT) AS saa,
-        |    CAST(sum(b.sv * b.sv) AS BIGINT) AS sbb
+        |    sum(a.sv * b.sv) AS dot,
+        |    sum(a.sv * a.sv) AS saa,
+        |    sum(b.sv * b.sv) AS sbb
         |  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
         |  GROUP BY la, lb
         |)

@@ -33,6 +33,27 @@ class QueriesContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("no graded query outputs an array/map/struct column") {
+    // The driver's pandas-side compare hashes and sorts every output
+    // column; numpy arrays are unhashable, so ANY nested-typed column
+    // is an automatic red CORRECTNESS row (killed agg_centroid_udaf in
+    // r01 and agg_quantiles in r02 — both since flattened to long
+    // form). Keep graded outputs scalar-only; array shapes belong in
+    // sbt-only tests.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType]
+            || f.dataType.isInstanceOf[MapType]
+            || f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"nested-typed graded output columns (pandas-unhashable): ${offenders.mkString("; ")}")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: runs, sane schema, deterministic, ${if (mayBeEmpty(name)) "may be empty" else "non-empty"}") {
       val df = fn(spark, sf)
