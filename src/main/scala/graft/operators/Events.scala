@@ -26,6 +26,27 @@ import graft.Tables
 object Events extends OpModule {
 
   val queries: Map[String, Q] = Map(
+    "evt_rolling_active" -> ((s, d) => {
+      // 7-day rolling distinct actives (WAU per day) on the DAY-GRAIN
+      // distinct (day,user) pairs — the event stream collapses to
+      // ≤ days·users rows BEFORE the 7-way window expansion, so the
+      // range join moves |days|·7·|daily actives|, never |events|·7.
+      // The day spine (~10^3 rows for years of data) broadcasts, so
+      // the between-join is a broadcast nested loop over pre-shrunk
+      // day-grain rows, not a shuffle of the raw stream.
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      broadcast(days)
+        .join(du, col("day").between(date_sub(col("d"), 6), col("d")))
+        .groupBy("d")
+        .agg(countDistinct("user_id").as("active_7d"),
+          countDistinct("day").as("n_days_present"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("active_7d"), col("n_days_present"))
+        .orderBy("day")
+    }),
+
     "evt_tumbling" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -361,6 +382,18 @@ object Events extends OpModule {
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracles: Map[String, String] = Map(
+    "evt_rolling_active" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), days AS (
+        |  SELECT DISTINCT day AS d FROM du
+        |)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS active_7d,
+        |  count(DISTINCT du.day) AS n_days_present
+        |FROM days JOIN du ON du.day >= d - 6 AND du.day <= d
+        |GROUP BY d ORDER BY day""".stripMargin,
+
     "evt_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start_s,
         |  event_type, count(*) AS cnt, round(sum(value), 4) AS val_sum

@@ -37,6 +37,29 @@ object Joins extends OpModule {
         .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
+    "join_salted" -> ((s, d) => {
+      // SALTED equi-join as a graded operator: the hot-key mitigation
+      // when one join key dominates (a viral order, a null-bucket
+      // surrogate). The fact side derives a 16-way salt from ITS OWN
+      // row fields (l_partkey+l_linenumber — deterministic across
+      // re-runs and partition layouts, never
+      // monotonically_increasing_id), the dim side explodes ×16, and
+      // the join runs on (key, salt) so one hot key spreads over 16
+      // reducers. Salting is a pure execution-strategy change: the
+      // oracle is the PLAIN join — same result, flatter shuffle.
+      val S = 16
+      val li = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_partkey") + col("l_linenumber"), lit(S)))
+      val o = Tables.orders(s, d)
+        .withColumn("salt", explode(sequence(lit(0L), lit(S - 1L))))
+      li.join(o,
+          col("l_orderkey") === col("o_orderkey") && li("salt") === o("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(Dec2(col("l_extendedprice"))), 4).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "join_broadcast" -> ((s, d) =>
       Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -210,6 +233,13 @@ object Joins extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "join_inner_equi" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_quantity
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

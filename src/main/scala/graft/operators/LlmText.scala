@@ -169,6 +169,80 @@ object LlmText extends OpModule {
     graft.functions.GraftFunctions.shingleStrings(text, 2)
 
   val queries: Map[String, Q] = Map(
+    "text_contamination" -> ((s, d) => {
+      // Benchmark decontamination: fraction of each corpus doc's
+      // distinct bigrams that appear in ANY benchmark doc (every 97th
+      // doc simulates the held-out eval set). The benchmark gram set
+      // is tiny relative to the corpus — real eval suites are a few
+      // MB against 100 TB — so it BROADCASTS and the overlap count is
+      // a map-side hash-join + one partial agg over the corpus gram
+      // stream; per-doc gram totals come from the in-row array, never
+      // a second aggregate.
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(array_distinct(bigramArr(col("text")))).as("bigram"))
+        .distinct()
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val hits = corpus
+        .select(col("doc_id"),
+          explode(array_distinct(bigramArr(col("text")))).as("bigram"))
+        .join(broadcast(bench), "bigram")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      corpus
+        .select(col("doc_id"),
+          size(array_distinct(bigramArr(col("text")))).cast("long").as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(round(coalesce(col("n_hit"), lit(0L)).cast("double")
+              / col("n_grams").cast("double"), 4)).as("contamination"))
+        .orderBy("doc_id")
+    }),
+
+    "text_token_bpe" -> ((s, d) =>
+      // BPE-style pre-tokenizer census: the GPT-2-ish split classes
+      // (letter runs | digit runs | single non-alnum) counted per doc
+      // next to the whitespace count — the "how many tokens will this
+      // corpus cost" estimator. Pure map-side regexp projection; both
+      // engines count codepoint-identical matches on BMP text.
+      Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("n_bpe"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .cast("long").as("n_alpha"),
+          size(expr("regexp_extract_all(lower(text), '[0-9]+', 0)"))
+            .cast("long").as("n_num"),
+          size(expr("regexp_extract_all(lower(text), '[^a-z0-9 ]', 0)"))
+            .cast("long").as("n_other"))
+        .orderBy("doc_id")),
+
+    "sample_temperature" -> ((s, d) => {
+      // Multilingual temperature sampling (mT5-style, α=0.3): per-lang
+      // mixture weight n_l^α / Σ n_m^α flattens the head languages.
+      // The Σ over pow() DOUBLES is order-dependent, so it folds over
+      // the SORTED per-lang list in-row (5 elements) — the same
+      // sorted-fold discipline as the entropy/EWMA ops; everything
+      // else is exact-integer counts against a broadcast scalar.
+      val byLang = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(
+        sum("n_docs").as("total"),
+        expr("aggregate(sort_array(collect_list(pow(cast(n_docs AS double), 0.3D)))," +
+          " cast(0.0 AS double), (acc, x) -> acc + x)").as("z"))
+      byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("total").cast("double"), 4)
+            .as("raw_share"),
+          round(pow(col("n_docs").cast("double"), 0.3) / col("z"), 4)
+            .as("temp_weight"),
+          round(pow(col("n_docs").cast("double"), 0.3) / col("z")
+            * col("total").cast("double"), 0).cast("long").as("expected_n"))
+        .orderBy("lang")
+    }),
+
     "text_tokenize" -> ((s, d) =>
       tokens(s, d).filter(col("doc_id") < 100).orderBy("doc_id", "pos")),
 
@@ -726,6 +800,63 @@ object LlmText extends OpModule {
     .mkString("\nUNION ALL\n")
 
   val oracles: Map[String, String] = Map(
+    "text_contamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    doc_id % 97 = 0 AS is_bench
+        |  FROM documents
+        |), gramsets AS (
+        |  SELECT doc_id, is_bench,
+        |    list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS gs
+        |  FROM docs
+        |), bench AS (
+        |  SELECT DISTINCT unnest(gs) AS bigram FROM gramsets WHERE is_bench
+        |), corpus AS (
+        |  SELECT doc_id, gs, len(gs) AS n_grams FROM gramsets WHERE NOT is_bench
+        |), cg AS (
+        |  SELECT doc_id, unnest(gs) AS bigram FROM corpus
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_hit
+        |  FROM cg JOIN bench USING (bigram) GROUP BY doc_id
+        |)
+        |SELECT c.doc_id, CAST(c.n_grams AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CASE WHEN c.n_grams = 0 THEN 0.0
+        |       ELSE round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / c.n_grams, 4)
+        |  END AS contamination
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS BIGINT) AS n_bpe,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha,
+        |  CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS BIGINT) AS n_other
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH by_lang AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_sort(list(pow(CAST(n_docs AS DOUBLE), 0.3)))),
+        |      (a, b) -> a + b) AS z
+        |  FROM by_lang
+        |)
+        |SELECT lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / total, 4) AS raw_share,
+        |  round(pow(CAST(n_docs AS DOUBLE), 0.3) / z, 4) AS temp_weight,
+        |  CAST(round(pow(CAST(n_docs AS DOUBLE), 0.3) / z * total, 0) AS BIGINT)
+        |    AS expected_n
+        |FROM by_lang CROSS JOIN tot
+        |ORDER BY lang""".stripMargin,
+
     "text_tokenize" ->
       s"""SELECT * FROM ($TokensSql) WHERE doc_id < 100 ORDER BY doc_id, pos""",
 

@@ -17,6 +17,31 @@ import graft.Tables
 object Windows extends OpModule {
 
   val queries: Map[String, Q] = Map(
+    "win_ewma" -> ((s, d) =>
+      // Per-type daily EWMA (α=0.5) via an in-row fold over the SORTED
+      // day series: ewma_1 = x_1, ewma_i = 0.5·ewma_{i-1} + 0.5·x_i.
+      // A window-sum formulation (Σ x_j·(1−α)^(t−j)) is numerically
+      // explosive and double-sum order-dependent; the fold pins the
+      // exact op sequence, so both engines produce bit-identical
+      // doubles. Daily sums are exact DECIMAL first. Series length is
+      // |days| per group (bounded, ~30 here) — the fold is O(n²) in-row
+      // arithmetic on an already day-grain rollup, never on raw events.
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(Dec2(col("value"))).as("v"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("series"))
+        .select(col("event_type"), explode(expr(
+          """transform(series, (e, i) -> struct(
+            |  e.day AS day,
+            |  round(aggregate(slice(series, 2, i),
+            |                  cast(series[0].v AS double),
+            |                  (acc, x) -> acc * 0.5D + cast(x.v AS double) * 0.5D),
+            |        4) AS ewma))""".stripMargin)).as("r"))
+        .select(col("event_type"),
+          date_format(col("r.day"), "yyyy-MM-dd").as("day"), col("r.ewma"))
+        .orderBy("event_type", "day")),
+
     "win_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -215,6 +240,25 @@ object Windows extends OpModule {
   private val OrderWin = "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
 
   val oracles: Map[String, String] = Map(
+    "win_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY event_type, day
+        |), ser AS (
+        |  SELECT event_type,
+        |    list(day ORDER BY day) AS ds,
+        |    list(CAST(v AS DOUBLE) ORDER BY day) AS vs
+        |  FROM daily GROUP BY event_type
+        |), idx AS (
+        |  SELECT event_type, ds, vs,
+        |    unnest(range(1, len(vs) + 1)) AS i
+        |  FROM ser
+        |)
+        |SELECT event_type, strftime(ds[i], '%Y-%m-%d') AS day,
+        |  round(list_reduce(vs[1:i], (a, b) -> a * 0.5 + b * 0.5), 4) AS ewma
+        |FROM idx ORDER BY event_type, day""".stripMargin,
+
     "win_rank" ->
       s"""SELECT o_custkey, o_orderkey, o_totalprice,
          |  CAST(rank() OVER ($OrderWin) AS BIGINT) AS rnk,
