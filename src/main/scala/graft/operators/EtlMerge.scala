@@ -29,6 +29,41 @@ object EtlMerge extends OpModule {
   private val ScdDate = "1997-06-01"
 
   val queries: Map[String, Q] = Map(
+    "etl_value_drift" -> ((s, d) => {
+      // Distribution-drift monitor between two load slices: per
+      // (column, value) share in the old vs new slice and the absolute
+      // share delta — the "did the upstream silently change its enum
+      // mix" check every scheduled load should run. Long form via
+      // stack() so the profile is ONE pass per slice regardless of
+      // column count; per-value counts partial-aggregate map-side and
+      // only |columns|·|values| rows (tiny) reach the full-outer
+      // compare, so the monitor's cost is two scans at any data size.
+      val o = Tables.orders(s, d)
+      val cut = lit("1996-01-01").cast("timestamp")
+      def prof(df: DataFrame, side: String) =
+        df.select(expr("stack(2, 'o_orderstatus', o_orderstatus," +
+            " 'o_orderpriority', o_orderpriority) AS (col_name, val)"))
+          .groupBy("col_name", "val").agg(count(lit(1)).as(s"n_$side"))
+      val old = o.filter(col("o_orderdate") < cut)
+      val nw = o.filter(col("o_orderdate") >= cut)
+      val tot = old.agg(count(lit(1)).as("t_old"))
+        .crossJoin(nw.agg(count(lit(1)).as("t_new")))
+      prof(old, "old").join(prof(nw, "new"), Seq("col_name", "val"), "full_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("col_name"), col("val"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          round(coalesce(col("n_old"), lit(0L)).cast("double")
+            / col("t_old").cast("double"), 4).as("share_old"),
+          round(coalesce(col("n_new"), lit(0L)).cast("double")
+            / col("t_new").cast("double"), 4).as("share_new"),
+          round(abs(coalesce(col("n_new"), lit(0L)).cast("double")
+              / col("t_new").cast("double")
+            - coalesce(col("n_old"), lit(0L)).cast("double")
+              / col("t_old").cast("double")), 4).as("drift"))
+        .orderBy("col_name", "val")
+    }),
+
     "etl_merge_upsert" -> ((s, d) => {
       // base: customers except every 3rd key (so delta has true
       // inserts); delta: every 2nd key with updated name/balance.
@@ -285,6 +320,40 @@ object EtlMerge extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_value_drift" ->
+      """WITH old_s AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |), new_s AS (
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |), po AS (
+        |  SELECT col_name, val, count(*) AS n_old FROM (
+        |    SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM old_s
+        |    UNION ALL
+        |    SELECT 'o_orderpriority', o_orderpriority FROM old_s
+        |  ) GROUP BY col_name, val
+        |), pn AS (
+        |  SELECT col_name, val, count(*) AS n_new FROM (
+        |    SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM new_s
+        |    UNION ALL
+        |    SELECT 'o_orderpriority', o_orderpriority FROM new_s
+        |  ) GROUP BY col_name, val
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM old_s) AS t_old,
+        |         (SELECT count(*) FROM new_s) AS t_new
+        |)
+        |SELECT coalesce(po.col_name, pn.col_name) AS col_name,
+        |  coalesce(po.val, pn.val) AS val,
+        |  CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  round(CAST(coalesce(n_old, 0) AS DOUBLE) / t_old, 4) AS share_old,
+        |  round(CAST(coalesce(n_new, 0) AS DOUBLE) / t_new, 4) AS share_new,
+        |  round(abs(CAST(coalesce(n_new, 0) AS DOUBLE) / t_new
+        |          - CAST(coalesce(n_old, 0) AS DOUBLE) / t_old), 4) AS drift
+        |FROM po FULL OUTER JOIN pn
+        |  ON po.col_name = pn.col_name AND po.val = pn.val
+        |CROSS JOIN tot
+        |ORDER BY col_name, val""".stripMargin,
+
     "etl_merge_upsert" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, c_acctbal, 1 AS in_base

@@ -39,25 +39,27 @@ object Joins extends OpModule {
 
     "join_salted" -> ((s, d) => {
       // SALTED equi-join as a graded operator: the hot-key mitigation
-      // when one join key dominates (a viral order, a null-bucket
-      // surrogate). The fact side derives a 16-way salt from ITS OWN
-      // row fields (l_partkey+l_linenumber — deterministic across
-      // re-runs and partition layouts, never
-      // monotonically_increasing_id), the dim side explodes ×16, and
-      // the join runs on (key, salt) so one hot key spreads over 16
-      // reducers. Salting is a pure execution-strategy change: the
-      // oracle is the PLAIN join — same result, flatter shuffle.
+      // when one join key dominates (a viral customer, a null-bucket
+      // surrogate). The FACT side derives a 16-way salt from its own
+      // row fields (o_orderkey — deterministic across re-runs and
+      // partition layouts, never monotonically_increasing_id); the
+      // SMALLER side replicates ×16 — always explode the side whose
+      // |rows|·S is cheapest — and the join runs on (key, salt) so one
+      // hot key spreads over 16 reducers. Salting is a pure
+      // execution-strategy change: the oracle is the PLAIN join —
+      // same result, flatter shuffle. (With AQE skew-join enabled this
+      // is the manual form of what the runtime re-plan does.)
       val S = 16
-      val li = Tables.lineitem(s, d)
-        .withColumn("salt", pmod(col("l_partkey") + col("l_linenumber"), lit(S)))
       val o = Tables.orders(s, d)
+        .withColumn("salt", pmod(col("o_orderkey"), lit(S)))
+      val c = Tables.customer(s, d)
         .withColumn("salt", explode(sequence(lit(0L), lit(S - 1L))))
-      li.join(o,
-          col("l_orderkey") === col("o_orderkey") && li("salt") === o("salt"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_items"),
-          round(sum(Dec2(col("l_extendedprice"))), 4).cast("double").as("revenue"))
-        .orderBy("o_orderpriority")
+      o.join(c,
+          col("o_custkey") === col("c_custkey") && o("salt") === c("salt"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(Dec2(col("o_totalprice"))), 4).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
     }),
 
     "join_broadcast" -> ((s, d) =>
@@ -234,11 +236,11 @@ object Joins extends OpModule {
 
   val oracles: Map[String, String] = Map(
     "join_salted" ->
-      """SELECT o_orderpriority, count(*) AS n_items,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE)
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE)
         |    AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "join_inner_equi" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus, l_quantity

@@ -280,6 +280,46 @@ object LlmSim extends OpModule {
         .orderBy("vec_id", "subspace")
     }),
 
+    "sim_knn_pq" -> ((s, d) => {
+      // PQ asymmetric-distance kNN (ADC) — the third ANN scale path
+      // beside LSH buckets and IVF cells: the database lives as |V|·M
+      // CODE rows (8 small ints per vector — the compressed index),
+      // and each query precomputes a |Q|·M·K distance table that
+      // BROADCASTS. Scoring is a map-side join codes⋈dtab + a partial
+      // agg summing M per-subspace terms — the full float vectors are
+      // never touched at query time. All distances are exact integer
+      // sums of FLOOR(v·1e6) squares, so ranks are engine-identical.
+      val K = 4
+      val Q = 10
+      val u = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+          floor(col("vf").cast("double") * 1e6).cast("long").as("vi"))
+        .withColumn("m", expr("(pos - 1) div 8"))
+      val cb = u.filter(col("vec_id") < K)
+        .select(col("vec_id").as("k"), col("pos").as("cpos"), col("vi").as("ci"))
+      val dists = u.join(broadcast(cb), col("pos") === col("cpos"))
+        .groupBy(col("vec_id"), col("m"), col("k"))
+        .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("dist"))
+      val codes = dists.groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("k"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.k").as("code"))
+      val dtab = dists.filter(col("vec_id") < Q)
+        .select(col("vec_id").as("q_id"), col("m").as("qm"),
+          col("k"), col("dist"))
+      val adc = codes.join(broadcast(dtab),
+          col("m") === col("qm") && col("code") === col("k"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("dist").as("adc_dist"))
+      val w = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+      adc.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("vec_id").as("n_id"),
+          col("adc_dist"))
+        .orderBy("q_id", "rnk")
+    }),
+
     "sim_centroid_separation" -> ((s, d) => {
       // Cluster-separation eval: pairwise cosine between label
       // centroids — high values flag label pairs an ANN index (or a
@@ -663,6 +703,24 @@ object LlmSim extends OpModule {
         |  round(CAST(dot AS DOUBLE)
         |    / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 4) AS cos
         |FROM p ORDER BY la, lb""".stripMargin,
+
+    "sim_knn_pq" ->
+      s"""WITH $PqCtes,
+         |codes AS (SELECT vec_id, m, k FROM best WHERE rn = 1),
+         |dtab AS (SELECT vec_id AS q_id, m, k, dist FROM dists WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT dtab.q_id, codes.vec_id,
+         |    CAST(sum(dtab.dist) AS BIGINT) AS adc_dist
+         |  FROM codes JOIN dtab ON codes.m = dtab.m AND codes.k = dtab.k
+         |  WHERE codes.vec_id <> dtab.q_id
+         |  GROUP BY dtab.q_id, codes.vec_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, adc_dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rnk
+         |  FROM adc
+         |)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS n_id, adc_dist
+         |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
     "embed_pq_distortion" ->
       s"""WITH $PqCtes,
