@@ -154,6 +154,52 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"argmax fell back to a window:\n$plan")
   }
 
+  test("text_contamination broadcasts the benchmark gram set") {
+    // the eval-set side must never shuffle the corpus gram stream
+    // against itself — bench grams broadcast, overlap is map-side.
+    val plan = treeString(q("text_contamination"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram set not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "contamination join degenerated to a cartesian")
+  }
+
+  test("sim_knn_pq broadcasts the query distance table") {
+    // ADC scoring = codes ⋈ broadcast(dtab); a shuffled dtab join
+    // would move the full code table per query batch.
+    val plan = treeString(q("sim_knn_pq"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"distance table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "ADC scoring degenerated to a cartesian")
+  }
+
+  test("join_salted stays an equi-join on (key, salt)") {
+    val plan = treeString(q("join_salted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"salted join lost its equi-join shape:\n$plan")
+  }
+
+  test("win_ewma folds on the day-grain rollup, not raw events") {
+    // two partial-agged aggregations (daily sums, per-type series);
+    // the O(n^2) fold must sit above the rollup, so the plan carries
+    // partial aggregation before its exchanges.
+    val plan = treeString(q("win_ewma"))
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+  }
+
+  test("evt_rolling_active expands windows on day-grain pairs only") {
+    // the BNL between-join is fine — it joins the ~30-row broadcast
+    // day spine against day-grain pairs — but it must sit ABOVE the
+    // distinct that collapses raw events, never against raw events.
+    val plan = treeString(q("evt_rolling_active"))
+    assert(plan.contains("BroadcastExchange"),
+      s"day spine not broadcast:\n$plan")
+    assert(plan.contains("partial_"),
+      s"no partial distinct/agg below the range join:\n$plan")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
