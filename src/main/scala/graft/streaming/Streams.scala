@@ -169,6 +169,25 @@ object Streams {
       .agg(count(lit(1)).as("dau"))
       .select(col("w.start").as("day_start"), col("dau"))
 
+  /** 7-day rolling distinct actives — streaming twin of the batch
+    * `evt_rolling_active` operator. Each event lands in its 7 covering
+    * sliding windows (the TimeWindowing rule expands the slide into an
+    * explode — the streaming analog of the batch day-spine range
+    * join), then the same two-stage exact-distinct shape as
+    * `dauCounts`: watermarked dedup on (user, window) collapses to
+    * first sightings — state is one tombstone per live (user, window)
+    * pair, bounded by 7·|users| inside the watermark — and a windowed
+    * count finishes map-side partial-aggregated.
+    */
+  def rollingActives(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"),
+        window(col("ts"), "7 days", "1 day").as("w"))
+      .dropDuplicates("user_id", "w")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("active_7d"))
+      .select(col("w.end").as("window_end"), col("active_7d"))
+
   /** CDC latest-record compaction — streaming twin of the batch
     * `etl_cdc_compact` operator. State per key is O(1): the winning
     * (event-time µs, event_id) record plus a version counter; each

@@ -151,6 +151,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq((0L, 1L), (1440L, 2L)))
   }
 
+  test("streaming rolling actives count a user once per covering window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // user 1 active on days 0 and 1, user 2 on day 1 only: the window
+    // ENDING after day 1 must count 2 distinct users, and user 1's two
+    // active days must not double-count inside one window.
+    in.addData(ev(1, 0, 1, "view"), ev(2, 1440, 1, "click"),
+      ev(3, 1500, 2, "view"))
+    runToTable("rolling", Streams.rollingActives(in.toDF()), "complete")
+    val got = spark.table("rolling").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000 - BaseMin, r.getLong(1)))
+      .toMap
+    // day-1 events fall in windows ending minute 1440·2 … 1440·8; the
+    // window ending at minute 2880 covers both days → 2 distinct users.
+    assert(got(2880L) === 2L)
+    // the earliest window covering only day 0 has just user 1.
+    assert(got(1440L) === 1L)
+  }
+
   test("CDC compaction keeps the latest record per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
