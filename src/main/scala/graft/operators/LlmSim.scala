@@ -320,6 +320,41 @@ object LlmSim extends OpModule {
         .orderBy("q_id", "rnk")
     }),
 
+    "sim_recall_pq" -> ((s, d) => {
+      // PQ quality gate: per-query recall@3 of the ADC search against
+      // the EXACT integer-L2 truth set — the compression-loss eval
+      // that decides M/K before a codebook ships. Truth side is a
+      // gated brute force (|Q|·|V| element join, broadcast query
+      // sub-vectors, partial-agged); ADC side reuses the graded
+      // sim_knn_pq plan. Same rank-tiebreak discipline on both sides.
+      val Q = 10
+      val u = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+          floor(col("vf").cast("double") * 1e6).cast("long").as("vi"))
+      val qs = u.filter(col("vec_id") < Q)
+        .select(col("vec_id").as("q_id"), col("pos").as("qpos"),
+          col("vi").as("qvi"))
+      val exact = u.join(broadcast(qs), col("pos") === col("qpos"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum((col("vi") - col("qvi")) * (col("vi") - col("qvi"))).as("dist"))
+      val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+      val truth = exact.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val adc = queries("sim_knn_pq")(s, d)
+        .select(col("q_id").as("a_q"), col("n_id").as("a_n"), lit(1).as("hit"))
+      truth
+        .join(adc, col("q_id") === col("a_q") && col("n_id") === col("a_n"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+        .select(col("q_id"), col("n_truth"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+        .orderBy("q_id")
+    }),
+
     "sim_centroid_separation" -> ((s, d) => {
       // Cluster-separation eval: pairwise cosine between label
       // centroids — high values flag label pairs an ANN index (or a
@@ -721,6 +756,44 @@ object LlmSim extends OpModule {
          |)
          |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS n_id, adc_dist
          |FROM ranked WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "sim_recall_pq" ->
+      s"""WITH $PqCtes,
+         |codes AS (SELECT vec_id, m, k FROM best WHERE rn = 1),
+         |dtab AS (SELECT vec_id AS q_id, m, k, dist FROM dists WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT dtab.q_id, codes.vec_id,
+         |    CAST(sum(dtab.dist) AS BIGINT) AS adc_dist
+         |  FROM codes JOIN dtab ON codes.m = dtab.m AND codes.k = dtab.k
+         |  WHERE codes.vec_id <> dtab.q_id
+         |  GROUP BY dtab.q_id, codes.vec_id
+         |), adct AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rnk
+         |    FROM adc
+         |  ) WHERE rnk <= 3
+         |), qs AS (
+         |  SELECT vec_id AS q_id, pos, vi FROM u WHERE vec_id < 10
+         |), exact AS (
+         |  SELECT qs.q_id, u.vec_id,
+         |    CAST(sum((u.vi - qs.vi) * (u.vi - qs.vi)) AS BIGINT) AS dist
+         |  FROM u JOIN qs ON u.pos = qs.pos
+         |  WHERE u.vec_id <> qs.q_id
+         |  GROUP BY qs.q_id, u.vec_id
+         |), truth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk
+         |    FROM exact
+         |  ) WHERE rnk <= 3
+         |)
+         |SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+         |  round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall
+         |FROM truth t LEFT JOIN adct a
+         |  ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
 
     "embed_pq_distortion" ->
       s"""WITH $PqCtes,

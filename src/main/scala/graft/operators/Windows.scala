@@ -42,6 +42,32 @@ object Windows extends OpModule {
           date_format(col("r.day"), "yyyy-MM-dd").as("day"), col("r.ewma"))
         .orderBy("event_type", "day")),
 
+    "win_cusum" -> ((s, d) => {
+      // CUSUM change-point signal over each type's daily value series:
+      // cusum_t = Σ_{j≤t} x_j − t·μ drifts from 0 when the level
+      // shifts. Exactness trick: the formula is computed SCALED BY n —
+      // n·Σ_{j≤t}x_j − t·Σx — so every term is an exact DECIMAL
+      // product of exact day sums; the single divide-by-n happens in
+      // doubles at the end (identical IEEE op on both engines). All
+      // windows run on the day-grain rollup, never raw events.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(Dec2(col("value"))).as("v"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      daily
+        .withColumn("run", sum("v").over(wRun))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("tot", sum("v").over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          round((col("run") * col("n") - col("t") * col("tot")).cast("double")
+            / col("n").cast("double"), 4).as("cusum"))
+        .orderBy("event_type", "day")
+    }),
+
     "win_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -240,6 +266,23 @@ object Windows extends OpModule {
   private val OrderWin = "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
 
   val oracles: Map[String, String] = Map(
+    "win_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY event_type, day
+        |), w AS (
+        |  SELECT event_type, day,
+        |    sum(v) OVER (PARTITION BY event_type ORDER BY day) AS run,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    sum(v) OVER (PARTITION BY event_type) AS tot,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily
+        |)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  round(CAST(run * n - t * tot AS DOUBLE) / n, 4) AS cusum
+        |FROM w ORDER BY event_type, day""".stripMargin,
+
     "win_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
