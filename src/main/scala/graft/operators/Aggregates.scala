@@ -328,6 +328,37 @@ object Aggregates extends OpModule {
         .orderBy("col_x", "col_y")
     }),
 
+    "agg_ks_test" -> ((s, d) => {
+      // Two-sample Kolmogorov–Smirnov distance between the click and
+      // view value distributions — the numeric drift test next to
+      // etl_value_drift's categorical one. The CDF grid is the
+      // DISTINCT exact-decimal values (Dec2 — no double-rounding grid
+      // hazards), built by one partial-agged rollup; the running CDFs
+      // use a global-order window over that |grid| rollup (bounded by
+      // value cardinality, not row count — bucket the grid first if a
+      // 100 TB payload were continuous). All CDF terms are exact
+      // integer ratios, so the argmax row is engine-identical.
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), Dec2(col("value")).as("v"))
+      val g = e.groupBy("v").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_b"))
+      val tots = g.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("ca", sum("n_a").over(w))
+        .withColumn("cb", sum("n_b").over(w))
+        .crossJoin(broadcast(tots))
+        .select(col("v"), col("tot_a"), col("tot_b"),
+          abs(col("ca").cast("double") / col("tot_a").cast("double")
+            - col("cb").cast("double") / col("tot_b").cast("double")).as("adiff"))
+        .orderBy(col("adiff").desc, col("v"))
+        .limit(1)
+        .select(col("v").cast("double").as("at_value"),
+          col("tot_a"), col("tot_b"), round(col("adiff"), 4).as("ks"))
+    }),
+
     "agg_quantiles" -> ((s, d) =>
       // Multi-quantile summary per group: exact linear-interpolated
       // p25/p50/p75/p90 of event value in ONE array-valued percentile
@@ -666,6 +697,33 @@ object Aggregates extends OpModule {
         |      * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 4)
         |FROM s
         |ORDER BY col_x, col_y""".stripMargin,
+
+    "agg_ks_test" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), g AS (
+        |  SELECT v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_b
+        |  FROM e GROUP BY v
+        |), t AS (
+        |  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |         CAST(sum(n_b) AS BIGINT) AS tot_b
+        |  FROM g
+        |), c AS (
+        |  SELECT v,
+        |    sum(n_a) OVER (ORDER BY v) AS ca,
+        |    sum(n_b) OVER (ORDER BY v) AS cb
+        |  FROM g
+        |)
+        |SELECT CAST(v AS DOUBLE) AS at_value, tot_a, tot_b,
+        |  round(abs(CAST(ca AS DOUBLE) / tot_a - CAST(cb AS DOUBLE) / tot_b), 4)
+        |    AS ks
+        |FROM c CROSS JOIN t
+        |ORDER BY abs(CAST(ca AS DOUBLE) / tot_a - CAST(cb AS DOUBLE) / tot_b)
+        |  DESC, v
+        |LIMIT 1""".stripMargin,
 
     "agg_quantiles" ->
       """WITH g AS (

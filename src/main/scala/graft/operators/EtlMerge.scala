@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -285,6 +286,26 @@ object EtlMerge extends OpModule {
         .orderBy("day")
     }),
 
+    "etl_backfill_plan" -> ((s, d) => {
+      // Backfill planning on top of the completeness audit: collapse
+      // the missing days into CONTIGUOUS ranges (one backfill job per
+      // range, not one per day) via the gaps-and-islands anchor
+      // (day − row_number is constant within a run). The global-order
+      // window runs on the |missing days| audit output — already
+      // dimension-sized at any corpus scale — never on events.
+      val missing = queries("etl_missing_days")(s, d)
+      val w = Window.orderBy("day")
+      missing
+        .withColumn("rn", row_number().over(w))
+        .withColumn("anchor", date_sub(col("day"), col("rn")))
+        .groupBy("anchor")
+        .agg(date_format(min("day"), "yyyy-MM-dd").as("from_day"),
+          date_format(max("day"), "yyyy-MM-dd").as("to_day"),
+          count(lit(1)).as("n_days"))
+        .select("from_day", "to_day", "n_days")
+        .orderBy("from_day")
+    }),
+
     "etl_scd2_merge" -> ((s, d) => {
       // base dimension: one open version per key (valid_from fixed,
       // valid_to null); delta: changed segment for every 5th key.
@@ -493,6 +514,29 @@ object EtlMerge extends OpModule {
         |SELECT day FROM spine
         |WHERE day NOT IN (SELECT day FROM loaded)
         |ORDER BY day""".stripMargin,
+
+    "etl_backfill_plan" ->
+      """WITH loaded AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |  WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |), bounds AS (
+        |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        |  FROM events
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds
+        |), missing AS (
+        |  SELECT day FROM spine
+        |  WHERE day NOT IN (SELECT day FROM loaded)
+        |), anch AS (
+        |  SELECT day,
+        |    day - CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS anchor
+        |  FROM missing
+        |)
+        |SELECT strftime(min(day), '%Y-%m-%d') AS from_day,
+        |  strftime(max(day), '%Y-%m-%d') AS to_day,
+        |  count(*) AS n_days
+        |FROM anch GROUP BY anchor ORDER BY from_day""".stripMargin,
 
     "etl_scd2_merge" ->
       s"""$Scd2Sql
