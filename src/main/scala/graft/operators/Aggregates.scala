@@ -328,6 +328,35 @@ object Aggregates extends OpModule {
         .orderBy("col_x", "col_y")
     }),
 
+    "agg_chi2" -> ((s, d) => {
+      // χ² independence test over the lang × source contingency table
+      // (is the language mix uniform across crawl sources?). Expected
+      // counts need the FULL grid including zero cells, so the grid is
+      // rows × cols (≤ |langs|·|sources| — broadcastable at any corpus
+      // size) left-joined to observed counts. The Σ over per-cell
+      // double terms folds over the (lang, source)-SORTED in-row list,
+      // pinning summation order on both engines.
+      val cells = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy("lang").agg(sum("o").as("rt"))
+      val cols = cells.groupBy("source").agg(sum("o").as("ct"))
+      val n = cells.agg(sum("o").as("n"))
+      rows.crossJoin(cols).join(cells, Seq("lang", "source"), "left")
+        .crossJoin(broadcast(n))
+        .select(lit(1).as("g"), struct(col("lang"), col("source"),
+          expr("""((cast(coalesce(o, 0) AS double)
+                 |  - cast(rt AS double) * cast(ct AS double) / cast(n AS double))
+                 | * (cast(coalesce(o, 0) AS double)
+                 |  - cast(rt AS double) * cast(ct AS double) / cast(n AS double)))
+                 | / (cast(rt AS double) * cast(ct AS double) / cast(n AS double))
+                 |""".stripMargin.replaceAll("\n", " ")).as("term")).as("cell"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_cells"),
+          expr("aggregate(sort_array(collect_list(cell)), cast(0.0 AS double)," +
+            " (acc, x) -> acc + x.term)").as("chi2_raw"))
+        .select(col("n_cells"), round(col("chi2_raw"), 4).as("chi2"))
+    }),
+
     "agg_ks_test" -> ((s, d) => {
       // Two-sample Kolmogorov–Smirnov distance between the click and
       // view value distributions — the numeric drift test next to
@@ -697,6 +726,33 @@ object Aggregates extends OpModule {
         |      * sqrt(CAST(n AS DOUBLE) * CAST(s_tt AS DOUBLE) - CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE))), 4)
         |FROM s
         |ORDER BY col_x, col_y""".stripMargin,
+
+    "agg_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents
+        |  GROUP BY lang, source
+        |), rows_t AS (
+        |  SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY lang
+        |), cols_t AS (
+        |  SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY source
+        |), n_t AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n FROM cells
+        |), terms AS (
+        |  SELECT g.lang, g.source,
+        |    ((CAST(coalesce(c.o, 0) AS DOUBLE)
+        |       - CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE) / CAST(n_t.n AS DOUBLE))
+        |     * (CAST(coalesce(c.o, 0) AS DOUBLE)
+        |       - CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE) / CAST(n_t.n AS DOUBLE)))
+        |    / (CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE) / CAST(n_t.n AS DOUBLE))
+        |      AS term
+        |  FROM (SELECT lang, rt, source, ct FROM rows_t CROSS JOIN cols_t) g
+        |  LEFT JOIN cells c ON g.lang = c.lang AND g.source = c.source
+        |  CROSS JOIN n_t
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(term ORDER BY lang, source)), (a, b) -> a + b), 4) AS chi2
+        |FROM terms""".stripMargin,
 
     "agg_ks_test" ->
       """WITH e AS (

@@ -243,6 +243,28 @@ object LlmText extends OpModule {
         .orderBy("lang")
     }),
 
+    "text_shard_pack" -> ((s, d) => {
+      // Training-shard packing: docs stream into fixed-token-budget
+      // shards (2000 tokens) in doc_id order WITHIN EACH SOURCE — the
+      // per-source partitioning is the scale story (a single global
+      // packing order would serialize 100 TB through one window; real
+      // shard writers pack per input partition). shard_id =
+      // floor(exclusive-prefix-tokens / budget): pure integer
+      // arithmetic over the per-doc token-count rollup.
+      val Budget = 2000L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("shard_id", expr(s"(cum - n_tok) div $Budget"))
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "shard_id")
+    }),
+
     "text_tokenize" -> ((s, d) =>
       tokens(s, d).filter(col("doc_id") < 100).orderBy("doc_id", "pos")),
 
@@ -856,6 +878,23 @@ object LlmText extends OpModule {
         |    AS expected_n
         |FROM by_lang CROSS JOIN tot
         |ORDER BY lang""".stripMargin,
+
+    "text_shard_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), packed AS (
+        |  SELECT doc_id, source, n_tok,
+        |    (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) - n_tok)
+        |      // 2000 AS shard_id
+        |  FROM toks
+        |)
+        |SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY source, shard_id
+        |ORDER BY source, shard_id""".stripMargin,
 
     "text_tokenize" ->
       s"""SELECT * FROM ($TokensSql) WHERE doc_id < 100 ORDER BY doc_id, pos""",
