@@ -16,6 +16,32 @@ class InvariantsSpec extends SparkSpec {
     assert(summed === total)
   }
 
+  test("salted join equals the plain join it replaces") {
+    // salting must be a pure execution-strategy change: same rows,
+    // same aggregates, only the shuffle layout differs.
+    import org.apache.spark.sql.functions._
+    val plain = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = q("join_salted")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted === plain)
+  }
+
+  test("shard packing partitions the corpus exactly once") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val totalTok = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).collect().head.getLong(0)
+    val packed = q("text_shard_pack")
+      .agg(sum("n_docs"), sum("n_tokens")).collect().head
+    assert(packed.getLong(0) === total)
+    assert(packed.getLong(1) === totalTok)
+  }
+
   test("semi and anti joins partition the customer table") {
     val customers = Tables.customer(spark, sf).count()
     assert(q("join_semi").count() + q("join_anti").count() === customers)
