@@ -442,6 +442,24 @@ object LlmText extends OpModule {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    "sample_fixed_k" -> ((s, d) => {
+      // Fixed-SIZE per-stratum sample: exactly min(k, |stratum|) docs
+      // per lang — the reproducible eval-set cut (rate-based
+      // sample_stratified can't promise a size). Docs rank by a
+      // multiplicative-hash scramble of doc_id (Knuth constant mod a
+      // prime — exact in 64-bit at this id range; a 100 TB id space
+      // lifts the product to DECIMAL mod), so the "random" order is
+      // deterministic, engine-portable, and partition-independent.
+      val k = 10
+      val key = (col("doc_id") * lit(2654435761L)) % lit(1000003L)
+      val w = Window.partitionBy("lang").orderBy(key.asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .orderBy("lang", "rnk")
+    }),
+
     "sample_hash" -> ((s, d) =>
       // Content-hash sampling: keep docs whose arithmetic text fold
       // lands in the first 20 of 100 buckets — deterministic,
@@ -1026,8 +1044,17 @@ object LlmText extends OpModule {
         |        FROM documents WHERE doc_id < 200)
         |) ORDER BY doc_id, chunk_id""".stripMargin,
 
+    "sample_fixed_k" ->
+      """SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rnk
+        |  FROM documents
+        |) WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
+
     "sample_hash" ->
-      s"""SELECT doc_id, lang, bucket FROM (
+s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT doc_id, lang, ${tidSql("text")} % 100 AS bucket FROM documents
          |) WHERE bucket < 20 ORDER BY doc_id""".stripMargin,
 
