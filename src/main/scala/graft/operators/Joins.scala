@@ -37,6 +37,29 @@ object Joins extends OpModule {
         .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
+    "join_fuzzy_match" -> ((s, d) => {
+      // Fuzzy entity resolution: near-duplicate part names by
+      // Levenshtein ≤ 3, BLOCKED on the first name token so the pair
+      // space is Σ|block|², never |parts|² — the blocking-key pattern
+      // every dedup/ER pipeline uses (same shape as the LSH-band and
+      // label-block joins; at 100 TB the block key sharpens — first
+      // token + length bucket — to keep Σ|block|² linear-ish). Gated
+      // to p_partkey < 1000 as the declared brute-within-block
+      // correctness baseline, like dedup_ngram_jaccard. Edit distance
+      // is an exact integer — no cross-engine float hazard.
+      val p = Tables.part(s, d).filter(col("p_partkey") < 1000)
+        .select(col("p_partkey").as("id"), col("p_name").as("nm"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      val a = p.select(col("id").as("a_id"), col("nm").as("a_nm"), col("blk"))
+      val b = p.select(col("id").as("b_id"), col("nm").as("b_nm"),
+        col("blk").as("blk2"))
+      a.join(b, col("blk") === col("blk2") && col("a_id") < col("b_id"))
+        .withColumn("lev", levenshtein(col("a_nm"), col("b_nm")).cast("long"))
+        .filter(col("lev") <= 3)
+        .select(col("a_id"), col("b_id"), col("lev"))
+        .orderBy("a_id", "b_id")
+    }),
+
     "join_salted" -> ((s, d) => {
       // SALTED equi-join as a graded operator: the hot-key mitigation
       // when one join key dominates (a viral customer, a null-bucket
@@ -235,6 +258,18 @@ object Joins extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_fuzzy_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, p_name AS nm,
+        |    string_split(p_name, ' ')[1] AS blk
+        |  FROM part WHERE p_partkey < 1000
+        |)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.nm, b.nm) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE)
