@@ -14,7 +14,7 @@ object SparkEntry {
 
   private val modules: Seq[OpModule] =
     Seq(Scans, Joins, Aggregates, SortSet, Subqueries, Windows, Events,
-      LlmText, LlmSim, EtlMerge)
+      LlmText, LlmSim, EtlMerge, Graph)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: scan → pushed filters → broadcast+shuffle joins →

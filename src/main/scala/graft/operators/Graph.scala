@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over relations the engine derives on the fly —
+  * co-purchase affinity, degree structure, triangle closure, and a
+  * fixed-iteration PageRank over an aggregated trade graph.
+  *
+  * Scale design notes (100 TB):
+  *   - The co-purchase projection groups at a HASH-COARSENED category
+  *     grain (`l_partkey % 5000`) inside ONE order-date window: node
+  *     cardinality and edge density stay bounded no matter how large
+  *     the fact table grows, and the date filter is pushed into the
+  *     parquet scan before any join.
+  *   - Triangle counting uses DEGREE ORDERING (each undirected edge is
+  *     oriented from its lower-(degree, id) endpoint): every wedge is
+  *     enumerated exactly once and the out-degree of any node is
+  *     O(sqrt(m)), which bounds the wedge join — the standard
+  *     worst-case-optimal trick for distributed triangle enumeration.
+  *     The degree table is tiny (one row per node) and broadcast.
+  *   - PageRank runs a FIXED 5 iterations of the edge-join/re-aggregate
+  *     loop on an edge list that aggregation has already shrunk to
+  *     |nations|² rows. At real scale the same loop checkpoints the
+  *     rank vector per iteration and pre-partitions edges by src; the
+  *     per-iteration round(…, 9) keeps the two engines' float noise
+  *     from compounding across iterations.
+  */
+object Graph extends OpModule {
+
+  /** Distinct (order, category-node) incidence within one order-date
+    * quarter — the shared base of the co-purchase graph queries. */
+  private def incidence(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), (col("l_partkey") % 5000).as("node"))
+      .distinct()
+
+  /** Distinct undirected co-purchase edges, stored with u < v. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val ob = incidence(s, d)
+    val a = ob.select(col("ok"), col("node").as("u"))
+    val b = ob.select(col("ok").as("ok2"), col("node").as("v"))
+    a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+      .select("u", "v").distinct()
+  }
+
+  /** Per-node degree of the undirected co-purchase graph. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+
+  val queries: Map[String, Q] = Map(
+    "graph_degree_hist" -> ((s, d) =>
+      // Degree distribution of the co-purchase graph: how many
+      // category nodes have k co-purchase partners. The shape (heavy
+      // tail vs uniform) is what an affinity model checks before
+      // trusting pair statistics.
+      degrees(edges(s, d))
+        .groupBy(col("d").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")),
+
+    "graph_triangles" -> ((s, d) => {
+      // Global triangle census via degree-ordered wedge closure.
+      // orient: each edge points from its lower-(degree, id) endpoint,
+      // so wedges (src→a, src→b, a<b) enumerate each triangle once and
+      // out-degrees are O(sqrt(m)). The closing-edge probe is an
+      // equi-join against the undirected edge list. Output is one
+      // summary row: node/edge/wedge counts, triangles, and the global
+      // clustering coefficient 3·tri / wedges.
+      val e = edges(s, d)
+      val deg = degrees(e)
+      val du = deg.select(col("node").as("u"), col("d").as("du"))
+      val dv = deg.select(col("node").as("v"), col("d").as("dv"))
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = e.join(broadcast(du), Seq("u")).join(broadcast(dv), Seq("v"))
+        .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+          when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      val w1 = oriented.select(col("src"), col("dst").as("a"))
+      val w2 = oriented.select(col("src").as("src2"), col("dst").as("b"))
+      val wedges = w1.join(w2, col("src") === col("src2") && col("a") < col("b"))
+        .select("a", "b")
+      val tri = wedges.join(e, col("a") === col("u") && col("b") === col("v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedgeTotal = deg.agg(
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+      val edgeTotal = e.agg(count(lit(1)).as("n_edges"))
+      wedgeTotal.crossJoin(edgeTotal).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          round(col("n_triangles").cast("double") * 3.0
+            / col("n_wedges").cast("double"), 4).as("clustering"))
+    }),
+
+    "graph_pagerank" -> ((s, d) => {
+      // Fixed-iteration weighted PageRank over the nation→nation trade
+      // graph (edge = customer nation buys from supplier nation,
+      // weight = lineitem count). Aggregation shrinks the fact table
+      // to ≤ |N|² edges BEFORE any iteration; the loop itself is the
+      // generic distributed rank/contribution join. Damping 0.85,
+      // uniform init, 5 iterations, round(…, 9) per iteration so both
+      // engines' summation noise is quantized away identically.
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val e = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val ew = e.withColumn("f", col("w").cast("double") /
+        sum("w").over(Window.partitionBy("src")).cast("double"))
+      val nations = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"))
+      val n = 25.0
+      var r: DataFrame = nations.withColumn("r", lit(1.0 / n))
+      for (_ <- 1 to 5) {
+        val contrib = ew.join(r.withColumnRenamed("node", "src2"),
+            col("src") === col("src2"))
+          .groupBy(col("dst"))
+          .agg(sum(col("r") * col("f")).as("contrib"))
+        r = nations.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            round(lit(0.15 / n) + lit(0.85) *
+              coalesce(col("contrib"), lit(0.0)), 9).as("r"))
+      }
+      r.select(col("node"), round(col("r"), 6).as("rank")).orderBy("node")
+    }),
+
+    "basket_rules" -> ((s, d) => {
+      // Market-basket association rules at brand grain: support,
+      // confidence and lift for every ordered brand pair that clears a
+      // scale-free support floor. The (order, brand) incidence is the
+      // only big intermediate; the brand-count side is 25 rows and
+      // broadcast. Classic SON/A-priori 2-itemset shape: one shuffle
+      // to distinct the incidence, one for the pair counts.
+      val ob = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      val nOrders = ob.agg(countDistinct("ok").as("n_orders"))
+      val single = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+      val a = ob.select(col("ok"), col("b").as("b1"))
+      val c = ob.select(col("ok").as("ok2"), col("b").as("b2"))
+      val pair = a.join(c, col("ok") === col("ok2") && col("b1") < col("b2"))
+        .groupBy("b1", "b2").agg(count(lit(1)).as("nab"))
+      pair
+        .join(broadcast(single.select(col("b").as("b1"), col("nb").as("n1"))), Seq("b1"))
+        .join(broadcast(single.select(col("b").as("b2"), col("nb").as("n2"))), Seq("b2"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("support",
+          round(col("nab").cast("double") / col("n_orders").cast("double"), 6))
+        .filter(col("support") >= 0.015)
+        .select(col("b1"), col("b2"), col("nab"), col("support"),
+          round(col("nab").cast("double") / col("n1").cast("double"), 6)
+            .as("confidence"),
+          round(col("nab").cast("double") * col("n_orders").cast("double")
+            / (col("n1") * col("n2")).cast("double"), 4).as("lift"))
+        .orderBy("b1", "b2")
+    }),
+  )
+
+  private val INCIDENCE =
+    """SELECT l_orderkey AS ok, l_partkey % 5000 AS node
+      |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |      AND o_orderdate < TIMESTAMP '1995-04-01'
+      |    GROUP BY 1, 2""".stripMargin
+
+  private val EDGES =
+    s"""ob AS ($INCIDENCE),
+       |e AS (SELECT a.node AS u, b.node AS v
+       |      FROM ob a JOIN ob b ON a.ok = b.ok AND a.node < b.node
+       |      GROUP BY 1, 2),
+       |deg AS (SELECT node, count(*) AS d
+       |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+       |        GROUP BY 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "graph_degree_hist" ->
+      s"""WITH $EDGES
+         |SELECT d AS degree, count(*) AS n_nodes
+         |FROM deg GROUP BY d ORDER BY degree""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH $EDGES,
+         |o AS (SELECT
+         |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+         |  FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+         |wedge AS (SELECT o1.dst AS a, o2.dst AS b
+         |          FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+         |tri AS (SELECT count(*) AS n_triangles FROM wedge w
+         |        JOIN e ON e.u = w.a AND e.v = w.b)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |  (SELECT count(*) FROM e) AS n_edges,
+         |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         |  (SELECT n_triangles FROM tri) AS n_triangles,
+         |  round((SELECT n_triangles FROM tri) * 3.0
+         |    / (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS clustering""".stripMargin,
+
+    "graph_pagerank" -> {
+      val base =
+        """WITH e AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2),
+          |ew AS (SELECT src, dst,
+          |    CAST(w AS DOUBLE) / CAST(sum(w) OVER (PARTITION BY src) AS DOUBLE) AS f
+          |  FROM e),
+          |r0 AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+          |    CAST(1.0 / 25 AS DOUBLE) AS r FROM nation),
+          |""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT CAST(n.n_nationkey AS BIGINT) AS node,
+           |    round(CAST(0.15 / 25 AS DOUBLE)
+           |      + 0.85 * coalesce(c.contrib, 0), 9) AS r
+           |  FROM nation n LEFT JOIN (
+           |    SELECT ew.dst AS dn, sum(r${i - 1}.r * ew.f) AS contrib
+           |    FROM ew JOIN r${i - 1} ON r${i - 1}.node = ew.src
+           |    GROUP BY ew.dst) c
+           |  ON c.dn = n.n_nationkey)""".stripMargin
+      }.mkString(",\n")
+      base + iters + "\nSELECT node, round(r, 6) AS rank FROM r5 ORDER BY node"
+    },
+
+    "basket_rules" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n_orders AS (SELECT count(DISTINCT ok) AS n FROM ob),
+        |single AS (SELECT b, count(*) AS nb FROM ob GROUP BY b),
+        |pair AS (SELECT a.b AS b1, c.b AS b2, count(*) AS nab
+        |         FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+        |         GROUP BY 1, 2)
+        |SELECT b1, b2, nab,
+        |  round(CAST(nab AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS support,
+        |  round(CAST(nab AS DOUBLE) / CAST(s1.nb AS DOUBLE), 6) AS confidence,
+        |  round(CAST(nab AS DOUBLE) * CAST(n.n AS DOUBLE)
+        |    / CAST(s1.nb * s2.nb AS DOUBLE), 4) AS lift
+        |FROM pair
+        |JOIN single s1 ON s1.b = b1
+        |JOIN single s2 ON s2.b = b2
+        |CROSS JOIN n_orders n
+        |WHERE round(CAST(nab AS DOUBLE) / CAST(n.n AS DOUBLE), 6) >= 0.015
+        |ORDER BY b1, b2""".stripMargin,
+  )
+}

@@ -34,6 +34,13 @@ object Fixtures {
     write(df, dir, "events")
   }
 
+  /** lineitem slice for the co-purchase graph ops: (orderkey, partkey). */
+  def lineitem(spark: SparkSession, dir: String,
+               rows: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    write(rows.toDF("l_orderkey", "l_partkey"), dir, "lineitem")
+  }
+
   /** orders table slice used by join_asof: key, custkey, orderdate (µs). */
   def orders(spark: SparkSession, dir: String,
              rows: Seq[(Long, Long, Long)]): Unit = {

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Hand-computed expectations for the graph operators: degree-ordered
+  * triangle closure counts each triangle exactly once (duplicate
+  * co-purchases collapse to one edge), and the fixed-iteration
+  * PageRank conserves rank mass over the real nation trade graph.
+  */
+class GraphSpec extends SparkSpec {
+
+  private val us = 1000000L
+  // 1995-02-01 00:00:00 UTC in µs — inside the graph's order window.
+  private val inWindow = 791596800L * us
+
+  private lazy val dir = {
+    val d = Fixtures.tempDir()
+    Fixtures.orders(spark, d, Seq(
+      (1L, 1L, inWindow), (2L, 1L, inWindow), (3L, 2L, inWindow)))
+    // order 1 buys parts {1,2,3} → triangle 1-2-3;
+    // order 2 buys parts {3,4}   → pendant edge 3-4;
+    // order 3 buys parts {1,2}   → duplicate edge 1-2 (must not double-count).
+    Fixtures.lineitem(spark, d, Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L)))
+    d
+  }
+
+  test("graph_triangles counts the one triangle once and sums wedges exactly") {
+    // edges {12,13,23,34}; degrees 1:2 2:2 3:3 4:1 → wedges 1+1+3+0 = 5;
+    // one triangle → clustering 3·1/5 = 0.6.
+    val got = SparkEntry.queries("graph_triangles")(spark, dir).collect().toSeq
+    assert(got === Seq(Row(4L, 4L, 5L, 1L, 0.6)))
+  }
+
+  test("graph_degree_hist buckets the fixture degrees") {
+    val got = SparkEntry.queries("graph_degree_hist")(spark, dir)
+      .collect().toSeq
+    assert(got === Seq(Row(1L, 1L), Row(2L, 2L), Row(3L, 1L)))
+  }
+
+  test("graph_pagerank conserves rank mass over the sf0.001 trade graph") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 25)
+    val total = rows.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass $total drifted from 1")
+    assert(rows.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("basket_rules emits ordered pairs with consistent support and lift") {
+    val rows = SparkEntry.queries("basket_rules")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) < r.getString(1)))
+    assert(rows.forall(_.getDouble(3) >= 0.015)) // support floor
+    assert(rows.forall(_.getDouble(5) > 0.0))    // lift positive
+  }
+}
