@@ -338,9 +338,40 @@ object EtlMerge extends OpModule {
           col("v.cur").as("is_current"))
         .orderBy("c_custkey", "valid_from", "segment")
     }),
+
+    "etl_skew_audit" -> ((s, d) => {
+      // Partition-key skew audit — the pre-flight check before
+      // choosing a shuffle/bucketing key at 100 TB. One partial agg
+      // shrinks the fact table to a per-key count vector; the summary
+      // row (count quantiles + max/avg skew ratio) is computed on that
+      // tiny vector, so the audit costs one scan regardless of table
+      // size. A skew_ratio near 1 clears the key for plain hash
+      // partitioning; >> 1 routes the job to the salted-join path
+      // (see Skew.saltedJoin / agg_salted_twophase).
+      val k = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      k.agg(count(lit(1)).as("n_keys"),
+          sum("n").as("n_rows"),
+          max("n").as("max_rows"),
+          round(avg("n"), 4).as("avg_rows"),
+          round(expr("percentile(n, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(n, 0.9D)"), 4).as("p90"),
+          round(expr("percentile(n, 0.99D)"), 4).as("p99"),
+          round(max("n") / avg("n"), 4).as("skew_ratio"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_skew_audit" ->
+      """WITH k AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  max(n) AS max_rows, round(avg(n), 4) AS avg_rows,
+        |  round(quantile_cont(n, 0.5), 4) AS p50,
+        |  round(quantile_cont(n, 0.9), 4) AS p90,
+        |  round(quantile_cont(n, 0.99), 4) AS p99,
+        |  round(max(n) / avg(n), 4) AS skew_ratio
+        |FROM k""".stripMargin,
+
     "etl_value_drift" ->
       """WITH old_s AS (
         |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'

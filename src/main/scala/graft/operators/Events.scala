@@ -377,11 +377,50 @@ object Events extends OpModule {
           round(sum(Dec2(col("value"))), 4).cast("double").as("sum_value"))
         .orderBy("event_type", "bucket_lo")
     }),
+
+    "evt_mad_outliers" -> ((s, d) => {
+      // Robust outlier screen: median + MAD (median absolute deviation)
+      // per event type, then count values beyond 3·MAD — unlike the
+      // z-score screen (evt_anomaly) this is insensitive to the
+      // outliers it hunts. Two exact-percentile agg passes over 5
+      // groups; the per-type medians are broadcast back for the
+      // deviation pass. Med/MAD are rounded to 4 dp BEFORE the
+      // threshold compare so both engines compare bit-identical
+      // doubles (percentile interpolation can differ in the last ulp).
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5D)"), 4).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dv", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(round(expr("percentile(dv, 0.5D)"), 4).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min("med").as("med"), min("mad").as("mad"),
+          count(when(col("dv") > lit(3) * col("mad"), 1)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
   )
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracles: Map[String, String] = Map(
+    "evt_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dv
+        |        FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, round(quantile_cont(dv, 0.5), 4) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n_events,
+        |  min(d.med) AS med, min(m.mad) AS mad,
+        |  CAST(count(*) FILTER (WHERE d.dv > 3 * m.mad) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "evt_rolling_active" ->
       """WITH du AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events

@@ -50,4 +50,19 @@ class EventsSpec extends SparkSpec {
     assert(byKey((3600L, "view")) === 1L)
     assert(byKey((3600L, "click")) === 1L)
   }
+
+  test("MAD outlier screen is robust to the outlier it flags") {
+    val d = Fixtures.tempDir()
+    // signup values 0,10,20,30,1000: median 20, deviations
+    // {20,10,0,10,980} → MAD 10; only 980 > 3·MAD → one outlier.
+    // (A mean/stddev screen would have its center dragged to 212.)
+    Fixtures.events(spark, d, Seq(
+      (1L, 1L * min, 1L, "signup", 0.0),
+      (2L, 2L * min, 1L, "signup", 10.0),
+      (3L, 3L * min, 1L, "signup", 20.0),
+      (4L, 4L * min, 1L, "signup", 30.0),
+      (5L, 5L * min, 1L, "signup", 1000.0)))
+    val got = SparkEntry.queries("evt_mad_outliers")(spark, d).collect().toSeq
+    assert(got === Seq(Row("signup", 5L, 20.0, 10.0, 1L)))
+  }
 }
