@@ -138,6 +138,32 @@ object Graph extends OpModule {
       r.select(col("node"), round(col("r"), 6).as("rank")).orderBy("node")
     }),
 
+    "graph_link_predict" -> ((s, d) => {
+      // Link prediction by Adamic-Adar: non-adjacent node pairs scored
+      // by Σ 1/ln(deg(w)) over their common neighbors w — rare shared
+      // partners count more than ubiquitous ones. The wedge join is
+      // the same bounded enumeration as graph_triangles; the
+      // anti-join against the edge list removes already-connected
+      // pairs; top-50 by rounded score with (a, b) tiebreak.
+      // (deg(w) ≥ 2 for any common neighbor, so ln never hits 0.)
+      val e = edges(s, d)
+      val deg = degrees(e)
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .union(e.select(col("v").as("node"), col("u").as("nbr")))
+      val a1 = adj.select(col("node").as("a"), col("nbr").as("w"))
+      val a2 = adj.select(col("node").as("b"), col("nbr").as("w2"))
+      val wedges = a1.join(a2, col("w") === col("w2") && col("a") < col("b"))
+        .join(broadcast(deg.select(col("node").as("w3"), col("d"))),
+          col("w") === col("w3"))
+      val scoredPairs = wedges.groupBy("a", "b")
+        .agg(count(lit(1)).as("n_common"),
+          round(sum(lit(1.0) / log(col("d").cast("double"))), 4).as("aa_score"))
+      scoredPairs
+        .join(e, col("a") === col("u") && col("b") === col("v"), "left_anti")
+        .orderBy(col("aa_score").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
     "basket_rules" -> ((s, d) => {
       // Market-basket association rules at brand grain: support,
       // confidence and lift for every ordered brand pair that clears a
@@ -238,6 +264,22 @@ object Graph extends OpModule {
       }.mkString(",\n")
       base + iters + "\nSELECT node, round(r, 6) AS rank FROM r5 ORDER BY node"
     },
+
+    "graph_link_predict" ->
+      s"""WITH $EDGES,
+         |adj AS (SELECT u AS node, v AS nbr FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |aa AS (
+         |  SELECT a1.node AS a, a2.node AS b, count(*) AS n_common,
+         |    round(sum(CAST(1 AS DOUBLE) / ln(CAST(deg.d AS DOUBLE))), 4)
+         |      AS aa_score
+         |  FROM adj a1
+         |  JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+         |  JOIN deg ON deg.node = a1.nbr
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_common, aa_score FROM aa
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = aa.a AND e.v = aa.b)
+         |ORDER BY aa_score DESC, a, b LIMIT 50""".stripMargin,
 
     "basket_rules" ->
       """WITH ob AS (

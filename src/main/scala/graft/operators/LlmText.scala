@@ -692,6 +692,34 @@ object LlmText extends OpModule {
         .select("a_id", "b_id", "n_common", "jaccard")
         .orderBy("a_id", "b_id")),
 
+    "dedup_containment" -> ((s, d) => {
+      // Asymmetric near-dup: containment |A∩B| / |smaller gram set|
+      // catches subset duplicates — a short doc quoted verbatim inside
+      // a much longer one scores high here while its symmetric
+      // Jaccard (÷ union) stays low. Same gated bigram pair join as
+      // dedup_ngram_jaccard; at corpus scale the candidate pairs come
+      // from the LSH bucket path and this exact score is the refine
+      // step on candidates only.
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(bigramArr(col("text")))).as("bigram"))
+      val sizes = docs.select(col("doc_id"),
+        size(array_distinct(bigramArr(col("text")))).cast("long").as("n_grams"))
+      val a = grams.select(col("doc_id").as("a_id"), col("bigram"))
+      val b = grams.select(col("doc_id").as("b_id"), col("bigram"))
+      val common = a.join(b, "bigram").filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), "b_id")
+        .withColumn("containment",
+          round(col("n_common").cast("double")
+            / least(col("a_n"), col("b_n")).cast("double"), 4))
+        .filter(col("containment") >= 0.3)
+        .select(col("a_id"), col("b_id"), col("n_common"), col("containment"))
+        .orderBy("a_id", "b_id")
+    }),
+
     "dedup_components" -> ((s, d) => {
       // Canonical-doc assignment: connected components over the
       // near-dup pair graph via 3 unrolled rounds of min-label
@@ -1210,6 +1238,18 @@ s"""SELECT doc_id, lang, bucket FROM (
          |SELECT a_id, b_id, n_common, jaccard FROM scored
          |ORDER BY a_id, b_id""".stripMargin,
 
+    "dedup_containment" ->
+      s"""WITH $PairBaseCtes
+         |SELECT a_id, b_id, n_common,
+         |  round(CAST(n_common AS DOUBLE)
+         |    / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE), 4) AS containment
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE round(CAST(n_common AS DOUBLE)
+         |    / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE), 4) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "dedup_components" ->
       s"""WITH $JaccardCtes,
          |docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
@@ -1346,10 +1386,10 @@ s"""SELECT doc_id, lang, bucket FROM (
        |  FROM (SELECT DISTINCT doc_id, unnest(tids) AS sid FROM ($TidsSql)) u
        |)""".stripMargin
 
-  /** Shared CTE block ending in `scored(a_id, b_id, n_common, jaccard)`
-    * — the thresholded bigram-Jaccard pairs among docs < 100 (mirrors
-    * `ngramJaccardPairs`). */
-  private lazy val JaccardCtes: String =
+  /** Bigram pair-join base CTEs ending in `common(a_id, b_id,
+    * n_common)` + `sizes` — shared by the Jaccard and containment
+    * scorers. */
+  private lazy val PairBaseCtes: String =
     s"""toks AS (SELECT * FROM ($TokensSql) WHERE doc_id < 100),
        |grams AS (
        |  SELECT DISTINCT doc_id, bigram FROM (
@@ -1364,7 +1404,13 @@ s"""SELECT doc_id, lang, bucket FROM (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
        |  FROM grams a JOIN grams b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
        |  GROUP BY a_id, b_id
-       |),
+       |)""".stripMargin
+
+  /** Shared CTE block ending in `scored(a_id, b_id, n_common, jaccard)`
+    * — the thresholded bigram-Jaccard pairs among docs < 100 (mirrors
+    * `ngramJaccardPairs`). */
+  private lazy val JaccardCtes: String =
+    s"""$PairBaseCtes,
        |scored AS (
        |  SELECT a_id, b_id, n_common,
        |    round(CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 4) AS jaccard
