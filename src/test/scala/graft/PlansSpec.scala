@@ -200,6 +200,43 @@ class PlansSpec extends SparkSpec {
       s"no partial distinct/agg below the range join:\n$plan")
   }
 
+  test("graph_triangles pushes the order window into the scan and broadcasts degrees") {
+    val plan = treeString(q("graph_triangles"))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("o_orderdate"),
+      s"order-date window not pushed to the parquet scan:\n$pushed")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"degree table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "wedge enumeration degenerated to a cartesian")
+  }
+
+  test("graph_pagerank keeps every iteration an equi-join with partial aggregation") {
+    val plan = treeString(q("graph_pagerank"))
+    assert(!plan.contains("CartesianProduct"),
+      "rank/edge join degenerated to a cartesian")
+    assert(plan.contains("partial_"),
+      s"no map-side partial aggregation in the contribution sums:\n$plan")
+  }
+
+  test("basket_rules broadcasts the brand dimension and pre-aggregates") {
+    val plan = treeString(q("basket_rules"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"brand/count sides not broadcast:\n$plan")
+    assert(plan.contains("partial_"),
+      s"pair counts not partially aggregated:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "pair join degenerated to a cartesian")
+  }
+
+  test("graph_link_predict wedge join stays an equi-join") {
+    val plan = treeString(q("graph_link_predict"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge/anti joins lost their equi shape:\n$plan")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
