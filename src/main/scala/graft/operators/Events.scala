@@ -401,6 +401,39 @@ object Events extends OpModule {
           count(when(col("dv") > lit(3) * col("mad"), 1)).as("n_outliers"))
         .orderBy("event_type")
     }),
+
+    "evt_forecast_snaive" -> ((s, d) => {
+      // Seasonal-naive forecast eval: predict each of the last 7 days'
+      // per-type volume as the mean of the SAME WEEKDAY in all prior
+      // weeks, then score MAE/MAPE per type — the baseline every
+      // volume-forecasting model must beat, and a cheap data-freshness
+      // alarm (MAPE spike = upstream volume shift). Everything runs on
+      // the day-grain rollup (|types|·|days| rows), so the self-join
+      // is dimension-sized no matter the event volume. Weekday
+      // equality is convention-independent (any fixed dow labeling
+      // joins the same pairs); error terms go through DECIMAL so the
+      // final means are exact on both engines.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val prior = daily.select(col("event_type").as("et2"),
+        col("day").as("pday"), col("n").as("pn"))
+      val fc = daily.filter(col("day") >= lit("2024-01-24").cast("date"))
+        .join(prior, col("event_type") === col("et2") &&
+          dayofweek(col("pday")) === dayofweek(col("day")) &&
+          col("pday") < col("day"))
+        .groupBy(col("event_type"), col("day"), col("n"))
+        .agg(round(avg("pn"), 4).as("pred"), count(lit(1)).as("n_prior"))
+      fc.filter(col("n_prior") >= 3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(abs(col("n") - col("pred")).cast("decimal(18,4)")), 4)
+            .cast("double").as("mae"),
+          round(avg((abs(col("n") - col("pred")) / col("n"))
+            .cast("decimal(18,8)")), 4).cast("double").as("mape"))
+        .orderBy("event_type")
+    }),
   )
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -419,6 +452,27 @@ object Events extends OpModule {
         |  CAST(count(*) FILTER (WHERE d.dv > 3 * m.mad) AS BIGINT)
         |    AS n_outliers
         |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "evt_forecast_snaive" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |fc AS (
+        |  SELECT f.event_type, f.day, f.n,
+        |    round(avg(p.n), 4) AS pred, count(*) AS n_prior
+        |  FROM daily f JOIN daily p
+        |    ON p.event_type = f.event_type
+        |   AND dayofweek(p.day) = dayofweek(f.day) AND p.day < f.day
+        |  WHERE f.day >= DATE '2024-01-24'
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(round(avg(CAST(abs(n - pred) AS DECIMAL(18,4))), 4) AS DOUBLE)
+        |    AS mae,
+        |  CAST(round(avg(CAST(abs(n - pred) / n AS DECIMAL(18,8))), 4)
+        |    AS DOUBLE) AS mape
+        |FROM fc WHERE n_prior >= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "evt_rolling_active" ->

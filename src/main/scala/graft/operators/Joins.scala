@@ -255,9 +255,92 @@ object Joins extends OpModule {
           min(col("c_us") - col("e_us")).as("min_delta_us"))
         .orderBy("err_id")
     }),
+
+    "join_bloom_prefilter" -> ((s, d) => {
+      // Bloom-filter runtime prefilter — the pattern behind Spark's
+      // own runtime row-group filtering, built portably: the dimension
+      // keys fold into a 64 Kbit bloom (2048 × 32-bit words, two
+      // multiplicative hashes — plain integer arithmetic so the oracle
+      // computes the IDENTICAL filter), the fact side probes the
+      // broadcast word table, and only candidates reach the exact
+      // join. At 100 TB the bloom cuts the shuffled fact volume to
+      // members + the FP band; the output row audits exactly that
+      // (candidates, true members, false positives). Bits stay in the
+      // low 31 of each word so shift semantics can't diverge.
+      val M = 65536L
+      val keys = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("k")).distinct()
+      def h1(k: org.apache.spark.sql.Column) =
+        ((k * 2654435761L) % 4294967296L) % M
+      def h2(k: org.apache.spark.sql.Column) = (k * 40503L + 17L) % M
+      val pos = keys.select(h1(col("k")).as("p"))
+        .union(keys.select(h2(col("k")).as("p")))
+      val bloom = pos.groupBy(expr("p div 32").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("word"))
+      val probe = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey").as("k"),
+        h1(col("o_custkey")).as("p1"), h2(col("o_custkey")).as("p2"))
+      val cand = probe
+        .join(broadcast(bloom.select(col("w").as("w1"), col("word").as("word1"))),
+          expr("p1 div 32") === col("w1"))
+        .join(broadcast(bloom.select(col("w").as("w2"), col("word").as("word2"))),
+          expr("p2 div 32") === col("w2"))
+        .filter(
+          expr("(word1 & shiftleft(1L, cast(p1 % 32 as int))) != 0") &&
+          expr("(word2 & shiftleft(1L, cast(p2 % 32 as int))) != 0"))
+        .select(col("o_orderkey"), col("k"))
+      val flagged = cand
+        .join(broadcast(keys.select(col("k").as("tk"))),
+          col("k") === col("tk"), "left")
+      val nProbe = probe.agg(count(lit(1)).as("n_probe"))
+      flagged.agg(count(lit(1)).as("n_candidates"),
+          count(col("tk")).as("n_true"),
+          (count(lit(1)) - count(col("tk"))).as("n_false_pos"))
+        .crossJoin(nProbe)
+        .select(col("n_probe"), col("n_candidates"), col("n_true"),
+          col("n_false_pos"),
+          round(col("n_false_pos").cast("double")
+            / (col("n_probe") - col("n_true")).cast("double"), 6)
+            .as("fp_rate"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "join_bloom_prefilter" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'),
+        |pos AS (
+        |  SELECT ((k * 2654435761) % 4294967296) % 65536 AS p FROM keys
+        |  UNION ALL SELECT (k * 40503 + 17) % 65536 FROM keys),
+        |bloom AS (
+        |  SELECT p // 32 AS w,
+        |    CAST(bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS BIGINT) AS word
+        |  FROM pos GROUP BY 1),
+        |probe AS (
+        |  SELECT o_orderkey, o_custkey AS k,
+        |    ((o_custkey * 2654435761) % 4294967296) % 65536 AS p1,
+        |    (o_custkey * 40503 + 17) % 65536 AS p2
+        |  FROM orders),
+        |cand AS (
+        |  SELECT pr.o_orderkey, pr.k FROM probe pr
+        |  JOIN bloom b1 ON b1.w = pr.p1 // 32
+        |  JOIN bloom b2 ON b2.w = pr.p2 // 32
+        |  WHERE (b1.word & (1::BIGINT << CAST(pr.p1 % 32 AS INT))) != 0
+        |    AND (b2.word & (1::BIGINT << CAST(pr.p2 % 32 AS INT))) != 0),
+        |f AS (
+        |  SELECT count(*) AS n_candidates,
+        |    count(t.tk) AS n_true,
+        |    count(*) - count(t.tk) AS n_false_pos
+        |  FROM cand LEFT JOIN (SELECT k AS tk FROM keys) t ON cand.k = t.tk)
+        |SELECT (SELECT count(*) FROM probe) AS n_probe,
+        |  n_candidates, n_true, n_false_pos,
+        |  round(CAST(n_false_pos AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM probe) - n_true AS DOUBLE), 6)
+        |    AS fp_rate
+        |FROM f""".stripMargin,
+
     "join_fuzzy_match" ->
       """WITH p AS (
         |  SELECT p_partkey AS id, p_name AS nm,

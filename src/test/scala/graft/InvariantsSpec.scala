@@ -115,4 +115,29 @@ class InvariantsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expect, "3-band pigeonhole bucketing missed true pairs")
   }
+
+  test("bloom prefilter never drops a true member (no false negatives)") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf)
+    val members = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val trueMatches = orders
+      .join(members, orders("o_custkey") === members("c_custkey"), "left_semi")
+      .count()
+    val row = q("join_bloom_prefilter").collect().head
+    assert(row.getLong(row.fieldIndex("n_true")) === trueMatches,
+      "bloom filter lost member rows — false negatives are impossible by construction")
+    assert(row.getLong(row.fieldIndex("n_candidates")) ===
+      row.getLong(row.fieldIndex("n_true")) + row.getLong(row.fieldIndex("n_false_pos")))
+  }
+
+  test("seasonal-naive forecast scores exactly the last-week days with 3+ priors") {
+    val rows = q("evt_forecast_snaive").collect()
+    assert(rows.nonEmpty)
+    // events span Jan 1–30 2024; days 24–30 each have 3+ same-weekday
+    // priors, so every type scores all 7 forecast days.
+    assert(rows.forall(_.getLong(1) === 7L))
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0))
+  }
 }
