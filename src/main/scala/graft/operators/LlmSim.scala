@@ -475,6 +475,31 @@ object LlmSim extends OpModule {
         octet_length(encode(col("text"), "utf-8")).cast("long").as("byte_len"),
         ascii(substring(col("text"), 1, 1)).cast("long").as("head_byte"))
         .orderBy("doc_id")),
+
+    "multimodal_batch_plan" -> ((s, d) => {
+      // Decode-batch planner: blobs stream into fixed BYTE-budget
+      // batches (4 KB) in id order WITHIN EACH LANG partition — the
+      // batch manifest a mapPartitions/mapInPandas decode stage (see
+      // graft.multimodal) consumes so each worker call touches a
+      // bounded byte volume regardless of blob-size skew. Same
+      // exclusive-prefix-sum packing as text_shard_pack, at the
+      // opaque-binary grain; per-batch max_bytes surfaces blobs that
+      // need a solo batch. Per-partition windows, never one global
+      // packing order.
+      val Budget = 4096L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          octet_length(encode(col("text"), "utf-8")).cast("long").as("nb"))
+        .withColumn("cum", sum("nb").over(w))
+        .withColumn("batch_id", expr(s"(cum - nb) div $Budget"))
+        .groupBy("lang", "batch_id")
+        .agg(count(lit(1)).as("n_items"), sum("nb").as("n_bytes"),
+          max("nb").as("max_bytes"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "batch_id")
+    }),
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -885,5 +910,20 @@ object LlmSim extends OpModule {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_batch_plan" ->
+      """WITH blobs AS (
+        |  SELECT doc_id, lang,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, lang, nb,
+        |    (sum(nb) OVER (PARTITION BY lang ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - nb) // 4096 AS batch_id
+        |  FROM blobs)
+        |SELECT lang, batch_id, count(*) AS n_items,
+        |  CAST(sum(nb) AS BIGINT) AS n_bytes, max(nb) AS max_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM packed GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin,
   )
 }
