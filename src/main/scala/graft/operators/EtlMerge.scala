@@ -359,6 +359,28 @@ object EtlMerge extends OpModule {
           round(expr("percentile(n, 0.99D)"), 4).as("p99"),
           round(max("n") / avg("n"), 4).as("skew_ratio"))
     }),
+
+    "etl_kanon_audit" -> ((s, d) => {
+      // k-anonymity audit over the quasi-identifier pair
+      // (nation, market segment): for each candidate k, how many QI
+      // groups fall below k members and how many rows sit in them —
+      // the release-gate check before a training/analytics extract
+      // ships. One partial agg collapses the table to |QI| rows; the
+      // k sweep cross-joins a 4-row literal frame against that tiny
+      // vector, so audit cost is one scan at any table size.
+      import s.implicits._
+      val g = Tables.customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      val ks = Seq(2L, 5L, 10L, 20L).toDF("k")
+      g.crossJoin(broadcast(ks))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("n") < col("k"), 1)).as("n_violating"),
+          coalesce(sum(when(col("n") < col("k"), col("n"))), lit(0L))
+            .as("n_rows_at_risk"))
+        .orderBy("k")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -371,6 +393,17 @@ object EtlMerge extends OpModule {
         |  round(quantile_cont(n, 0.99), 4) AS p99,
         |  round(max(n) / avg(n), 4) AS skew_ratio
         |FROM k""".stripMargin,
+
+    "etl_kanon_audit" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_groups,
+        |  CAST(count(*) FILTER (WHERE n < k) AS BIGINT) AS n_violating,
+        |  CAST(coalesce(sum(n) FILTER (WHERE n < k), 0) AS BIGINT)
+        |    AS n_rows_at_risk
+        |FROM g CROSS JOIN ks GROUP BY k ORDER BY k""".stripMargin,
 
     "etl_value_drift" ->
       """WITH old_s AS (
