@@ -178,9 +178,18 @@ object Graph extends OpModule {
         .distinct()
       val nOrders = ob.agg(countDistinct("ok").as("n_orders"))
       val single = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
-      val a = ob.select(col("ok"), col("b").as("b1"))
-      val c = ob.select(col("ok").as("ok2"), col("b").as("b2"))
-      val pair = a.join(c, col("ok") === col("ok2") && col("b1") < col("b2"))
+      // Pairs expand IN-ROW from each order's sorted brand set
+      // (baskets are bounded, so the expansion is O(|basket|²) per
+      // row) — one shuffle to the basket, one to the pair counts; a
+      // pair self-join on ok would shuffle the incidence twice more.
+      val baskets = ob.groupBy("ok")
+        .agg(sort_array(collect_set(col("b"))).as("bs"))
+      val pair = baskets
+        .select(explode(expr(
+          "flatten(transform(bs, (x, i) -> " +
+            "transform(slice(bs, i + 2, size(bs) - i - 1), " +
+            "y -> struct(x AS b1, y AS b2))))")).as("p"))
+        .select(col("p.b1"), col("p.b2"))
         .groupBy("b1", "b2").agg(count(lit(1)).as("nab"))
       pair
         .join(broadcast(single.select(col("b").as("b1"), col("nb").as("n1"))), Seq("b1"))
