@@ -402,6 +402,27 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_funnel_time" -> ((s, d) => {
+      // Funnel step-latency distribution: among completing users, how
+      // long view→click and click→purchase take (median / p90
+      // seconds). Runs on evt_funnel's per-user rollup (|users| rows),
+      // so the percentile sort is dimension-sized; the long (step,
+      // delta) shape explodes in-row. The product answer behind it:
+      // which funnel step loses time.
+      val f = queries("evt_funnel")(s, d).filter(col("funnel_done"))
+      val steps = f.select(explode(array(
+        struct(lit("1_view_to_click").as("step"),
+          (col("first_click") - col("first_view")).as("d_us")),
+        struct(lit("2_click_to_purchase").as("step"),
+          (col("first_purchase") - col("first_click")).as("d_us")))).as("x"))
+        .select(col("x.step").as("step"), col("x.d_us").as("d_us"))
+      steps.groupBy("step")
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(d_us, 0.5D)") / 1e6, 4).as("med_s"),
+          round(expr("percentile(d_us, 0.9D)") / 1e6, 4).as("p90_s"))
+        .orderBy("step")
+    }),
+
     "evt_forecast_snaive" -> ((s, d) => {
       // Seasonal-naive forecast eval: predict each of the last 7 days'
       // per-type volume as the mean of the SAME WEEKDAY in all prior
@@ -453,6 +474,24 @@ object Events extends OpModule {
         |    AS n_outliers
         |FROM dev d JOIN mad m USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "evt_funnel_time" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS fc,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+        |  FROM events GROUP BY user_id),
+        |done AS (SELECT * FROM f
+        |         WHERE fv IS NOT NULL AND fc > fv AND fp > fc),
+        |steps AS (
+        |  SELECT '1_view_to_click' AS step, fc - fv AS d_us FROM done
+        |  UNION ALL
+        |  SELECT '2_click_to_purchase', fp - fc FROM done)
+        |SELECT step, count(*) AS n_users,
+        |  round(quantile_cont(d_us, 0.5) / 1e6, 4) AS med_s,
+        |  round(quantile_cont(d_us, 0.9) / 1e6, 4) AS p90_s
+        |FROM steps GROUP BY step ORDER BY step""".stripMargin,
 
     "evt_forecast_snaive" ->
       """WITH daily AS (

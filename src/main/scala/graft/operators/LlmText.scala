@@ -387,6 +387,25 @@ object LlmText extends OpModule {
         .orderBy("doc_id")
     }),
 
+    "text_langid_eval" -> ((s, d) => {
+      // Detector-vs-label confusion matrix: the langid heuristic's
+      // guesses crossed with the corpus's labeled lang, plus each
+      // cell's share of its true-label row — the eval that decides
+      // whether a cheap n-gram detector is good enough to route docs
+      // before the expensive model runs. Joins the |docs|-sized guess
+      // output back to labels, then one tiny agg.
+      val guesses = queries("text_langid")(s, d)
+        .select(col("doc_id").as("g_id"), col("lang_guess"))
+      Tables.documents(s, d)
+        .join(guesses, col("doc_id") === col("g_id"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share_of_lang",
+          round(col("n_docs").cast("double") /
+            sum("n_docs").over(Window.partitionBy("lang")).cast("double"), 4))
+        .orderBy("lang", "lang_guess")
+    }),
+
     "text_quality" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val nTok = size(toks).cast("double")
@@ -1041,6 +1060,24 @@ object LlmText extends OpModule {
          |    / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
          |    THEN 'latin-common' ELSE 'other' END AS lang_guess
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid_eval" ->
+      s"""WITH guesses AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+         |        t -> t IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE)
+         |      / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
+         |      THEN 'latin-common' ELSE 'other' END AS lang_guess
+         |  FROM documents),
+         |cells AS (
+         |  SELECT d.lang, g.lang_guess, count(*) AS n_docs
+         |  FROM documents d JOIN guesses g USING (doc_id)
+         |  GROUP BY 1, 2)
+         |SELECT lang, lang_guess, n_docs,
+         |  round(CAST(n_docs AS DOUBLE) /
+         |    CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4)
+         |    AS share_of_lang
+         |FROM cells ORDER BY lang, lang_guess""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,
