@@ -68,6 +68,32 @@ object Windows extends OpModule {
         .orderBy("event_type", "day")
     }),
 
+    "win_rolling_zscore" -> ((s, d) => {
+      // Rolling anomaly score: each day's event count against the
+      // trailing 7-day window's own mean/std — adapts to level shifts
+      // that a global z-score (evt_anomaly) misnormalizes. Exactness:
+      // the window moments are INTEGER sums (S = Σx, Q = Σx²) over the
+      // day-grain rollup, so both engines hold identical values; the
+      // single sqrt/divide happens in doubles at the end. Frames with
+      // fewer than 7 days are dropped (the warm-up edge).
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w7 = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("s", sum("x").over(w7))
+        .withColumn("q", sum(col("x") * col("x")).over(w7))
+        .withColumn("m", count(lit(1)).over(w7))
+        .filter(col("m") === 7)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
+          round((col("x") * 7 - col("s")).cast("double") / 7.0
+            / sqrt((col("q") * 7 - col("s") * col("s")).cast("double") / 42.0),
+            4).as("z"))
+        .orderBy("event_type", "day")
+    }),
+
     "win_rank" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -282,6 +308,25 @@ object Windows extends OpModule {
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
         |  round(CAST(run * n - t * tot AS DOUBLE) / n, 4) AS cusum
         |FROM w ORDER BY event_type, day""".stripMargin,
+
+    "win_rolling_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY event_type, day
+        |), w AS (
+        |  SELECT event_type, day, x,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s,
+        |    sum(x * x) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS q,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS m
+        |  FROM daily
+        |)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
+        |  round(CAST(x * 7 - s AS DOUBLE) / 7.0
+        |    / sqrt(CAST(q * 7 - s * s AS DOUBLE) / 42.0), 4) AS z
+        |FROM w WHERE m = 7 ORDER BY event_type, day""".stripMargin,
 
     "win_ewma" ->
       """WITH daily AS (
