@@ -147,17 +147,26 @@ object Graph extends OpModule {
       // pairs; top-50 by rounded score with (a, b) tiebreak.
       // (deg(w) ≥ 2 for any common neighbor, so ln never hits 0.)
       val e = edges(s, d)
-      val deg = degrees(e)
       val adj = e.select(col("u").as("node"), col("v").as("nbr"))
         .union(e.select(col("v").as("node"), col("u").as("nbr")))
-      val a1 = adj.select(col("node").as("a"), col("nbr").as("w"))
-      val a2 = adj.select(col("node").as("b"), col("nbr").as("w2"))
-      val wedges = a1.join(a2, col("w") === col("w2") && col("a") < col("b"))
-        .join(broadcast(deg.select(col("node").as("w3"), col("d"))),
-          col("w") === col("w3"))
-      val scoredPairs = wedges.groupBy("a", "b")
+      // Wedges expand IN-ROW from each hub's sorted neighbor list with
+      // the hub's 1/ln(deg) weight attached map-side — one shuffle to
+      // the adjacency lists, one to the pair scores; a wedge self-join
+      // on the hub key would shuffle the adjacency twice more. Caveat
+      // at extreme skew: a super-hub's C(deg,2) pairs expand in one
+      // row — cap or salt hubs above a degree bound before this step.
+      val nbrs = adj.groupBy(col("node"))
+        .agg(sort_array(collect_set(col("nbr"))).as("ns"))
+      val pairs = nbrs
+        .select((lit(1.0) / log(size(col("ns")).cast("double"))).as("wt"),
+          explode(expr(
+            "flatten(transform(ns, (x, i) -> " +
+              "transform(slice(ns, i + 2, size(ns) - i - 1), " +
+              "y -> struct(x AS a, y AS b))))")).as("p"))
+        .select(col("p.a"), col("p.b"), col("wt"))
+      val scoredPairs = pairs.groupBy("a", "b")
         .agg(count(lit(1)).as("n_common"),
-          round(sum(lit(1.0) / log(col("d").cast("double"))), 4).as("aa_score"))
+          round(sum(col("wt")), 4).as("aa_score"))
       scoredPairs
         .join(e, col("a") === col("u") && col("b") === col("v"), "left_anti")
         .orderBy(col("aa_score").desc, col("a"), col("b"))

@@ -40,6 +40,15 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq(Row(1L, 1L), Row(2L, 2L), Row(3L, 1L)))
   }
 
+  test("graph_link_predict scores the two non-adjacent fixture pairs by Adamic-Adar") {
+    // non-adjacent pairs with a common neighbor: (1,4) and (2,4), both
+    // via node 3 (degree 3) → score 1/ln(3) = 0.9102; adjacent pairs
+    // (1,2), (1,3), (2,3) must be anti-joined away.
+    val got = SparkEntry.queries("graph_link_predict")(spark, dir)
+      .collect().toSeq
+    assert(got === Seq(Row(1L, 4L, 1L, 0.9102), Row(2L, 4L, 1L, 0.9102)))
+  }
+
   test("graph_pagerank conserves rank mass over the sf0.001 trade graph") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
       .collect()
