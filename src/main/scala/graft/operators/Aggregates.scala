@@ -202,6 +202,31 @@ object Aggregates extends OpModule {
         .orderBy("event_type")
     }),
 
+    "agg_hhi" -> ((s, d) => {
+      // Herfindahl-Hirschman concentration of order revenue across
+      // customers, per nation: HHI = Σ shareᵢ² = Σrevᵢ² / (Σrev)² —
+      // near 1/n means spend is diffuse, near 1 means one whale. The
+      // squared revenues stay DECIMAL (exact) through both sums; the
+      // one divide runs in doubles. Two partial aggs: fact → per-
+      // customer revenue, then the |customers|-sized concentration
+      // rollup.
+      val cust = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("n_name"))
+        .agg(sum(Dec2(col("o_totalprice"))).as("rev"))
+      cust.groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("rev") * col("rev")).cast("double")
+            / (sum(col("rev")).cast("double") * sum(col("rev")).cast("double")),
+            6).as("hhi"))
+        .orderBy("nation")
+    }),
+
     "agg_gini" -> ((s, d) => {
       // Gini coefficient of customer spend — the inequality summary
       // behind the Pareto view. G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
@@ -616,6 +641,20 @@ object Aggregates extends OpModule {
         |  round(min(lo), 4) AS lo_fence, round(min(hi), 4) AS hi_fence
         |FROM j GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "agg_hhi" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, n_name,
+        |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name AS nation, count(*) AS n_customers,
+        |  round(CAST(sum(rev * rev) AS DOUBLE)
+        |    / (CAST(sum(rev) AS DOUBLE) * CAST(sum(rev) AS DOUBLE)), 6)
+        |    AS hhi
+        |FROM cust GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_gini" ->
       """WITH spend AS (

@@ -68,6 +68,34 @@ object Windows extends OpModule {
         .orderBy("event_type", "day")
     }),
 
+    "win_drawdown" -> ((s, d) => {
+      // Worst slump of each type's demeaned daily-value series: max
+      // drawdown of the CUSUM (Σx − t·μ) — "how far and how long did
+      // flow run below its best trend point". Raw cumulative value
+      // only grows, so drawdown is measured on the demeaned series;
+      // the same n-scaled DECIMAL trick as win_cusum keeps every
+      // window term exact, with one divide-by-n in doubles at the
+      // end. All windows on the day-grain rollup.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(Dec2(col("value"))).as("v"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      val c = daily
+        .withColumn("run", sum("v").over(wRun))
+        .withColumn("t", row_number().over(wOrd).cast("long"))
+        .withColumn("tot", sum("v").over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("cs", col("run") * col("n") - col("t") * col("tot"))
+      c.withColumn("peak", max("cs").over(wRun))
+        .groupBy("event_type")
+        .agg(round(max(col("peak") - col("cs")).cast("double")
+            / min("n").cast("double"), 4).as("max_slump"),
+          count(when(col("cs") < col("peak"), 1)).as("days_below_peak"))
+        .orderBy("event_type")
+    }),
+
     "win_rolling_zscore" -> ((s, d) => {
       // Rolling anomaly score: each day's event count against the
       // trailing 7-day window's own mean/std — adapts to level shifts
@@ -308,6 +336,32 @@ object Windows extends OpModule {
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
         |  round(CAST(run * n - t * tot AS DOUBLE) / n, 4) AS cusum
         |FROM w ORDER BY event_type, day""".stripMargin,
+
+    "win_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS v
+        |  FROM events GROUP BY event_type, day
+        |), c AS (
+        |  SELECT event_type, day,
+        |    sum(v) OVER (PARTITION BY event_type ORDER BY day) AS run,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+        |    sum(v) OVER (PARTITION BY event_type) AS tot,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily
+        |), s AS (
+        |  SELECT event_type, day, n, run * n - t * tot AS cs FROM c
+        |), p AS (
+        |  SELECT event_type, n, cs,
+        |    max(cs) OVER (PARTITION BY event_type ORDER BY day) AS peak
+        |  FROM s
+        |)
+        |SELECT event_type,
+        |  round(CAST(max(peak - cs) AS DOUBLE) / CAST(min(n) AS DOUBLE), 4)
+        |    AS max_slump,
+        |  CAST(count(*) FILTER (WHERE cs < peak) AS BIGINT)
+        |    AS days_below_peak
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "win_rolling_zscore" ->
       """WITH daily AS (
