@@ -402,6 +402,27 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_interarrival" -> ((s, d) => {
+      // Inter-arrival time distribution per event type: gaps between a
+      // user's consecutive events of the same type (median / p90
+      // seconds) — the cadence profile behind rate-limit and
+      // staleness thresholds. The lag window partitions by
+      // (user, type), so each partition is one user's stream slice;
+      // integer-µs deltas keep the percentile inputs engine-exact.
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("d_us"))
+        .filter(col("d_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(d_us, 0.5D)") / 1e6, 4).as("med_s"),
+          round(expr("percentile(d_us, 0.9D)") / 1e6, 4).as("p90_s"))
+        .orderBy("event_type")
+    }),
+
     "evt_funnel_time" -> ((s, d) => {
       // Funnel step-latency distribution: among completing users, how
       // long view→click and click→purchase take (median / p90
@@ -473,6 +494,19 @@ object Events extends OpModule {
         |  CAST(count(*) FILTER (WHERE d.dv > 3 * m.mad) AS BIGINT)
         |    AS n_outliers
         |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "evt_interarrival" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS d_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(quantile_cont(d_us, 0.5) / 1e6, 4) AS med_s,
+        |  round(quantile_cont(d_us, 0.9) / 1e6, 4) AS p90_s
+        |FROM seq WHERE d_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "evt_funnel_time" ->

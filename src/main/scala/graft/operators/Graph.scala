@@ -101,6 +101,30 @@ object Graph extends OpModule {
             / col("n_wedges").cast("double"), 4).as("clustering"))
     }),
 
+    "graph_assortativity" -> ((s, d) => {
+      // Degree assortativity: Pearson correlation of endpoint degrees
+      // over all directed edge endpoints — positive means hubs link
+      // hubs (social-graph shape), negative means hub-and-spoke.
+      // Every moment (Σx, Σx², Σxy) is an exact integer sum; x/y are
+      // symmetric by the bidirectional union, so Sy = Sx and the one
+      // divide runs in doubles at the end. Degrees broadcast.
+      val e = edges(s, d)
+      val deg = degrees(e)
+      val du = deg.select(col("node").as("u"), col("d").as("xu"))
+      val dv = deg.select(col("node").as("v"), col("d").as("xv"))
+      val ej = e.join(broadcast(du), Seq("u")).join(broadcast(dv), Seq("v"))
+      val de = ej.select(col("xu").as("x"), col("xv").as("y"))
+        .union(ej.select(col("xv").as("x"), col("xu").as("y")))
+      de.agg(count(lit(1)).as("m"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("m").as("n_endpoints"),
+          round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
+            / ((col("m") * col("sxx")).cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 4)
+            .as("assortativity"))
+    }),
+
     "graph_pagerank" -> ((s, d) => {
       // Fixed-iteration weighted PageRank over the nation→nation trade
       // graph (edge = customer nation buys from supplier nation,
@@ -254,6 +278,24 @@ object Graph extends OpModule {
          |  (SELECT n_triangles FROM tri) AS n_triangles,
          |  round((SELECT n_triangles FROM tri) * 3.0
          |    / (SELECT sum(d * (d - 1) // 2) FROM deg), 4) AS clustering""".stripMargin,
+
+    "graph_assortativity" ->
+      s"""WITH $EDGES,
+         |de AS (
+         |  SELECT du.d AS x, dv.d AS y FROM e
+         |  JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+         |  UNION ALL
+         |  SELECT dv.d, du.d FROM e
+         |  JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+         |m AS (SELECT count(*) AS m, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM de)
+         |SELECT m AS n_endpoints,
+         |  round(CAST(m * sxy - sx * sx AS DOUBLE)
+         |    / (CAST(m * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+         |    4) AS assortativity
+         |FROM m""".stripMargin,
 
     "graph_pagerank" -> {
       val base =
