@@ -232,14 +232,27 @@ object Aggregates extends OpModule {
       // behind the Pareto view. G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
       // over ascending-sorted spend; every moment is an exact decimal
       // (rank·spend products included), so G is engine-exact before
-      // its single rounding. The rank window runs on the post-agg
-      // customer rollup; at 100 TB ranks would come from a two-pass
-      // partition-offset sort, same downstream formula.
+      // its single rounding. Ranks come from a TWO-PASS
+      // PARTITION-OFFSET sort: a coarse spend bucket splits the
+      // customer rollup, per-bucket counts (dimension-sized) turn into
+      // exclusive prefix offsets broadcast back, and row_number runs
+      // PARTITIONED by bucket — offset + local rank equals the global
+      // rank exactly (bucket order aligns with x order; ties share a
+      // bucket), without |customers| rows through one partition at
+      // 100×. The oracle keeps the plain global row_number — identical
+      // ranks either way.
       val spend = Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(sum(Dec2(col("o_totalprice"))).as("x"))
-      val w = Window.orderBy(col("x"), col("o_custkey"))
-      val ranked = spend.withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("bk", floor(col("x") / 10000).cast("long"))
+      val wPrev = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = spend.groupBy("bk").agg(count(lit(1)).as("c"))
+        .select(col("bk"),
+          coalesce(sum("c").over(wPrev), lit(0L)).as("off"))
+      val w = Window.partitionBy("bk").orderBy(col("x"), col("o_custkey"))
+      val ranked = spend.join(broadcast(offs), Seq("bk"))
+        .withColumn("i", row_number().over(w).cast("long") + col("off"))
       ranked.agg(count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("x") * col("i")).as("six"))
         .select(col("n"),
@@ -387,11 +400,18 @@ object Aggregates extends OpModule {
       // view value distributions — the numeric drift test next to
       // etl_value_drift's categorical one. The CDF grid is the
       // DISTINCT exact-decimal values (Dec2 — no double-rounding grid
-      // hazards), built by one partial-agged rollup; the running CDFs
-      // use a global-order window over that |grid| rollup (bounded by
-      // value cardinality, not row count — bucket the grid first if a
-      // 100 TB payload were continuous). All CDF terms are exact
-      // integer ratios, so the argmax row is engine-identical.
+      // hazards), built by one partial-agged rollup. The running CDFs
+      // are TWO-PASS PARTITION-OFFSET sums: the grid buckets by a
+      // coarse value range, per-bucket totals (a dimension-sized
+      // rollup) turn into exclusive prefix offsets broadcast back, and
+      // the per-value running sums run PARTITIONED by bucket — no
+      // global-order window ever sees the grid, so a continuous
+      // 100 TB payload (grid ≈ |events|) still parallelizes. Bucket
+      // boundaries align with value order, so offset + local running
+      // sum equals the global CDF exactly; all CDF terms stay exact
+      // integer ratios and the argmax row is engine-identical (the
+      // oracle keeps the plain global-window formulation — identical
+      // integers either way).
       val e = Tables.events(s, d)
         .filter(col("event_type").isin("click", "view"))
         .select(col("event_type"), Dec2(col("value")).as("v"))
@@ -399,10 +419,19 @@ object Aggregates extends OpModule {
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_a"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_b"))
       val tots = g.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
-      val w = Window.orderBy("v")
+      val gb = g.withColumn("bk", floor(col("v") / 50).cast("long"))
+      val wPrev = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = gb.groupBy("bk")
+        .agg(sum("n_a").as("ba"), sum("n_b").as("bb"))
+        .select(col("bk"),
+          coalesce(sum("ba").over(wPrev), lit(0L)).as("oa"),
+          coalesce(sum("bb").over(wPrev), lit(0L)).as("ob"))
+      val w = Window.partitionBy("bk").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      g.withColumn("ca", sum("n_a").over(w))
-        .withColumn("cb", sum("n_b").over(w))
+      gb.join(broadcast(offs), Seq("bk"))
+        .withColumn("ca", sum("n_a").over(w) + col("oa"))
+        .withColumn("cb", sum("n_b").over(w) + col("ob"))
         .crossJoin(broadcast(tots))
         .select(col("v"), col("tot_a"), col("tot_b"),
           abs(col("ca").cast("double") / col("tot_a").cast("double")

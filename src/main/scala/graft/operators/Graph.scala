@@ -107,7 +107,10 @@ object Graph extends OpModule {
       // hubs (social-graph shape), negative means hub-and-spoke.
       // Every moment (Σx, Σx², Σxy) is an exact integer sum; x/y are
       // symmetric by the bidirectional union, so Sy = Sx and the one
-      // divide runs in doubles at the end. Degrees broadcast.
+      // divide runs in doubles at the end. Degrees broadcast. A
+      // REGULAR graph (all degrees equal) zeroes the variance — 0/0
+      // diverges between engines, so the exact integer comparison
+      // m·sxx = sx² guards the degenerate case to NULL on both sides.
       val e = edges(s, d)
       val deg = degrees(e)
       val du = deg.select(col("node").as("u"), col("d").as("xu"))
@@ -119,9 +122,12 @@ object Graph extends OpModule {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("y")).as("sxy"))
         .select(col("m").as("n_endpoints"),
-          round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
-            / ((col("m") * col("sxx")).cast("double")
-              - col("sx").cast("double") * col("sx").cast("double")), 4)
+          when(col("m") * col("sxx") === col("sx") * col("sx"),
+            lit(null).cast("double"))
+            .otherwise(
+              round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double")
+                / ((col("m") * col("sxx")).cast("double")
+                  - col("sx").cast("double") * col("sx").cast("double")), 4))
             .as("assortativity"))
     }),
 
@@ -169,20 +175,31 @@ object Graph extends OpModule {
       // the same bounded enumeration as graph_triangles; the
       // anti-join against the edge list removes already-connected
       // pairs; top-50 by rounded score with (a, b) tiebreak.
-      // (deg(w) ≥ 2 for any common neighbor, so ln never hits 0.)
+      // (deg(w) ≥ 2 for any common neighbor, so ln never hits 0;
+      // a capped-out hub simply stops generating wedges.)
       val e = edges(s, d)
       val adj = e.select(col("u").as("node"), col("v").as("nbr"))
         .union(e.select(col("v").as("node"), col("u").as("nbr")))
       // Wedges expand IN-ROW from each hub's sorted neighbor list with
       // the hub's 1/ln(deg) weight attached map-side — one shuffle to
       // the adjacency lists, one to the pair scores; a wedge self-join
-      // on the hub key would shuffle the adjacency twice more. Caveat
-      // at extreme skew: a super-hub's C(deg,2) pairs expand in one
-      // row — cap or salt hubs above a degree bound before this step.
-      val nbrs = adj.groupBy(col("node"))
+      // on the hub key would shuffle the adjacency twice more. HUB
+      // GUARD: nodes above the degree cap are dropped as wedge hubs
+      // BEFORE their adjacency list is collected — a super-hub would
+      // otherwise materialize C(deg, 2) ≈ deg²/2 structs inside one
+      // row/task (12.5 M at deg 5,000). The broadcast degree filter
+      // bounds both the collect_set row and the in-row expansion; the
+      // oracle mirrors the cap, so the semantics are explicit. (An
+      // Adamic-Adar hub contributes weight 1/ln(deg) → ~0 anyway, so
+      // the cap is also statistically benign.)
+      val hubCap = 2000
+      val capped = degrees(e).filter(col("d") <= hubCap)
+      val nbrs = adj.join(broadcast(capped), Seq("node"))
+        .groupBy(col("node"), col("d"))
         .agg(sort_array(collect_set(col("nbr"))).as("ns"))
+      // d == size(ns): edges are distinct, so every neighbor is unique.
       val pairs = nbrs
-        .select((lit(1.0) / log(size(col("ns")).cast("double"))).as("wt"),
+        .select((lit(1.0) / log(col("d").cast("double"))).as("wt"),
           explode(expr(
             "flatten(transform(ns, (x, i) -> " +
               "transform(slice(ns, i + 2, size(ns) - i - 1), " +
@@ -292,9 +309,11 @@ object Graph extends OpModule {
          |    CAST(sum(x * y) AS BIGINT) AS sxy
          |  FROM de)
          |SELECT m AS n_endpoints,
-         |  round(CAST(m * sxy - sx * sx AS DOUBLE)
-         |    / (CAST(m * sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-         |    4) AS assortativity
+         |  CASE WHEN m * sxx = sx * sx THEN NULL
+         |       ELSE round(CAST(m * sxy - sx * sx AS DOUBLE)
+         |         / (CAST(m * sxx AS DOUBLE)
+         |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+         |  END AS assortativity
          |FROM m""".stripMargin,
 
     "graph_pagerank" -> {
@@ -335,7 +354,7 @@ object Graph extends OpModule {
          |      AS aa_score
          |  FROM adj a1
          |  JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
-         |  JOIN deg ON deg.node = a1.nbr
+         |  JOIN deg ON deg.node = a1.nbr AND deg.d <= 2000
          |  GROUP BY 1, 2)
          |SELECT a, b, n_common, aa_score FROM aa
          |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = aa.a AND e.v = aa.b)

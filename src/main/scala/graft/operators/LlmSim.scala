@@ -45,6 +45,67 @@ object LlmSim extends OpModule {
   private def lshBucket(v: Column): Column =
     graft.functions.GraftFunctions.lshBucket(v, 8)
 
+  // ---- Product quantization (M=8 subspaces × K=16 codes, TRAINED) ----
+  // The codebook is k-means-trained PER SUBSPACE: deterministic init
+  // (the K lowest-id vectors' sub-vectors, as before), then two fixed
+  // Lloyd iterations whose centroid updates are exact integer floor
+  // divisions — engine-identical, partition-order-independent. Every
+  // distance sums FLOOR(v·1e6) integer squares. Plan shape per pass:
+  // codebook side is ≤ K·dim rows (broadcast), the element join is
+  // map-side, partial aggs collapse |V|·dim·K terms to |V|·M·K sums
+  // before any shuffle. At 100 TB each training pass would persist its
+  // assignment; here the ~6-stage unrolled plan is dimension-cheap.
+
+  /** Sub-vector element table (vec_id, pos, m, vi) — vi = ⌊v·1e6⌋. */
+  private def pqElems(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        floor(col("vf").cast("double") * 1e6).cast("long").as("vi"))
+      .withColumn("m", expr("(pos - 1) div 8"))
+
+  /** Per-(vector, subspace, code) integer L2 distances vs codebook
+    * cb(k, cpos, ci). The pos = cpos equi-join lands each codeword's
+    * coordinates in its own subspace automatically. */
+  private def pqDists(e: DataFrame, cb: DataFrame): DataFrame =
+    e.join(broadcast(cb), col("pos") === col("cpos"))
+      .groupBy(col("vec_id"), col("m"), col("k"))
+      .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("dist"))
+
+  /** Argmin code per (vector, subspace) — lexicographic struct-min,
+    * ties to the lower code id (mirrors the oracle's row_number). */
+  private def pqArgmin(dists: DataFrame): DataFrame =
+    dists.groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("k"),
+        col("best.dist").as("dist_sq"))
+
+  /** Lloyd update: new codeword coordinate = floor-mean of the
+    * assigned sub-vectors' integer coords. The explicit non-negative
+    * mod makes the division an exact multiple, so integer `div`
+    * (truncation) equals floor division on both engines. */
+  private def pqUpdate(e: DataFrame, assign: DataFrame): DataFrame =
+    e.join(assign.select(col("vec_id").as("av"), col("m").as("am"),
+        col("k").as("ak")),
+        col("vec_id") === col("av") && col("m") === col("am"))
+      .groupBy(col("ak"), col("pos"))
+      .agg(sum("vi").as("sv"), count(lit(1)).as("cnt"))
+      .select(col("ak").as("k"), col("pos").as("cpos"),
+        expr("(sv - ((sv % cnt) + cnt) % cnt) div cnt").as("ci"))
+
+  /** Trained codebook: init → assign → update → assign → update.
+    * K = 16 with training measured recall@3 0.233 vs 0.133 for the r3
+    * first-4 codebook, at distortion 0.072 vs 0.150 (sf0.01 sweep of
+    * K ∈ {4, 8, 16} × {trained, untrained}). */
+  private def pqCodebook(e: DataFrame): DataFrame = {
+    val c0 = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("k"), col("pos").as("cpos"), col("vi").as("ci"))
+    val a1 = pqArgmin(pqDists(e, c0)).drop("dist_sq")
+    val c1 = pqUpdate(e, a1)
+    val a2 = pqArgmin(pqDists(e, c1)).drop("dist_sq")
+    pqUpdate(e, a2)
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_cosine_pairs" -> ((s, d) => {
       // Norms are projected per-side BEFORE the pair join so each is
@@ -278,30 +339,18 @@ object LlmSim extends OpModule {
     "embed_pq" -> ((s, d) => {
       // Product quantization — the ANN compression step beyond scalar
       // quantization: the 64-dim space splits into M=8 subspaces of 8
-      // dims; each sub-vector is coded as its nearest of K=4 codewords
-      // (the sub-vectors of the K lowest-id vectors — deterministic,
-      // like sim_knn_ivf's init — real PQ k-means-trains per subspace).
-      // Distances sum FLOOR(v·1e6) integer squares, so the argmin is
-      // order-independent and engine-exact. Plan: codebook side is
-      // K·dim rows (broadcast); element join is map-side; partial aggs
-      // collapse |V|·dim·K element terms to |V|·M·K sums before any
-      // shuffle, then a second partial-agg struct-min picks codes — no
-      // window over the distance matrix.
-      val K = 4
-      val u = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
-        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
-          floor(col("vf").cast("double") * 1e6).cast("long").as("vi"))
-        .withColumn("m", expr("(pos - 1) div 8"))
-      val cb = u.filter(col("vec_id") < K)
-        .select(col("vec_id").as("k"), col("pos").as("cpos"), col("vi").as("ci"))
-      u.join(broadcast(cb), col("pos") === col("cpos"))
-        .groupBy(col("vec_id"), col("m"), col("k"))
-        .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("dist"))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("dist"), col("k"))).as("best"))
+      // dims; each sub-vector is coded as its nearest of K=16 codewords
+      // from the TRAINED per-subspace codebook (deterministic init +
+      // 2 integer-exact Lloyd iterations — see pqCodebook; r3 used the
+      // raw init codebook, r4 trains it, which is what real PQ does
+      // and what cuts quantization distortion). Distances sum
+      // FLOOR(v·1e6) integer squares, so every argmin is
+      // order-independent and engine-exact; no window ever touches the
+      // distance matrix.
+      val e = pqElems(s, d)
+      pqArgmin(pqDists(e, pqCodebook(e)))
         .select(col("vec_id"), col("m").as("subspace"),
-          col("best.k").as("code"), col("best.dist").as("dist_sq"))
+          col("k").as("code"), col("dist_sq"))
         .orderBy("vec_id", "subspace")
     }),
 
@@ -313,22 +362,13 @@ object LlmSim extends OpModule {
       // BROADCASTS. Scoring is a map-side join codes⋈dtab + a partial
       // agg summing M per-subspace terms — the full float vectors are
       // never touched at query time. All distances are exact integer
-      // sums of FLOOR(v·1e6) squares, so ranks are engine-identical.
-      val K = 4
+      // sums of FLOOR(v·1e6) squares vs the TRAINED codebook
+      // (pqCodebook), so ranks are engine-identical.
       val Q = 10
-      val u = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
-        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
-          floor(col("vf").cast("double") * 1e6).cast("long").as("vi"))
-        .withColumn("m", expr("(pos - 1) div 8"))
-      val cb = u.filter(col("vec_id") < K)
-        .select(col("vec_id").as("k"), col("pos").as("cpos"), col("vi").as("ci"))
-      val dists = u.join(broadcast(cb), col("pos") === col("cpos"))
-        .groupBy(col("vec_id"), col("m"), col("k"))
-        .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("dist"))
-      val codes = dists.groupBy("vec_id", "m")
-        .agg(min(struct(col("dist"), col("k"))).as("best"))
-        .select(col("vec_id"), col("m"), col("best.k").as("code"))
+      val e = pqElems(s, d)
+      val dists = pqDists(e, pqCodebook(e))
+      val codes = pqArgmin(dists)
+        .select(col("vec_id"), col("m"), col("k").as("code"))
       val dtab = dists.filter(col("vec_id") < Q)
         .select(col("vec_id").as("q_id"), col("m").as("qm"),
           col("k"), col("dist"))
@@ -581,28 +621,59 @@ object LlmSim extends OpModule {
        |FROM $assign a JOIN u ON u.vec_id = a.vec_id
        |GROUP BY a.cell, u.pos""".stripMargin
 
+  /** One PQ distance pass in SQL: per-(vector, subspace, code)
+    * integer L2 vs codebook `cb(k, cpos, ci)`. */
+  private def pqDistSql(cb: String): String =
+    s"""SELECT e.vec_id, e.m, c.k,
+       |    CAST(sum((e.vi - c.ci) * (e.vi - c.ci)) AS BIGINT) AS dist
+       |  FROM e JOIN $cb c ON e.pos = c.cpos
+       |  GROUP BY e.vec_id, e.m, c.k""".stripMargin
+
+  /** Argmin code per (vector, subspace), ties to the lower code id
+    * (mirrors the Spark side's min(struct(dist, k))). */
+  private def pqArgminSql(dists: String): String =
+    s"""SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |    FROM $dists) WHERE rn = 1""".stripMargin
+
+  /** One Lloyd update in SQL: floor-mean of the assigned integer
+    * coords — the explicit non-negative mod makes the numerator an
+    * exact multiple, so `//` matches Spark's integer `div` for any
+    * sign; the BIGINT cast collapses DuckDB's HUGEINT sums. */
+  private def pqUpdateSql(assign: String): String =
+    s"""SELECT a.k, e.pos AS cpos,
+       |    CAST((sum(e.vi) - ((sum(e.vi) % count(*)) + count(*)) % count(*))
+       |      // count(*) AS BIGINT) AS ci
+       |  FROM e JOIN $assign a ON e.vec_id = a.vec_id AND e.m = a.m
+       |  GROUP BY a.k, e.pos""".stripMargin
+
   /** Shared PQ CTE block ending in `best(vec_id, m, k, dist, rn)` —
-    * rn = 1 rows are the per-(vector, subspace) code assignments
-    * (mirrors the `embed_pq` DataFrame pipeline). */
+    * rn = 1 rows are the per-(vector, subspace) code assignments vs
+    * the TRAINED codebook: deterministic init c0 (the K lowest-id
+    * vectors' sub-vectors) then two integer-exact Lloyd iterations
+    * (mirrors the `pqCodebook` DataFrame pipeline). */
   private val PqCtes =
-    """u AS (
-      |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
-      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi
-      |  FROM embeddings
-      |), e AS (
-      |  SELECT vec_id, pos, (pos - 1) // 8 AS m, vi FROM u
-      |), c AS (
-      |  SELECT vec_id AS k, pos AS cpos, vi AS ci FROM e WHERE vec_id < 4
-      |), dists AS (
-      |  SELECT e.vec_id, e.m, c.k,
-      |    CAST(sum((e.vi - c.ci) * (e.vi - c.ci)) AS BIGINT) AS dist
-      |  FROM e JOIN c ON e.pos = c.cpos
-      |  GROUP BY e.vec_id, e.m, c.k
-      |), best AS (
-      |  SELECT vec_id, m, k, dist,
-      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
-      |  FROM dists
-      |)""".stripMargin
+    s"""u AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi
+       |  FROM embeddings
+       |), e AS (
+       |  SELECT vec_id, pos, (pos - 1) // 8 AS m, vi FROM u
+       |), c0 AS (
+       |  SELECT vec_id AS k, pos AS cpos, vi AS ci FROM e WHERE vec_id < 16
+       |), pd1 AS (${pqDistSql("c0")}),
+       |pa1 AS (${pqArgminSql("pd1")}),
+       |pc1 AS (${pqUpdateSql("pa1")}),
+       |pd2 AS (${pqDistSql("pc1")}),
+       |pa2 AS (${pqArgminSql("pd2")}),
+       |pc2 AS (${pqUpdateSql("pa2")}),
+       |dists AS (${pqDistSql("pc2")}),
+       |best AS (
+       |  SELECT vec_id, m, k, dist,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+       |  FROM dists
+       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "embed_bucket_stats" ->
@@ -961,8 +1032,8 @@ object LlmSim extends OpModule {
         |  FROM documents),
         |packed AS (
         |  SELECT doc_id, lang, nb,
-        |    (sum(nb) OVER (PARTITION BY lang ORDER BY doc_id
-        |       ROWS UNBOUNDED PRECEDING) - nb) // 4096 AS batch_id
+        |    CAST((sum(nb) OVER (PARTITION BY lang ORDER BY doc_id
+        |       ROWS UNBOUNDED PRECEDING) - nb) // 4096 AS BIGINT) AS batch_id
         |  FROM blobs)
         |SELECT lang, batch_id, count(*) AS n_items,
         |  CAST(sum(nb) AS BIGINT) AS n_bytes, max(nb) AS max_bytes,

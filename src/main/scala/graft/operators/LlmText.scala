@@ -779,13 +779,17 @@ object LlmText extends OpModule {
       // agree with the exact baseline before you trust them alone.
       // All sets restrict to the ngram baseline's doc_id < 100
       // comparison universe; ONE self-join of the tagged pair union
-      // produces the whole matrix.
+      // produces the whole matrix. The union is PERSISTED before the
+      // self-join: each side of the join would otherwise re-run all
+      // three detector pipelines from scratch (the three families are
+      // the priciest plans in the module).
       def pairsOf(name: String, tag: String) = queries(name)(s, d)
         .select(lit(tag).as("m"), col("a_id"), col("b_id"))
         .filter(col("a_id") < 100 && col("b_id") < 100)
       val tagged = pairsOf("dedup_near_minhash", "minhash")
         .union(pairsOf("dedup_simhash_pairs", "simhash"))
         .union(pairsOf("dedup_ngram_jaccard", "ngram"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val x = tagged.select(col("m").as("m_a"), col("a_id"), col("b_id"))
       val y = tagged.select(col("m").as("m_b"), col("a_id").as("a2"),
         col("b_id").as("b2"))

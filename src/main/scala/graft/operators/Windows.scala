@@ -103,7 +103,10 @@ object Windows extends OpModule {
       // the window moments are INTEGER sums (S = Σx, Q = Σx²) over the
       // day-grain rollup, so both engines hold identical values; the
       // single sqrt/divide happens in doubles at the end. Frames with
-      // fewer than 7 days are dropped (the warm-up edge).
+      // fewer than 7 days are dropped (the warm-up edge). A CONSTANT
+      // 7-day window makes the variance term 0 — engines disagree on
+      // 0/0 (NaN vs NULL), so the zero case is guarded to NULL on both
+      // sides via the exact integer comparison q·7 = s².
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("x"))
@@ -116,9 +119,11 @@ object Windows extends OpModule {
         .filter(col("m") === 7)
         .select(col("event_type"),
           date_format(col("day"), "yyyy-MM-dd").as("day"), col("x"),
-          round((col("x") * 7 - col("s")).cast("double") / 7.0
-            / sqrt((col("q") * 7 - col("s") * col("s")).cast("double") / 42.0),
-            4).as("z"))
+          when(col("q") * 7 === col("s") * col("s"),
+            lit(null).cast("double"))
+            .otherwise(round((col("x") * 7 - col("s")).cast("double") / 7.0
+              / sqrt((col("q") * 7 - col("s") * col("s")).cast("double") / 42.0),
+              4)).as("z"))
         .orderBy("event_type", "day")
     }),
 
@@ -378,8 +383,9 @@ object Windows extends OpModule {
         |  FROM daily
         |)
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x,
-        |  round(CAST(x * 7 - s AS DOUBLE) / 7.0
-        |    / sqrt(CAST(q * 7 - s * s AS DOUBLE) / 42.0), 4) AS z
+        |  CASE WHEN q * 7 = s * s THEN NULL
+        |       ELSE round(CAST(x * 7 - s AS DOUBLE) / 7.0
+        |         / sqrt(CAST(q * 7 - s * s AS DOUBLE) / 42.0), 4) END AS z
         |FROM w WHERE m = 7 ORDER BY event_type, day""".stripMargin,
 
     "win_ewma" ->

@@ -27,6 +27,20 @@ class PlansSpec extends SparkSpec {
 
   private def treeString(df: DataFrame): String = executed(df).toString
 
+  /** Collect across AQE stage boundaries: finalized stages are leaf
+    * QueryStageExec nodes that TreeNode.collect does not descend into,
+    * so a plain collect on the adaptive plan misses everything inside
+    * them. */
+  private def deepNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: children.flatMap(deepNodes)
+  }
+
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
   test("filter_pred pushes predicates into the parquet scan") {
@@ -235,6 +249,42 @@ class PlansSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"wedge/anti joins lost their equi shape:\n$plan")
+  }
+
+  test("graph_link_predict enforces the hub degree cap before wedge expansion") {
+    // a super-hub would expand C(deg, 2) structs inside one row; the
+    // broadcast degree filter must bound the hubs that reach
+    // collect_set — losing this filter is an OOM at skewed scale.
+    val plan = treeString(q("graph_link_predict"))
+    assert(plan.contains("<= 2000"),
+      s"degree-cap filter missing from the wedge-hub side:\n$plan")
+  }
+
+  test("agg_ks_test runs its CDF windows partitioned (two-pass offsets)") {
+    // the running CDF must never be a global-order window over the
+    // value grid — a continuous payload makes the grid events-sized.
+    // Shape: >=1 bucket-partitioned window doing the per-value running
+    // sums; at most one unpartitioned window, and only over the
+    // dimension-sized per-bucket rollup.
+    val windows = deepNodes(executed(q("agg_ks_test"))).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "no partitioned CDF window — global-order formulation is back")
+    assert(windows.count(_.partitionSpec.isEmpty) <= 1,
+      "more than one unpartitioned window in the KS plan")
+  }
+
+  test("agg_gini ranks customers with a partitioned window (two-pass offsets)") {
+    // same contract as agg_ks_test: the |customers| rollup must not
+    // serialize through one unpartitioned row_number.
+    val windows = deepNodes(executed(q("agg_gini"))).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "no partitioned rank window — global row_number is back")
+    assert(windows.count(_.partitionSpec.isEmpty) <= 1,
+      "more than one unpartitioned window in the gini plan")
   }
 
   test("flagship entry broadcasts the filtered customer dimension") {
