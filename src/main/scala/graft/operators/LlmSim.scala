@@ -45,6 +45,47 @@ object LlmSim extends OpModule {
   private def lshBucket(v: Column): Column =
     graft.functions.GraftFunctions.lshBucket(v, 8)
 
+  // ---- Shared k-means machinery (embed_kmeans, sim_knn_ivf) ----------
+  // One Lloyd assignment/update pair over cosine similarity. Centroids
+  // live as (cell, array<double>) rows — C rows at ANY corpus size,
+  // always broadcast; scoring is a map-only broadcast-cross-score +
+  // partial-agg argmin (min over (−cos, cell) structs) — map-side
+  // combine collapses the |V|·C scores to |V| rows before the shuffle,
+  // no window sort over the score matrix. Updates sum FLOOR(v·1e6) as
+  // integers — order-independent, so recomputed centroids are
+  // bit-identical across engines and partition layouts (a raw double
+  // mean is summation-order dependent and would diverge).
+
+  /** Nearest-centroid assignment: (vec_id, cell), ties to the lower
+    * cell id. `e` must carry (vec_id, embedding, nrm). */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cwn = cents.withColumn("cnrm", norm(col("c_emb")))
+    e.crossJoin(broadcast(cwn))
+      .withColumn("kcos", round(
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("cnrm")), 4))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("kcos")).as("nc"), col("cell").as("cl"))).as("m"))
+      .select(col("vec_id"), col("m.cl").as("cell"))
+  }
+
+  /** Lloyd update: integer-sum mean of FLOOR(v·1e6) per (cell, pos),
+    * regathered into one array per cell (C·dim rows). */
+  private def kmUpdate(e: DataFrame, assign: DataFrame): DataFrame =
+    assign.join(e.select("vec_id", "embedding"), "vec_id")
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+      .groupBy(col("cell"), col("pos0"))
+      .agg((sum(floor(col("vf").cast("double") * 1000000.0).cast("long")).cast("double")
+        / (lit(1000000.0) * count(lit(1)))).as("c"))
+      .groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("pos0"), col("c")))),
+        _.getField("c")).as("c_emb"))
+
+  /** Deterministic init: the C lowest-id vectors as double arrays. */
+  private def kmInit(s: SparkSession, d: String, c: Int): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < c)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), _.cast("double")).as("c_emb"))
+
   // ---- Product quantization (M=8 subspaces × K=16 codes, TRAINED) ----
   // The codebook is k-means-trained PER SUBSPACE: deterministic init
   // (the K lowest-id vectors' sub-vectors, as before), then two fixed
@@ -271,25 +312,24 @@ object LlmSim extends OpModule {
 
     "sim_knn_ivf" -> ((s, d) => {
       // IVF ANN: coarse-quantize every vector to its nearest of C=16
-      // centroids, then search only the query's cell (nprobe=1). Real
-      // IVF k-means-trains the centroids; these are the C lowest-id
-      // vectors so the DuckDB oracle reproduces the exact partition.
-      // Assignment is a broadcast cross-score + partial-aggregated
-      // argmin (min over (−cos, c_id) structs) — map-side combine
-      // collapses the |V|·C scores to |V| rows before the shuffle, no
-      // window sort over the score matrix.
+      // centroids, then search only the query's cell (nprobe=1). The
+      // centroids are TRAINED (r4): deterministic lowest-id init + two
+      // integer-exact Lloyd iterations (the shared kmAssign/kmUpdate
+      // machinery embed_kmeans proves oracle-matchable) — real IVF
+      // trains its coarse quantizer, and trained cells track the data's
+      // actual clusters instead of whichever vectors sorted first.
+      // Every assignment pass is a broadcast cross-score +
+      // partial-aggregated argmin — map-side combine collapses the
+      // |V|·C scores to |V| rows before the shuffle, no window sort
+      // over the score matrix; at 100 TB each training pass would
+      // persist its assignment and the centroid side always broadcasts.
       val C = 16
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         col("embedding"), norm(col("embedding")).as("nrm"))
-      val cents = e.filter(col("vec_id") < C).select(col("vec_id").as("c_id"),
-        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
-      val assign = e.crossJoin(broadcast(cents))
-        .withColumn("ccos", round(
-          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm")), 4))
-        .groupBy("vec_id")
-        .agg(min(struct((-col("ccos")).as("nc"), col("c_id").as("cid"))).as("m"),
-          first("embedding").as("embedding"), first("nrm").as("nrm"))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("m.cid").as("cell"))
+      var cents = kmInit(s, d, C)
+      for (_ <- 1 to 2)
+        cents = kmUpdate(e, kmAssign(e, cents))
+      val assign = kmAssign(e, cents).join(e, "vec_id")
       val q = assign.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("cell"))
       val n = assign.select(col("vec_id").as("n_id"),
@@ -489,35 +529,15 @@ object LlmSim extends OpModule {
       val C = 8
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      // Centroids live as (cell, array<double>) rows — C rows at ANY
-      // corpus size, always broadcast; scoring is the same map-only
-      // broadcast-cross-score + partial-agg argmin shape as
-      // sim_knn_ivf, with the native vec_dot/vec_norm running over the
-      // double centroid arrays (no join-on-pos, no exploded shuffle).
-      var cents = Tables.embeddings(s, d).filter(col("vec_id") < C)
-        .select(col("vec_id").as("cell"),
-          transform(col("embedding"), _.cast("double")).as("c_emb"))
+      // Centroids, assignment, and update are the shared
+      // kmInit/kmAssign/kmUpdate machinery (see the k-means section at
+      // the top of this object) — sim_knn_ivf trains its coarse
+      // quantizer with the same passes.
+      var cents = kmInit(s, d, C)
       var assign: DataFrame = null
       for (_ <- 1 to 2) {
-        val cwn = cents.withColumn("cnrm", norm(col("c_emb")))
-        assign = e.crossJoin(broadcast(cwn))
-          .withColumn("cos", round(
-            dot(col("embedding"), col("c_emb")) / (col("nrm") * col("cnrm")), 4))
-          .groupBy("vec_id")
-          .agg(min(struct((-col("cos")).as("nc"), col("cell").as("cl"))).as("m"))
-          .select(col("vec_id"), col("m.cl").as("cell"))
-        // Update: integer-sum mean of FLOOR(v·1e6) per (cell, pos) —
-        // order-independent, so recomputed centroids are bit-identical
-        // across engines and partition layouts — then regathered into
-        // one array per cell (C·dim rows; trivially collectable).
-        cents = assign.join(e.select("vec_id", "embedding"), "vec_id")
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
-          .groupBy(col("cell"), col("pos0"))
-          .agg((sum(floor(col("vf").cast("double") * 1000000.0).cast("long")).cast("double")
-            / (lit(1000000.0) * count(lit(1)))).as("c"))
-          .groupBy("cell")
-          .agg(transform(sort_array(collect_list(struct(col("pos0"), col("c")))),
-            _.getField("c")).as("c_emb"))
+        assign = kmAssign(e, cents)
+        cents = kmUpdate(e, assign)
       }
       val members = assign.groupBy("cell").agg(count(lit(1)).as("n"))
       // c is emitted UNROUNDED: s/(1e6·n) over integer s,n is one IEEE
@@ -951,20 +971,12 @@ object LlmSim extends OpModule {
          |  FROM embeddings
          |),
          |norms AS ($NormsSql),
-         |cdots AS (
-         |  SELECT a.vec_id, b.vec_id AS c_id, sum(a.v * b.v) AS dp
-         |  FROM u a JOIN u b ON a.pos = b.pos AND b.vec_id < 16
-         |  GROUP BY a.vec_id, b.vec_id
-         |),
-         |assign AS (
-         |  SELECT vec_id, c_id AS cell FROM (
-         |    SELECT cd.vec_id, cd.c_id,
-         |      row_number() OVER (PARTITION BY cd.vec_id
-         |        ORDER BY round(cd.dp / (nv.nrm * nc.nrm), 4) DESC, cd.c_id) AS rn
-         |    FROM cdots cd JOIN norms nv ON nv.vec_id = cd.vec_id
-         |    JOIN norms nc ON nc.vec_id = cd.c_id
-         |  ) WHERE rn = 1
-         |),
+         |c0 AS (SELECT vec_id AS cell, pos, v AS c FROM u WHERE vec_id < 16),
+         |a1 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmUpdateSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmUpdateSql("a2")}),
+         |assign AS (${kmAssignSql("c2")}),
          |pairs AS (
          |  SELECT qa.vec_id AS q_id, qa.cell, nb.vec_id AS n_id
          |  FROM assign qa JOIN assign nb ON qa.cell = nb.cell
