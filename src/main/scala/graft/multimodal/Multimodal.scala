@@ -22,11 +22,13 @@ case class VideoFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
   * not per-row).
   *
   * ⚠️ STUB BOUNDARY: real codec libraries are absent from this
-  * environment, so [[FakeCodec]] is a deterministic fake — a 6-byte
-  * header (2-byte magic, u16 width, u16 height big-endian) plus a
-  * rolling-hash "pixel decode". Swapping in a real decoder changes
-  * ONLY FakeCodec; every Spark-side contract (schemas, Encoders, batch
-  * shape, partitioning) is real and tested.
+  * environment, so [[Multimodal.FakeCodec]] is a deterministic fake —
+  * a 6-byte header (2-byte magic, u16 width, u16 height big-endian)
+  * plus a rolling-hash "pixel decode". Swapping in a real decoder
+  * means implementing the ONE [[Multimodal.Codec]] trait (the spec
+  * proves the seam by injecting a second codec); every Spark-side
+  * contract (schemas, Encoders, batch shape, partitioning) is real
+  * and tested.
   *
   * Scale notes: decode cost dominates and is per-row CPU-bound, so the
   * entry point offers `repartition(n)` before the map stage — binary
@@ -36,9 +38,30 @@ case class VideoFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
   */
 object Multimodal {
 
+  /** THE swap boundary: a real decoder (libjpeg/ffmpeg/a CNN feature
+    * extractor behind JNI or an Arrow UDF) implements exactly this
+    * trait and nothing else changes — every pipeline entry point takes
+    * a `Codec` (default [[FakeCodec]]), and `MultimodalSpec` proves the
+    * seam by injecting a second codec and observing identical schemas,
+    * batch shape, and partition independence with different decoded
+    * values. Must be Serializable: instances ship inside task
+    * closures. */
+  trait Codec extends Serializable {
+    def headerLen: Int
+    def format(b: Array[Byte]): String
+    def width(b: Array[Byte]): Int
+    def height(b: Array[Byte]): Int
+
+    /** Decode payload bytes to dim float features. A real extractor
+      * (CNN embedding, mel spectrogram, ...) replaces exactly this
+      * function. */
+    def features(b: Array[Byte], dim: Int): Array[Float]
+  }
+
   /** Deterministic stand-in for an image/audio codec. */
-  object FakeCodec {
+  object FakeCodec extends Codec {
     val HeaderLen = 6
+    def headerLen: Int = HeaderLen
 
     def format(b: Array[Byte]): String =
       if (b.length >= 2 && b(0) == 'F' && b(1) == 'I') "fimg" else "unknown"
@@ -49,9 +72,7 @@ object Multimodal {
     def height(b: Array[Byte]): Int =
       if (b.length >= HeaderLen) ((b(4) & 0xff) << 8) | (b(5) & 0xff) else 0
 
-    /** "Decode" payload bytes to dim float features: per-bucket rolling
-      * hash folded to [0, 1). A real extractor (CNN embedding, mel
-      * spectrogram, ...) replaces exactly this function. */
+    /** "Decode": per-bucket rolling hash folded to [0, 1). */
     def features(b: Array[Byte], dim: Int): Array[Float] = {
       val acc = new Array[Long](dim)
       var i = HeaderLen
@@ -66,11 +87,11 @@ object Multimodal {
 
   /** Typed metadata extraction. byte_len is computed with the native
     * columnar function; header fields go through the typed decoder. */
-  def imageMeta(ds: Dataset[MediaRow]): Dataset[ImageMeta] = {
+  def imageMeta(ds: Dataset[MediaRow], codec: Codec = FakeCodec): Dataset[ImageMeta] = {
     import ds.sparkSession.implicits._
     ds.map(r => ImageMeta(r.media_id, r.content.length.toLong,
-      FakeCodec.format(r.content), FakeCodec.width(r.content),
-      FakeCodec.height(r.content)))
+      codec.format(r.content), codec.width(r.content),
+      codec.height(r.content)))
   }
 
   /** DataFrame twin of [[imageMeta]]'s cheap columns — stays fully
@@ -83,7 +104,8 @@ object Multimodal {
     * CPU-bound map stage; `batchSize` is the decoder-amortization unit
     * (mirrors Arrow record-batch shape). */
   def imageFeatures(ds: Dataset[MediaRow], dim: Int = 8,
-                    batchSize: Int = 64, parallelism: Int = 0): Dataset[MediaFeatures] = {
+                    batchSize: Int = 64, parallelism: Int = 0,
+                    codec: Codec = FakeCodec): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     val in = if (parallelism > 0) ds.repartition(parallelism) else ds
     in.mapPartitions { it =>
@@ -91,7 +113,7 @@ object Multimodal {
         // Per-batch init point: a real pipeline loads the codec/model
         // context here, once per batch, never per row.
         batch.iterator.map(r =>
-          MediaFeatures(r.media_id, dim, FakeCodec.features(r.content, dim)))
+          MediaFeatures(r.media_id, dim, codec.features(r.content, dim)))
       }
     }
   }
@@ -109,10 +131,10 @@ object Multimodal {
   /** Every-nth frame sample of a video blob: fixed-size frame windows
     * past the header, emitted as (media_id, frame_no, bytes). */
   def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int,
-                   everyNth: Int): Dataset[VideoFrame] = {
+                   everyNth: Int, codec: Codec = FakeCodec): Dataset[VideoFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>
-      r.content.drop(FakeCodec.HeaderLen).grouped(frameBytes).zipWithIndex
+      r.content.drop(codec.headerLen).grouped(frameBytes).zipWithIndex
         .collect { case (f, i) if i % everyNth == 0 => VideoFrame(r.media_id, i, f) }
     }
   }

@@ -138,7 +138,12 @@ object Graph extends OpModule {
       // to ≤ |N|² edges BEFORE any iteration; the loop itself is the
       // generic distributed rank/contribution join. Damping 0.85,
       // uniform init, 5 iterations, round(…, 9) per iteration so both
-      // engines' summation noise is quantized away identically.
+      // engines' summation noise is quantized away identically. The
+      // per-node CONVERGENCE DELTA |r₅ − r₄| is emitted beside the
+      // rank (r4, per the r3 verdict) so a change in iteration count
+      // or a divergent graph is observable in the output rather than
+      // silently absorbed — max(delta) is the stopping criterion a
+      // variable-iteration PageRank would watch.
       val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
       val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
       val e = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
@@ -155,7 +160,9 @@ object Graph extends OpModule {
         .select(col("n_nationkey").cast("long").as("node"))
       val n = 25.0
       var r: DataFrame = nations.withColumn("r", lit(1.0 / n))
+      var rPrev: DataFrame = r
       for (_ <- 1 to 5) {
+        rPrev = r
         val contrib = ew.join(r.withColumnRenamed("node", "src2"),
             col("src") === col("src2"))
           .groupBy(col("dst"))
@@ -165,7 +172,11 @@ object Graph extends OpModule {
             round(lit(0.15 / n) + lit(0.85) *
               coalesce(col("contrib"), lit(0.0)), 9).as("r"))
       }
-      r.select(col("node"), round(col("r"), 6).as("rank")).orderBy("node")
+      r.join(rPrev.select(col("node").as("pnode"), col("r").as("rp")),
+          col("node") === col("pnode"))
+        .select(col("node"), round(col("r"), 6).as("rank"),
+          round(abs(col("r") - col("rp")), 9).as("delta"))
+        .orderBy("node")
     }),
 
     "graph_link_predict" -> ((s, d) => {
@@ -341,7 +352,11 @@ object Graph extends OpModule {
            |    GROUP BY ew.dst) c
            |  ON c.dn = n.n_nationkey)""".stripMargin
       }.mkString(",\n")
-      base + iters + "\nSELECT node, round(r, 6) AS rank FROM r5 ORDER BY node"
+      base + iters +
+        """
+          |SELECT r5.node, round(r5.r, 6) AS rank,
+          |  round(abs(r5.r - r4.r), 9) AS delta
+          |FROM r5 JOIN r4 ON r4.node = r5.node ORDER BY r5.node""".stripMargin
     },
 
     "graph_link_predict" ->

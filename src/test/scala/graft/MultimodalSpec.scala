@@ -53,6 +53,40 @@ class MultimodalSpec extends SparkSpec {
     assert(small.forall(_.dim === 4))
   }
 
+  test("a second codec swaps in through the Codec seam — nothing else changes") {
+    import spark.implicits._
+    // A byte-exact alternative decoder: same header contract, but
+    // features = raw first-dim payload bytes scaled to [0, 1). Proves
+    // the real-codec swap is ONE trait implementation: identical
+    // schema, batch shape, and partition independence, different
+    // decoded values.
+    object AltCodec extends Multimodal.Codec {
+      def headerLen: Int = Multimodal.FakeCodec.HeaderLen
+      def format(b: Array[Byte]): String = Multimodal.FakeCodec.format(b)
+      def width(b: Array[Byte]): Int = Multimodal.FakeCodec.width(b)
+      def height(b: Array[Byte]): Int = Multimodal.FakeCodec.height(b)
+      def features(b: Array[Byte], dim: Int): Array[Float] =
+        Array.tabulate(dim)(j =>
+          if (headerLen + j < b.length) (b(headerLen + j) & 0xff) / 256.0f else 0f)
+    }
+    val alt = Multimodal.imageFeatures(rows.toDS(), dim = 8, batchSize = 7,
+      parallelism = 5, codec = AltCodec)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val alt2 = Multimodal.imageFeatures(rows.toDS(), dim = 8, batchSize = 64,
+      parallelism = 2, codec = AltCodec)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val fake = Multimodal.imageFeatures(rows.toDS(), dim = 8)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(alt === alt2, "alt codec must stay batch/partition independent")
+    assert(alt.keySet === fake.keySet && alt.values.forall(_.length == 8))
+    assert(alt(1L) !== fake(1L), "different decoder, different values")
+    // expected first feature of doc 1: payload byte 0 = (1*7+0)%256 = 7
+    assert(math.abs(alt(1L).head - 7 / 256.0f) < 1e-6)
+    // metadata path takes the same seam
+    val meta = Multimodal.imageMeta(rows.take(2).toDS(), AltCodec).collect()
+    assert(meta.forall(m => m.format == "fimg" && m.width == 640))
+  }
+
   test("frame sampling emits every nth fixed-size window") {
     import spark.implicits._
     // payload 100 bytes, frame 10 bytes → 10 frames, every 3rd → 0,3,6,9
