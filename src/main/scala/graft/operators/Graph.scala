@@ -225,6 +225,74 @@ object Graph extends OpModule {
         .limit(50)
     }),
 
+    "graph_kcore" -> ((s, d) => {
+      // k-core decomposition (k=3), 3 unrolled peeling rounds: each
+      // round recomputes degrees over the surviving edge set, drops
+      // nodes below k, and restricts edges to survivors — the
+      // density-core extraction that bounds every downstream
+      // wedge/pair kernel (a node outside the 3-core cannot be in a
+      // triangle-rich region). Output is the (round, nodes, edges)
+      // convergence trace, so a non-shrinking round is visible. Plan:
+      // the base edge list is persisted once and each round is an
+      // equi-semi-join against a broadcastable per-node degree table —
+      // node-sized, never edge-sized; the 1-row snapshot aggs
+      // broadcast-cross into the trace. At 100 TB each superstep would
+      // checkpoint its edge set, same shape as dedup_components.
+      val K = 3
+      var e = edges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var trace = degrees(e).agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(lit(0L).as("round"), col("n_nodes"), col("n_edges"))
+      for (r <- 1 to 3) {
+        val keep = degrees(e).filter(col("d") >= K).select("node")
+        e = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        trace = trace.union(
+          keep.agg(count(lit(1)).as("n_nodes"))
+            .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+            .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges")))
+      }
+      trace.orderBy("round")
+    }),
+
+    "graph_jaccard_sim" -> ((s, d) => {
+      // Neighbor-set Jaccard similarity — the normalized cousin of
+      // Adamic-Adar: |N(a)∩N(b)| / |N(a)∪N(b)| with the union expanded
+      // as d(a)+d(b)−common (degrees broadcast, so the union is never
+      // materialized). Candidates come from the same capped in-row
+      // wedge expansion as graph_link_predict (common-neighbor count =
+      // wedges through a shared hub; hubs above the degree cap are
+      // dropped before their adjacency list is collected). Integer
+      // counts everywhere; one divide + round at the end. Top-30 with
+      // full tiebreak.
+      val hubCap = 2000
+      val e = edges(s, d)
+      val deg = degrees(e)
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .union(e.select(col("v").as("node"), col("u").as("nbr")))
+      val nbrs = adj.join(broadcast(deg.filter(col("d") <= hubCap)), Seq("node"))
+        .groupBy(col("node"))
+        .agg(sort_array(collect_set(col("nbr"))).as("ns"))
+      val common = nbrs
+        .select(explode(expr(
+          "flatten(transform(ns, (x, i) -> " +
+            "transform(slice(ns, i + 2, size(ns) - i - 1), " +
+            "y -> struct(x AS a, y AS b))))")).as("p"))
+        .select(col("p.a"), col("p.b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      common
+        .join(broadcast(deg.select(col("node").as("a"), col("d").as("da"))), Seq("a"))
+        .join(broadcast(deg.select(col("node").as("b"), col("d").as("db"))), Seq("b"))
+        .filter(col("n_common") >= 2)
+        .select(col("a"), col("b"), col("n_common"),
+          round(col("n_common").cast("double")
+            / (col("da") + col("db") - col("n_common")).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(30)
+    }),
+
     "basket_rules" -> ((s, d) => {
       // Market-basket association rules at brand grain: support,
       // confidence and lift for every ordered brand pair that clears a
@@ -374,6 +442,49 @@ object Graph extends OpModule {
          |SELECT a, b, n_common, aa_score FROM aa
          |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = aa.a AND e.v = aa.b)
          |ORDER BY aa_score DESC, a, b LIMIT 50""".stripMargin,
+
+    "graph_kcore" ->
+      s"""WITH $EDGES,
+         |k1 AS (SELECT node FROM deg WHERE d >= 3),
+         |e1 AS (SELECT u, v FROM e
+         |       WHERE u IN (SELECT node FROM k1) AND v IN (SELECT node FROM k1)),
+         |d1 AS (SELECT node, count(*) AS d
+         |       FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+         |       GROUP BY 1),
+         |k2 AS (SELECT node FROM d1 WHERE d >= 3),
+         |e2 AS (SELECT u, v FROM e1
+         |       WHERE u IN (SELECT node FROM k2) AND v IN (SELECT node FROM k2)),
+         |d2 AS (SELECT node, count(*) AS d
+         |       FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+         |       GROUP BY 1),
+         |k3 AS (SELECT node FROM d2 WHERE d >= 3),
+         |e3 AS (SELECT u, v FROM e2
+         |       WHERE u IN (SELECT node FROM k3) AND v IN (SELECT node FROM k3))
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS round,
+         |    (SELECT count(*) FROM deg) AS n_nodes,
+         |    (SELECT count(*) FROM e) AS n_edges
+         |  UNION ALL SELECT 1, (SELECT count(*) FROM k1), (SELECT count(*) FROM e1)
+         |  UNION ALL SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
+         |  UNION ALL SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)
+         |) ORDER BY round""".stripMargin,
+
+    "graph_jaccard_sim" ->
+      s"""WITH $EDGES,
+         |adj AS (SELECT u AS node, v AS nbr FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |cm AS (
+         |  SELECT a1.node AS a, a2.node AS b, count(*) AS n_common
+         |  FROM adj a1
+         |  JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+         |  JOIN deg ON deg.node = a1.nbr AND deg.d <= 2000
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_common,
+         |  round(CAST(n_common AS DOUBLE)
+         |    / CAST(da.d + db.d - n_common AS DOUBLE), 4) AS jaccard
+         |FROM cm JOIN deg da ON da.node = cm.a JOIN deg db ON db.node = cm.b
+         |WHERE n_common >= 2
+         |ORDER BY jaccard DESC, a, b LIMIT 30""".stripMargin,
 
     "basket_rules" ->
       """WITH ob AS (

@@ -56,8 +56,9 @@ object LlmSim extends OpModule {
   // bit-identical across engines and partition layouts (a raw double
   // mean is summation-order dependent and would diverge).
 
-  /** Nearest-centroid assignment: (vec_id, cell), ties to the lower
-    * cell id. `e` must carry (vec_id, embedding, nrm). */
+  /** Nearest-centroid assignment: (vec_id, cell, acos) with acos the
+    * winning rounded cosine, ties to the lower cell id. `e` must carry
+    * (vec_id, embedding, nrm). */
   private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
     val cwn = cents.withColumn("cnrm", norm(col("c_emb")))
     e.crossJoin(broadcast(cwn))
@@ -65,7 +66,7 @@ object LlmSim extends OpModule {
         dot(col("embedding"), col("c_emb")) / (col("nrm") * col("cnrm")), 4))
       .groupBy("vec_id")
       .agg(min(struct((-col("kcos")).as("nc"), col("cell").as("cl"))).as("m"))
-      .select(col("vec_id"), col("m.cl").as("cell"))
+      .select(col("vec_id"), col("m.cl").as("cell"), (-col("m.nc")).as("acos"))
   }
 
   /** Lloyd update: integer-sum mean of FLOOR(v·1e6) per (cell, pos),
@@ -356,6 +357,33 @@ object LlmSim extends OpModule {
         .groupBy("n_vecs").agg(count(lit(1)).as("n_buckets"))
         .orderBy("n_vecs")),
 
+    "embed_ivf_stats" -> ((s, d) => {
+      // IVF index health — the cell-occupancy twin of
+      // embed_bucket_stats (LSH) and embed_pq_distortion (PQ): per
+      // trained coarse cell, member count plus mean/worst cosine to
+      // the centroid. Unbalanced cells predict degenerate probe costs
+      // and a low worst-cosine flags a cell whose members the centroid
+      // no longer represents ("retrain" signal). The winning cosines
+      // are quantized to 1e-4 INTEGERS before averaging, so the mean
+      // is an exact integer sum + one division — engine-identical
+      // (rounded values sit within an ulp of an integer after the
+      // ×1e4 scale, so floor(x+0.5) is stable on both engines).
+      val C = 16
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"), norm(col("embedding")).as("nrm"))
+      var cents = kmInit(s, d, C)
+      for (_ <- 1 to 2)
+        cents = kmUpdate(e, kmAssign(e, cents))
+      kmAssign(e, cents)
+        .withColumn("ci", floor(col("acos") * 10000.0 + 0.5).cast("long"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum("ci").cast("double") / (lit(10000.0) * count(lit(1))), 4)
+            .as("avg_cos"),
+          round(min("ci").cast("double") / 10000.0, 4).as("min_cos"))
+        .orderBy("cell")
+    }),
+
     "embed_quantize" -> ((s, d) => {
       // Int8 scalar quantization (the storage/ANN compression staple):
       // per-dimension [min, max] over the corpus — exact values, no
@@ -617,9 +645,9 @@ object LlmSim extends OpModule {
     * by rounded cosine, ties to the lower cell id (mirrors the Spark
     * side's min(struct(-cos, cell)) argmin). Expects CTEs `u` (unnested
     * vectors) and `norms`. */
-  private def kmAssignSql(cents: String): String =
-    s"""SELECT vec_id, cell FROM (
-       |  SELECT sc.vec_id, sc.cell,
+  private def kmAssignSql(cents: String, withCos: Boolean = false): String =
+    s"""SELECT vec_id, cell${if (withCos) ", cos" else ""} FROM (
+       |  SELECT sc.vec_id, sc.cell, sc.cos,
        |    row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.cos DESC, sc.cell) AS rn
        |  FROM (
        |    SELECT u.vec_id, c.cell,
@@ -963,6 +991,26 @@ object LlmSim extends OpModule {
          |  max(dist) AS max_dist_sq
          |FROM codes GROUP BY subspace, code
          |ORDER BY subspace, code""".stripMargin,
+
+    "embed_ivf_stats" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |norms AS ($NormsSql),
+         |c0 AS (SELECT vec_id AS cell, pos, v AS c FROM u WHERE vec_id < 16),
+         |a1 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmUpdateSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmUpdateSql("a2")}),
+         |a3 AS (${kmAssignSql("c2", withCos = true)}),
+         |ai AS (SELECT cell, CAST(floor(cos * 10000.0 + 0.5) AS BIGINT) AS ci
+         |       FROM a3)
+         |SELECT cell, count(*) AS n_vecs,
+         |  round(CAST(sum(ci) AS DOUBLE) / (10000.0 * count(*)), 4) AS avg_cos,
+         |  round(CAST(min(ci) AS DOUBLE) / 10000.0, 4) AS min_cos
+         |FROM ai GROUP BY cell ORDER BY cell""".stripMargin,
 
     "sim_knn_ivf" ->
       s"""WITH u AS (

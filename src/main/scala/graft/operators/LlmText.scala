@@ -219,6 +219,64 @@ object LlmText extends OpModule {
             .cast("long").as("n_other"))
         .orderBy("doc_id")),
 
+    "text_pii_scrub" -> ((s, d) =>
+      // PII release audit — the scrub-before-training gate: per-lang
+      // document and hit counts for email / phone / national-id
+      // patterns. Zero hits is the PASSING result on a clean corpus;
+      // the op exists so a poisoned load shows up as a nonzero row.
+      // Conservative regex subset (char classes + bounded repetition
+      // only — no lookaround, no shorthand classes) evaluates
+      // identically under Java regex and RE2-style engines. Map-only
+      // per-doc projections, one partial agg, ≤|langs| rows shuffle.
+      Tables.documents(s, d)
+        .select(col("lang"),
+          size(expr("regexp_extract_all(text, " +
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,4}', 0)"))
+            .cast("long").as("ne"),
+          size(expr("regexp_extract_all(text, " +
+            "'[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', 0)"))
+            .cast("long").as("np"),
+          size(expr("regexp_extract_all(text, " +
+            "'[0-9]{3}-[0-9]{2}-[0-9]{4}', 0)")).cast("long").as("ni"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ne") > 0, 1L).otherwise(0L)).as("docs_email"),
+          sum("ne").as("n_email"),
+          sum(when(col("np") > 0, 1L).otherwise(0L)).as("docs_phone"),
+          sum("np").as("n_phone"),
+          sum(when(col("ni") > 0, 1L).otherwise(0L)).as("docs_id"),
+          sum("ni").as("n_id"))
+        .orderBy("lang")),
+
+    "text_repetition" -> ((s, d) => {
+      // Gopher-style repetition screen: per-doc duplicate-bigram ratio
+      // 1 − |distinct bigrams|/|bigrams| summarized per lang — high
+      // ratios flag boilerplate/looped generations that perplexity
+      // filters miss. The bigram set is built IN-ROW (native shingle
+      // expression + array_distinct): no token ever shuffles, the
+      // per-doc ratio is one map-side projection and only |langs| rows
+      // reach the final agg. The ratio is quantized to 1e-4 as an
+      // INTEGER before averaging so the per-lang mean is an exact
+      // integer sum + one division (a double avg would be
+      // summation-order dependent cross-engine). Docs with <2 tokens
+      // have no bigrams and drop out on both engines.
+      val bgs = bigramArr(col("text"))
+      Tables.documents(s, d)
+        .select(col("lang"), size(bgs).cast("long").as("n_bg"),
+          size(array_distinct(bgs)).cast("long").as("n_uniq"))
+        .filter(col("n_bg") > 0)
+        .withColumn("ri",
+          floor((lit(1.0) - col("n_uniq").cast("double")
+            / col("n_bg").cast("double")) * 10000.0 + 0.5).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("ri").cast("double") / (lit(10000.0) * count(lit(1))), 4)
+            .as("avg_rep"),
+          round(max("ri").cast("double") / 10000.0, 4).as("max_rep"),
+          sum(when(col("ri") >= 2000L, 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy("lang")
+    }),
+
     "sample_temperature" -> ((s, d) => {
       // Multilingual temperature sampling (mT5-style, α=0.3): per-lang
       // mixture weight n_l^α / Σ n_m^α flattens the head languages.
@@ -929,6 +987,48 @@ object LlmText extends OpModule {
         |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS BIGINT) AS n_other
         |FROM documents WHERE doc_id < 200
         |ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,4}')) AS ne,
+        |    len(regexp_extract_all(text,
+        |      '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS np,
+        |    len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS ni
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE ne > 0) AS BIGINT) AS docs_email,
+        |  CAST(sum(ne) AS BIGINT) AS n_email,
+        |  CAST(count(*) FILTER (WHERE np > 0) AS BIGINT) AS docs_phone,
+        |  CAST(sum(np) AS BIGINT) AS n_phone,
+        |  CAST(count(*) FILTER (WHERE ni > 0) AS BIGINT) AS docs_id,
+        |  CAST(sum(ni) AS BIGINT) AS n_id
+        |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_repetition" ->
+      """WITH bg AS (
+        |  SELECT doc_id, bigram FROM (
+        |    SELECT doc_id,
+        |      concat_ws(' ', token, lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS bigram,
+        |      lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |    FROM (SELECT doc_id, unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+        |                 unnest(string_split(text, ' ')) AS token
+        |          FROM documents)
+        |  ) WHERE next IS NOT NULL),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_bg, count(DISTINCT bigram) AS n_uniq
+        |  FROM bg GROUP BY doc_id),
+        |ri AS (
+        |  SELECT d.lang,
+        |    CAST(floor((1.0 - CAST(p.n_uniq AS DOUBLE) / p.n_bg) * 10000.0 + 0.5)
+        |      AS BIGINT) AS ri
+        |  FROM per_doc p JOIN documents d USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  round(CAST(sum(ri) AS DOUBLE) / (10000.0 * count(*)), 4) AS avg_rep,
+        |  round(CAST(max(ri) AS DOUBLE) / 10000.0, 4) AS max_rep,
+        |  CAST(count(*) FILTER (WHERE ri >= 2000) AS BIGINT) AS n_flagged
+        |FROM ri GROUP BY lang ORDER BY lang""".stripMargin,
 
     "sample_temperature" ->
       """WITH by_lang AS (

@@ -49,6 +49,37 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq(Row(1L, 4L, 1L, 0.9102), Row(2L, 4L, 1L, 0.9102)))
   }
 
+  // Denser twin of `dir`: order 4 adds basket {2,3,4} → edges
+  // {1-2, 1-3, 2-3, 2-4, 3-4}; degrees 1:2, 2:3, 3:3, 4:2.
+  private lazy val dir2 = {
+    val d = Fixtures.tempDir()
+    Fixtures.orders(spark, d, Seq(
+      (1L, 1L, inWindow), (2L, 1L, inWindow), (3L, 2L, inWindow),
+      (4L, 2L, inWindow)))
+    Fixtures.lineitem(spark, d, Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (2L, 4L),
+      (3L, 1L), (3L, 2L),
+      (4L, 2L), (4L, 3L), (4L, 4L)))
+    d
+  }
+
+  test("graph_kcore peels the fixture to its (empty) 3-core and traces every round") {
+    // round 1 keeps {2, 3} (degree 3) and only edge 2-3 survives;
+    // round 2 degrees drop to 1 → core empties; round 3 stays empty.
+    val got = SparkEntry.queries("graph_kcore")(spark, dir2).collect().toSeq
+    assert(got === Seq(Row(0L, 4L, 5L), Row(1L, 2L, 1L),
+      Row(2L, 0L, 0L), Row(3L, 0L, 0L)))
+  }
+
+  test("graph_jaccard_sim scores the two repeated-common-neighbor pairs") {
+    // (1,4) share {2,3}: J = 2/(2+2-2) = 1.0; (2,3) share {1,4}:
+    // J = 2/(3+3-2) = 0.5; all single-common-neighbor pairs fall
+    // below the n_common >= 2 floor.
+    val got = SparkEntry.queries("graph_jaccard_sim")(spark, dir2).collect().toSeq
+    assert(got === Seq(Row(1L, 4L, 2L, 1.0), Row(2L, 3L, 2L, 0.5)))
+  }
+
   test("graph_pagerank conserves rank mass over the sf0.001 trade graph") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
       .collect()

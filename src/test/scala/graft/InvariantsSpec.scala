@@ -42,6 +42,44 @@ class InvariantsSpec extends SparkSpec {
     assert(packed.getLong(1) === totalTok)
   }
 
+  test("text_pii_scrub covers every document and bounds hit counts") {
+    import org.apache.spark.sql.functions._
+    val total = Tables.documents(spark, sf).count()
+    val rows = q("text_pii_scrub").collect()
+    assert(rows.map(_.getLong(1)).sum === total, "per-lang doc counts must partition the corpus")
+    rows.foreach { r =>
+      val (nDocs, de, ne, dp, np, di, ni) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(de <= nDocs && dp <= nDocs && di <= nDocs)
+      assert(ne >= de && np >= dp && ni >= di,
+        "total hits can never undercut the docs-with-hits count")
+    }
+  }
+
+  test("text_repetition ratios are bounded and flags respect the threshold") {
+    val rows = q("text_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, avg, mx, flagged) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(avg >= 0.0 && avg <= mx && mx <= 1.0,
+        s"repetition out of [0, max<=1]: avg=$avg max=$mx")
+      assert(flagged <= nDocs)
+      if (mx < 0.2) assert(flagged === 0L, "no doc reaches the 0.2 flag line")
+    }
+  }
+
+  test("embed_ivf_stats cells partition the corpus and cosines are ordered") {
+    val rows = q("embed_ivf_stats").collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "cell members must partition the vectors")
+    rows.foreach { r =>
+      val (avg, mn) = (r.getDouble(2), r.getDouble(3))
+      assert(mn <= avg + 1e-9 && avg <= 1.0 + 1e-9,
+        s"cell ${r.getLong(0)}: min_cos $mn must not exceed avg_cos $avg")
+    }
+  }
+
   test("semi and anti joins partition the customer table") {
     val customers = Tables.customer(spark, sf).count()
     assert(q("join_semi").count() + q("join_anti").count() === customers)
