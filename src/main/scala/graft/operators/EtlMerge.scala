@@ -339,6 +339,33 @@ object EtlMerge extends OpModule {
         .orderBy("c_custkey", "valid_from", "segment")
     }),
 
+    "etl_partition_plan" -> ((s, d) => {
+      // Output-writer planning: per write partition (lang), the file
+      // count a size-targeted writer should produce — the number you
+      // feed `repartition(n)` before `partitionBy(lang)` so no
+      // partition writes one giant or a thousand tiny files. One
+      // metadata-cheap agg per partition key; all sizing is exact
+      // integer arithmetic (ceil via (b + T−1) div T). Target is 64 KB
+      // here — a test-scale stand-in for the ~128 MB real-world
+      // target; the arithmetic is scale-free. oversize_docs counts
+      // blobs that alone exceed the target (they need a solo file or a
+      // split, the same flag multimodal_batch_plan raises per batch).
+      val T = 65536L
+      Tables.documents(s, d)
+        .select(col("lang"),
+          octet_length(encode(col("text"), "utf-8")).cast("long").as("nb"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nb").as("total_bytes"),
+          max("nb").as("max_doc_bytes"),
+          sum(when(col("nb") > T, 1L).otherwise(0L)).as("oversize_docs"))
+        .select(col("lang"), col("n_docs"), col("total_bytes"),
+          col("max_doc_bytes"), col("oversize_docs"),
+          expr(s"(total_bytes + ${T - 1}) div $T").as("planned_files"),
+          expr(s"total_bytes div ((total_bytes + ${T - 1}) div $T)")
+            .as("avg_file_bytes"))
+        .orderBy("lang")
+    }),
+
     "etl_skew_audit" -> ((s, d) => {
       // Partition-key skew audit — the pre-flight check before
       // choosing a shuffle/bucketing key at 100 TB. One partial agg
@@ -384,6 +411,20 @@ object EtlMerge extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_partition_plan" ->
+      """WITH b AS (
+        |  SELECT lang, octet_length(encode(text)) AS nb FROM documents),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(nb) AS BIGINT) AS total_bytes,
+        |    max(nb) AS max_doc_bytes,
+        |    CAST(count(*) FILTER (WHERE nb > 65536) AS BIGINT) AS oversize_docs
+        |  FROM b GROUP BY 1)
+        |SELECT lang, n_docs, total_bytes, max_doc_bytes, oversize_docs,
+        |  (total_bytes + 65535) // 65536 AS planned_files,
+        |  total_bytes // ((total_bytes + 65535) // 65536) AS avg_file_bytes
+        |FROM agg ORDER BY lang""".stripMargin,
+
     "etl_skew_audit" ->
       """WITH k AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
         |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,

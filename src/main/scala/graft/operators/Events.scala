@@ -423,6 +423,43 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_bot_detect" -> ((s, d) => {
+      // Bot/automation screen: humans' inter-event gaps spread widely,
+      // a scripted client's cluster around its polling interval — so a
+      // LOW (p90−p10)/median spread ratio over a user's gap
+      // distribution flags automation. Gaps are integer seconds
+      // (µs-lag then div), so every percentile input is engine-exact;
+      // the percentile sorts are user-local (partial agg per user,
+      // |users| rows shuffle — never a global sort) and users under 5
+      // gaps are too short to judge and dropped. med = 0 (all events
+      // within a second) means the ratio is undefined → NULL spread,
+      // never a bot flag, on both engines.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("d_us"))
+        .filter(col("d_us").isNotNull)
+        .select(col("user_id"), expr("d_us div 1000000").as("g_s"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(g_s, 0.5D)").as("med"),
+          expr("percentile(g_s, 0.1D)").as("p10"),
+          expr("percentile(g_s, 0.9D)").as("p90"))
+        .filter(col("n_gaps") >= 5)
+        .select(col("user_id"), col("n_gaps"),
+          round(col("med"), 4).as("med_s"),
+          round(col("p10"), 4).as("p10_s"),
+          round(col("p90"), 4).as("p90_s"),
+          when(col("med") === 0.0, lit(null).cast("double"))
+            .otherwise(round((col("p90") - col("p10")) / col("med"), 4))
+            .as("spread"),
+          when(col("med") > 0.0 &&
+            (col("p90") - col("p10")) / col("med") <= 0.5, 1L).otherwise(0L)
+            .as("bot_flag"))
+        .orderBy("user_id")
+    }),
+
     "evt_funnel_time" -> ((s, d) => {
       // Funnel step-latency distribution: among completing users, how
       // long view→click and click→purchase take (median / p90
@@ -508,6 +545,26 @@ object Events extends OpModule {
         |  round(quantile_cont(d_us, 0.9) / 1e6, 4) AS p90_s
         |FROM seq WHERE d_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "evt_bot_detect" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g_s
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    quantile_cont(g_s, 0.5) AS med,
+        |    quantile_cont(g_s, 0.1) AS p10,
+        |    quantile_cont(g_s, 0.9) AS p90
+        |  FROM g WHERE g_s IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  round(med, 4) AS med_s, round(p10, 4) AS p10_s, round(p90, 4) AS p90_s,
+        |  CASE WHEN med = 0 THEN NULL
+        |       ELSE round((p90 - p10) / med, 4) END AS spread,
+        |  CAST(CASE WHEN med > 0 AND (p90 - p10) / med <= 0.5
+        |       THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
+        |FROM st WHERE n_gaps >= 5 ORDER BY user_id""".stripMargin,
 
     "evt_funnel_time" ->
       """WITH f AS (

@@ -357,6 +357,36 @@ object LlmSim extends OpModule {
         .groupBy("n_vecs").agg(count(lit(1)).as("n_buckets"))
         .orderBy("n_vecs")),
 
+    "embed_outlier_vecs" -> ((s, d) => {
+      // Label-conditional outlier screen: vectors whose cosine to
+      // their OWN label centroid falls below 0.75 — mislabel/noise
+      // candidates, the vector-side twin of text_quality_filter.
+      // Centroids are integer floor-mean arrays per label
+      // (|labels|·dim rows, always broadcast — the kmUpdate shape at
+      // the label grain); scoring is a map-side broadcast join + the
+      // native dot/norm, so nothing but the outlier rows ever
+      // shuffles. The < 0.75 compare runs on the ROUNDED cosine, so
+      // the cut is engine-exact.
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("embedding"), norm(col("embedding")).as("nrm"))
+      val cents = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+        .groupBy(col("label"), col("pos0"))
+        .agg((sum(floor(col("vf").cast("double") * 1000000.0).cast("long")).cast("double")
+          / (lit(1000000.0) * count(lit(1)))).as("c"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos0"), col("c")))),
+          _.getField("c")).as("c_emb"))
+      val cwn = cents.withColumn("cnrm", norm(col("c_emb")))
+      e.join(broadcast(cwn), "label")
+        .withColumn("cos", round(
+          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("cnrm")), 4))
+        .filter(col("cos") < 0.75)
+        .select(col("vec_id"), col("label"), col("cos"))
+        .orderBy("vec_id")
+    }),
+
     "embed_ivf_stats" -> ((s, d) => {
       // IVF index health — the cell-occupancy twin of
       // embed_bucket_stats (LSH) and embed_pq_distortion (PQ): per
@@ -991,6 +1021,30 @@ object LlmSim extends OpModule {
          |  max(dist) AS max_dist_sq
          |FROM codes GROUP BY subspace, code
          |ORDER BY subspace, code""".stripMargin,
+
+    "embed_outlier_vecs" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |cent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / (1000000.0 * count(*)) AS c
+         |  FROM u GROUP BY 1, 2),
+         |cn AS (SELECT label, sqrt(sum(c * c)) AS cnrm FROM cent GROUP BY 1),
+         |norms AS ($NormsSql),
+         |dots AS (
+         |  SELECT u.vec_id, u.label, sum(u.v * cent.c) AS dp
+         |  FROM u JOIN cent ON u.label = cent.label AND u.pos = cent.pos
+         |  GROUP BY 1, 2)
+         |SELECT d.vec_id, d.label, round(dp / (n.nrm * cn.cnrm), 4) AS cos
+         |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+         |JOIN cn ON cn.label = d.label
+         |WHERE round(dp / (n.nrm * cn.cnrm), 4) < 0.75
+         |ORDER BY d.vec_id""".stripMargin,
 
     "embed_ivf_stats" ->
       s"""WITH u AS (

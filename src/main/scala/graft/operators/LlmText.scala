@@ -248,6 +248,45 @@ object LlmText extends OpModule {
           sum("ni").as("n_id"))
         .orderBy("lang")),
 
+    "text_dedup_prefix" -> ((s, d) => {
+      // Prefix-duplicate screen: docs sharing their first 64
+      // characters — catches template boilerplate (same header,
+      // different tail) that exact-hash dedup misses and that near-dup
+      // minhash pays a full signature to find. Clusters form with ONE
+      // groupBy on the bounded 64-char prefix key (dedup_exact_sha's
+      // bounded-shuffle-key property); clusters are per-lang by
+      // construction. Integer counts + one terminal divide.
+      Tables.documents(s, d)
+        .select(col("lang"), substring(col("text"), 1, 64).as("p"))
+        .groupBy("lang", "p").agg(count(lit(1)).as("csz"))
+        .groupBy("lang")
+        .agg(sum("csz").as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          sum(when(col("csz") > 1, col("csz")).otherwise(0L)).as("docs_in_dup"),
+          round(sum(when(col("csz") > 1, col("csz")).otherwise(0L)).cast("double")
+            / sum("csz").cast("double"), 4).as("dup_rate"))
+        .orderBy("lang")
+    }),
+
+    "sample_split_train_eval" -> ((s, d) =>
+      // Reproducible train/val/test assignment: a multiplicative hash
+      // of doc_id (pure arithmetic — engine-identical and
+      // partition-independent, like sample_hash's fold) lands each doc
+      // in a bucket of 100; <80 train, <90 val, else test. The graded
+      // report is the per-(lang, split) volume — the sanity read
+      // before any training run; the assignment expression itself is
+      // map-only and reusable as a column. Only |langs|·3 rows
+      // shuffle.
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(expr("(doc_id * 2654435761) % 4294967296 % 100") < 80, "train")
+            .when(expr("(doc_id * 2654435761) % 4294967296 % 100") < 90, "val")
+            .otherwise("test").as("split"),
+          col("n_chars"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "split")),
+
     "text_repetition" -> ((s, d) => {
       // Gopher-style repetition screen: per-doc duplicate-bigram ratio
       // 1 − |distinct bigrams|/|bigrams| summarized per lang — high
@@ -1005,6 +1044,27 @@ object LlmText extends OpModule {
         |  CAST(count(*) FILTER (WHERE ni > 0) AS BIGINT) AS docs_id,
         |  CAST(sum(ni) AS BIGINT) AS n_id
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_dedup_prefix" ->
+      """WITH c AS (
+        |  SELECT lang, substring(text, 1, 64) AS p, count(*) AS csz
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(csz) AS BIGINT) AS n_docs,
+        |  count(*) AS n_clusters,
+        |  CAST(sum(CASE WHEN csz > 1 THEN csz ELSE 0 END) AS BIGINT)
+        |    AS docs_in_dup,
+        |  round(CAST(sum(CASE WHEN csz > 1 THEN csz ELSE 0 END) AS DOUBLE)
+        |    / sum(csz), 4) AS dup_rate
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_split_train_eval" ->
+      """SELECT lang,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_repetition" ->
       """WITH bg AS (

@@ -80,6 +80,50 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("evt_bot_detect spread is the flag line and percentiles are ordered") {
+    val rows = q("evt_bot_detect").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p10, med, p90) = (r.getDouble(3), r.getDouble(2), r.getDouble(4))
+      assert(p10 <= med && med <= p90, s"percentiles out of order: $p10 $med $p90")
+      val flagged = r.getLong(6) == 1L
+      if (r.isNullAt(5)) assert(!flagged, "undefined spread can never flag")
+      else assert(flagged === (r.getDouble(5) <= 0.5),
+        "bot_flag must equal spread <= 0.5")
+    }
+  }
+
+  test("etl_partition_plan files cover the bytes at the target size") {
+    val rows = q("etl_partition_plan").collect()
+    rows.foreach { r =>
+      val (bytes, files, avg) = (r.getLong(2), r.getLong(5), r.getLong(6))
+      assert(files === (bytes + 65535L) / 65536L, "planned_files must be exact ceil")
+      assert(avg === bytes / files, "avg_file_bytes must be exact floor")
+    }
+  }
+
+  test("train/val/test splits partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val total = Tables.documents(spark, sf).count()
+    val rows = q("sample_split_train_eval").collect()
+    assert(rows.map(_.getLong(2)).sum === total)
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("prefix dedup counts are consistent per lang") {
+    val rows = q("text_dedup_prefix").collect()
+    rows.foreach { r =>
+      val (nDocs, nClusters, inDup) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nClusters <= nDocs && inDup <= nDocs)
+      assert(inDup != 1L, "a dup cluster has at least 2 docs")
+    }
+  }
+
+  test("embed_outlier_vecs only emits sub-threshold cosines") {
+    val rows = q("embed_outlier_vecs").collect()
+    assert(rows.forall(_.getDouble(2) < 0.75))
+  }
+
   test("semi and anti joins partition the customer table") {
     val customers = Tables.customer(spark, sf).count()
     assert(q("join_semi").count() + q("join_anti").count() === customers)
