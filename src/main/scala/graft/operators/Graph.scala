@@ -236,8 +236,12 @@ object Graph extends OpModule {
       // the base edge list is persisted once and each round is an
       // equi-semi-join against a broadcastable per-node degree table —
       // node-sized, never edge-sized; the 1-row snapshot aggs
-      // broadcast-cross into the trace. At 100 TB each superstep would
-      // checkpoint its edge set, same shape as dedup_components.
+      // broadcast-cross into the trace. EVERY round's edge set is
+      // persisted, exactly like dedup_components' superstep plan:
+      // round r's edges are referenced three times (degrees, the next
+      // round's semi-join, the snapshot count), so an unpersisted
+      // chain re-derives round r−1 per reference — ~3^r plan/work
+      // blowup that measured minutes at sf0.1 before the persists.
       val K = 3
       var e = edges(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -248,6 +252,7 @@ object Graph extends OpModule {
         val keep = degrees(e).filter(col("d") >= K).select("node")
         e = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         trace = trace.union(
           keep.agg(count(lit(1)).as("n_nodes"))
             .crossJoin(e.agg(count(lit(1)).as("n_edges")))
@@ -267,8 +272,14 @@ object Graph extends OpModule {
       // counts everywhere; one divide + round at the end. Top-30 with
       // full tiebreak.
       val hubCap = 2000
+      // e feeds the adjacency twice and deg three times (hub cap + the
+      // two endpoint-degree joins) — both are dimension-bounded, so
+      // one persist each stops the shared subtree from re-deriving the
+      // incidence join per reference.
       val e = edges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = degrees(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val adj = e.select(col("u").as("node"), col("v").as("nbr"))
         .union(e.select(col("v").as("node"), col("u").as("nbr")))
       val nbrs = adj.join(broadcast(deg.filter(col("d") <= hubCap)), Seq("node"))
