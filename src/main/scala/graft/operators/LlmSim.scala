@@ -390,27 +390,41 @@ object LlmSim extends OpModule {
     "embed_ivf_stats" -> ((s, d) => {
       // IVF index health — the cell-occupancy twin of
       // embed_bucket_stats (LSH) and embed_pq_distortion (PQ): per
-      // trained coarse cell, member count plus mean/worst cosine to
-      // the centroid. Unbalanced cells predict degenerate probe costs
-      // and a low worst-cosine flags a cell whose members the centroid
-      // no longer represents ("retrain" signal). The winning cosines
-      // are quantized to 1e-4 INTEGERS before averaging, so the mean
-      // is an exact integer sum + one division — engine-identical
-      // (rounded values sit within an ulp of an integer after the
-      // ×1e4 scale, so floor(x+0.5) is stable on both engines).
+      // trained coarse cell, member count plus mean/worst L2
+      // quantization distortion vs an exact INTEGER cell centroid.
+      // Unbalanced cells predict degenerate probe costs; a high worst
+      // distortion flags a cell its centroid no longer represents
+      // ("retrain" signal). Every reported number is an exact integer
+      // sum (⌊v·1e6⌋ coords, floor-mean integer centroids, integer
+      // squared distances — the embed_pq discipline) with one terminal
+      // divide: averaging ROUNDED cosines instead measurably diverged
+      // at sf0.001 (one rounded cos per ~200 straddles a half
+      // boundary, and a cross-engine ulp flips it), so no float ever
+      // enters a sum here. Cell assignment reuses the rounded-cos
+      // argmin, where ulp noise only matters if the top-2 margin is
+      // also < 1e-4 — the compound coincidence the k-means family has
+      // always accepted.
       val C = 16
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         col("embedding"), norm(col("embedding")).as("nrm"))
       var cents = kmInit(s, d, C)
       for (_ <- 1 to 2)
         cents = kmUpdate(e, kmAssign(e, cents))
-      kmAssign(e, cents)
-        .withColumn("ci", floor(col("acos") * 10000.0 + 0.5).cast("long"))
+      val a3 = kmAssign(e, cents).select("vec_id", "cell")
+      val ei = pqElems(s, d).select("vec_id", "pos", "vi").join(a3, "vec_id")
+      val ic = ei.groupBy("cell", "pos")
+        .agg(sum("vi").as("sv"), count(lit(1)).as("cnt"))
+        .select(col("cell").as("icell"), col("pos").as("cpos"),
+          expr("(sv - ((sv % cnt) + cnt) % cnt) div cnt").as("ci"))
+      ei.join(broadcast(ic), col("pos") === col("cpos") &&
+          col("cell") === col("icell"))
+        .groupBy("vec_id", "cell")
+        .agg(sum((col("vi") - col("ci")) * (col("vi") - col("ci"))).as("dist"))
         .groupBy("cell")
         .agg(count(lit(1)).as("n_vecs"),
-          round(sum("ci").cast("double") / (lit(10000.0) * count(lit(1))), 4)
-            .as("avg_cos"),
-          round(min("ci").cast("double") / 10000.0, 4).as("min_cos"))
+          round(sum("dist").cast("double") / count(lit(1)) / 1e12, 4)
+            .as("avg_dist"),
+          max("dist").as("max_dist_sq"))
         .orderBy("cell")
     }),
 
@@ -1058,13 +1072,23 @@ object LlmSim extends OpModule {
          |c1 AS (${kmUpdateSql("a1")}),
          |a2 AS (${kmAssignSql("c1")}),
          |c2 AS (${kmUpdateSql("a2")}),
-         |a3 AS (${kmAssignSql("c2", withCos = true)}),
-         |ai AS (SELECT cell, CAST(floor(cos * 10000.0 + 0.5) AS BIGINT) AS ci
-         |       FROM a3)
+         |a3 AS (${kmAssignSql("c2")}),
+         |ei AS (SELECT u.vec_id, a.cell, u.pos,
+         |         CAST(floor(u.v * 1000000.0) AS BIGINT) AS vi
+         |       FROM u JOIN a3 a ON a.vec_id = u.vec_id),
+         |ic AS (SELECT cell, pos,
+         |         CAST((sum(vi) - ((sum(vi) % count(*)) + count(*)) % count(*))
+         |           // count(*) AS BIGINT) AS ci
+         |       FROM ei GROUP BY 1, 2),
+         |vd AS (SELECT ei.vec_id, ei.cell,
+         |         CAST(sum((ei.vi - ic.ci) * (ei.vi - ic.ci)) AS BIGINT) AS dist
+         |       FROM ei JOIN ic ON ic.cell = ei.cell AND ic.pos = ei.pos
+         |       GROUP BY 1, 2)
          |SELECT cell, count(*) AS n_vecs,
-         |  round(CAST(sum(ci) AS DOUBLE) / (10000.0 * count(*)), 4) AS avg_cos,
-         |  round(CAST(min(ci) AS DOUBLE) / 10000.0, 4) AS min_cos
-         |FROM ai GROUP BY cell ORDER BY cell""".stripMargin,
+         |  round(CAST(sum(dist) AS DOUBLE) / count(*) / 1000000000000.0, 4)
+         |    AS avg_dist,
+         |  max(dist) AS max_dist_sq
+         |FROM vd GROUP BY cell ORDER BY cell""".stripMargin,
 
     "sim_knn_ivf" ->
       s"""WITH u AS (

@@ -69,14 +69,14 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
-  test("embed_ivf_stats cells partition the corpus and cosines are ordered") {
+  test("embed_ivf_stats cells partition the corpus and distortions are ordered") {
     val rows = q("embed_ivf_stats").collect()
     val total = Tables.embeddings(spark, sf).count()
     assert(rows.map(_.getLong(1)).sum === total, "cell members must partition the vectors")
     rows.foreach { r =>
-      val (avg, mn) = (r.getDouble(2), r.getDouble(3))
-      assert(mn <= avg + 1e-9 && avg <= 1.0 + 1e-9,
-        s"cell ${r.getLong(0)}: min_cos $mn must not exceed avg_cos $avg")
+      val (avg, mx) = (r.getDouble(2), r.getLong(3).toDouble / 1e12)
+      assert(avg >= 0.0 && avg <= mx + 1e-9,
+        s"cell ${r.getLong(0)}: avg_dist $avg must not exceed max ${mx}")
     }
   }
 
