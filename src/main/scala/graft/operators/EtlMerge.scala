@@ -339,6 +339,28 @@ object EtlMerge extends OpModule {
         .orderBy("c_custkey", "valid_from", "segment")
     }),
 
+    "etl_watermark_lag" -> ((s, d) => {
+      // Freshness audit: per event stream, how far its newest record
+      // lags the feed's global high-water mark — the alarm behind
+      // "source X silently stopped delivering" (a per-source lag is
+      // how an ingest SLA is actually monitored; wall-clock "now" is
+      // nondeterministic, so the global HWM stands in as the as-of
+      // point and keeps the audit replayable). One partial-agg scan
+      // per grouping + a broadcast 1-row scalar; lag is exact integer
+      // µs → whole seconds.
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val hwm = ev.agg(max("us").as("hwm"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max("us").as("mx"))
+        .crossJoin(broadcast(hwm))
+        .select(col("event_type"), col("n_events"),
+          expr("(hwm - mx) div 1000000").as("lag_s"),
+          date_format(timestamp_micros(col("mx")), "yyyy-MM-dd HH:mm:ss")
+            .as("latest_ts"))
+        .orderBy("event_type")
+    }),
+
     "etl_partition_plan" -> ((s, d) => {
       // Output-writer planning: per write partition (lang), the file
       // count a size-targeted writer should produce — the number you
@@ -411,6 +433,15 @@ object EtlMerge extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_watermark_lag" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |hwm AS (SELECT max(us) AS hwm FROM ev)
+        |SELECT event_type, count(*) AS n_events,
+        |  (hwm - max(us)) // 1000000 AS lag_s,
+        |  strftime(make_timestamp(max(us)), '%Y-%m-%d %H:%M:%S') AS latest_ts
+        |FROM ev CROSS JOIN hwm
+        |GROUP BY event_type, hwm ORDER BY event_type""".stripMargin,
+
     "etl_partition_plan" ->
       """WITH b AS (
         |  SELECT lang, octet_length(encode(text)) AS nb FROM documents),

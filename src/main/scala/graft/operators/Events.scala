@@ -423,6 +423,31 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_stickiness" -> ((s, d) => {
+      // Stickiness (DAU / trailing-28-day MAU per day) — the product
+      // health ratio behind "do users come back". Same scale shape as
+      // evt_rolling_active: the event stream collapses to distinct
+      // day-grain (day, user) pairs BEFORE the 28-way window
+      // expansion, so the range join moves |days|·28·|daily actives|
+      // rows, never |events|; the observed-day spine broadcasts.
+      // Integer distinct counts + one terminal divide.
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val days = du.select("day").distinct()
+      val mau = broadcast(days)
+        .join(du.select(col("day").as("d2"), col("user_id")),
+          col("d2") >= date_sub(col("day"), 27) && col("d2") <= col("day"))
+        .groupBy("day").agg(countDistinct("user_id").as("mau"))
+      du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        .join(mau, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("mau"),
+          round(col("dau").cast("double") / col("mau").cast("double"), 4)
+            .as("stickiness"))
+        .orderBy("day")
+    }),
+
     "evt_bot_detect" -> ((s, d) => {
       // Bot/automation screen: humans' inter-event gaps spread widely,
       // a scripted client's cluster around its polling interval — so a
@@ -545,6 +570,19 @@ object Events extends OpModule {
         |  round(quantile_cont(d_us, 0.9) / 1e6, 4) AS p90_s
         |FROM seq WHERE d_us IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "evt_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+        |mau AS (
+        |  SELECT d.day, count(DISTINCT u.user_id) AS mau
+        |  FROM days d JOIN du u ON u.day BETWEEN d.day - 27 AND d.day
+        |  GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+        |  round(CAST(dau.dau AS DOUBLE) / mau.mau, 4) AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day ORDER BY day""".stripMargin,
 
     "evt_bot_detect" ->
       """WITH g AS (

@@ -159,6 +159,39 @@ object Joins extends OpModule {
         .orderBy("a_key", "b_key")
     }),
 
+    "join_asof_nearest" -> ((s, d) => {
+      // Nearest-in-time join — the symmetric cousin of the as-of join:
+      // each purchase pairs with its temporally CLOSEST view by the
+      // same user within ±30 min (view-to-buy proximity attribution;
+      // evt_click_attrib's interval join only looks forward). Shape is
+      // join_interval_bucketed's: the purchase side explodes into its
+      // 30-min grid bucket ±1 (bounded 3× fanout), the join is a pure
+      // EQUI-join on (user, bucket) — never a BNL over the time
+      // predicate — and the argmin is one partial-agg struct-min, ties
+      // to the lower view id. A (purchase, view) pair can only meet in
+      // the view's single bucket, so no dedup pass is needed. All time
+      // math is exact integer µs.
+      val Tol = 1800L * 1000000L
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("pt"))
+        .withColumn("b", expr(s"pt div ${Tol}"))
+        .withColumn("bs", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("v_id"),
+          unix_micros(col("ts")).as("vt"))
+        .withColumn("vb", expr(s"vt div ${Tol}"))
+      p.join(v, col("pu") === col("vu") && col("bs") === col("vb"))
+        .withColumn("adt", abs(col("vt") - col("pt")))
+        .filter(col("adt") <= Tol)
+        .groupBy("pu", "p_id")
+        .agg(min(struct(col("adt"), col("v_id"))).as("m"))
+        .select(col("pu").as("user_id"), col("p_id").as("purchase_id"),
+          col("m.v_id").as("view_id"), round(col("m.adt") / 1e6, 4).as("abs_dt_s"))
+        .orderBy("purchase_id")
+    }),
+
     "join_asof" -> ((s, d) => {
       // As-of join via a merged per-user timeline, not a range join:
       // the range join materializes |events| × avg-prior-orders rows
@@ -418,6 +451,24 @@ object Joins extends OpModule {
         |FROM supplier s1 JOIN supplier s2
         |  ON s1.s_acctbal < s2.s_acctbal AND s2.s_acctbal < s1.s_acctbal + 500
         |ORDER BY a_key, b_key""".stripMargin,
+
+    "join_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS vt
+        |  FROM events WHERE event_type = 'view'),
+        |cand AS (
+        |  SELECT p.user_id, p.purchase_id, v.view_id, abs(v.vt - p.pt) AS adt
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |  WHERE abs(v.vt - p.pt) <= 1800000000)
+        |SELECT user_id, purchase_id, view_id, round(adt / 1e6, 4) AS abs_dt_s
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY adt, view_id) AS rn
+        |  FROM cand)
+        |WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "join_asof" ->
       """SELECT event_id, o_orderkey AS last_order_key,

@@ -357,6 +357,32 @@ object LlmSim extends OpModule {
         .groupBy("n_vecs").agg(count(lit(1)).as("n_buckets"))
         .orderBy("n_vecs")),
 
+    "sim_knn_mips" -> ((s, d) => {
+      // Maximum-inner-product kNN — recommendation scoring where
+      // vector magnitude matters (cosine's normalization erases it;
+      // MIPS is its own ANN problem precisely because the triangle
+      // inequality breaks). Top-3 by raw inner product over ⌊v·1e6⌋
+      // integer coords: every score is an EXACT integer sum (≤64
+      // products of |vi| ≤ 2e6 — no overflow, no rounding anywhere),
+      // so ranks are engine-identical without a single float op. The
+      // 10-query side broadcasts (|Q|·dim rows); scoring is a map-side
+      // join + partial agg collapsing |V|·dim·|Q| terms to |V|·|Q|
+      // before the shuffle.
+      val e = pqElems(s, d).select("vec_id", "pos", "vi")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("pos").as("qpos"),
+          col("vi").as("qi"))
+      val scored = e.join(broadcast(q), col("pos") === col("qpos"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum(col("vi") * col("qi")).as("ip"))
+      val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id").as("n_id"), col("ip"))
+        .orderBy("q_id", "rk")
+    }),
+
     "embed_outlier_vecs" -> ((s, d) => {
       // Label-conditional outlier screen: vectors whose cosine to
       // their OWN label centroid falls below 0.75 — mislabel/noise
@@ -478,7 +504,11 @@ object LlmSim extends OpModule {
       // (pqCodebook), so ranks are engine-identical.
       val Q = 10
       val e = pqElems(s, d)
+      // dists feeds BOTH the database codes and the query distance
+      // table — persist it so the trained-codebook lineage (the
+      // ~6-stage Lloyd unroll) executes once, not twice.
       val dists = pqDists(e, pqCodebook(e))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val codes = pqArgmin(dists)
         .select(col("vec_id"), col("m"), col("k").as("code"))
       val dtab = dists.filter(col("vec_id") < Q)
@@ -1035,6 +1065,24 @@ object LlmSim extends OpModule {
          |  max(dist) AS max_dist_sq
          |FROM codes GROUP BY subspace, code
          |ORDER BY subspace, code""".stripMargin,
+
+    "sim_knn_mips" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi
+        |  FROM embeddings
+        |),
+        |q AS (SELECT vec_id AS q_id, pos, vi AS qi FROM u WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT q.q_id, u.vec_id, CAST(sum(u.vi * q.qi) AS BIGINT) AS ip
+        |  FROM u JOIN q ON u.pos = q.pos
+        |  WHERE u.vec_id <> q.q_id
+        |  GROUP BY 1, 2)
+        |SELECT q_id, CAST(rk AS BIGINT) AS rk, vec_id AS n_id, ip FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY ip DESC, vec_id) AS rk
+        |  FROM sc)
+        |WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     "embed_outlier_vecs" ->
       s"""WITH u AS (

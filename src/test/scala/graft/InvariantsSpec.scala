@@ -80,6 +80,57 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("bucketed nearest join equals the brute-force theta formulation") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("pt"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("v_id"),
+        unix_micros(col("ts")).as("vt"))
+    val brute = p.join(v, col("pu") === col("vu") &&
+        abs(col("vt") - col("pt")) <= 1800L * 1000000L)
+      .groupBy("p_id")
+      .agg(min(struct(abs(col("vt") - col("pt")).as("adt"), col("v_id"))).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+    val got = q("join_asof_nearest").collect()
+      .map(r => r.getLong(1) -> (r.getDouble(3), r.getLong(2))).toMap
+    assert(got.keySet === brute.keySet, "bucketing changed the matched purchases")
+    got.foreach { case (pid, (dtS, vid)) =>
+      assert(vid === brute(pid)._2, s"purchase $pid matched a different view")
+      // the query emits seconds rounded at 4 digits; compare at that grain
+      assert(math.abs(dtS - brute(pid)._1 / 1e6) < 5e-5)
+    }
+  }
+
+  test("sim_knn_mips ranks are dense and scores non-increasing per query") {
+    val rows = q("sim_knn_mips").collect().groupBy(_.getLong(0))
+    rows.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length))
+      assert(sorted.sliding(2).forall(p =>
+        p.length < 2 || p(0).getLong(3) >= p(1).getLong(3)))
+    }
+  }
+
+  test("etl_watermark_lag: some stream holds the high-water mark, lags non-negative") {
+    val rows = q("etl_watermark_lag").collect()
+    assert(rows.map(_.getLong(2)).min === 0L, "the HWM stream must show lag 0")
+    assert(rows.forall(_.getLong(2) >= 0L))
+  }
+
+  test("evt_stickiness is DAU/MAU with DAU never exceeding MAU") {
+    val rows = q("evt_stickiness").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, mau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dau <= mau && st > 0.0 && st <= 1.0)
+      assert(math.abs(st - dau.toDouble / mau) < 1e-3)
+    }
+  }
+
   test("evt_bot_detect spread is the flag line and percentiles are ordered") {
     val rows = q("evt_bot_detect").collect()
     assert(rows.nonEmpty)
