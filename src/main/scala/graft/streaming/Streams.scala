@@ -23,6 +23,16 @@ case class Transition(user_id: Long, from_type: String, to_type: String)
 /** Per-user tail state for transition extraction. */
 case class LastEvent(us: Long, event_id: Long, typ: String)
 
+/** Per-user cadence state: last event-time µs + integer-second gap
+  * moments (n, Σg, Σg²) — O(1) per user. */
+case class CadenceState(lastUs: Long, n: Long, sumS: Long, sumSqS: Long)
+
+/** Running per-user cadence profile — streaming twin of
+  * `evt_bot_detect` (which uses exact percentiles; the O(1)-state
+  * streaming surrogate is the coefficient of variation). */
+case class CadenceRow(user_id: Long, n_gaps: Long, mean_gap_s: Double,
+                      cv_gap: Double, bot_flag: Boolean)
+
 /** Per-key CDC state: the winning (latest) record + version count. */
 case class CdcState(us: Long, event_id: Long, typ: String, value: Double, n: Long)
 
@@ -214,6 +224,41 @@ object Streams {
           }
           state.update(st)
           CdcRow(user, st.event_id, st.typ, st.value, st.us, st.n)
+      }
+  }
+
+  /** Per-user cadence tracking — streaming twin of the batch
+    * `evt_bot_detect` screen. State is O(1) per user (last event-time
+    * µs + integer-second gap moments n/Σg/Σg²), so the regularity
+    * signal ships with the stream instead of waiting for the batch
+    * audit. The batch twin judges spread by exact percentiles — a
+    * sort streaming can't afford — so this surrogate flags on the
+    * coefficient of variation (stddev/mean ≤ 0.5 with ≥ 5 gaps); both
+    * agree on the archetypes (fixed-interval bot → spread ≈ cv ≈ 0).
+    * Update-mode emission per micro-batch; in production add an
+    * event-time timeout to reap idle users.
+    */
+  def cadenceStats(events: Dataset[Event]): Dataset[CadenceRow] = {
+    implicit val stateEnc: Encoder[CadenceState] = Encoders.product[CadenceState]
+    implicit val outEnc: Encoder[CadenceRow] = Encoders.product[CadenceRow]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[CadenceState, CadenceRow](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[CadenceState]) =>
+          var st = state.getOption.getOrElse(CadenceState(Long.MinValue, 0L, 0L, 0L))
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            if (st.lastUs != Long.MinValue) {
+              val g = Math.floorDiv(us - st.lastUs, 1000000L)
+              st = CadenceState(us, st.n + 1, st.sumS + g, st.sumSqS + g * g)
+            } else st = st.copy(lastUs = us)
+          }
+          state.update(st)
+          val mean = if (st.n > 0) st.sumS.toDouble / st.n else 0.0
+          val varr =
+            if (st.n > 0) st.sumSqS.toDouble / st.n - mean * mean else 0.0
+          val cv = if (mean > 0) math.sqrt(math.max(varr, 0.0)) / mean else 0.0
+          CadenceRow(user, st.n, mean, cv,
+            st.n >= 5 && mean > 0 && cv <= 0.5)
       }
   }
 

@@ -196,6 +196,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 2L, "click", 3L), (2L, 5L, "view", 2L)))
   }
 
+  test("cadence state machine flags the metronome user, not the bursty one") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // user 1: a metronome — 6 events exactly 10 min apart (5 gaps,
+    // cv = 0) → bot. user 2: bursty human-ish gaps 1/50/2/40/7 min →
+    // high cv, no flag. Split across two micro-batches to prove the
+    // moments carry through state.
+    in.addData(ev(1, 0, 1, "view"), ev(2, 10, 1, "view"),
+      ev(3, 20, 1, "view"),
+      ev(10, 0, 2, "view"), ev(11, 1, 2, "view"), ev(12, 51, 2, "view"))
+    val q = Streams.cadenceStats(in.toDS())
+      .writeStream.format("memory").queryName("cadence")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      in.addData(ev(4, 30, 1, "view"), ev(5, 40, 1, "view"),
+        ev(6, 50, 1, "view"),
+        ev(13, 53, 2, "view"), ev(14, 93, 2, "view"), ev(15, 100, 2, "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits per batch; keep each user's max-n_gaps row.
+    val fin = spark.table("cadence").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+    val u1 = fin.find(_._1 == 1L).get
+    val u2 = fin.find(_._1 == 2L).get
+    assert(u1._2 === 5L && u1._3 === 600.0 && u1._4 === 0.0 && u1._5,
+      s"metronome user must flag: $u1")
+    assert(u2._2 === 5L && !u2._5 && u2._4 > 0.5, s"bursty user must not flag: $u2")
+  }
+
   test("funnel keeps sub-millisecond precision (µs, not ms-truncated)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
