@@ -261,6 +261,38 @@ object Graph extends OpModule {
       trace.orderBy("round")
     }),
 
+    "graph_components" -> ((s, d) => {
+      // Connected components by 3 unrolled min-label supersteps (the
+      // dedup_components plan at the graph grain): every node adopts
+      // the minimum label in its closed neighborhood each round, so
+      // after r rounds labels agree within radius-r balls — enough to
+      // collapse the dense co-purchase core; the output is the
+      // component-size histogram (fragmentation = how partitionable
+      // downstream per-component work is). Each superstep is one
+      // equi-join + partial-agg min; per-round labels are persisted
+      // (next round references them twice), the edge list once.
+      val e = edges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      var lbl = degrees(e).select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to 3) {
+        val nbrMin = adj
+          .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
+            col("b") === col("b2"))
+          .groupBy(col("a")).agg(min("bl").as("nl"))
+        lbl = lbl.join(nbrMin.withColumnRenamed("a", "n2"),
+            col("node") === col("n2"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      lbl.groupBy("lbl").agg(count(lit(1)).as("csz"))
+        .groupBy(col("csz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy("component_size")
+    }),
+
     "graph_jaccard_sim" -> ((s, d) => {
       // Neighbor-set Jaccard similarity — the normalized cousin of
       // Adamic-Adar: |N(a)∩N(b)| / |N(a)∪N(b)| with the union expanded
@@ -479,6 +511,24 @@ object Graph extends OpModule {
          |  UNION ALL SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
          |  UNION ALL SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)
          |) ORDER BY round""".stripMargin,
+
+    "graph_components" -> {
+      val step = (prev: String) =>
+        s"""SELECT l.node, least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+           |  FROM $prev l LEFT JOIN (
+           |    SELECT adj.a, min(p.lbl) AS nl
+           |    FROM adj JOIN $prev p ON p.node = adj.b GROUP BY adj.a) m
+           |  ON m.a = l.node""".stripMargin
+      s"""WITH $EDGES,
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT node, node AS lbl FROM deg),
+         |l1 AS (${step("l0")}),
+         |l2 AS (${step("l1")}),
+         |l3 AS (${step("l2")})
+         |SELECT csz AS component_size, count(*) AS n_components FROM (
+         |  SELECT lbl, count(*) AS csz FROM l3 GROUP BY lbl)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "graph_jaccard_sim" ->
       s"""WITH $EDGES,

@@ -248,6 +248,25 @@ object LlmText extends OpModule {
           sum("ni").as("n_id"))
         .orderBy("lang")),
 
+    "text_length_hist" -> ((s, d) =>
+      // Log2 document-length histogram per lang — the first plot every
+      // corpus audit draws (truncation cliffs and boilerplate spikes
+      // show up as bucket anomalies long before quality metrics move).
+      // The bucket is the BIT LENGTH of n_chars (= ⌊log2 n⌋ + 1),
+      // computed as the string length of the binary representation —
+      // exact integer arithmetic on both engines, where a float log2
+      // straddles an ulp at every power of two. Map-only + one partial
+      // agg; ≤ |langs|·64 rows shuffle.
+      Tables.documents(s, d)
+        .filter(col("n_chars") > 0)
+        .select(col("lang"), col("n_chars"),
+          length(expr("bin(n_chars)")).cast("long").as("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").cast("long").as("min_chars"),
+          max("n_chars").cast("long").as("max_chars"))
+        .orderBy("lang", "bucket")),
+
     "text_dedup_prefix" -> ((s, d) => {
       // Prefix-duplicate screen: docs sharing their first 64
       // characters — catches template boilerplate (same header,
@@ -1044,6 +1063,14 @@ object LlmText extends OpModule {
         |  CAST(count(*) FILTER (WHERE ni > 0) AS BIGINT) AS docs_id,
         |  CAST(sum(ni) AS BIGINT) AS n_id
         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_length_hist" ->
+      """SELECT lang, CAST(length(bin(n_chars)) AS BIGINT) AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents WHERE n_chars > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_dedup_prefix" ->
       """WITH c AS (

@@ -80,6 +80,13 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq(Row(1L, 4L, 2L, 1.0), Row(2L, 3L, 2L, 0.5)))
   }
 
+  test("graph_components collapses the connected fixture into one component") {
+    // dir2's graph {1-2, 1-3, 2-3, 2-4, 3-4} is connected with
+    // diameter 2, so 3 min-label rounds converge: one component of 4.
+    val got = SparkEntry.queries("graph_components")(spark, dir2).collect().toSeq
+    assert(got === Seq(Row(4L, 1L)))
+  }
+
   test("graph_pagerank conserves rank mass over the sf0.001 trade graph") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
       .collect()

@@ -161,6 +161,20 @@ class InvariantsSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("text_length_hist buckets are exact bit lengths and partition the corpus") {
+    val total = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("n_chars") > 0).count()
+    val rows = q("text_length_hist").collect()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(mn <= mx)
+      assert(java.lang.Long.toBinaryString(mn).length.toLong === b &&
+        java.lang.Long.toBinaryString(mx).length.toLong === b,
+        s"bucket $b must equal the bit length of its own min/max ($mn, $mx)")
+    }
+  }
+
   test("prefix dedup counts are consistent per lang") {
     val rows = q("text_dedup_prefix").collect()
     rows.foreach { r =>
