@@ -249,6 +249,27 @@ object LlmSim extends OpModule {
         .orderBy("q_id")
     }),
 
+    "sim_recall_ivf" -> ((s, d) => {
+      // IVF quality gate: per-query recall@5 of the single-probe
+      // (nprobe=1) trained-cell search vs the brute-force cosine
+      // truth — completes the per-path recall family (LSH:
+      // sim_recall_eval, PQ: sim_recall_pq) so every ANN scale path
+      // ships with its accuracy eval. Composes the two graded kNN
+      // operators; a sub-1 recall here is the "raise nprobe or C"
+      // signal.
+      val brute = queries("sim_knn")(s, d).select(col("q_id"), col("n_id"))
+      val ivf = queries("sim_knn_ivf")(s, d)
+        .select(col("q_id").as("i_q"), col("n_id").as("i_n"), lit(1).as("hit"))
+      brute
+        .join(ivf, col("q_id") === col("i_q") && col("n_id") === col("i_n"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_brute"), count(col("hit")).as("n_hits"))
+        .select(col("q_id"), col("n_brute"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_brute"), 4).as("recall"))
+        .orderBy("q_id")
+    }),
+
     "multimodal_join" -> ((s, d) =>
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -1137,6 +1158,70 @@ object LlmSim extends OpModule {
          |    AS avg_dist,
          |  max(dist) AS max_dist_sq
          |FROM vd GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "sim_recall_ivf" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |norms AS ($NormsSql),
+         |c0 AS (SELECT vec_id AS cell, pos, v AS c FROM u WHERE vec_id < 16),
+         |a1 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmUpdateSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmUpdateSql("a2")}),
+         |assign AS (${kmAssignSql("c2")}),
+         |pairs AS (
+         |  SELECT qa.vec_id AS q_id, nb.vec_id AS n_id
+         |  FROM assign qa JOIN assign nb ON qa.cell = nb.cell
+         |    AND qa.vec_id < 10 AND nb.vec_id <> qa.vec_id
+         |),
+         |idots AS (
+         |  SELECT p.q_id, p.n_id, sum(a.v * b.v) AS dp
+         |  FROM pairs p JOIN u a ON a.vec_id = p.q_id
+         |  JOIN u b ON b.vec_id = p.n_id AND b.pos = a.pos
+         |  GROUP BY p.q_id, p.n_id
+         |),
+         |iscored AS (
+         |  SELECT q_id, n_id, round(dp / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM idots JOIN norms nq ON nq.vec_id = q_id
+         |  JOIN norms nn ON nn.vec_id = n_id
+         |),
+         |ivf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |    FROM iscored
+         |  ) WHERE rk <= 5
+         |),
+         |bdots AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.v * b.v) AS dp
+         |  FROM u a JOIN u b ON a.pos = b.pos
+         |    AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |bscored AS (
+         |  SELECT q_id, n_id, round(dp / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM bdots JOIN norms nq ON nq.vec_id = q_id
+         |  JOIN norms nn ON nn.vec_id = n_id
+         |),
+         |brute AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |    FROM bscored
+         |  ) WHERE rk <= 5
+         |),
+         |hits AS (
+         |  SELECT b.q_id, count(*) AS n_brute, count(i.n_id) AS n_hits
+         |  FROM brute b LEFT JOIN ivf i
+         |    ON i.q_id = b.q_id AND i.n_id = b.n_id
+         |  GROUP BY b.q_id
+         |)
+         |SELECT q_id, n_brute, n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall
+         |FROM hits ORDER BY q_id""".stripMargin,
 
     "sim_knn_ivf" ->
       s"""WITH u AS (

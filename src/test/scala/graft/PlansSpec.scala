@@ -287,6 +287,36 @@ class PlansSpec extends SparkSpec {
       "more than one unpartitioned window in the gini plan")
   }
 
+  test("join_asof_nearest stays an equi-join — no BNL over the time predicate") {
+    val plan = treeString(q("join_asof_nearest"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"nearest join degenerated to a non-equi plan:\n$plan")
+  }
+
+  test("graph_kcore executes each peeling round from cache, not re-derivation") {
+    // every round's edge set is persisted; losing a persist re-derives
+    // the incidence join ~3^r times (measured minutes at sf0.1).
+    val plan = treeString(q("graph_kcore"))
+    assert(plan.contains("InMemoryTableScan"),
+      s"no cached superstep scans in the k-core plan:\n$plan")
+  }
+
+  test("sim_knn_mips broadcasts the query elements") {
+    val plan = treeString(q("sim_knn_mips"))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastQueryStage"),
+      s"query side of MIPS scoring is not broadcast:\n$plan")
+  }
+
+  test("evt_stickiness expands windows on day-grain pairs only") {
+    // the 28-way range join must read the persisted distinct
+    // (day, user) rollup, never raw events.
+    val plan = treeString(q("evt_stickiness"))
+    assert(plan.contains("InMemoryTableScan"),
+      s"stickiness range join is not reading the day-grain cache:\n$plan")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
