@@ -339,6 +339,30 @@ object EtlMerge extends OpModule {
         .orderBy("c_custkey", "valid_from", "segment")
     }),
 
+    "etl_pk_violations" -> ((s, d) => {
+      // Primary-key uniqueness audit — the first DQ gate of any load:
+      // per declared key, how many key values occur more than once and
+      // how many excess rows they carry (0/0 is the contract; the
+      // composite (l_orderkey, l_linenumber) is EXPECTED to violate in
+      // this synthetic data and proves the audit detects, not assumes).
+      // Each table collapses to per-key counts with one partial agg —
+      // only |distinct keys| rows shuffle — and the per-table summary
+      // rows union. All integer counts.
+      def audit(df: DataFrame, table: String, keyCols: Seq[String]) =
+        df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_keys"),
+            sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("excess_rows"))
+          .select(lit(table).as("table_key"), col("n_keys"), col("dup_keys"),
+            col("excess_rows"))
+      audit(Tables.orders(s, d), "orders.o_orderkey", Seq("o_orderkey"))
+        .union(audit(Tables.customer(s, d), "customer.c_custkey", Seq("c_custkey")))
+        .union(audit(Tables.part(s, d), "part.p_partkey", Seq("p_partkey")))
+        .union(audit(Tables.lineitem(s, d), "lineitem.(l_orderkey,l_linenumber)",
+          Seq("l_orderkey", "l_linenumber")))
+        .orderBy("table_key")
+    }),
+
     "etl_watermark_lag" -> ((s, d) => {
       // Freshness audit: per event stream, how far its newest record
       // lags the feed's global high-water mark — the alarm behind
@@ -433,6 +457,26 @@ object EtlMerge extends OpModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "etl_pk_violations" -> {
+      val one = (table: String, label: String, keys: String) =>
+        s"""SELECT '$label' AS table_key,
+           |  count(*) AS n_keys,
+           |  CAST(count(*) FILTER (WHERE c > 1) AS BIGINT) AS dup_keys,
+           |  CAST(coalesce(sum(c - 1) FILTER (WHERE c > 1), 0) AS BIGINT)
+           |    AS excess_rows
+           |FROM (SELECT $keys, count(*) AS c FROM $table GROUP BY $keys)""".stripMargin
+      s"""SELECT * FROM (
+         |${one("orders", "orders.o_orderkey", "o_orderkey")}
+         |UNION ALL
+         |${one("customer", "customer.c_custkey", "c_custkey")}
+         |UNION ALL
+         |${one("part", "part.p_partkey", "p_partkey")}
+         |UNION ALL
+         |${one("lineitem", "lineitem.(l_orderkey,l_linenumber)",
+        "l_orderkey, l_linenumber")}
+         |) ORDER BY table_key""".stripMargin
+    },
+
     "etl_watermark_lag" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
         |hwm AS (SELECT max(us) AS hwm FROM ev)

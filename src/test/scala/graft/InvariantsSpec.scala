@@ -131,6 +131,17 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("etl_pk_violations clears real keys and catches the planted composite") {
+    val rows = q("etl_pk_violations").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows("orders.o_orderkey") === ((0L, 0L)))
+    assert(rows("customer.c_custkey") === ((0L, 0L)))
+    assert(rows("part.p_partkey") === ((0L, 0L)))
+    // the synthetic lineitem violates (l_orderkey, l_linenumber) by
+    // construction (TESTDATA.md) — the audit must detect, not assume.
+    assert(rows("lineitem.(l_orderkey,l_linenumber)")._1 > 0L)
+  }
+
   test("evt_bot_detect spread is the flag line and percentiles are ordered") {
     val rows = q("evt_bot_detect").collect()
     assert(rows.nonEmpty)
