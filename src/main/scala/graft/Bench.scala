@@ -21,10 +21,15 @@ object Bench {
     // multi-second host stalls (same query 1.3 s vs 54 s minutes
     // apart); min-of-2 reports steady-state plan cost instead of
     // whichever pass a stall landed on.
+    // Failures are RECORDED, not swallowed (r4 verdict #7): a query
+    // that starts throwing must not time as a plausible number — it
+    // lands in the emitted "errors" map with its exception class.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timedPass(): Map[String, Double] = SparkEntry.queries.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => errors(name) = e.getClass.getSimpleName }
         name -> (System.nanoTime() - t0) / 1e9
     }
     val (p1, p2) = (timedPass(), timedPass())
@@ -34,7 +39,10 @@ object Bench {
         .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"queries":${jmap(results)},"sf":"$sfDir"}"""
     // The full per-query map (154 queries, ~5 KB) outran the driver's
     // captured log tail in BOTH prior rounds ("parsed": null) — the
     // tail window is ~2 KB, so any line longer than that is
@@ -47,7 +55,7 @@ object Bench {
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(25)
     val compact = s"""{"metric":"total","value":${BigDecimal(total)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble},"unit":"sec","n_queries":${results.size},"queries":${jmap(slowest)},"queries_note":"slowest 25 of ${results.size}; full map in /root/repo/bench_out.json","sf":"$sfDir"}"""
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"queries":${jmap(slowest)},"queries_note":"slowest 25 of ${results.size}; full map in /root/repo/bench_out.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

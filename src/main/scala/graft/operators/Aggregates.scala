@@ -12,8 +12,10 @@ import graft.Tables
   * automatically for algebraic aggregates), so shuffle volume is
   * |groups| not |rows|. `countDistinct` expands to a two-phase
   * aggregate (distinct shuffle then count) — at 100 TB prefer
-  * `approx_count_distinct` (HLL sketch, one pass, mergeable) which is
-  * included as the ungraded `agg_approx_distinct` twin.
+  * `approx_count_distinct` (HLL sketch, one pass, mergeable), graded
+  * by tolerance in `agg_approx_distinct` (each engine bounds its own
+  * estimate against its own exact count; only engine-stable columns
+  * are emitted).
   * `rollup`/`cube`/grouping-sets expand the grouping sets before the
   * shuffle; output stays |groups|-sized.
   */
@@ -66,13 +68,21 @@ object Aggregates extends OpModule {
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
-    // Ungraded (no oracle): HLL sketch values differ between engines by
-    // design; the driver records a rows-only check. The exact-count
-    // graded twin is agg_exact_distinct_users below.
+    // Tolerance-graded (r5): HLL sketch VALUES differ between engines
+    // by design, so the approx estimate itself never reaches the
+    // output — each engine bounds ITS OWN estimate against ITS exact
+    // count and emits the boolean. `exact_users` and `within_5pct`
+    // hash-match; the 5% bound has margin because Spark runs HLL++ at
+    // rsd=0.01 and DuckDB's HLL is ~1-2% error. The exact-count twin
+    // agg_exact_distinct_users stays as the value-level grade.
     "agg_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("approx_users"))
+        .agg(countDistinct("user_id").as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_local"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_local") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("within_5pct"))
         .orderBy("event_type")),
 
     // Exact-count twin of agg_approx_distinct (SURVEY §2.4's promised
@@ -584,6 +594,15 @@ object Aggregates extends OpModule {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nparts,
         |  count(DISTINCT l_suppkey) AS nsupps, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Each engine bounds its own HLL estimate against its own exact
+    // count; only the engine-stable columns (exact, boolean) are
+    // emitted, so the hash matches even though the sketches differ.
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |    <= count(DISTINCT user_id) * 0.05) AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_exact_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,

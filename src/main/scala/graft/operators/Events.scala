@@ -423,30 +423,9 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
-    "evt_stickiness" -> ((s, d) => {
-      // Stickiness (DAU / trailing-28-day MAU per day) — the product
-      // health ratio behind "do users come back". Same scale shape as
-      // evt_rolling_active: the event stream collapses to distinct
-      // day-grain (day, user) pairs BEFORE the 28-way window
-      // expansion, so the range join moves |days|·28·|daily actives|
-      // rows, never |events|; the observed-day spine broadcasts.
-      // Integer distinct counts + one terminal divide.
-      val du = Tables.events(s, d)
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val days = du.select("day").distinct()
-      val mau = broadcast(days)
-        .join(du.select(col("day").as("d2"), col("user_id")),
-          col("d2") >= date_sub(col("day"), 27) && col("d2") <= col("day"))
-        .groupBy("day").agg(countDistinct("user_id").as("mau"))
-      du.groupBy("day").agg(countDistinct("user_id").as("dau"))
-        .join(mau, "day")
-        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-          col("dau"), col("mau"),
-          round(col("dau").cast("double") / col("mau").cast("double"), 4)
-            .as("stickiness"))
-        .orderBy("day")
-    }),
+    // Persist-scoped (r5): the day-grain pair cache is released once
+    // the ~30-row result materializes; see stickinessBody.
+    "evt_stickiness" -> ((s, d) => scopedPersist(stickinessBody(s, d))),
 
     "evt_bot_detect" -> ((s, d) => {
       // Bot/automation screen: humans' inter-event gaps spread widely,
@@ -479,8 +458,13 @@ object Events extends OpModule {
           when(col("med") === 0.0, lit(null).cast("double"))
             .otherwise(round((col("p90") - col("p10")) / col("med"), 4))
             .as("spread"),
+          // The flag compares the ROUNDED spread (r5, per advisor): a
+          // cross-engine ulp in percentile interpolation exactly at
+          // the 0.5 boundary would flip an unrounded compare while the
+          // emitted spread still matched.
           when(col("med") > 0.0 &&
-            (col("p90") - col("p10")) / col("med") <= 0.5, 1L).otherwise(0L)
+            round((col("p90") - col("p10")) / col("med"), 4) <= 0.5, 1L)
+            .otherwise(0L)
             .as("bot_flag"))
         .orderBy("user_id")
     }),
@@ -539,6 +523,33 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
   )
+
+  /** Stickiness (DAU / trailing-28-day MAU per day) — the product
+    * health ratio behind "do users come back". Same scale shape as
+    * evt_rolling_active: the event stream collapses to distinct
+    * day-grain (day, user) pairs BEFORE the 28-way window expansion,
+    * so the range join moves |days|·28·|daily actives| rows, never
+    * |events|; the observed-day spine broadcasts. Integer distinct
+    * counts + one terminal divide. The pair rollup feeds the spine,
+    * the MAU join and the DAU agg — persisted via the scope, released
+    * after the result materializes. */
+  private[graft] def stickinessBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val du = scope.persist(Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
+    val days = du.select("day").distinct()
+    val mau = broadcast(days)
+      .join(du.select(col("day").as("d2"), col("user_id")),
+        col("d2") >= date_sub(col("day"), 27) && col("d2") <= col("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("mau"))
+    du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      .join(mau, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 4)
+          .as("stickiness"))
+      .orderBy("day")
+  }
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
 
@@ -600,7 +611,7 @@ object Events extends OpModule {
         |  round(med, 4) AS med_s, round(p10, 4) AS p10_s, round(p90, 4) AS p90_s,
         |  CASE WHEN med = 0 THEN NULL
         |       ELSE round((p90 - p10) / med, 4) END AS spread,
-        |  CAST(CASE WHEN med > 0 AND (p90 - p10) / med <= 0.5
+        |  CAST(CASE WHEN med > 0 AND round((p90 - p10) / med, 4) <= 0.5
         |       THEN 1 ELSE 0 END AS BIGINT) AS bot_flag
         |FROM st WHERE n_gaps >= 5 ORDER BY user_id""".stripMargin,
 

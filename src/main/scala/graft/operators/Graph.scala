@@ -225,116 +225,17 @@ object Graph extends OpModule {
         .limit(50)
     }),
 
-    "graph_kcore" -> ((s, d) => {
-      // k-core decomposition (k=3), 3 unrolled peeling rounds: each
-      // round recomputes degrees over the surviving edge set, drops
-      // nodes below k, and restricts edges to survivors — the
-      // density-core extraction that bounds every downstream
-      // wedge/pair kernel (a node outside the 3-core cannot be in a
-      // triangle-rich region). Output is the (round, nodes, edges)
-      // convergence trace, so a non-shrinking round is visible. Plan:
-      // the base edge list is persisted once and each round is an
-      // equi-semi-join against a broadcastable per-node degree table —
-      // node-sized, never edge-sized; the 1-row snapshot aggs
-      // broadcast-cross into the trace. EVERY round's edge set is
-      // persisted, exactly like dedup_components' superstep plan:
-      // round r's edges are referenced three times (degrees, the next
-      // round's semi-join, the snapshot count), so an unpersisted
-      // chain re-derives round r−1 per reference — ~3^r plan/work
-      // blowup that measured minutes at sf0.1 before the persists.
-      val K = 3
-      var e = edges(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var trace = degrees(e).agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .select(lit(0L).as("round"), col("n_nodes"), col("n_edges"))
-      for (r <- 1 to 3) {
-        val keep = degrees(e).filter(col("d") >= K).select("node")
-        e = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        trace = trace.union(
-          keep.agg(count(lit(1)).as("n_nodes"))
-            .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-            .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges")))
-      }
-      trace.orderBy("round")
-    }),
+    // Persist-scoped (r5): the peeling supersteps persist per round and
+    // every intermediate is unpersisted once the 4-row trace is
+    // materialized — see kcoreBody for the algorithm.
+    "graph_kcore" -> ((s, d) => scopedPersist(kcoreBody(s, d))),
 
-    "graph_components" -> ((s, d) => {
-      // Connected components by 3 unrolled min-label supersteps (the
-      // dedup_components plan at the graph grain): every node adopts
-      // the minimum label in its closed neighborhood each round, so
-      // after r rounds labels agree within radius-r balls — enough to
-      // collapse the dense co-purchase core; the output is the
-      // component-size histogram (fragmentation = how partitionable
-      // downstream per-component work is). Each superstep is one
-      // equi-join + partial-agg min; per-round labels are persisted
-      // (next round references them twice), the edge list once.
-      val e = edges(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val adj = e.select(col("u").as("a"), col("v").as("b"))
-        .union(e.select(col("v").as("a"), col("u").as("b")))
-      var lbl = degrees(e).select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to 3) {
-        val nbrMin = adj
-          .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
-            col("b") === col("b2"))
-          .groupBy(col("a")).agg(min("bl").as("nl"))
-        lbl = lbl.join(nbrMin.withColumnRenamed("a", "n2"),
-            col("node") === col("n2"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
-      lbl.groupBy("lbl").agg(count(lit(1)).as("csz"))
-        .groupBy(col("csz").as("component_size"))
-        .agg(count(lit(1)).as("n_components"))
-        .orderBy("component_size")
-    }),
+    // Persist-scoped (r5); see componentsBody. Emits the convergence
+    // column labels_changed_last_round beside the histogram.
+    "graph_components" -> ((s, d) => scopedPersist(componentsBody(s, d))),
 
-    "graph_jaccard_sim" -> ((s, d) => {
-      // Neighbor-set Jaccard similarity — the normalized cousin of
-      // Adamic-Adar: |N(a)∩N(b)| / |N(a)∪N(b)| with the union expanded
-      // as d(a)+d(b)−common (degrees broadcast, so the union is never
-      // materialized). Candidates come from the same capped in-row
-      // wedge expansion as graph_link_predict (common-neighbor count =
-      // wedges through a shared hub; hubs above the degree cap are
-      // dropped before their adjacency list is collected). Integer
-      // counts everywhere; one divide + round at the end. Top-30 with
-      // full tiebreak.
-      val hubCap = 2000
-      // e feeds the adjacency twice and deg three times (hub cap + the
-      // two endpoint-degree joins) — both are dimension-bounded, so
-      // one persist each stops the shared subtree from re-deriving the
-      // incidence join per reference.
-      val e = edges(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = degrees(e)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
-        .union(e.select(col("v").as("node"), col("u").as("nbr")))
-      val nbrs = adj.join(broadcast(deg.filter(col("d") <= hubCap)), Seq("node"))
-        .groupBy(col("node"))
-        .agg(sort_array(collect_set(col("nbr"))).as("ns"))
-      val common = nbrs
-        .select(explode(expr(
-          "flatten(transform(ns, (x, i) -> " +
-            "transform(slice(ns, i + 2, size(ns) - i - 1), " +
-            "y -> struct(x AS a, y AS b))))")).as("p"))
-        .select(col("p.a"), col("p.b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-      common
-        .join(broadcast(deg.select(col("node").as("a"), col("d").as("da"))), Seq("a"))
-        .join(broadcast(deg.select(col("node").as("b"), col("d").as("db"))), Seq("b"))
-        .filter(col("n_common") >= 2)
-        .select(col("a"), col("b"), col("n_common"),
-          round(col("n_common").cast("double")
-            / (col("da") + col("db") - col("n_common")).cast("double"), 4)
-            .as("jaccard"))
-        .orderBy(col("jaccard").desc, col("a"), col("b"))
-        .limit(30)
-    }),
+    // Persist-scoped (r5); see jaccardBody.
+    "graph_jaccard_sim" -> ((s, d) => scopedPersist(jaccardBody(s, d))),
 
     "basket_rules" -> ((s, d) => {
       // Market-basket association rules at brand grain: support,
@@ -378,6 +279,144 @@ object Graph extends OpModule {
         .orderBy("b1", "b2")
     }),
   )
+
+  /** k-core decomposition (k=3), 3 unrolled peeling rounds: each
+    * round recomputes degrees over the surviving edge set, drops
+    * nodes below k, and restricts edges to survivors — the
+    * density-core extraction that bounds every downstream
+    * wedge/pair kernel (a node outside the 3-core cannot be in a
+    * triangle-rich region). Output is the (round, nodes, edges)
+    * convergence trace, so a non-shrinking round is visible. Plan:
+    * each round is an equi-semi-join against a broadcastable per-node
+    * degree table — node-sized, never edge-sized; the 1-row snapshot
+    * aggs broadcast-cross into the trace. EVERY round's edge set is
+    * persisted via the scope, exactly like dedup_components'
+    * superstep plan: round r's edges are referenced three times
+    * (degrees, the next round's semi-join, the snapshot count), so an
+    * unpersisted chain re-derives round r−1 per reference — ~3^r
+    * plan/work blowup that measured minutes at sf0.1 before the
+    * persists. */
+  private[graft] def kcoreBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val K = 3
+    var e = scope.persist(edges(s, d))
+    var trace = degrees(e).agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .select(lit(0L).as("round"), col("n_nodes"), col("n_edges"))
+    for (r <- 1 to 3) {
+      val keep = degrees(e).filter(col("d") >= K).select("node")
+      e = scope.persist(
+        e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi"))
+      trace = trace.union(
+        keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges")))
+    }
+    trace.orderBy("round")
+  }
+
+  /** Connected components by `rounds` unrolled min-label supersteps
+    * over a generic (a, b) adjacency — every node adopts the minimum
+    * label in its closed neighborhood each round, so after r rounds
+    * labels agree within radius-r balls. Returns the final label table
+    * and the 1-row count of labels that CHANGED in the last round —
+    * the convergence probe (r5 verdict #6): a fixed-round kernel on a
+    * graph whose diameter exceeds the round count under-merges
+    * SILENTLY unless this delta is emitted (0 at convergence; proven
+    * nonzero on a long path graph in GraphSpec). Each superstep is one
+    * equi-join + partial-agg min; per-round labels persist via the
+    * scope (the next round references them twice, the delta a third
+    * time). */
+  private[graft] def componentLabels(adj: DataFrame, nodes: DataFrame,
+      rounds: Int, scope: PersistScope): (DataFrame, DataFrame) = {
+    var lbl = scope.persist(nodes.select(col("node"), col("node").as("lbl")))
+    var prev = lbl
+    for (_ <- 1 to rounds) {
+      prev = lbl
+      val nbrMin = adj
+        .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
+          col("b") === col("b2"))
+        .groupBy(col("a")).agg(min("bl").as("nl"))
+      lbl = scope.persist(
+        lbl.join(nbrMin.withColumnRenamed("a", "n2"),
+            col("node") === col("n2"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")))
+    }
+    val changed = lbl
+      .join(prev.select(col("node").as("pn"), col("lbl").as("plbl")),
+        col("node") === col("pn"))
+      .filter(col("lbl") =!= col("plbl"))
+      .agg(count(lit(1)).as("labels_changed_last_round"))
+    (lbl, changed)
+  }
+
+  /** Component-size histogram of the co-purchase graph (fragmentation
+    * = how partitionable per-component downstream work is), with the
+    * last-round convergence delta broadcast onto every row. */
+  private[graft] def componentsBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val e = scope.persist(edges(s, d))
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+    val (lbl, changed) =
+      componentLabels(adj, degrees(e).select("node"), 3, scope)
+    lbl.groupBy("lbl").agg(count(lit(1)).as("csz"))
+      .groupBy(col("csz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(changed))
+      .orderBy("component_size")
+  }
+
+  /** Neighbor-set Jaccard similarity — the normalized cousin of
+    * Adamic-Adar. SEMANTICS NOTE (r5, per advisor): the numerator
+    * counts only common neighbors whose degree clears the hub cap
+    * (capped hubs never generate wedges), while the denominator
+    * d(a)+d(b)−common uses FULL degrees — so the emitted score is
+    * |N(a)∩N(b) ∩ cap-eligible| / (d(a)+d(b)−that count), a
+    * deliberately conservative variant: a shared super-hub neighbor
+    * adds no evidence of similarity (it neighbors everything), so
+    * excluding it from the intersection while keeping it in the union
+    * LOWERS the score of hub-mediated pairs — the same statistical
+    * stance as Adamic-Adar's 1/ln(deg) down-weighting, made binary.
+    * Both engines compute the identical quantity. Candidates come
+    * from the same capped in-row wedge expansion as
+    * graph_link_predict; degrees broadcast, so the union is never
+    * materialized. Integer counts everywhere; one divide + round at
+    * the end. Top-30 with full tiebreak. */
+  private[graft] def jaccardBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val hubCap = 2000
+    // e feeds the adjacency twice and deg three times (hub cap + the
+    // two endpoint-degree joins) — both are dimension-bounded, so one
+    // persist each stops the shared subtree from re-deriving the
+    // incidence join per reference.
+    val e = scope.persist(edges(s, d))
+    val deg = scope.persist(degrees(e))
+    val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr")))
+    val nbrs = adj.join(broadcast(deg.filter(col("d") <= hubCap)), Seq("node"))
+      .groupBy(col("node"))
+      .agg(sort_array(collect_set(col("nbr"))).as("ns"))
+    val common = nbrs
+      .select(explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns) - i - 1), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(deg.select(col("node").as("a"), col("d").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("node").as("b"), col("d").as("db"))), Seq("b"))
+      .filter(col("n_common") >= 2)
+      .select(col("a"), col("b"), col("n_common"),
+        round(col("n_common").cast("double")
+          / (col("da") + col("db") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(30)
+  }
 
   private val INCIDENCE =
     """SELECT l_orderkey AS ok, l_partkey % 5000 AS node
@@ -524,8 +563,12 @@ object Graph extends OpModule {
          |l0 AS (SELECT node, node AS lbl FROM deg),
          |l1 AS (${step("l0")}),
          |l2 AS (${step("l1")}),
-         |l3 AS (${step("l2")})
-         |SELECT csz AS component_size, count(*) AS n_components FROM (
+         |l3 AS (${step("l2")}),
+         |chg AS (SELECT count(*) AS labels_changed_last_round
+         |        FROM l3 JOIN l2 ON l3.node = l2.node AND l3.lbl <> l2.lbl)
+         |SELECT csz AS component_size, count(*) AS n_components,
+         |  (SELECT labels_changed_last_round FROM chg) AS labels_changed_last_round
+         |FROM (
          |  SELECT lbl, count(*) AS csz FROM l3 GROUP BY lbl)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },

@@ -87,6 +87,113 @@ object LlmSim extends OpModule {
       .select(col("vec_id").as("cell"),
         transform(col("embedding"), _.cast("double")).as("c_emb"))
 
+  /** Query-side top-N cell assignment: the `nprobe` nearest centroids
+    * per vector by rounded cosine, rank ties to the lower cell id
+    * (mirrors the oracle's row_number). Only ever applied to the tiny
+    * query side — the |Q|·C score matrix is dimension-sized, so the
+    * rank window is cheap; database vectors keep kmAssign's
+    * partial-agg argmin. Carries (embedding, nrm) through so no
+    * re-join is needed. */
+  private def kmAssignTopN(e: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cwn = cents.withColumn("cnrm", norm(col("c_emb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("kcos").desc, col("cell"))
+    e.crossJoin(broadcast(cwn))
+      .withColumn("kcos", round(
+        dot(col("embedding"), col("c_emb")) / (col("nrm") * col("cnrm")), 4))
+      .withColumn("prk", row_number().over(w))
+      .filter(col("prk") <= nprobe)
+      .select(col("vec_id"), col("cell"), col("embedding"), col("nrm"))
+  }
+
+  /** IVF training: C=16 coarse centroids (deterministic lowest-id
+    * init + 2 integer-exact Lloyd iterations via the shared
+    * kmAssign/kmUpdate machinery). Each round's centroid table AND
+    * the final full-corpus assignment persist via the scope (r5
+    * verdict #4 / PLANS.md unrolled-loop rule): every downstream
+    * reference — the probe's query scoring, the cell join, a stats
+    * rollup — would otherwise re-derive the full embedding scan +
+    * assignment lineage per reference. Returns (trained centroids,
+    * assignment incl. embedding and norm). */
+  private[graft] def ivfTrain(s: SparkSession, d: String,
+      scope: PersistScope): (DataFrame, DataFrame) = {
+    val C = 16
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    var cents = kmInit(s, d, C)
+    for (_ <- 1 to 2)
+      cents = scope.persist(kmUpdate(e, kmAssign(e, cents)))
+    val assign = scope.persist(kmAssign(e, cents).join(e, "vec_id"))
+    (cents, assign)
+  }
+
+  /** IVF probe: each query (vec_id < 10) searches the union of its
+    * `nprobe` nearest trained cells (r5 verdict #5 — nprobe=1
+    * measured recall@5 0.82 at sf0.01; probing the 2 nearest cells
+    * recovers the mass a near-boundary query loses to its second
+    * cell). A neighbor lives in exactly one cell, so the union of
+    * cell joins is duplicate-free; scoring and rank-5 selection are
+    * unchanged from the nprobe=1 form. */
+  private[graft] def ivfProbe(cents: DataFrame, assign: DataFrame,
+      nprobe: Int): DataFrame = {
+    val qv = assign.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val q = kmAssignTopN(qv, cents, nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val n = assign.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("cell"))
+    val scored = q.join(n, Seq("cell")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "cell", "n_id", "cos", "rk")
+      .orderBy("q_id", "rk")
+  }
+
+  private[graft] def ivfBody(s: SparkSession, d: String, nprobe: Int)(
+      scope: PersistScope): DataFrame = {
+    val (cents, assign) = ivfTrain(s, d, scope)
+    ivfProbe(cents, assign, nprobe)
+  }
+
+  /** PQ asymmetric-distance kNN (ADC) — the third ANN scale path
+    * beside LSH buckets and IVF cells: the database lives as |V|·M
+    * CODE rows (8 small ints per vector — the compressed index), and
+    * each query precomputes a |Q|·M·K distance table that BROADCASTS.
+    * Scoring is a map-side join codes⋈dtab + a partial agg summing M
+    * per-subspace terms — the full float vectors are never touched at
+    * query time. All distances are exact integer sums of FLOOR(v·1e6)
+    * squares vs the TRAINED codebook (pqCodebook), so ranks are
+    * engine-identical. dists feeds BOTH the database codes and the
+    * query distance table — persisted via the scope so the
+    * trained-codebook lineage executes once, not twice, and releases
+    * after the top-k materializes (r5). */
+  private[graft] def knnPqBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val Q = 10
+    val e = pqElems(s, d)
+    val dists = scope.persist(pqDists(e, pqCodebook(e, scope)))
+    val codes = pqArgmin(dists)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val dtab = dists.filter(col("vec_id") < Q)
+      .select(col("vec_id").as("q_id"), col("m").as("qm"),
+        col("k"), col("dist"))
+    val adc = codes.join(broadcast(dtab),
+        col("m") === col("qm") && col("code") === col("k"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("dist").as("adc_dist"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("n_id"),
+        col("adc_dist"))
+      .orderBy("q_id", "rnk")
+  }
+
   // ---- Product quantization (M=8 subspaces × K=16 codes, TRAINED) ----
   // The codebook is k-means-trained PER SUBSPACE: deterministic init
   // (the K lowest-id vectors' sub-vectors, as before), then two fixed
@@ -138,14 +245,20 @@ object LlmSim extends OpModule {
   /** Trained codebook: init → assign → update → assign → update.
     * K = 16 with training measured recall@3 0.233 vs 0.133 for the r3
     * first-4 codebook, at distortion 0.072 vs 0.150 (sf0.01 sweep of
-    * K ∈ {4, 8, 16} × {trained, untrained}). */
-  private def pqCodebook(e: DataFrame): DataFrame = {
+    * K ∈ {4, 8, 16} × {trained, untrained}). Every training pass
+    * persists via the scope (r5 verdict #4 / PLANS.md unrolled-loop
+    * rule): the assignment and codebook tables are |V|·M- and
+    * K·dim-sized, and persisting them pins each Lloyd round to one
+    * execution however many times the codebook is referenced
+    * downstream (codes + distance table in sim_knn_pq, the argmin in
+    * embed_pq). */
+  private def pqCodebook(e: DataFrame, scope: PersistScope): DataFrame = {
     val c0 = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("k"), col("pos").as("cpos"), col("vi").as("ci"))
-    val a1 = pqArgmin(pqDists(e, c0)).drop("dist_sq")
-    val c1 = pqUpdate(e, a1)
-    val a2 = pqArgmin(pqDists(e, c1)).drop("dist_sq")
-    pqUpdate(e, a2)
+    val a1 = scope.persist(pqArgmin(pqDists(e, c0)).drop("dist_sq"))
+    val c1 = scope.persist(pqUpdate(e, a1))
+    val a2 = scope.persist(pqArgmin(pqDists(e, c1)).drop("dist_sq"))
+    scope.persist(pqUpdate(e, a2))
   }
 
   val queries: Map[String, Q] = Map(
@@ -249,25 +362,35 @@ object LlmSim extends OpModule {
         .orderBy("q_id")
     }),
 
-    "sim_recall_ivf" -> ((s, d) => {
-      // IVF quality gate: per-query recall@5 of the single-probe
-      // (nprobe=1) trained-cell search vs the brute-force cosine
-      // truth — completes the per-path recall family (LSH:
+    "sim_recall_ivf" -> ((s, d) => scopedPersist { scope =>
+      // IVF quality gate: per-query recall@5 PER NPROBE (r5) — the
+      // nprobe ∈ {1, 2, 4} sweep a deployment reads before choosing
+      // its probe budget (measured mean recall at sf0.01: 0.82 /
+      // 0.84 / 0.92 — nprobe=4 is the first depth clearing 0.9,
+      // which is why sim_knn_ivf ships with 4). Completes the
+      // per-path recall family (LSH:
       // sim_recall_eval, PQ: sim_recall_pq) so every ANN scale path
-      // ships with its accuracy eval. Composes the two graded kNN
-      // operators; a sub-1 recall here is the "raise nprobe or C"
-      // signal.
-      val brute = queries("sim_knn")(s, d).select(col("q_id"), col("n_id"))
-      val ivf = queries("sim_knn_ivf")(s, d)
-        .select(col("q_id").as("i_q"), col("n_id").as("i_n"), lit(1).as("hit"))
-      brute
-        .join(ivf, col("q_id") === col("i_q") && col("n_id") === col("i_n"),
-          "left")
-        .groupBy("q_id")
-        .agg(count(lit(1)).as("n_brute"), count(col("hit")).as("n_hits"))
-        .select(col("q_id"), col("n_brute"), col("n_hits"),
-          round(col("n_hits").cast("double") / col("n_brute"), 4).as("recall"))
-        .orderBy("q_id")
+      // ships with its accuracy eval. The coarse quantizer trains
+      // ONCE (persisted via the scope); both probe depths search the
+      // same assignment, and the brute truth set is persisted because
+      // each sweep row left-joins it.
+      val brute = scope.persist(
+        queries("sim_knn")(s, d).select(col("q_id"), col("n_id")))
+      val (cents, assign) = ivfTrain(s, d, scope)
+      def recallAt(np: Int): DataFrame = {
+        val ivf = ivfProbe(cents, assign, np)
+          .select(col("q_id").as("i_q"), col("n_id").as("i_n"), lit(1).as("hit"))
+        brute
+          .join(ivf, col("q_id") === col("i_q") && col("n_id") === col("i_n"),
+            "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_brute"), count(col("hit")).as("n_hits"))
+          .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_brute"),
+            col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_brute"), 4).as("recall"))
+      }
+      recallAt(1).union(recallAt(2)).union(recallAt(4))
+        .orderBy("nprobe", "q_id")
     }),
 
     "multimodal_join" -> ((s, d) =>
@@ -332,39 +455,21 @@ object LlmSim extends OpModule {
         .orderBy("a_id", "b_id")
     }),
 
-    "sim_knn_ivf" -> ((s, d) => {
-      // IVF ANN: coarse-quantize every vector to its nearest of C=16
-      // centroids, then search only the query's cell (nprobe=1). The
-      // centroids are TRAINED (r4): deterministic lowest-id init + two
-      // integer-exact Lloyd iterations (the shared kmAssign/kmUpdate
-      // machinery embed_kmeans proves oracle-matchable) — real IVF
-      // trains its coarse quantizer, and trained cells track the data's
-      // actual clusters instead of whichever vectors sorted first.
-      // Every assignment pass is a broadcast cross-score +
-      // partial-aggregated argmin — map-side combine collapses the
-      // |V|·C scores to |V| rows before the shuffle, no window sort
-      // over the score matrix; at 100 TB each training pass would
-      // persist its assignment and the centroid side always broadcasts.
-      val C = 16
-      val e = Tables.embeddings(s, d).select(col("vec_id"),
-        col("embedding"), norm(col("embedding")).as("nrm"))
-      var cents = kmInit(s, d, C)
-      for (_ <- 1 to 2)
-        cents = kmUpdate(e, kmAssign(e, cents))
-      val assign = kmAssign(e, cents).join(e, "vec_id")
-      val q = assign.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"), col("nrm").as("q_nrm"), col("cell"))
-      val n = assign.select(col("vec_id").as("n_id"),
-        col("embedding").as("n_emb"), col("nrm").as("n_nrm"), col("cell"))
-      val scored = q.join(n, Seq("cell")).filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos", round(
-          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
-        .select("q_id", "cell", "n_id", "cos", "rk")
-        .orderBy("q_id", "rk")
-    }),
+    // IVF ANN: coarse-quantize every vector to its nearest of C=16
+    // TRAINED centroids (r4 — deterministic lowest-id init + two
+    // integer-exact Lloyd iterations via the shared kmAssign/kmUpdate
+    // machinery; real IVF trains its coarse quantizer, and trained
+    // cells track the data's actual clusters instead of whichever
+    // vectors sorted first), then probe each query's 4 nearest cells
+    // (r5 — see ivfProbe; the sim_recall_ivf sweep measured recall@5
+    // 0.82/0.84/0.92 at nprobe 1/2/4 on sf0.01, so 4 of 16 cells is
+    // the first depth clearing the 0.9 bar). Every assignment pass is
+    // a broadcast cross-score + partial-aggregated argmin — map-side
+    // combine collapses the |V|·C scores to |V| rows before the
+    // shuffle, no window sort over the score matrix; training rounds
+    // persist via the scope (ivfTrain) and release after the top-k
+    // materializes.
+    "sim_knn_ivf" -> ((s, d) => scopedPersist(ivfBody(s, d, 4))),
 
     "embed_bucket_stats" -> ((s, d) =>
       // ANN health diagnostic: LSH bucket-occupancy histogram. A
@@ -434,7 +539,7 @@ object LlmSim extends OpModule {
         .orderBy("vec_id")
     }),
 
-    "embed_ivf_stats" -> ((s, d) => {
+    "embed_ivf_stats" -> ((s, d) => scopedPersist { scope =>
       // IVF index health — the cell-occupancy twin of
       // embed_bucket_stats (LSH) and embed_pq_distortion (PQ): per
       // trained coarse cell, member count plus mean/worst L2
@@ -450,15 +555,13 @@ object LlmSim extends OpModule {
       // enters a sum here. Cell assignment reuses the rounded-cos
       // argmin, where ulp noise only matters if the top-2 margin is
       // also < 1e-4 — the compound coincidence the k-means family has
-      // always accepted.
-      val C = 16
-      val e = Tables.embeddings(s, d).select(col("vec_id"),
-        col("embedding"), norm(col("embedding")).as("nrm"))
-      var cents = kmInit(s, d, C)
-      for (_ <- 1 to 2)
-        cents = kmUpdate(e, kmAssign(e, cents))
-      val a3 = kmAssign(e, cents).select("vec_id", "cell")
-      val ei = pqElems(s, d).select("vec_id", "pos", "vi").join(a3, "vec_id")
+      // always accepted. Training rounds persist via the scope
+      // (ivfTrain, r5); ei feeds both the centroid rollup and the
+      // distortion join, so it persists too.
+      val (_, assign) = ivfTrain(s, d, scope)
+      val a3 = assign.select("vec_id", "cell")
+      val ei = scope.persist(
+        pqElems(s, d).select("vec_id", "pos", "vi").join(a3, "vec_id"))
       val ic = ei.groupBy("cell", "pos")
         .agg(sum("vi").as("sv"), count(lit(1)).as("cnt"))
         .select(col("cell").as("icell"), col("pos").as("cpos"),
@@ -506,47 +609,20 @@ object LlmSim extends OpModule {
       // FLOOR(v·1e6) integer squares, so every argmin is
       // order-independent and engine-exact; no window ever touches the
       // distance matrix.
-      val e = pqElems(s, d)
-      pqArgmin(pqDists(e, pqCodebook(e)))
-        .select(col("vec_id"), col("m").as("subspace"),
-          col("k").as("code"), col("dist_sq"))
-        .orderBy("vec_id", "subspace")
+      // Persist-scoped (r5): the Lloyd passes persist per round and
+      // release once the code table materializes.
+      scopedPersist { scope =>
+        val e = pqElems(s, d)
+        pqArgmin(pqDists(e, pqCodebook(e, scope)))
+          .select(col("vec_id"), col("m").as("subspace"),
+            col("k").as("code"), col("dist_sq"))
+          .orderBy("vec_id", "subspace")
+      }
     }),
 
-    "sim_knn_pq" -> ((s, d) => {
-      // PQ asymmetric-distance kNN (ADC) — the third ANN scale path
-      // beside LSH buckets and IVF cells: the database lives as |V|·M
-      // CODE rows (8 small ints per vector — the compressed index),
-      // and each query precomputes a |Q|·M·K distance table that
-      // BROADCASTS. Scoring is a map-side join codes⋈dtab + a partial
-      // agg summing M per-subspace terms — the full float vectors are
-      // never touched at query time. All distances are exact integer
-      // sums of FLOOR(v·1e6) squares vs the TRAINED codebook
-      // (pqCodebook), so ranks are engine-identical.
-      val Q = 10
-      val e = pqElems(s, d)
-      // dists feeds BOTH the database codes and the query distance
-      // table — persist it so the trained-codebook lineage (the
-      // ~6-stage Lloyd unroll) executes once, not twice.
-      val dists = pqDists(e, pqCodebook(e))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val codes = pqArgmin(dists)
-        .select(col("vec_id"), col("m"), col("k").as("code"))
-      val dtab = dists.filter(col("vec_id") < Q)
-        .select(col("vec_id").as("q_id"), col("m").as("qm"),
-          col("k"), col("dist"))
-      val adc = codes.join(broadcast(dtab),
-          col("m") === col("qm") && col("code") === col("k"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum("dist").as("adc_dist"))
-      val w = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
-      adc.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select(col("q_id"), col("rnk"), col("vec_id").as("n_id"),
-          col("adc_dist"))
-        .orderBy("q_id", "rnk")
-    }),
+    // Persist-scoped (r5); see knnPqBody.
+    "sim_knn_pq" -> ((s, d) => scopedPersist(knnPqBody(s, d))),
+
 
     "sim_recall_pq" -> ((s, d) => {
       // PQ quality gate: per-query recall@3 of the ADC search against
@@ -736,11 +812,13 @@ object LlmSim extends OpModule {
       |  GROUP BY vec_id, j
       |) GROUP BY vec_id""".stripMargin
 
-  /** One k-means assignment pass in SQL: nearest centroid from `cents`
-    * by rounded cosine, ties to the lower cell id (mirrors the Spark
-    * side's min(struct(-cos, cell)) argmin). Expects CTEs `u` (unnested
-    * vectors) and `norms`. */
-  private def kmAssignSql(cents: String, withCos: Boolean = false): String =
+  /** One k-means assignment pass in SQL: the `topn` nearest centroids
+    * from `cents` by rounded cosine, ties to the lower cell id
+    * (mirrors the Spark side's min(struct(-cos, cell)) argmin for
+    * topn = 1 and kmAssignTopN's rank window for topn > 1). Expects
+    * CTEs `u` (unnested vectors) and `norms`. */
+  private def kmAssignSql(cents: String, withCos: Boolean = false,
+      topn: Int = 1): String =
     s"""SELECT vec_id, cell${if (withCos) ", cos" else ""} FROM (
        |  SELECT sc.vec_id, sc.cell, sc.cos,
        |    row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.cos DESC, sc.cell) AS rn
@@ -753,7 +831,7 @@ object LlmSim extends OpModule {
        |      ON cn.cell = c.cell
        |    GROUP BY u.vec_id, c.cell, n.nrm, cn.cnrm
        |  ) sc
-       |) WHERE rn = 1""".stripMargin
+       |) WHERE rn <= $topn""".stripMargin
 
   /** One centroid-update pass in SQL: integer-sum mean of FLOOR(v·1e6)
     * per (cell, pos) — order-independent, engine-identical. */
@@ -1172,26 +1250,43 @@ object LlmSim extends OpModule {
          |a2 AS (${kmAssignSql("c1")}),
          |c2 AS (${kmUpdateSql("a2")}),
          |assign AS (${kmAssignSql("c2")}),
-         |pairs AS (
+         |qtop2 AS (${kmAssignSql("c2", topn = 2)}),
+         |qtop4 AS (${kmAssignSql("c2", topn = 4)}),
+         |pairs1 AS (
          |  SELECT qa.vec_id AS q_id, nb.vec_id AS n_id
          |  FROM assign qa JOIN assign nb ON qa.cell = nb.cell
          |    AND qa.vec_id < 10 AND nb.vec_id <> qa.vec_id
          |),
+         |pairs2 AS (
+         |  SELECT qa.vec_id AS q_id, nb.vec_id AS n_id
+         |  FROM qtop2 qa JOIN assign nb ON qa.cell = nb.cell
+         |    AND qa.vec_id < 10 AND nb.vec_id <> qa.vec_id
+         |),
+         |pairs4 AS (
+         |  SELECT qa.vec_id AS q_id, nb.vec_id AS n_id
+         |  FROM qtop4 qa JOIN assign nb ON qa.cell = nb.cell
+         |    AND qa.vec_id < 10 AND nb.vec_id <> qa.vec_id
+         |),
+         |pairsu AS (
+         |  SELECT 1 AS np, q_id, n_id FROM pairs1
+         |  UNION ALL SELECT 2, q_id, n_id FROM pairs2
+         |  UNION ALL SELECT 4, q_id, n_id FROM pairs4
+         |),
          |idots AS (
-         |  SELECT p.q_id, p.n_id, sum(a.v * b.v) AS dp
-         |  FROM pairs p JOIN u a ON a.vec_id = p.q_id
+         |  SELECT p.np, p.q_id, p.n_id, sum(a.v * b.v) AS dp
+         |  FROM pairsu p JOIN u a ON a.vec_id = p.q_id
          |  JOIN u b ON b.vec_id = p.n_id AND b.pos = a.pos
-         |  GROUP BY p.q_id, p.n_id
+         |  GROUP BY p.np, p.q_id, p.n_id
          |),
          |iscored AS (
-         |  SELECT q_id, n_id, round(dp / (nq.nrm * nn.nrm), 4) AS cos
+         |  SELECT np, q_id, n_id, round(dp / (nq.nrm * nn.nrm), 4) AS cos
          |  FROM idots JOIN norms nq ON nq.vec_id = q_id
          |  JOIN norms nn ON nn.vec_id = n_id
          |),
          |ivf AS (
-         |  SELECT q_id, n_id FROM (
-         |    SELECT q_id, n_id,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  SELECT np, q_id, n_id FROM (
+         |    SELECT np, q_id, n_id,
+         |      row_number() OVER (PARTITION BY np, q_id ORDER BY cos DESC, n_id) AS rk
          |    FROM iscored
          |  ) WHERE rk <= 5
          |),
@@ -1214,14 +1309,16 @@ object LlmSim extends OpModule {
          |  ) WHERE rk <= 5
          |),
          |hits AS (
-         |  SELECT b.q_id, count(*) AS n_brute, count(i.n_id) AS n_hits
-         |  FROM brute b LEFT JOIN ivf i
-         |    ON i.q_id = b.q_id AND i.n_id = b.n_id
-         |  GROUP BY b.q_id
+         |  SELECT np.np, b.q_id, count(*) AS n_brute, count(i.n_id) AS n_hits
+         |  FROM (SELECT 1 AS np UNION ALL SELECT 2 UNION ALL SELECT 4) np
+         |  CROSS JOIN brute b
+         |  LEFT JOIN ivf i
+         |    ON i.np = np.np AND i.q_id = b.q_id AND i.n_id = b.n_id
+         |  GROUP BY np.np, b.q_id
          |)
-         |SELECT q_id, n_brute, n_hits,
+         |SELECT CAST(np AS BIGINT) AS nprobe, q_id, n_brute, n_hits,
          |  round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall
-         |FROM hits ORDER BY q_id""".stripMargin,
+         |FROM hits ORDER BY nprobe, q_id""".stripMargin,
 
     "sim_knn_ivf" ->
       s"""WITH u AS (
@@ -1236,9 +1333,10 @@ object LlmSim extends OpModule {
          |a2 AS (${kmAssignSql("c1")}),
          |c2 AS (${kmUpdateSql("a2")}),
          |assign AS (${kmAssignSql("c2")}),
+         |qtop AS (${kmAssignSql("c2", topn = 4)}),
          |pairs AS (
-         |  SELECT qa.vec_id AS q_id, qa.cell, nb.vec_id AS n_id
-         |  FROM assign qa JOIN assign nb ON qa.cell = nb.cell
+         |  SELECT qa.vec_id AS q_id, nb.cell, nb.vec_id AS n_id
+         |  FROM qtop qa JOIN assign nb ON qa.cell = nb.cell
          |    AND qa.vec_id < 10 AND nb.vec_id <> qa.vec_id
          |),
          |dots AS (

@@ -296,10 +296,15 @@ object LlmText extends OpModule {
       // before any training run; the assignment expression itself is
       // map-only and reusable as a column. Only |langs|·3 rows
       // shuffle.
+      // doc_id is folded to 31 bits BEFORE the Knuth multiply (r5, per
+      // advisor): (2^31−1)·2654435761 < 2^63, so the product never
+      // wraps — un-masked, doc_id ≳ 3.5e9 overflows BIGINT, which
+      // Spark (non-ANSI) wraps silently while DuckDB promotes, and the
+      // split assignment would diverge cross-engine at corpus scale.
       Tables.documents(s, d)
         .select(col("lang"),
-          when(expr("(doc_id * 2654435761) % 4294967296 % 100") < 80, "train")
-            .when(expr("(doc_id * 2654435761) % 4294967296 % 100") < 90, "val")
+          when(expr("((doc_id % 2147483648) * 2654435761) % 4294967296 % 100") < 80, "train")
+            .when(expr("((doc_id % 2147483648) * 2654435761) % 4294967296 % 100") < 90, "val")
             .otherwise("test").as("split"),
           col("n_chars"))
         .groupBy("lang", "split")
@@ -855,7 +860,7 @@ object LlmText extends OpModule {
         .orderBy("a_id", "b_id")
     }),
 
-    "dedup_components" -> ((s, d) => {
+    "dedup_components" -> ((s, d) => scopedPersist { scope =>
       // Canonical-doc assignment: connected components over the
       // near-dup pair graph via 3 unrolled rounds of min-label
       // propagation (label(d) ← min over neighbors∪self of label(n)).
@@ -865,17 +870,18 @@ object LlmText extends OpModule {
       // equi-join + partial-aggregated min — the plan a 100 TB label
       // propagation uses per superstep (with the edge list persisted
       // between supersteps instead of recomputed, and iterated until a
-      // fixpoint counter stops changing).
+      // fixpoint counter stops changing). Persist-scoped (r5): the
+      // edge cache is released once the assignment materializes.
       val docs = Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id")
       val p = ngramJaccardPairs(s, d)
       // The edge list feeds every superstep's join — persist it so the
       // pair pipeline materializes once instead of once per round (the
       // production superstep pattern; blocks are LRU-evictable and
       // value-identical, so grading is unaffected).
-      val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = scope.persist(
+        p.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+          .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst"))))
       var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       for (_ <- 1 to 3) {
         labels = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -902,17 +908,18 @@ object LlmText extends OpModule {
       def pairsOf(name: String, tag: String) = queries(name)(s, d)
         .select(lit(tag).as("m"), col("a_id"), col("b_id"))
         .filter(col("a_id") < 100 && col("b_id") < 100)
-      val tagged = pairsOf("dedup_near_minhash", "minhash")
-        .union(pairsOf("dedup_simhash_pairs", "simhash"))
-        .union(pairsOf("dedup_ngram_jaccard", "ngram"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val x = tagged.select(col("m").as("m_a"), col("a_id"), col("b_id"))
-      val y = tagged.select(col("m").as("m_b"), col("a_id").as("a2"),
-        col("b_id").as("b2"))
-      x.join(y, col("a_id") === col("a2") && col("b_id") === col("b2")
-          && col("m_a") <= col("m_b"))
-        .groupBy("m_a", "m_b").agg(count(lit(1)).as("n_common"))
-        .orderBy("m_a", "m_b")
+      scopedPersist { scope =>
+        val tagged = scope.persist(pairsOf("dedup_near_minhash", "minhash")
+          .union(pairsOf("dedup_simhash_pairs", "simhash"))
+          .union(pairsOf("dedup_ngram_jaccard", "ngram")))
+        val x = tagged.select(col("m").as("m_a"), col("a_id"), col("b_id"))
+        val y = tagged.select(col("m").as("m_b"), col("a_id").as("a2"),
+          col("b_id").as("b2"))
+        x.join(y, col("a_id") === col("a2") && col("b_id") === col("b2")
+            && col("m_a") <= col("m_b"))
+          .groupBy("m_a", "m_b").agg(count(lit(1)).as("n_common"))
+          .orderBy("m_a", "m_b")
+      }
     }),
 
     "dedup_keep_stats" -> ((s, d) => {
@@ -1086,8 +1093,8 @@ object LlmText extends OpModule {
 
     "sample_split_train_eval" ->
       """SELECT lang,
-        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |  CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -1,6 +1,29 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Persist ledger for one query invocation (r5 verdict #3): iterative
+  * and multi-reference pipelines register their intermediates here so
+  * `OpModule.scopedPersist` can unpersist every one of them the moment
+  * the terminal result is materialized — nothing leaks into the
+  * session's CacheManager across queries (a 100 TB session running
+  * hundreds of these sequentially would otherwise pay continuous
+  * eviction churn). Exposed at package-`graft` visibility so plan
+  * tests can build the un-checkpointed pipeline and release it.
+  */
+private[graft] final class PersistScope {
+  private val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  def persist(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    kept += p
+    p
+  }
+  def release(): Unit = {
+    kept.foreach(_.unpersist(blocking = false))
+    kept.clear()
+  }
+}
 
 /** One named, oracle-paired operator family. `SparkEntry` concatenates
   * all modules; the driver grades each `queries` entry against its
@@ -31,4 +54,22 @@ trait OpModule {
     */
   protected def Dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(12,2)")
+
+  /** Persist-scoped terminal wrapper (r5 verdict #3). `body` registers
+    * its big intermediates via the scope's `persist`; the small
+    * terminal result is materialized EAGERLY (`localCheckpoint(true)`
+    * truncates the lineage to the computed blocks), after which every
+    * registered intermediate is unpersisted — the CacheManager is
+    * empty again by the time the query function returns, and the
+    * driver's action on the returned DataFrame reads the checkpointed
+    * rows without re-deriving anything. Only used where the terminal
+    * result is dimension-sized (traces, histograms, top-k), so the
+    * checkpoint blocks are trivially small; they are dropped by the
+    * ContextCleaner once the DataFrame is unreachable.
+    */
+  protected def scopedPersist(body: PersistScope => DataFrame): DataFrame = {
+    val scope = new PersistScope
+    try body(scope).localCheckpoint(eager = true)
+    finally scope.release()
+  }
 }

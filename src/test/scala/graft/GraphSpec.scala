@@ -82,9 +82,30 @@ class GraphSpec extends SparkSpec {
 
   test("graph_components collapses the connected fixture into one component") {
     // dir2's graph {1-2, 1-3, 2-3, 2-4, 3-4} is connected with
-    // diameter 2, so 3 min-label rounds converge: one component of 4.
+    // diameter 2, so 3 min-label rounds converge: one component of 4
+    // and a last-round delta of 0 (converged).
     val got = SparkEntry.queries("graph_components")(spark, dir2).collect().toSeq
-    assert(got === Seq(Row(4L, 1L)))
+    assert(got === Seq(Row(4L, 1L, 0L)))
+  }
+
+  test("componentLabels reports a nonzero last-round delta on an unconverged path") {
+    // Path 0-1-…-7 has diameter 7 > 3 rounds: after round r node v
+    // holds label max(0, v−r), so round 3 still changes nodes 3..7
+    // (5 label updates) — the convergence column must surface this
+    // instead of silently under-merging (r5 verdict #6).
+    import spark.implicits._
+    val e = (0L to 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val adj = e.union(e.select($"b", $"a")).toDF("a", "b")
+    val nodes = (0L to 7L).toDF("node")
+    val scope = new graft.operators.PersistScope
+    try {
+      val (lbl, changed) =
+        graft.operators.Graph.componentLabels(adj, nodes, 3, scope)
+      assert(changed.collect().head.getLong(0) === 5L)
+      // and labels are exactly the radius-3 minima
+      val labels = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L to 7L).forall(v => labels(v) === math.max(0L, v - 3L)))
+    } finally scope.release()
   }
 
   test("graph_pagerank conserves rank mass over the sf0.001 trade graph") {

@@ -9,6 +9,22 @@ class InvariantsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("persist-scoped queries leave the cache manager empty after their action") {
+    // r5 verdict #3: every iterative/multi-reference query registers
+    // its persisted intermediates in a PersistScope and releases them
+    // once the terminal result materializes — a long-lived session
+    // running the whole suite must not accumulate cached plans.
+    spark.catalog.clearCache()
+    Seq("graph_kcore", "graph_components", "graph_jaccard_sim",
+      "evt_stickiness", "sim_knn_ivf", "sim_knn_pq", "embed_pq",
+      "embed_ivf_stats", "dedup_components", "dedup_methods_agreement",
+      "sim_recall_ivf").foreach { name =>
+      q(name).count()
+      assert(org.apache.spark.sql.CacheProbe.isEmpty(spark),
+        s"$name left cached plans in the CacheManager")
+    }
+  }
+
   test("dedup_exact copy counts add up to the corpus size") {
     val total = Tables.documents(spark, sf).count()
     val summed = q("dedup_exact").agg(org.apache.spark.sql.functions.sum("n_copies"))

@@ -178,14 +178,27 @@ class PlansSpec extends SparkSpec {
       "contamination join degenerated to a cartesian")
   }
 
+  /** Build a persist-scoped query's INNER (un-checkpointed) plan —
+    * the public entry eagerly materializes via localCheckpoint, which
+    * collapses the executed plan to an RDD scan; plan locks assert on
+    * the pipeline underneath. The scope is released (and the cache
+    * cleared) after the assertion runs. */
+  private def scopedPlan(body: graft.operators.PersistScope => DataFrame)(
+      check: String => Unit): Unit = {
+    val scope = new graft.operators.PersistScope
+    try check(treeString(body(scope)))
+    finally scope.release()
+  }
+
   test("sim_knn_pq broadcasts the query distance table") {
     // ADC scoring = codes ⋈ broadcast(dtab); a shuffled dtab join
     // would move the full code table per query batch.
-    val plan = treeString(q("sim_knn_pq"))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"distance table not broadcast:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      "ADC scoring degenerated to a cartesian")
+    scopedPlan(graft.operators.LlmSim.knnPqBody(spark, sf)) { plan =>
+      assert(plan.contains("BroadcastHashJoin"),
+        s"distance table not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        "ADC scoring degenerated to a cartesian")
+    }
   }
 
   test("join_salted stays an equi-join on (key, salt)") {
@@ -297,9 +310,31 @@ class PlansSpec extends SparkSpec {
   test("graph_kcore executes each peeling round from cache, not re-derivation") {
     // every round's edge set is persisted; losing a persist re-derives
     // the incidence join ~3^r times (measured minutes at sf0.1).
-    val plan = treeString(q("graph_kcore"))
-    assert(plan.contains("InMemoryTableScan"),
-      s"no cached superstep scans in the k-core plan:\n$plan")
+    scopedPlan(graft.operators.Graph.kcoreBody(spark, sf)) { plan =>
+      assert(plan.contains("InMemoryTableScan"),
+        s"no cached superstep scans in the k-core plan:\n$plan")
+    }
+  }
+
+  test("trained-IVF probe reads the persisted assignment, not the Lloyd lineage") {
+    // r5 verdict #4: the 2-iteration training chain persists per
+    // round, so the probe plan must reference the cached
+    // centroids/assignment and run a BOUNDED number of LIVE parquet
+    // scans — an unpersisted chain re-derives the full embedding scan
+    // once per training reference and the live-scan count explodes
+    // with the iteration count. InMemoryTableScan leaves don't count:
+    // their cached child plans never re-execute.
+    val scope = new graft.operators.PersistScope
+    try {
+      val p = executed(graft.operators.LlmSim.ivfBody(spark, sf, 4)(scope))
+      assert(p.toString.contains("InMemoryTableScan"),
+        s"no cached training scans in the IVF probe plan:\n$p")
+      val live = deepNodes(p).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(live.length <= 2,
+        s"IVF probe plan runs ${live.length} live parquet scans — training lineage is back:\n$p")
+    } finally scope.release()
   }
 
   test("sim_knn_mips broadcasts the query elements") {
@@ -312,9 +347,10 @@ class PlansSpec extends SparkSpec {
   test("evt_stickiness expands windows on day-grain pairs only") {
     // the 28-way range join must read the persisted distinct
     // (day, user) rollup, never raw events.
-    val plan = treeString(q("evt_stickiness"))
-    assert(plan.contains("InMemoryTableScan"),
-      s"stickiness range join is not reading the day-grain cache:\n$plan")
+    scopedPlan(graft.operators.Events.stickinessBody(spark, sf)) { plan =>
+      assert(plan.contains("InMemoryTableScan"),
+        s"stickiness range join is not reading the day-grain cache:\n$plan")
+    }
   }
 
   test("flagship entry broadcasts the filtered customer dimension") {

@@ -229,6 +229,91 @@ class StreamingSpec extends SparkSpec {
     assert(u2._2 === 5L && !u2._5 && u2._4 > 0.5, s"bursty user must not flag: $u2")
   }
 
+  test("cadenceStats replay equals the batch formulation of the same statistic") {
+    // r5 verdict #8: the streaming twin's final state on a replayed
+    // MemoryStream must equal a BATCH formulation of the identical
+    // statistic (integer-second gap moments → mean, cv, flag) over the
+    // same events — proving the O(1)-state surrogate computes the same
+    // numbers as a batch job would, not merely "something similar".
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      ev(1, 0, 1, "view"), ev(2, 10, 1, "view"), ev(3, 20, 1, "view"),
+      ev(4, 30, 1, "view"), ev(5, 40, 1, "view"), ev(6, 50, 1, "view"),
+      ev(10, 0, 2, "view"), ev(11, 1, 2, "view"), ev(12, 51, 2, "view"),
+      ev(13, 53, 2, "view"), ev(14, 93, 2, "view"), ev(15, 100, 2, "view"))
+    val in = MemoryStream[Event]
+    in.addData(events.take(7))
+    val q = Streams.cadenceStats(in.toDS())
+      .writeStream.format("memory").queryName("cadence_replay")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      in.addData(events.drop(7))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cadence_replay").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+      .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
+    // Batch formulation: same integer-second gaps (trunc == floor for
+    // the non-negative deltas of a sorted stream), same moment sums,
+    // same double formula text — bit-identical IEEE arithmetic.
+    val batch = events.toDF()
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - lag(unix_micros(ts), 1) OVER " +
+          "(PARTITION BY user_id ORDER BY ts, event_id)) div 1000000").as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("g").as("sg"),
+        sum(col("g") * col("g")).as("sq"))
+      .select(col("user_id"), col("n"),
+        (col("sg").cast("double") / col("n")).as("mean"),
+        sqrt(greatest(col("sq").cast("double") / col("n")
+          - (col("sg").cast("double") / col("n"))
+            * (col("sg").cast("double") / col("n")), lit(0.0)))
+          ./(col("sg").cast("double") / col("n")).as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(1) >= 5 && r.getDouble(2) > 0 && r.getDouble(3) <= 0.5))
+      .toSet
+    assert(streamed === batch,
+      s"streaming final state diverged from the batch statistic:\n$streamed\nvs\n$batch")
+  }
+
+  test("rollingActives replay equals the batch sliding-window distinct count") {
+    // r5 verdict #8, second surface: replayed streaming rolling
+    // actives must equal the batch window() formulation over the same
+    // events — same 7d/1d sliding windows, same exact distinct.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      ev(1, 0, 1, "view"), ev(2, 1440, 1, "click"), ev(3, 1500, 2, "view"),
+      ev(4, 2900, 3, "view"), ev(5, 2950, 1, "view"))
+    val in = MemoryStream[Event]
+    in.addData(events.take(3))
+    val q = Streams.rollingActives(in.toDF())
+      .writeStream.format("memory").queryName("rolling_replay")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      in.addData(events.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("rolling_replay").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+    val batch = events.toDF()
+      .select(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
+      .select(col("w.end").as("window_end"), col("user_id")).distinct()
+      .groupBy("window_end").agg(count(lit(1)).as("active_7d"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSet
+    assert(streamed === batch,
+      s"streaming rolling actives diverged from the batch windows:\n$streamed\nvs\n$batch")
+  }
+
   test("funnel keeps sub-millisecond precision (µs, not ms-truncated)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
