@@ -300,20 +300,34 @@ object Graph extends OpModule {
       scope: PersistScope): DataFrame = {
     val K = 3
     var e = scope.persist(edges(s, d))
-    var trace = degrees(e).agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .select(lit(0L).as("round"), col("n_nodes"), col("n_edges"))
+    // Convergence trace via ONE union-all + groupBy(round) agg (r5
+    // advice): the former shape cross-joined 8 separate 1-row scalar
+    // aggs — 8 extra stages whose scheduling floor dominated at
+    // local[32]. Here every round contributes tagged marker rows
+    // (node rows count into n_nodes, edge rows into n_edges) and a
+    // single shuffle folds the whole trace. A zero spine guarantees
+    // rounds whose core emptied still emit (r, 0, 0).
+    def tag(df: DataFrame, r: Int, nodes: Boolean): DataFrame =
+      df.select(lit(r.toLong).as("round"),
+        lit(if (nodes) 1L else 0L).as("nn"),
+        lit(if (nodes) 0L else 1L).as("ne"))
+    val spine = s.range(4).select(col("id").as("round"),
+      lit(0L).as("nn"), lit(0L).as("ne"))
+    var parts = Seq(spine, tag(degrees(e).select("node"), 0, nodes = true),
+      tag(e, 0, nodes = false))
     for (r <- 1 to 3) {
-      val keep = degrees(e).filter(col("d") >= K).select("node")
+      // keep is referenced 3× (both semi-join sides + its trace rows);
+      // persist it so degrees(e) runs once per round, not three times.
+      val keep = scope.persist(degrees(e).filter(col("d") >= K).select("node"))
       e = scope.persist(
         e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi"))
-      trace = trace.union(
-        keep.agg(count(lit(1)).as("n_nodes"))
-          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges")))
+      parts = parts :+ tag(keep, r, nodes = true) :+ tag(e, r, nodes = false)
     }
-    trace.orderBy("round")
+    parts.reduce(_.union(_))
+      .groupBy("round")
+      .agg(sum("nn").as("n_nodes"), sum("ne").as("n_edges"))
+      .orderBy("round")
   }
 
   /** Connected components by `rounds` unrolled min-label supersteps

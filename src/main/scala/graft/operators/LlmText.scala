@@ -586,12 +586,13 @@ object LlmText extends OpModule {
       // Fixed-SIZE per-stratum sample: exactly min(k, |stratum|) docs
       // per lang — the reproducible eval-set cut (rate-based
       // sample_stratified can't promise a size). Docs rank by a
-      // multiplicative-hash scramble of doc_id (Knuth constant mod a
-      // prime — exact in 64-bit at this id range; a 100 TB id space
-      // lifts the product to DECIMAL mod), so the "random" order is
+      // multiplicative-hash scramble of doc_id (fold to 31 bits first,
+      // then Knuth multiply mod a prime: (2^31−1)·2654435761 < 2^63, so
+      // the product is exact in 64-bit at ANY id scale — same guard as
+      // sample_split_train_eval), making the "random" order
       // deterministic, engine-portable, and partition-independent.
       val k = 10
-      val key = (col("doc_id") * lit(2654435761L)) % lit(1000003L)
+      val key = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(1000003L)
       val w = Window.partitionBy("lang").orderBy(key.asc, col("doc_id").asc)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"))
@@ -1311,7 +1312,7 @@ object LlmText extends OpModule {
       """SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk FROM (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rnk
+        |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 1000003, doc_id) AS rnk
         |  FROM documents
         |) WHERE rnk <= 10
         |ORDER BY lang, rnk""".stripMargin,
