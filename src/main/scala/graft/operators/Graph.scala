@@ -299,7 +299,12 @@ object Graph extends OpModule {
   private[graft] def kcoreBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
     val K = 3
-    var e = scope.persist(edges(s, d))
+    // Per-round CUT, not persist (see PersistScope.cut): e_r is
+    // referenced 3× per round, so a persist-only chain grows the
+    // logical plan ~3^r and AQE's per-stage plan render made this
+    // query 17–22 s (and OOMed a 1 GiB driver); per-round lineage
+    // truncation measures ~2 s steady-state at sf0.1 local[32].
+    var e = scope.cut(edges(s, d))
     // Convergence trace via ONE union-all + groupBy(round) agg (r5
     // advice): the former shape cross-joined 8 separate 1-row scalar
     // aggs — 8 extra stages whose scheduling floor dominated at
@@ -316,10 +321,9 @@ object Graph extends OpModule {
     var parts = Seq(spine, tag(degrees(e).select("node"), 0, nodes = true),
       tag(e, 0, nodes = false))
     for (r <- 1 to 3) {
-      // keep is referenced 3× (both semi-join sides + its trace rows);
-      // persist it so degrees(e) runs once per round, not three times.
-      val keep = scope.persist(degrees(e).filter(col("d") >= K).select("node"))
-      e = scope.persist(
+      // keep is referenced 3× (both semi-join sides + its trace rows).
+      val keep = scope.cut(degrees(e).filter(col("d") >= K).select("node"))
+      e = scope.cut(
         e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi"))
       parts = parts :+ tag(keep, r, nodes = true) :+ tag(e, r, nodes = false)
@@ -344,7 +348,10 @@ object Graph extends OpModule {
     * time). */
   private[graft] def componentLabels(adj: DataFrame, nodes: DataFrame,
       rounds: Int, scope: PersistScope): (DataFrame, DataFrame) = {
-    var lbl = scope.persist(nodes.select(col("node"), col("node").as("lbl")))
+    // lbl_r references lbl_{r-1} twice (self + neighbor-min) — a
+    // persist-only chain doubles the logical plan per round; cut it
+    // (see PersistScope.cut for the AQE plan-render cost this avoids).
+    var lbl = scope.cut(nodes.select(col("node"), col("node").as("lbl")))
     var prev = lbl
     for (_ <- 1 to rounds) {
       prev = lbl
@@ -352,7 +359,7 @@ object Graph extends OpModule {
         .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
           col("b") === col("b2"))
         .groupBy(col("a")).agg(min("bl").as("nl"))
-      lbl = scope.persist(
+      lbl = scope.cut(
         lbl.join(nbrMin.withColumnRenamed("a", "n2"),
             col("node") === col("n2"), "left")
           .select(col("node"),

@@ -121,9 +121,15 @@ object LlmSim extends OpModule {
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       col("embedding"), norm(col("embedding")).as("nrm"))
     var cents = kmInit(s, d, C)
+    // cut, not persist: each Lloyd round embeds the previous round's
+    // full lineage (assign references cents inside a crossJoin-agg),
+    // so the plan compounds per round and AQE re-renders it per stage
+    // (see PersistScope.cut). Truncation also makes every downstream
+    // reference (probe scoring, cell join, stats rollups, the
+    // recall sweep's 3 probe depths) start from a leaf.
     for (_ <- 1 to 2)
-      cents = scope.persist(kmUpdate(e, kmAssign(e, cents)))
-    val assign = scope.persist(kmAssign(e, cents).join(e, "vec_id"))
+      cents = scope.cut(kmUpdate(e, kmAssign(e, cents)))
+    val assign = scope.cut(kmAssign(e, cents).join(e, "vec_id"))
     (cents, assign)
   }
 
@@ -175,7 +181,7 @@ object LlmSim extends OpModule {
       scope: PersistScope): DataFrame = {
     val Q = 10
     val e = pqElems(s, d)
-    val dists = scope.persist(pqDists(e, pqCodebook(e, scope)))
+    val dists = scope.cut(pqDists(e, pqCodebook(e, scope)))
     val codes = pqArgmin(dists)
       .select(col("vec_id"), col("m"), col("k").as("code"))
     val dtab = dists.filter(col("vec_id") < Q)
@@ -255,10 +261,13 @@ object LlmSim extends OpModule {
   private def pqCodebook(e: DataFrame, scope: PersistScope): DataFrame = {
     val c0 = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("k"), col("pos").as("cpos"), col("vi").as("ci"))
-    val a1 = scope.persist(pqArgmin(pqDists(e, c0)).drop("dist_sq"))
-    val c1 = scope.persist(pqUpdate(e, a1))
-    val a2 = scope.persist(pqArgmin(pqDists(e, c1)).drop("dist_sq"))
-    scope.persist(pqUpdate(e, a2))
+    // cut, not persist: the assign→update→assign→update chain embeds
+    // each prior step's lineage (plan compounds across the 4 steps and
+    // AQE re-renders it per stage — see PersistScope.cut).
+    val a1 = scope.cut(pqArgmin(pqDists(e, c0)).drop("dist_sq"))
+    val c1 = scope.cut(pqUpdate(e, a1))
+    val a2 = scope.cut(pqArgmin(pqDists(e, c1)).drop("dist_sq"))
+    scope.cut(pqUpdate(e, a2))
   }
 
   val queries: Map[String, Q] = Map(

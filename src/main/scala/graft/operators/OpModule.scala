@@ -19,6 +19,26 @@ private[graft] final class PersistScope {
     kept += p
     p
   }
+  /** Materialize NOW and truncate lineage to the computed blocks
+    * (`localCheckpoint(eager = true)`). REQUIRED (not optional) for
+    * unrolled iterative kernels whose round output feeds the next
+    * round more than once — k-core peeling (e_r referenced 3×/round),
+    * min-label supersteps (lbl 2×/round), Lloyd training chains: a
+    * plain `persist` caches EXECUTION but leaves the logical plan
+    * growing ~branchingFactor^rounds, and AQE re-renders the full
+    * plan string on every stage update (`explainString` in
+    * `onUpdatePlan`) — measured 17–22 s for graph_kcore at sf0.1
+    * local[32] with persist-only rounds vs ~2 s with per-round cuts,
+    * and a driver OOM inside the plan render at 1 GiB heap. Cluster
+    * note: localCheckpoint blocks are NOT fault-tolerant (executor
+    * loss aborts the job); a 1000-executor run would periodically
+    * `checkpoint()` to reliable storage instead — the same
+    * plan-truncation effect with durable blocks (the standard
+    * iterative-Spark discipline, cf. MLlib's checkpointInterval).
+    * Blocks are freed by the ContextCleaner once the round's
+    * DataFrame becomes unreachable; no ledger entry needed.
+    */
+  def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
   def release(): Unit = {
     kept.foreach(_.unpersist(blocking = false))
     kept.clear()

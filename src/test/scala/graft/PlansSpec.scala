@@ -307,28 +307,34 @@ class PlansSpec extends SparkSpec {
       s"nearest join degenerated to a non-equi plan:\n$plan")
   }
 
-  test("graph_kcore executes each peeling round from cache, not re-derivation") {
-    // every round's edge set is persisted; losing a persist re-derives
-    // the incidence join ~3^r times (measured minutes at sf0.1).
+  test("graph_kcore peels from truncated per-round leaves, not re-derivation") {
+    // every round's edge set is CUT (localCheckpoint): losing the cut
+    // re-derives the incidence join ~3^r times AND regrows the logical
+    // plan ~3^r — AQE re-renders that plan string per stage update,
+    // which measured 17-22 s (vs ~2 s cut) and OOMed a 1 GiB driver.
     scopedPlan(graft.operators.Graph.kcoreBody(spark, sf)) { plan =>
-      assert(plan.contains("InMemoryTableScan"),
-        s"no cached superstep scans in the k-core plan:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"no truncated superstep leaves in the k-core plan:\n$plan")
+      assert(!plan.toLowerCase.contains("parquet"),
+        s"k-core trace re-derives from raw scans — a round lost its cut:\n$plan")
+      assert(plan.length < 100000,
+        s"k-core plan string is ${plan.length} chars — compounding lineage is back")
     }
   }
 
-  test("trained-IVF probe reads the persisted assignment, not the Lloyd lineage") {
-    // r5 verdict #4: the 2-iteration training chain persists per
-    // round, so the probe plan must reference the cached
-    // centroids/assignment and run a BOUNDED number of LIVE parquet
-    // scans — an unpersisted chain re-derives the full embedding scan
-    // once per training reference and the live-scan count explodes
-    // with the iteration count. InMemoryTableScan leaves don't count:
-    // their cached child plans never re-execute.
+  test("trained-IVF probe reads the truncated assignment, not the Lloyd lineage") {
+    // r5 verdict #4, upgraded r6: the 2-iteration training chain CUTS
+    // per round (localCheckpoint — see PersistScope.cut), so the probe
+    // plan must read truncated RDD leaves and run a BOUNDED number of
+    // LIVE parquet scans — an un-truncated chain re-derives the full
+    // embedding scan once per training reference, the live-scan count
+    // explodes with the iteration count, and the compounding plan
+    // string melts AQE's per-stage render.
     val scope = new graft.operators.PersistScope
     try {
       val p = executed(graft.operators.LlmSim.ivfBody(spark, sf, 4)(scope))
-      assert(p.toString.contains("InMemoryTableScan"),
-        s"no cached training scans in the IVF probe plan:\n$p")
+      assert(p.toString.contains("ExistingRDD"),
+        s"no truncated training leaves in the IVF probe plan:\n$p")
       val live = deepNodes(p).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
