@@ -21,14 +21,17 @@ case class VideoFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
   * vectorized Arrow UDF boundary — per-BATCH decoder initialization,
   * not per-row).
   *
-  * ⚠️ STUB BOUNDARY: real codec libraries are absent from this
-  * environment, so [[Multimodal.FakeCodec]] is a deterministic fake —
-  * a 6-byte header (2-byte magic, u16 width, u16 height big-endian)
-  * plus a rolling-hash "pixel decode". Swapping in a real decoder
-  * means implementing the ONE [[Multimodal.Codec]] trait (the spec
-  * proves the seam by injecting a second codec); every Spark-side
-  * contract (schemas, Encoders, batch shape, partitioning) is real
-  * and tested.
+  * Codec status: [[Multimodal.ImageIoCodec]] is a REAL image decode
+  * path — `javax.imageio` ships in the JDK and decodes PNG/JPEG/GIF/
+  * BMP to pixels; features are a dim-bucket luminance histogram over
+  * the decoded raster (spec-verified on round-tripped PNGs).
+  * [[Multimodal.FakeCodec]] remains as the deterministic stand-in for
+  * formats the JDK cannot decode (video, audio feature extractors —
+  * those libraries ARE absent here): a 6-byte header (2-byte magic,
+  * u16 width, u16 height big-endian) plus a rolling-hash "decode".
+  * Either way the swap boundary is the ONE [[Multimodal.Codec]]
+  * trait; every Spark-side contract (schemas, Encoders, batch shape,
+  * partitioning) is identical across codecs and tested.
   *
   * Scale notes: decode cost dominates and is per-row CPU-bound, so the
   * entry point offers `repartition(n)` before the map stage — binary
@@ -82,6 +85,60 @@ object Multimodal {
         i += 1
       }
       acc.map(v => (v.toDouble / 1000003.0).toFloat)
+    }
+  }
+
+  /** REAL image codec on the JDK's built-in `javax.imageio` readers —
+    * decodes PNG/JPEG/GIF/BMP bytes to a raster with no external
+    * dependency. `format`/`width`/`height` come from the container
+    * header via the reader (no full pixel decode — the cheap metadata
+    * path); `features` fully decodes and bins pixel luminance
+    * (ITU-R BT.601 weights) into a dim-bucket normalized histogram —
+    * a real, deterministic image feature. Stateless object ⇒ trivially
+    * Serializable for task closures; ImageIO reader instances are
+    * created per CALL (they are not thread-safe and never ship across
+    * the closure boundary). */
+  object ImageIoCodec extends Codec {
+    def headerLen: Int = 0
+
+    private def withReader[A](b: Array[Byte], default: A)
+        (f: javax.imageio.ImageReader => A): A = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) default
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); f(r) } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    def format(b: Array[Byte]): String =
+      withReader(b, "unknown")(_.getFormatName.toLowerCase)
+    def width(b: Array[Byte]): Int = withReader(b, 0)(_.getWidth(0))
+    def height(b: Array[Byte]): Int = withReader(b, 0)(_.getHeight(0))
+
+    def features(b: Array[Byte], dim: Int): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return new Array[Float](dim)
+      val hist = new Array[Long](dim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          val bucket = math.min(dim - 1, (lum / 256.0 * dim).toInt)
+          hist(bucket) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (img.getWidth.toLong * img.getHeight).toDouble
+      hist.map(h => (h / n).toFloat)
     }
   }
 

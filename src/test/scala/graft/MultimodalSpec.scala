@@ -87,6 +87,52 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.forall(m => m.format == "fimg" && m.width == 640))
   }
 
+  test("ImageIoCodec decodes REAL PNGs end-to-end through the pipeline") {
+    import spark.implicits._
+    // Round-trip genuine PNG bytes (encoded with the same JDK ImageIO
+    // the codec decodes with): 20 images, each w=16+i, h=8+i, filled
+    // with a single gray level g=i*12 — so the luminance histogram has
+    // all mass in exactly one known bucket, and metadata must read the
+    // true container header (no fake 6-byte magic involved).
+    def png(i: Int): MediaRow = {
+      val (w, h, g) = (16 + i, 8 + i, i * 12)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(i.toLong, "image", bos.toByteArray)
+    }
+    val pngs = (1 to 20).map(png)
+
+    val meta = Multimodal.imageMeta(pngs.toDS(), Multimodal.ImageIoCodec)
+      .collect().sortBy(_.media_id)
+    meta.foreach { m =>
+      val i = m.media_id.toInt
+      assert(m.format === "png" && m.width === 16 + i && m.height === 8 + i,
+        s"image $i: real PNG header misread as (${m.format}, ${m.width}, ${m.height})")
+    }
+
+    val dim = 8
+    val feats = Multimodal.imageFeatures(pngs.toDS(), dim = dim,
+      batchSize = 7, parallelism = 3, codec = Multimodal.ImageIoCodec)
+      .collect().map(f => f.media_id -> f.features).toMap
+    (1 to 20).foreach { i =>
+      val lum = i * 12 // R=G=B=g ⇒ BT.601 luminance = g exactly
+      val bucket = math.min(dim - 1, lum * dim / 256)
+      val f = feats(i.toLong)
+      assert(math.abs(f(bucket) - 1.0f) < 1e-6,
+        s"image $i: uniform gray $lum must land all mass in bucket $bucket, got ${f.toSeq}")
+      assert(math.abs(f.map(_.toDouble).sum - 1.0) < 1e-6, "histogram must normalize to 1")
+    }
+    // partition/batch independence holds for the real codec too
+    val again = Multimodal.imageFeatures(pngs.toDS(), dim = dim,
+      batchSize = 64, parallelism = 1, codec = Multimodal.ImageIoCodec)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    assert(again === feats.map { case (k, v) => k -> v.toSeq })
+  }
+
   test("frame sampling emits every nth fixed-size window") {
     import spark.implicits._
     // payload 100 bytes, frame 10 bytes → 10 frames, every 3rd → 0,3,6,9
