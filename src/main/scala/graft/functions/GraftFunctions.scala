@@ -38,6 +38,9 @@ object GraftFunctions {
   def affineModMin(arr: Column, mul: Long, add: Long, modulus: Long): Column =
     GraftBridge.column(AffineModMin(GraftBridge.expression(arr), mul, add, modulus))
 
+  def arrayPairs(arr: Column): Column =
+    GraftBridge.column(ArrayPairs(GraftBridge.expression(arr)))
+
   private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

@@ -194,7 +194,10 @@ object Graph extends OpModule {
       // Wedges expand IN-ROW from each hub's sorted neighbor list with
       // the hub's 1/ln(deg) weight attached map-side — one shuffle to
       // the adjacency lists, one to the pair scores; a wedge self-join
-      // on the hub key would shuffle the adjacency twice more. HUB
+      // on the hub key would shuffle the adjacency twice more. The
+      // expansion is the native ArrayPairs expression (JIT'd i<j loop;
+      // the HOF flatten-transform-slice twin evaluates interpreted
+      // per element). HUB
       // GUARD: nodes above the degree cap are dropped as wedge hubs
       // BEFORE their adjacency list is collected — a super-hub would
       // otherwise materialize C(deg, 2) ≈ deg²/2 structs inside one
@@ -211,10 +214,7 @@ object Graph extends OpModule {
       // d == size(ns): edges are distinct, so every neighbor is unique.
       val pairs = nbrs
         .select((lit(1.0) / log(col("d").cast("double"))).as("wt"),
-          explode(expr(
-            "flatten(transform(ns, (x, i) -> " +
-              "transform(slice(ns, i + 2, size(ns) - i - 1), " +
-              "y -> struct(x AS a, y AS b))))")).as("p"))
+          explode(graft.functions.GraftFunctions.arrayPairs(col("ns"))).as("p"))
         .select(col("p.a"), col("p.b"), col("wt"))
       val scoredPairs = pairs.groupBy("a", "b")
         .agg(count(lit(1)).as("n_common"),
@@ -258,11 +258,8 @@ object Graph extends OpModule {
       val baskets = ob.groupBy("ok")
         .agg(sort_array(collect_set(col("b"))).as("bs"))
       val pair = baskets
-        .select(explode(expr(
-          "flatten(transform(bs, (x, i) -> " +
-            "transform(slice(bs, i + 2, size(bs) - i - 1), " +
-            "y -> struct(x AS b1, y AS b2))))")).as("p"))
-        .select(col("p.b1"), col("p.b2"))
+        .select(explode(graft.functions.GraftFunctions.arrayPairs(col("bs"))).as("p"))
+        .select(col("p.a").as("b1"), col("p.b").as("b2"))
         .groupBy("b1", "b2").agg(count(lit(1)).as("nab"))
       pair
         .join(broadcast(single.select(col("b").as("b1"), col("nb").as("n1"))), Seq("b1"))
@@ -421,10 +418,7 @@ object Graph extends OpModule {
       .groupBy(col("node"))
       .agg(sort_array(collect_set(col("nbr"))).as("ns"))
     val common = nbrs
-      .select(explode(expr(
-        "flatten(transform(ns, (x, i) -> " +
-          "transform(slice(ns, i + 2, size(ns) - i - 1), " +
-          "y -> struct(x AS a, y AS b))))")).as("p"))
+      .select(explode(graft.functions.GraftFunctions.arrayPairs(col("ns"))).as("p"))
       .select(col("p.a"), col("p.b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
     common

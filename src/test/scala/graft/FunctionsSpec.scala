@@ -27,6 +27,26 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.getDouble(1) === 0.0)
   }
 
+  test("array_pairs equals the HOF flatten-transform-slice expansion, both elem types") {
+    import spark.implicits._
+    val hof = "flatten(transform(xs, (x, i) -> " +
+      "transform(slice(xs, i + 2, size(xs) - i - 1), y -> struct(x AS a, y AS b))))"
+    // long arrays (wedge/node-id shape), incl. empty and singleton
+    val longs = Seq(Seq(3L, 1L, 4L, 1L, 5L), Seq(7L), Seq.empty[Long], Seq(2L, 2L))
+    val gotL = longs.toDF("xs")
+      .select(GraftFunctions.arrayPairs(col("xs")).as("p"), expr(hof).as("h"))
+      .collect()
+    gotL.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) === r.getSeq[org.apache.spark.sql.Row](1))
+    }
+    // string arrays (basket/brand shape) — exact pair order preserved
+    val strs = Seq(Seq("b1", "b2", "b3"))
+    val gotS = strs.toDF("xs")
+      .select(explode(GraftFunctions.arrayPairs(col("xs"))).as("p"))
+      .select("p.a", "p.b").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(gotS === Seq(("b1", "b2"), ("b1", "b3"), ("b2", "b3")))
+  }
+
   test("shingle_ids matches the independent scala model incl. unicode and short docs") {
     val cases = Seq(
       "the quick brown fox",   // 4 tokens → 2 shingles
