@@ -685,6 +685,39 @@ object LlmText extends OpModule {
         round((count(lit(1)) - countDistinct("text")).cast("double")
           / count(lit(1)), 4).as("dup_rate"))),
 
+    "text_dup_span_mass" -> ((s, d) => {
+      // Cross-doc duplicated SPAN mass (r6) — the measurement that
+      // sizes an exact-substring dedup pass before anyone builds one
+      // (the suffix-array-dedup decision input): per lang, what
+      // fraction of distinct 3-token shingles sit in 2+ documents, and
+      // how many docs are majority-duplicated (the removal
+      // candidates). Whole-doc exact/minhash dedup misses partial
+      // copy-paste; this is the span-grain complement. Plan: one
+      // |doc·shingle| explode of the NATIVE in-row shingle ids (w=3,
+      // per-doc array_distinct first, so a within-doc repeat counts
+      // once), one groupBy(tid) for document frequency, one shuffle
+      // join back, two bounded rollups — the same scale shape as the
+      // minhash banding path, which is what a 100 TB span census
+      // costs. Integer counts throughout; one divide at the end.
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(array_distinct(
+          graft.functions.GraftFunctions.shingleIds(col("text")))).as("tid"))
+      val tc = pairs.groupBy("tid").agg(count(lit(1)).as("nd"))
+      val perDoc = pairs.join(tc, "tid")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_sh").as("n_shingles"),
+          sum("n_dup").as("n_dup_shingles"),
+          round(sum("n_dup").cast("double") / sum("n_sh").cast("double"), 4)
+            .as("dup_mass"),
+          sum(when(col("n_dup") * 2 >= col("n_sh"), 1L).otherwise(0L))
+            .as("n_heavy_docs"))
+        .orderBy("lang")
+    }),
+
     "dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("text")
@@ -1377,6 +1410,22 @@ s"""SELECT doc_id, lang, bucket FROM (
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
         |  round(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*), 4) AS dup_rate
         |FROM documents""".stripMargin,
+
+    "text_dup_span_mass" ->
+      s"""WITH tids AS ($TidsSql),
+         |pairs AS (SELECT doc_id, unnest(list_distinct(tids)) AS tid FROM tids),
+         |tc AS (SELECT tid, count(*) AS nd FROM pairs GROUP BY 1),
+         |per_doc AS (
+         |  SELECT p.doc_id, count(*) AS n_sh,
+         |         sum(CASE WHEN tc.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM pairs p JOIN tc USING (tid) GROUP BY 1)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         |  CAST(sum(n_dup) AS BIGINT) AS n_dup_shingles,
+         |  round(CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_sh) AS DOUBLE), 4) AS dup_mass,
+         |  CAST(sum(CASE WHEN n_dup * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_docs
+         |FROM per_doc pd JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
