@@ -587,6 +587,33 @@ object LlmSim extends OpModule {
         .orderBy("cell")
     }),
 
+    "embed_dim_moments" -> ((s, d) => {
+      // Per-dimension location/scale of the embedding distribution —
+      // the whitening/normalization stats every embedding pipeline
+      // computes before standardizing, PCA, or scalar quantization
+      // (a drifted per-dim mean is also the cheap embedding-version
+      // skew alarm). Exact integer first/second moments over
+      // ⌊v·1e6⌋ coords (second moment in DECIMAL so a 100 TB corpus
+      // cannot wrap a long — the sim_centroid_separation discipline);
+      // ONE partial-agged pass, doubles only in the terminal mean/std
+      // formula, variance clamped at 0 before sqrt (float error on a
+      // constant dimension must not produce NaN).
+      val u = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos0", "vf")))
+        .select((col("pos0") + 1).cast("long").as("pos"),
+          floor(col("vf").cast("double") * 1e6).cast("long").as("vi"))
+      u.groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum("vi").as("sv"),
+          sum(col("vi").cast("decimal(18,0)") * col("vi").cast("decimal(18,0)"))
+            .as("ssq"))
+        .select(col("pos"), col("n"),
+          round(col("sv").cast("double") / col("n") / 1e6, 4).as("mean"),
+          round(sqrt(greatest(lit(0.0),
+            col("ssq").cast("double") / col("n")
+              - pow(col("sv").cast("double") / col("n"), 2))) / 1e6, 4).as("std"))
+        .orderBy("pos")
+    }),
+
     "embed_quantize" -> ((s, d) => {
       // Int8 scalar quantization (the storage/ANN compression staple):
       // per-dimension [min, max] over the corpus — exact values, no
@@ -911,6 +938,20 @@ object LlmSim extends OpModule {
          |SELECT n_vecs, count(*) AS n_buckets FROM (
          |  SELECT bucket, count(*) AS n_vecs FROM buckets GROUP BY bucket
          |) GROUP BY n_vecs ORDER BY n_vecs""".stripMargin,
+
+    "embed_dim_moments" ->
+      """WITH u AS (
+        |  SELECT unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS vi
+        |  FROM embeddings
+        |),
+        |m AS (SELECT pos, count(*) AS n, sum(vi) AS sv, sum(vi * vi) AS ssq
+        |      FROM u GROUP BY pos)
+        |SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sv AS DOUBLE) / n / 1e6, 4) AS mean,
+        |  round(sqrt(greatest(0.0,
+        |    CAST(ssq AS DOUBLE) / n - pow(CAST(sv AS DOUBLE) / n, 2))) / 1e6, 4) AS std
+        |FROM m ORDER BY pos""".stripMargin,
 
     "embed_quantize" ->
       """WITH u AS (

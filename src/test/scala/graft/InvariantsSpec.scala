@@ -306,6 +306,33 @@ class InvariantsSpec extends SparkSpec {
       row.getLong(row.fieldIndex("n_true")) + row.getLong(row.fieldIndex("n_false_pos")))
   }
 
+  test("span-mass counts partition the corpus and bound each other") {
+    val total = Tables.documents(spark, sf).count()
+    val rows = q("text_dup_span_mass").collect()
+    // every doc has ≥1 shingle (short docs get the whole-text
+    // fallback), so the per-lang doc counts must partition the corpus
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      val (nDocs, nSh, nDup, mass, heavy) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))
+      assert(nDup <= nSh, "duplicated shingles cannot exceed the shingle count")
+      assert(heavy <= nDocs)
+      assert(mass >= 0.0 && mass <= 1.0)
+      assert(nSh >= nDocs, "each doc contributes at least one distinct shingle")
+    }
+  }
+
+  test("embed_dim_moments covers every dimension with full counts and sane stats") {
+    val total = Tables.embeddings(spark, sf).count()
+    val rows = q("embed_dim_moments").collect()
+    assert(rows.length === 64, "one row per embedding dimension")
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 64L))
+    rows.foreach { r =>
+      assert(r.getLong(1) === total, "every vector contributes to every dimension")
+      assert(r.getDouble(3) >= 0.0, "std is non-negative")
+    }
+  }
+
   test("seasonal-naive forecast scores exactly the last-week days with 3+ priors") {
     val rows = q("evt_forecast_snaive").collect()
     assert(rows.nonEmpty)
