@@ -73,6 +73,39 @@ class StreamBatchParitySpec extends SparkSpec {
       s"session parity broke: stream-only=${stream -- batch}, batch-only=${batch -- stream}")
   }
 
+  test("streaming sliding windows equal the graded evt_sliding over real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(realEvents)
+    runToTable("par_sliding", Streams.slidingCounts(in.toDF()), "complete")
+    val stream = spark.table("par_sliding")
+      .select(unix_timestamp(col("win_start")).as("win_start_s"),
+        col("cnt"), round(col("val_sum"), 4).as("val_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = SparkEntry.queries("evt_sliding")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream === batch,
+      s"sliding parity broke: stream-only=${stream -- batch}, batch-only=${batch -- stream}")
+  }
+
+  test("streaming exact-distinct DAU equals the graded evt_active_users dau column") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(realEvents)
+    runToTable("par_dau", Streams.dauCounts(in.toDF()), "complete")
+    // under the UTC session, the 1-day window start date IS to_date(ts)
+    val stream = spark.table("par_dau")
+      .select(date_format(col("day_start"), "yyyy-MM-dd").as("day"), col("dau"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = SparkEntry.queries("evt_active_users")(spark, sf)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stream === batch,
+      s"DAU parity broke: stream-only=${stream -- batch}, batch-only=${batch -- stream}")
+  }
+
   test("streaming watermark dedup equals the graded evt_late_dedup row set") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
