@@ -32,11 +32,48 @@ object Tables {
     "documents"  -> "doc_id",
     "embeddings" -> "vec_id")
 
-  /** One catalog table per (source dir, table): the dir fingerprint in
-    * the name stops a bucketed sf0.001 layout from answering an sf0.1
-    * read. */
+  /** Idempotent session pinning shared by EVERY read path (loose and
+    * bucketed): UTC session timezone — the NTZ→TIMESTAMP events cast
+    * and all date_format/window arithmetic are oracle-parity only
+    * under UTC — plus the ns-as-long legacy flag the NANOS events
+    * generation needs. Lives here (not in the events loader) so an
+    * external driver session that reads ANY table through Tables gets
+    * pinned before its first plan is analyzed; Spark resolves
+    * time-zone-aware expressions at DataFrame creation (eager
+    * analysis), so a later caller-side timezone change cannot shift
+    * already-built plans. */
+  private def pinSessionConf(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  /** Content fingerprint of a table's source parquet (file names,
+    * sizes, mtimes — recursive, order-stable). Folded into the
+    * bucketed catalog table name so that an IN-PLACE testdata
+    * regeneration (a recurring event in this repo — it motivated
+    * SchemaContractSpec) changes the name, the catalog lookup misses,
+    * and reads fall back to the fresh loose path instead of silently
+    * serving stale pre-regeneration rows. Driver-side metadata walk
+    * over a handful of files — O(files), no data read. */
+  private[graft] def sourceFingerprint(dir: String, name: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val acc = walk(new java.io.File(s"$dir/$name.parquet"))
+      .foldLeft(17L) { (h, f) =>
+        ((h * 31 + f.getName.hashCode) * 31 + f.length()) * 31 + f.lastModified()
+      }
+    java.lang.Long.toHexString(acc & Long.MaxValue)
+  }
+
+  /** One catalog table per (source dir+content, table): the dir hash
+    * stops a bucketed sf0.001 layout from answering an sf0.1 read; the
+    * content fingerprint stops a stale layout from answering a read
+    * after the source files changed underneath it. */
   private[graft] def bucketedName(dir: String, name: String): String =
-    s"graft_b_${java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)}_$name"
+    s"graft_b_${java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)}_" +
+      s"${sourceFingerprint(dir, name)}_$name"
 
   /** Materialize the bucketed layout for `dir` into the session
     * catalog (one-time cost ≈ one shuffle per table — the pre-shuffle
@@ -51,11 +88,15 @@ object Tables {
         loose(s, dir, n), bucketedName(dir, n), k, buckets)
     }
 
-  /** Drop the bucketed layout for `dir` (test hygiene / relayout). */
-  def dropBucketed(s: SparkSession, dir: String): Unit =
-    bucketKeys.keys.foreach { n =>
-      s.sql(s"DROP TABLE IF EXISTS ${bucketedName(dir, n)}")
-    }
+  /** Drop every bucketed layout materialized for `dir` — including
+    * stale generations whose content fingerprint no longer matches the
+    * current source files (a name-only drop would orphan those). */
+  def dropBucketed(s: SparkSession, dir: String): Unit = {
+    val prefix = s"graft_b_${java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)}_"
+    org.apache.spark.sql.GraftBridge.catalogTableNames(s)
+      .filter(_.startsWith(prefix))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 
   /** THE graded read path. Default: loose parquet (self-describing,
     * zero setup). When `spark.graft.bucketedLayout=true` AND the
@@ -68,6 +109,7 @@ object Tables {
     * the catalog branch skips the ts adapter by construction.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    pinSessionConf(spark)
     val bucketed =
       spark.conf.getOption(BucketedConf).contains("true") &&
         bucketKeys.contains(name) &&
@@ -76,9 +118,11 @@ object Tables {
     else loose(spark, dir, name)
   }
 
-  private def loose(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def loose(spark: SparkSession, dir: String, name: String): DataFrame = {
+    pinSessionConf(spark) // direct callers (materializeBucketed) bypass apply()
     if (name == "events") eventsLoose(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
@@ -98,9 +142,10 @@ object Tables {
     *    DuckDB's `epoch_us` on TIMESTAMP_NS truncates identically.
     *  - MICROS (isAdjustedToUTC=false): loads as TIMESTAMP_NTZ; cast to
     *    session-local TimestampType. The session timezone is UTC
-    *    (SparkEntry/Bench/Verify all pin it), so the cast is a value
-    *    identity and `unix_micros`/`window()`/`date_format` agree with
-    *    DuckDB's TIMESTAMP semantics.
+    *    (`pinSessionConf` pins it on every Tables read, both loose and
+    *    bucketed branches), so the cast is a value identity and
+    *    `unix_micros`/`window()`/`date_format` agree with DuckDB's
+    *    TIMESTAMP semantics.
     *  - MICROS (adjusted): already TimestampType; pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
@@ -108,11 +153,13 @@ object Tables {
   private def eventsLoose(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ→TIMESTAMP cast below is a value identity only under UTC;
-    // pin it here so every entry point (driver, Bench, Verify, tests)
-    // gets oracle-parity semantics regardless of host timezone.
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    // Side-effect-free: the UTC/nanosAsLong pinning this loader relies
+    // on happens once in pinSessionConf (called by apply/loose before
+    // any plan is built); assert rather than re-set so a future caller
+    // that reaches this loader around the shared pin fails loudly
+    // instead of silently reading under the wrong semantics.
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "events loader requires spark.sql.session.timeZone=UTC (Tables pins it; do not override)")
     val raw = s.read.parquet(s"$d/events.parquet")
     val ts = raw.schema("ts").dataType match {
       case LongType          => timestamp_micros(expr("ts div 1000"))

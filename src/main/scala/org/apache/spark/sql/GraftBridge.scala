@@ -15,4 +15,10 @@ object GraftBridge {
   def functionRegistry(spark: SparkSession)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+
+  /** Current-database table names straight off the session catalog —
+    * driver-side metadata, no Dataset materialization. */
+  def catalogTableNames(spark: SparkSession): Seq[String] =
+    spark.asInstanceOf[classic.SparkSession].sessionState.catalog
+      .listTables(spark.catalog.currentDatabase).map(_.table)
 }

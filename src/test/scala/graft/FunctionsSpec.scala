@@ -47,6 +47,35 @@ class FunctionsSpec extends SparkSpec {
     assert(gotS === Seq(("b1", "b2"), ("b1", "b3"), ("b2", "b3")))
   }
 
+  test("text_fold_hash matches the interpreted HOF char fold on real documents") {
+    // The exact HOF formulation tid() used before going native — kept
+    // here as the equality oracle (and it mirrors the DuckDB tidSql).
+    val hofFold = (s: org.apache.spark.sql.Column) =>
+      aggregate(
+        transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, x) => (acc * 31 + x) % lit(ShingleIds.P))
+    val bad = Tables.documents(spark, sf)
+      .select(GraftFunctions.textFoldHash(col("text")).as("native"),
+        hofFold(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad === 0L)
+    // Edge cases: empty string folds to 0; null propagates.
+    import spark.implicits._
+    val edge = Seq(Some(""), Some("a"), None).toDF("t")
+      .select(GraftFunctions.textFoldHash(col("t")).as("h")).collect()
+    assert(edge(0).getLong(0) === 0L)
+    assert(edge(1).getLong(0) === 97L)
+    assert(edge(2).isNullAt(0))
+  }
+
+  test("array_pairs rejects non-array input with a clean analysis error") {
+    import spark.implicits._
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x").select(GraftFunctions.arrayPairs(col("x"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array"))
+  }
+
   test("shingle_ids matches the independent scala model incl. unicode and short docs") {
     val cases = Seq(
       "the quick brown fox",   // 4 tokens → 2 shingles
