@@ -718,6 +718,61 @@ object LlmText extends OpModule {
         .orderBy("lang")
     }),
 
+    "dedup_span_extend" -> ((s, d) => {
+      // Exact-substring SPAN dedup (r7) — the remover that
+      // text_dup_span_mass sizes. Suffix-array span dedup re-expressed
+      // relationally: anchor on POSITIONAL w=3 shingle ids that occur
+      // in 2+ distinct documents, expand each duplicated anchor to the
+      // w tokens it covers, union the coverage per doc, and extend
+      // maximal runs with a gap-islands window — every maximal run IS
+      // a maximal duplicated token span (two anchor runs closer than w
+      // merge through their shared token coverage, so span boundaries
+      // are exact, not anchor-approximate). Per doc: span count,
+      // duplicated token mass, longest span, dup fraction, and the
+      // canonical holder (min doc_id over the holders of its
+      // duplicated shingles — the earliest source of any copied span).
+      // Plan shape = the minhash census: one |doc·shingle| explode of
+      // the native in-row shingle ids, one groupBy(tid) document
+      // frequency (partial-agged), one shuffle join back, a ≤w×
+      // coverage explode deduped at doc grain, and per-DOC windows
+      // (parallel across docs — no global window). That is what an
+      // exact-substring dedup pass costs at 100 TB; nothing here is
+      // all-pairs.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.functions.GraftFunctions.shingleIds(col("text")).as("tids"))
+      val anchors = docs
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(col("tids")).as(Seq("pos0", "tid")))
+        .select(col("doc_id"), col("n_tokens"),
+          col("pos0").cast("long").as("pos"), col("tid"))
+      val tdf = anchors.groupBy("tid")
+        .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("holder"))
+      val dup = anchors.join(tdf, "tid").filter(col("nd") >= 2)
+      val canon = dup.groupBy("doc_id").agg(min("holder").as("canonical_id"))
+      // Token coverage of each dup anchor, clipped for the short-doc
+      // whole-text-fallback shingle; distinct = union of span coverage.
+      val cov = dup
+        .select(col("doc_id"), explode(sequence(col("pos"),
+          least(col("pos") + (ShingleW - 1), col("n_tokens") - 1))).as("t"))
+        .distinct()
+      val w = Window.partitionBy("doc_id").orderBy("t")
+      val spans = cov
+        .withColumn("isl", col("t") - row_number().over(w))
+        .groupBy("doc_id", "isl").agg(count(lit(1)).as("len"))
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum("len").as("dup_tokens"),
+          max("len").as("max_span_len"))
+        .join(docs.select("doc_id", "lang", "n_tokens"), "doc_id")
+        .join(canon, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_spans"),
+          col("dup_tokens"), col("max_span_len"),
+          round(col("dup_tokens").cast("double") / col("n_tokens").cast("double"), 4)
+            .as("dup_frac"),
+          col("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("text")
@@ -1426,6 +1481,37 @@ s"""SELECT doc_id, lang, bucket FROM (
          |  CAST(sum(CASE WHEN n_dup * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_docs
          |FROM per_doc pd JOIN documents d USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_span_extend" ->
+      s"""WITH tids AS ($TidsSql),
+         |ntok AS (SELECT doc_id, lang,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |         FROM documents),
+         |anchors AS (SELECT doc_id, unnest(range(0, len(tids))) AS pos,
+         |            unnest(tids) AS tid FROM tids),
+         |tdf AS (SELECT tid, count(DISTINCT doc_id) AS nd, min(doc_id) AS holder
+         |        FROM anchors GROUP BY tid),
+         |dup AS (SELECT a.doc_id, a.pos, t.holder
+         |        FROM anchors a JOIN tdf t USING (tid) WHERE t.nd >= 2),
+         |canon AS (SELECT doc_id, min(holder) AS canonical_id FROM dup GROUP BY doc_id),
+         |covraw AS (SELECT d.doc_id,
+         |           unnest(range(d.pos, least(d.pos + $ShingleW, n.n_tokens))) AS t
+         |           FROM dup d JOIN ntok n USING (doc_id)),
+         |cov AS (SELECT DISTINCT doc_id, t FROM covraw),
+         |isl AS (SELECT doc_id,
+         |        t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS isl
+         |        FROM cov),
+         |spans AS (SELECT doc_id, isl, count(*) AS len FROM isl GROUP BY doc_id, isl),
+         |perdoc AS (SELECT doc_id, count(*) AS n_spans, sum(len) AS dup_tokens,
+         |           max(len) AS max_span_len FROM spans GROUP BY doc_id)
+         |SELECT p.doc_id, n.lang, n.n_tokens,
+         |  CAST(p.n_spans AS BIGINT) AS n_spans,
+         |  CAST(p.dup_tokens AS BIGINT) AS dup_tokens,
+         |  CAST(p.max_span_len AS BIGINT) AS max_span_len,
+         |  round(CAST(p.dup_tokens AS DOUBLE) / n.n_tokens, 4) AS dup_frac,
+         |  c.canonical_id
+         |FROM perdoc p JOIN ntok n USING (doc_id) JOIN canon c USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,
