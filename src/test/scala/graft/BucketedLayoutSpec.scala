@@ -81,6 +81,27 @@ class BucketedLayoutSpec extends SparkSpec {
     } finally Tables.dropBucketed(spark, sf)
   }
 
+  test("an in-place source regeneration invalidates the bucketed layout") {
+    val d = Fixtures.tempDir()
+    Fixtures.documents(spark, d, Seq("a b c"))
+    val n1 = Tables.bucketedName(d, "documents")
+    graft.sources.Sources.writeBucketed(Tables.documents(spark, d), n1, "doc_id", 2)
+    spark.conf.set(Tables.BucketedConf, "true")
+    try {
+      assert(Tables.documents(spark, d).count() === 1L) // served bucketed
+      // Regenerate the source IN PLACE with different content (and row
+      // count, so a stale-layout read is unmistakable).
+      Fixtures.documents(spark, d, Seq("x y z", "p q r"))
+      assert(Tables.bucketedName(d, "documents") !== n1,
+        "content fingerprint must change when the source files change")
+      assert(Tables.documents(spark, d).count() === 2L,
+        "a regenerated source dir must never be answered by the stale layout")
+    } finally {
+      spark.conf.set(Tables.BucketedConf, "false")
+      Tables.dropBucketed(spark, d)
+    }
+  }
+
   test("the flag off means the catalog is never consulted") {
     // no layout materialized, flag off (default): plain file scan plan
     val plan = Tables.orders(spark, sf).queryExecution.executedPlan.toString

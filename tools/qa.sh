@@ -17,6 +17,10 @@ run_verify() { # sf outdir cpus
 run_verify sf0.01 /tmp/qa_v4  4
 run_verify sf0.01 /tmp/qa_v32 32   # partition-order determinism check
 
+# full matrix over the hash-clustered catalog layout (oracle still
+# reads loose parquet → proves all queries are layout-independent)
+SPARK_GRAFT_BUCKETED=true run_verify sf0.01 /tmp/qa_vbkt 16
+
 if [[ "${1:-}" != "--fast" ]]; then
   run_verify sf0.001 /tmp/qa_v001 4
   run_verify sf0.1   /tmp/qa_v01  16
