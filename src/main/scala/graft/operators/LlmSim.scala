@@ -402,6 +402,65 @@ object LlmSim extends OpModule {
         .orderBy("nprobe", "q_id")
     }),
 
+    "multimodal_decode_hist" -> ((s, d) => {
+      // REAL image decode, hash-graded (r7): synthesize a deterministic
+      // grayscale PNG per doc (pixel g = (doc_id·7 + x·3 + y·5) mod
+      // 256, size keyed off doc_id), push it through the full
+      // multimodal pipeline — javax.imageio metadata (format/width/
+      // height via the reader's cheap header path) + the
+      // ImageIoCodec luminance-histogram decode under the batched
+      // mapPartitions stage — and emit per-(doc, luminance-bucket)
+      // PIXEL COUNTS. DuckDB cannot decode PNGs, but it can predict
+      // this decode EXACTLY by arithmetic: the BT.601 fold and the
+      // bucket floor are written identically on both sides (same
+      // left-assoc double ops), and the normalized float32 histogram
+      // inverts exactly (|share·n − h| ≤ h·2⁻²³ < ½), so every output
+      // cell is integer/string — no float ever crosses the compare.
+      // Scale shape: |docs| synthesized blobs → CPU-bound decode in
+      // mapPartitions batches (the real-corpus plan, where partition
+      // count is the parallelism knob) → in-row posexplode → broadcast
+      // meta join; no wide shuffle anywhere.
+      import s.implicits._
+      import graft.multimodal.{MediaRow, Multimodal}
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 64)
+        .as[Long].map { id =>
+          val wpx = 8 + (id % 5).toInt
+          val hpx = 6 + (id % 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            wpx, hpx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < hpx) {
+            var x = 0
+            while (x < wpx) {
+              val g = ((id * 7 + x * 3 + y * 5) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(id, "image", bos.toByteArray)
+        }
+      val feats = Multimodal
+        .imageFeatures(media, dim = 8, codec = Multimodal.ImageIoCodec)
+        .toDF()
+        .select(col("media_id").as("doc_id"),
+          posexplode(col("features")).as(Seq("bucket", "share")))
+      val meta = Multimodal.imageMeta(media, Multimodal.ImageIoCodec).toDF()
+        .select(col("media_id").as("m_id"), col("format"),
+          col("width"), col("height"))
+      feats.join(broadcast(meta), col("doc_id") === col("m_id"))
+        .select(col("doc_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bucket").cast("long").as("bucket"),
+          round(col("share").cast("double") * col("width") * col("height"))
+            .cast("long").as("n_px"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     "multimodal_join" -> ((s, d) =>
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -1405,6 +1464,34 @@ object LlmSim extends OpModule {
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
          |  FROM scored
          |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    // Arithmetic prediction of the real javax.imageio decode: the PNG
+    // round-trip is lossless, so pixel g survives exactly; the BT.601
+    // fold and bucket floor are the IDENTICAL left-assoc double ops the
+    // codec runs, and the float32 histogram inversion on the Spark side
+    // recovers exact integer counts — see the query's scaladoc.
+    "multimodal_decode_hist" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 64),
+        |px AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+        |pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px),
+        |bkt AS (
+        |  SELECT doc_id,
+        |    least(7, CAST(floor(
+        |      (0.299 * g + 0.587 * g + 0.114 * g) / 256.0 * 8) AS BIGINT)) AS bucket
+        |  FROM (SELECT doc_id,
+        |          CAST((doc_id * 7 + x * 3 + y * 5) % 256 AS DOUBLE) AS g
+        |        FROM pxy)),
+        |cnt AS (SELECT doc_id, bucket, count(*) AS n_px FROM bkt GROUP BY 1, 2),
+        |spine AS (SELECT doc_id, unnest(range(0, 8)) AS bucket FROM dims)
+        |SELECT s.doc_id, 'png' AS format,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  s.bucket, CAST(coalesce(c.n_px, 0) AS BIGINT) AS n_px
+        |FROM spine s
+        |JOIN dims d USING (doc_id)
+        |LEFT JOIN cnt c ON c.doc_id = s.doc_id AND c.bucket = s.bucket
+        |ORDER BY s.doc_id, s.bucket""".stripMargin,
 
     "multimodal_join" ->
       """SELECT doc_id, lang, source, CAST(label AS BIGINT) AS label,
