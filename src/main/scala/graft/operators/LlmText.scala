@@ -773,6 +773,54 @@ object LlmText extends OpModule {
         .orderBy("doc_id")
     }),
 
+    "dedup_span_scrub" -> ((s, d) => {
+      // The span REMOVER applied (r7): every duplicated token position
+      // (dedup_span_extend's coverage rule) is dropped from every doc
+      // EXCEPT the canonical holder — per position, owner = min doc_id
+      // over the holders of its covering duplicated shingles; a doc
+      // keeps the position iff it IS the owner. Non-dup positions
+      // always survive. Output reconstructs the scrubbed text (kept
+      // tokens rejoined in position order — split/join round-trips
+      // exactly, empty tokens included), so the operator IS the
+      // dedup pass a training pipeline would run, not just its audit.
+      // Scale: the same tid-census shape as dedup_span_extend plus one
+      // |tokens| explode, a position anti-join, and ONE per-doc
+      // rebuild shuffle; the rebuild sort is in-row (sort_array over
+      // the doc's own tokens), never a global order.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("text"), size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.functions.GraftFunctions.shingleIds(col("text")).as("tids"))
+      val anchors = docs
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(col("tids")).as(Seq("pos0", "tid")))
+        .select(col("doc_id"), col("n_tokens"),
+          col("pos0").cast("long").as("pos"), col("tid"))
+      val tdf = anchors.groupBy("tid")
+        .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("holder"))
+      val dropped = anchors.join(tdf, "tid").filter(col("nd") >= 2)
+        .select(col("doc_id"), col("holder"), explode(sequence(col("pos"),
+          least(col("pos") + (ShingleW - 1), col("n_tokens") - 1))).as("t"))
+        .groupBy("doc_id", "t").agg(min("holder").as("owner"))
+        .filter(col("owner") =!= col("doc_id"))
+        .select("doc_id", "t")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("t0", "token")))
+        .select(col("doc_id"), col("t0").cast("long").as("t"), col("token"))
+      val rebuilt = toks.join(dropped, Seq("doc_id", "t"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("t"), col("token")))),
+            x => x.getField("token")), " ").as("scrubbed_text"))
+      docs.select("doc_id", "lang", "n_tokens")
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("text")
@@ -1512,6 +1560,39 @@ s"""SELECT doc_id, lang, bucket FROM (
          |  c.canonical_id
          |FROM perdoc p JOIN ntok n USING (doc_id) JOIN canon c USING (doc_id)
          |ORDER BY p.doc_id""".stripMargin,
+
+    "dedup_span_scrub" ->
+      s"""WITH tids AS ($TidsSql),
+         |ntok AS (SELECT doc_id, lang, text,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |         FROM documents),
+         |anchors AS (SELECT doc_id, unnest(range(0, len(tids))) AS pos,
+         |            unnest(tids) AS tid FROM tids),
+         |tdf AS (SELECT tid, count(DISTINCT doc_id) AS nd, min(doc_id) AS holder
+         |        FROM anchors GROUP BY tid),
+         |dup AS (SELECT a.doc_id, a.pos, t.holder
+         |        FROM anchors a JOIN tdf t USING (tid) WHERE t.nd >= 2),
+         |cov AS (SELECT d.doc_id, d.holder,
+         |        unnest(range(d.pos, least(d.pos + $ShingleW, n.n_tokens))) AS t
+         |        FROM dup d JOIN ntok n USING (doc_id)),
+         |dropped AS (SELECT doc_id, t FROM (
+         |  SELECT doc_id, t, min(holder) AS owner FROM cov GROUP BY doc_id, t)
+         |  WHERE owner <> doc_id),
+         |toks AS (SELECT doc_id,
+         |         unnest(range(0, len(string_split(text, ' ')))) AS t,
+         |         unnest(string_split(text, ' ')) AS token FROM documents),
+         |kept AS (SELECT k.doc_id, k.t, k.token FROM toks k
+         |         LEFT JOIN dropped d ON k.doc_id = d.doc_id AND k.t = d.t
+         |         WHERE d.doc_id IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |        string_agg(token, ' ' ORDER BY t) AS scrubbed_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT n.doc_id, n.lang, n.n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(n.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped,
+         |  coalesce(a.scrubbed_text, '') AS scrubbed_text
+         |FROM ntok n LEFT JOIN agg a USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies,

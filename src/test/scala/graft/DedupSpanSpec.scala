@@ -35,4 +35,25 @@ class DedupSpanSpec extends SparkSpec {
     // doc 5: anchors at 0 and 4 → coverages {0,1,2} and {4,5,6} stay apart.
     assert(rows(5L) === ((7L, 2L, 6L, 3L, 0.8571, 4L)))
   }
+
+  test("span scrub drops copied spans everywhere except the canonical holder") {
+    val d = Fixtures.tempDir()
+    Fixtures.documents(spark, d, Seq(
+      /* 0 */ "a b c d e f g h i j",
+      /* 1 */ "x1 x2 a b c d e y1 y2 y3",
+      /* 2 */ "z1 z2 z3 z4 z5 z6 z7 z8",
+      /* 3 */ "a b c q r s h i j t",
+      /* 4 */ "m1 m2 m3 m4 m5",
+      /* 5 */ "m1 m2 m3 u9 m3 m4 m5"))
+    val rows = SparkEntry.queries("dedup_span_scrub")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+
+    // (n_kept, n_dropped, scrubbed_text)
+    assert(rows(0L) === ((10L, 0L, "a b c d e f g h i j")))  // canonical: untouched
+    assert(rows(1L) === ((5L, 5L, "x1 x2 y1 y2 y3")))        // copied a..e removed
+    assert(rows(2L) === ((8L, 0L, "z1 z2 z3 z4 z5 z6 z7 z8")))
+    assert(rows(3L) === ((4L, 6L, "q r s t")))               // both copied spans removed
+    assert(rows(4L) === ((5L, 0L, "m1 m2 m3 m4 m5")))        // canonical: untouched
+    assert(rows(5L) === ((1L, 6L, "u9")))                    // only the novel token survives
+  }
 }
