@@ -359,6 +359,42 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("sample_hash folds text through the native codegen'd expression, not HOF lambdas") {
+    // The r6 perf-weak item: the per-char interpreted aggregate/
+    // transform fold must stay replaced by text_fold_hash (one JIT'd
+    // loop per row). A reappearing higher-order fold would evaluate
+    // one boxed lambda step per CHARACTER of every document.
+    val plan = treeString(q("sample_hash"))
+    assert(plan.contains("text_fold_hash"),
+      s"sample_hash no longer uses the native fold:\n$plan")
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted HOF lambdas are back in the sample_hash hot path:\n$plan")
+  }
+
+  test("span dedup runs equi-joins with partial aggregation and per-doc windows only") {
+    Seq("dedup_span_extend", "dedup_span_scrub").foreach { name =>
+      val plan = executed(q(name))
+      val tree = plan.toString
+      assert(!tree.contains("CartesianProduct") && !tree.contains("BroadcastNestedLoop"),
+        s"$name: non-equi join in the span census:\n$tree")
+      // the tid document-frequency census must combine map-side
+      assert(tree.contains("partial_"), s"$name: no partial aggregation:\n$tree")
+      // gap-islands / rebuild windows must be per-doc, never global
+      val windows = deepNodes(plan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name: unpartitioned window over token-grain data:\n$tree")
+    }
+  }
+
+  test("multimodal_decode_hist broadcasts the decoded metadata side") {
+    val tree = treeString(q("multimodal_decode_hist"))
+    assert(tree.contains("BroadcastHashJoin"),
+      s"metadata join should broadcast |docs|-sized meta:\n$tree")
+    assert(!tree.contains("CartesianProduct"), s"cartesian in decode plan:\n$tree")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
