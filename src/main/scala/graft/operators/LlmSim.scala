@@ -673,6 +673,70 @@ object LlmSim extends OpModule {
         .orderBy("pos")
     }),
 
+    "embed_top_pc" -> ((s, d) => scopedPersist { scope =>
+      // Dominant principal direction of the embedding cloud (r7):
+      // distributed Gram matrix + power iteration — the one-pass
+      // linear-algebra kernel behind PCA whitening, spectral drift
+      // alarms, and anisotropy diagnostics. Two-phase plan: (1) the
+      // d²-fanout Gram accumulation M[i,j] = Σ qᵢ·qⱼ over ⌊v·1e3⌋
+      // integer coords — a self-join on vec_id whose partial
+      // aggregation shrinks the shuffle to d² rows (at 100 TB the map
+      // side streams |vecs|·d² products but the exchange is 4096
+      // rows; coords quantized at 1e3 so Σq² stays < 2⁵³ at ANY
+      // corpus size — exact in long AND in the double cast); (2) a
+      // 3-step power iteration from the all-ones vector, run entirely
+      // IN-ROW on the single d²-array row with fixed-order HOF folds —
+      // every add happens in index order on BOTH engines, so the
+      // doubles are bit-identical (a groupBy mat-vec would sum in
+      // partition order and hash-diverge). Emits the unit loading per
+      // dimension, the Rayleigh eigenvalue (in v² units), and its
+      // explained share of the total second moment tr(M).
+      val D = 64
+      val u = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "vf")))
+        .select(col("vec_id"), col("j"),
+          floor(col("vf").cast("double") * 1e3).cast("long").as("q"))
+      val m = u.as("a").join(u.as("b"), "vec_id")
+        .groupBy(col("a.j").as("i"), col("b.j").as("jj"))
+        .agg(sum(col("a.q") * col("b.q")).as("m"))
+      val mrow = m
+        .select(struct((col("i") * D + col("jj")).as("k"), col("m")).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(transform(col("es"), x => x.getField("m").cast("double")).as("mf"))
+      def matvec(mf: Column, x: Column): Column =
+        transform(sequence(lit(0), lit(D - 1)), i =>
+          aggregate(sequence(lit(0), lit(D - 1)), lit(0.0),
+            (acc, j2) => acc + element_at(mf, i * D + j2 + 1) * element_at(x, j2 + 1)))
+      def normalize(y: Column): Column =
+        transform(y, e => e / sqrt(aggregate(y, lit(0.0), (a, v) => a + v * v)))
+      // Per-iteration lineage cuts (the PersistScope.cut discipline):
+      // each power step's expression references its input vector 64²
+      // times, so an uncut chain hands the optimizer a tree that
+      // multiplies ~d² per iteration — the same compounding-plan
+      // hazard the unrolled graph kernels hit, here at the expression
+      // (not plan-node) grain. The cut frame is ONE row; materializing
+      // it costs microseconds and keeps every step's tree flat.
+      val i1 = scope.cut(mrow
+        .withColumn("x1", normalize(matvec(col("mf"), array_repeat(lit(1.0), D)))))
+      val i2 = scope.cut(i1.withColumn("x2", normalize(matvec(col("mf"), col("x1")))))
+      val i3 = scope.cut(i2.withColumn("x3", normalize(matvec(col("mf"), col("x2")))))
+      val it = i3
+        .withColumn("y3", matvec(col("mf"), col("x3")))
+        .withColumn("lam",
+          aggregate(zip_with(col("x3"), col("y3"), (a, b) => a * b),
+            lit(0.0), (a, v) => a + v))
+        .withColumn("tr",
+          aggregate(sequence(lit(0), lit(D - 1)), lit(0.0),
+            (acc, i) => acc + element_at(col("mf"), i * D + i + 1)))
+      it.select(col("lam"), col("tr"),
+          posexplode(col("x3")).as(Seq("pos0", "l")))
+        .select((col("pos0") + 1).cast("long").as("pos"),
+          round(col("l"), 4).as("loading"),
+          round(col("lam") / 1e6, 4).as("lam"),
+          round(col("lam") / col("tr"), 4).as("explained"))
+        .orderBy("pos")
+    }),
+
     "embed_quantize" -> ((s, d) => {
       // Int8 scalar quantization (the storage/ANN compression staple):
       // per-dimension [min, max] over the corpus — exact values, no
@@ -1011,6 +1075,59 @@ object LlmSim extends OpModule {
         |  round(sqrt(greatest(0.0,
         |    CAST(ssq AS DOUBLE) / n - pow(CAST(sv AS DOUBLE) / n, 2))) / 1e6, 4) AS std
         |FROM m ORDER BY pos""".stripMargin,
+
+    // Fold-order contract with the Spark side: every sum below is a
+    // LEFT fold in index order seeded with 0.0 (list_prepend mirrors
+    // Spark's aggregate(seq, 0.0, ...)), so the doubles — and their
+    // 4-dp roundings — are bit-identical across engines.
+    "embed_top_pc" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS j,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e3) AS BIGINT) AS q
+        |  FROM embeddings),
+        |m AS (SELECT a.j AS i, b.j AS jj, sum(a.q * b.q) AS m
+        |      FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2),
+        |mfrow AS (SELECT list_transform(list(m ORDER BY i * 64 + jj),
+        |                 e -> CAST(e AS DOUBLE)) AS mf FROM m),
+        |s1 AS (SELECT mf, list_transform(range(0, 64), i ->
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(0, 64), j2 -> mf[i*64+j2+1] * 1.0)),
+        |           (a, b) -> a + b)) AS y1 FROM mfrow),
+        |n1 AS (SELECT mf, list_transform(y1, e -> e / sqrt(
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), y1),
+        |           (a, b) -> a + b * b))) AS x1 FROM s1),
+        |s2 AS (SELECT mf, list_transform(range(0, 64), i ->
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(0, 64), j2 -> mf[i*64+j2+1] * x1[j2+1])),
+        |           (a, b) -> a + b)) AS y2 FROM n1),
+        |n2 AS (SELECT mf, list_transform(y2, e -> e / sqrt(
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), y2),
+        |           (a, b) -> a + b * b))) AS x2 FROM s2),
+        |s3 AS (SELECT mf, list_transform(range(0, 64), i ->
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(0, 64), j2 -> mf[i*64+j2+1] * x2[j2+1])),
+        |           (a, b) -> a + b)) AS y3raw FROM n2),
+        |n3 AS (SELECT mf, list_transform(y3raw, e -> e / sqrt(
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), y3raw),
+        |           (a, b) -> a + b * b))) AS x3 FROM s3),
+        |fin AS (SELECT mf, x3,
+        |  list_transform(range(0, 64), i ->
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(0, 64), j2 -> mf[i*64+j2+1] * x3[j2+1])),
+        |      (a, b) -> a + b)) AS y3 FROM n3),
+        |lamt AS (SELECT x3,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(0, 64), k -> x3[k+1] * y3[k+1])),
+        |    (a, b) -> a + b) AS lam,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(0, 64), i -> mf[i*64+i+1])),
+        |    (a, b) -> a + b) AS tr FROM fin)
+        |SELECT CAST(pos0 + 1 AS BIGINT) AS pos,
+        |  round(x3[pos0 + 1], 4) AS loading,
+        |  round(lam / 1e6, 4) AS lam,
+        |  round(lam / tr, 4) AS explained
+        |FROM lamt, unnest(range(0, 64)) AS t(pos0)
+        |ORDER BY pos""".stripMargin,
 
     "embed_quantize" ->
       """WITH u AS (
