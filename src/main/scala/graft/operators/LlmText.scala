@@ -482,6 +482,37 @@ object LlmText extends OpModule {
         .orderBy("rnk")
     }),
 
+    "mix_source_weights" -> ((s, d) => {
+      // Training-mixture weighting per source (r7): the sampling-weight
+      // table a data-mixing stage consumes — weight ∝ √(source token
+      // mass), normalized (sqrt-scaling upweights small high-value
+      // sources relative to proportional sampling, the standard
+      // mixture-tempering move), plus the effective epochs each source
+      // sustains at a 1M-token training budget (epochs > 1 flags the
+      // sources the budget would over-repeat). Determinism: token
+      // counts are exact integers; √ is IEEE correctly-rounded on
+      // BOTH engines (pow is not — 1-ulp libm divergence is why the
+      // exponent is 0.5 and not 0.7); the normalizer folds the
+      // |sources|-sized list IN-ROW in source order, never a
+      // partition-ordered double sum. One partial-agged pass over
+      // documents; everything after is dimension-sized.
+      val per = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("z", sqrt(col("n_tokens").cast("double")))
+      val tot = per
+        .agg(sort_array(collect_list(struct(col("source"), col("z")))).as("zs"))
+        .select(aggregate(col("zs"), lit(0.0),
+          (a, e) => a + e.getField("z")).as("ztot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("z") / col("ztot"), 4).as("weight"),
+          round(lit(1e6) * (col("z") / col("ztot")) / col("n_tokens"), 4)
+            .as("eff_epochs"))
+        .orderBy("source")
+    }),
+
     "text_lang_stats" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang", "source")
@@ -1370,6 +1401,21 @@ object LlmText extends OpModule {
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk,
          |  token, cnt, round(CAST(cnt AS DOUBLE) / max(cnt) OVER (), 4) AS ratio
          |FROM wc ORDER BY rnk""".stripMargin,
+
+    "mix_source_weights" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |      CAST(n_tokens AS BIGINT) AS n_tokens,
+        |      sqrt(CAST(n_tokens AS DOUBLE)) AS z FROM per),
+        |tot AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(z ORDER BY source)), (a, b) -> a + b) AS ztot FROM z)
+        |SELECT source, n_docs, n_tokens,
+        |  round(z / ztot, 4) AS weight,
+        |  round(1e6 * (z / ztot) / n_tokens, 4) AS eff_epochs
+        |FROM z, tot ORDER BY source""".stripMargin,
 
     "text_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
