@@ -333,6 +333,72 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("span extend and scrub agree with each other and with the corpus") {
+    import org.apache.spark.sql.functions._
+    val extend = q("dedup_span_extend").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    val scrub = q("dedup_span_scrub").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    assert(scrub.size === Tables.documents(spark, sf).count(),
+      "scrub reports every document")
+    scrub.foreach { case (id, (nTok, nKept, nDropped, text)) =>
+      assert(nKept + nDropped === nTok, s"doc $id: kept+dropped != total")
+      // rebuilt text token count must equal n_kept (split/join identity)
+      val rebuilt = if (text.isEmpty) 0 else text.split(" ", -1).length
+      assert(rebuilt === nKept, s"doc $id: rebuilt text has $rebuilt tokens, not $nKept")
+      // a doc can only drop tokens that extend marked as duplicated
+      extend.get(id) match {
+        case Some((eTok, dupTokens, _)) =>
+          assert(eTok === nTok)
+          assert(nDropped <= dupTokens,
+            s"doc $id drops $nDropped > its duplicated mass $dupTokens")
+        case None => assert(nDropped === 0L,
+          s"doc $id dropped tokens without any duplicated span")
+      }
+    }
+    // every extend row's spans are within its own doc
+    extend.foreach { case (id, (nTok, dupTokens, maxSpan)) =>
+      assert(dupTokens <= nTok); assert(maxSpan <= dupTokens)
+      val _ = id
+    }
+  }
+
+  test("embed_top_pc emits a unit direction with a valid explained share") {
+    val rows = q("embed_top_pc").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 64L))
+    val norm = math.sqrt(rows.map(r => { val l = r.getDouble(1); l * l }).sum)
+    assert(math.abs(norm - 1.0) < 1e-2, s"loadings are not unit-norm: $norm")
+    val explained = rows.head.getDouble(3)
+    assert(explained > 0.0 && explained <= 1.0)
+    assert(rows.forall(_.getDouble(3) === explained))
+    assert(rows.head.getDouble(2) > 0.0, "Rayleigh eigenvalue must be positive")
+  }
+
+  test("mix_source_weights masses a probability distribution over the corpus") {
+    val rows = q("mix_source_weights").collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs === Tables.documents(spark, sf).count())
+    val wsum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, s"weights sum to $wsum")
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0.0, "effective epochs must be positive")
+    }
+  }
+
+  test("multimodal_decode_hist pixel counts tile every synthesized image") {
+    val rows = q("multimodal_decode_hist").collect()
+    assert(rows.nonEmpty && rows.length % 8 === 0)
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      assert(rs.length === 8, s"doc $id: expected 8 buckets")
+      val (w, h) = (rs.head.getLong(2), rs.head.getLong(3))
+      assert(rs.map(_.getLong(5)).sum === w * h,
+        s"doc $id: histogram does not cover $w x $h pixels")
+      assert(rs.head.getString(1) === "png")
+    }
+  }
+
   test("seasonal-naive forecast scores exactly the last-week days with 3+ priors") {
     val rows = q("evt_forecast_snaive").collect()
     assert(rows.nonEmpty)
