@@ -237,6 +237,45 @@ object Graph extends OpModule {
     // Persist-scoped (r5); see jaccardBody.
     "graph_jaccard_sim" -> ((s, d) => scopedPersist(jaccardBody(s, d))),
 
+    "graph_label_propagation" -> ((s, d) => scopedPersist { scope =>
+      // Community detection by label propagation (r7), 2 unrolled
+      // rounds: every node adopts the most frequent label among its
+      // neighbors, ties broken by MIN label — classic LPA made
+      // deterministic (random tie-breaks don't reproduce across
+      // engines; (count DESC, label ASC) does, on exact integer
+      // counts). Complements graph_components: components merge
+      // through any connectivity, LPA communities need neighborhood
+      // consensus, so a bridge node stays with its denser side.
+      // Output is the community-size histogram + the last-round label
+      // churn (the convergence signal — the graph_components r5
+      // lesson that a fixed-round kernel must emit its own residual).
+      // Plan: each round is ONE |adj|-sized equi-join + two
+      // partial-agged groupBys (label count, then per-node struct-max
+      // argmax — no window over the adjacency); rounds persist via
+      // cut, the iterative-kernel discipline.
+      val e = scope.persist(edges(s, d))
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val l0 = degrees(e).select(col("node"), col("node").as("lbl"))
+      def step(prev: DataFrame): DataFrame = scope.cut(
+        adj.join(prev.select(col("node").as("bn"), col("lbl")), col("b") === col("bn"))
+          .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy("a")
+          .agg(max(struct(col("c"), (lit(0L) - col("lbl")).as("nl"))).as("m"))
+          .select(col("a").as("node"), (lit(0L) - col("m.nl")).as("lbl")))
+      val l1 = step(l0)
+      val l2 = step(l1)
+      val changed = l2.select(col("node").as("n2"), col("lbl").as("lb2"))
+        .join(l1, col("n2") === col("node"))
+        .filter(col("lb2") =!= col("lbl"))
+        .agg(count(lit(1)).as("labels_changed_last_round"))
+      l2.groupBy("lbl").agg(count(lit(1)).as("csz"))
+        .groupBy(col("csz").as("community_size"))
+        .agg(count(lit(1)).as("n_communities"))
+        .crossJoin(broadcast(changed))
+        .orderBy("community_size")
+    }),
+
     "basket_rules" -> ((s, d) => {
       // Market-basket association rules at brand grain: support,
       // confidence and lift for every ordered brand pair that clears a
@@ -604,6 +643,29 @@ object Graph extends OpModule {
          |FROM cm JOIN deg da ON da.node = cm.a JOIN deg db ON db.node = cm.b
          |WHERE n_common >= 2
          |ORDER BY jaccard DESC, a, b LIMIT 30""".stripMargin,
+
+    // LPA argmax stated as max-count window + min(label) — different
+    // formulation, identical semantics to the Spark struct-max (exact
+    // integer counts, so any argmax formulation agrees).
+    "graph_label_propagation" -> {
+      val step = (prev: String, cnt: String, out: String) =>
+        s"""$cnt AS (SELECT adj.a, p.lbl, count(*) AS c
+           |  FROM adj JOIN $prev p ON p.node = adj.b GROUP BY 1, 2),
+           |$out AS (SELECT a AS node, min(lbl) AS lbl FROM (
+           |  SELECT a, lbl, c, max(c) OVER (PARTITION BY a) AS mc FROM $cnt)
+           |  WHERE c = mc GROUP BY a)""".stripMargin
+      s"""WITH $EDGES,
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT node, node AS lbl FROM deg),
+         |${step("l0", "c1", "l1")},
+         |${step("l1", "c2", "l2")},
+         |chg AS (SELECT count(*) AS labels_changed_last_round
+         |        FROM l2 JOIN l1 ON l2.node = l1.node AND l2.lbl <> l1.lbl)
+         |SELECT csz AS community_size, count(*) AS n_communities,
+         |  (SELECT labels_changed_last_round FROM chg) AS labels_changed_last_round
+         |FROM (SELECT lbl, count(*) AS csz FROM l2 GROUP BY lbl)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "basket_rules" ->
       """WITH ob AS (

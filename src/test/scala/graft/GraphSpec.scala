@@ -108,6 +108,19 @@ class GraphSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("graph_label_propagation reaches consensus on the fixture with exact churn") {
+    // Graph {1-2, 1-3, 2-3, 3-4}, labels start as node ids.
+    // Round 1 (most frequent neighbor label, ties → min):
+    //   1→2 (nbr labels {2,3}), 2→1 ({1,3}), 3→1 ({1,2,4}), 4→3 ({3}).
+    // Round 2 over l1 = {1:2, 2:1, 3:1, 4:3}:
+    //   1→1 (nbrs 2,3 both hold 1), 2→1 (tie {2,1}), 3→1 (tie {2,1,3}),
+    //   4→1 (nbr 3 holds 1).
+    // All four nodes agree on label 1; nodes 1 and 4 changed in the
+    // last round.
+    val got = SparkEntry.queries("graph_label_propagation")(spark, dir).collect().toSeq
+    assert(got === Seq(Row(4L, 1L, 2L)))
+  }
+
   test("graph_pagerank conserves rank mass over the sf0.001 trade graph") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
       .collect()
