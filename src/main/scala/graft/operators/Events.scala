@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -127,6 +127,59 @@ object Events extends OpModule {
         .groupBy("d0").agg(countDistinct("user_id").as("wau"))
       dau.join(wau, col("day") === col("d0"))
         .select("day", "dau", "wau").orderBy("day")
+    }),
+
+    "evt_markov_steady" -> ((s, d) => scopedPersist { scope =>
+      // Stationary distribution of the event-type Markov chain (r7):
+      // where user journeys spend their time in the limit — the
+      // steady-state twin of evt_path's one-step transition matrix,
+      // and the evt_ family's use of the deterministic in-row power
+      // iteration introduced by embed_top_pc. The chain restricts to
+      // RECURRING types (those with outgoing transitions); transition
+      // rows are gathered onto ONE row ((from, to, n) structs in
+      // sorted order) and x ← xP runs 3 steps from uniform entirely
+      // in-row with fixed-order folds, so every double is
+      // bit-identical across engines — a groupBy mat-vec would sum in
+      // partition order and hash-diverge. Counts are exact integers;
+      // the only doubles are the x updates. |types|² is tiny at any
+      // event volume: the heavy work is evt_path's partial-agged
+      // count, everything after is one-row arithmetic.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("f"), col("next_type").as("t"))
+        .agg(count(lit(1)).as("n"))
+      val row = trans.agg(
+        sort_array(collect_list(struct(col("f"), col("t"), col("n")))).as("cl"),
+        sort_array(collect_set(col("f"))).as("tp"))
+      val tSz = size(col("tp"))
+      def tpAt(i: Column) = element_at(col("tp"), i + 1)
+      // kept row sums: outgoing mass into recurring targets only
+      val withRs = scope.cut(row.withColumn("rs",
+        transform(sequence(lit(0), tSz - 1), i =>
+          aggregate(
+            filter(col("cl"), s2 => s2.getField("f") === tpAt(i) &&
+              array_contains(col("tp"), s2.getField("t"))),
+            lit(0L), (acc, s2) => acc + s2.getField("n")))))
+      def nij(i: Column, j: Column) = coalesce(
+        try_element_at(
+          filter(col("cl"), s2 => s2.getField("f") === tpAt(i) &&
+            s2.getField("t") === tpAt(j)), lit(1)).getField("n"),
+        lit(0L))
+      def stepX(x: Column) = transform(sequence(lit(0), tSz - 1), j =>
+        aggregate(sequence(lit(0), tSz - 1), lit(0.0), (acc, i) =>
+          acc + element_at(x, i + 1) *
+            (nij(i, j).cast("double") / element_at(col("rs"), i + 1).cast("double"))))
+      val x0 = transform(sequence(lit(0), tSz - 1),
+        _ => lit(1.0) / tSz.cast("double"))
+      val i1 = scope.cut(withRs.withColumn("x1", stepX(x0)))
+      val i2 = scope.cut(i1.withColumn("x2", stepX(col("x1"))))
+      val i3 = i2.withColumn("x3", stepX(col("x2")))
+      i3.select(col("tp"), posexplode(col("x3")).as(Seq("i", "p")))
+        .select(element_at(col("tp"), col("i") + 1).as("event_type"),
+          round(col("p"), 4).as("stationary"))
+        .orderBy("event_type")
     }),
 
     "evt_path" -> ((s, d) => {
@@ -735,6 +788,44 @@ object Events extends OpModule {
         |  GROUP BY d.day
         |)
         |SELECT day, dau, wau FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
+    // Same one-row fixed-order fold contract as embed_top_pc: every
+    // sum is a left fold seeded 0 (list_prepend) in index order.
+    "evt_markov_steady" -> {
+      val stepSql = (x: String) =>
+        s"""list_transform(range(0, T), j ->
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(range(0, T), i ->
+           |      $x[i+1] * (CAST(coalesce(
+           |          list_filter(cl, s2 -> s2.f = tp[i+1] AND s2.t = tp[j+1])[1].n,
+           |          0) AS DOUBLE)
+           |        / CAST(rs[i+1] AS DOUBLE)))),
+           |    (a, b) -> a + b))""".stripMargin
+      s"""WITH tr AS (
+         |  SELECT event_type AS f, next_type AS t, count(*) AS n FROM (
+         |    SELECT event_type, lead(event_type, 1)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         |    FROM events)
+         |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |row1 AS (SELECT
+         |  (SELECT list(struct_pack(f := f, t := t, n := n) ORDER BY f, t) FROM tr) AS cl,
+         |  (SELECT list(f ORDER BY f) FROM (SELECT DISTINCT f FROM tr)) AS tp),
+         |base AS (SELECT cl, tp, len(tp) AS T,
+         |  list_transform(range(0, len(tp)), i ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(
+         |        list_filter(cl, s2 -> s2.f = tp[i+1] AND list_contains(tp, s2.t)),
+         |        s2 -> s2.n)),
+         |      (a, b) -> a + b)) AS rs FROM row1),
+         |s0 AS (SELECT cl, tp, T, rs,
+         |  list_transform(range(0, T), i -> 1.0 / CAST(T AS DOUBLE)) AS x0 FROM base),
+         |s1 AS (SELECT cl, tp, T, rs, ${stepSql("x0")} AS x1 FROM s0),
+         |s2c AS (SELECT cl, tp, T, rs, ${stepSql("x1")} AS x2 FROM s1),
+         |s3 AS (SELECT tp, ${stepSql("x2")} AS x3 FROM s2c)
+         |SELECT tp[i0 + 1] AS event_type, round(x3[i0 + 1], 4) AS stationary
+         |FROM s3, unnest(range(0, len(tp))) AS u(i0)
+         |ORDER BY event_type""".stripMargin
+    },
 
     "evt_path" ->
       """SELECT event_type, next_type, count(*) AS n FROM (

@@ -387,6 +387,16 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("evt_markov_steady is a probability distribution over evt_path's source types") {
+    val rows = q("evt_markov_steady").collect()
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"stationary mass $mass")
+    assert(rows.forall(_.getDouble(1) > 0.0))
+    val srcTypes = q("evt_path").collect().map(_.getString(0)).distinct.sorted.toSeq
+    assert(rows.map(_.getString(0)).toSeq === srcTypes,
+      "steady state must cover exactly the types with outgoing transitions")
+  }
+
   test("multimodal_decode_hist pixel counts tile every synthesized image") {
     val rows = q("multimodal_decode_hist").collect()
     assert(rows.nonEmpty && rows.length % 8 === 0)
