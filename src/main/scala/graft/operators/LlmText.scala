@@ -781,19 +781,37 @@ object LlmText extends OpModule {
         .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("holder"))
       val dup = anchors.join(tdf, "tid").filter(col("nd") >= 2)
       val canon = dup.groupBy("doc_id").agg(min("holder").as("canonical_id"))
-      // Token coverage of each dup anchor, clipped for the short-doc
-      // whole-text-fallback shingle; distinct = union of span coverage.
-      val cov = dup
+      // Token coverage of each dup anchor (clipped for the short-doc
+      // whole-text-fallback shingle), then ONE partial-agged
+      // collect_set per doc: the sorted duplicated-position set is
+      // bounded by the doc's own token count, so every span statistic
+      // — maximal-run count, union mass, longest run — falls out of a
+      // single in-row fold over the sorted array. This replaces the
+      // r7-initial distinct → gap-islands window → two-rollup chain
+      // (4 exchanges after the census join) with one exchange; the
+      // fold's struct accumulator tracks (prev, current-run,
+      // max-run) in index order, identical semantics.
+      val spanStats = dup
         .select(col("doc_id"), explode(sequence(col("pos"),
           least(col("pos") + (ShingleW - 1), col("n_tokens") - 1))).as("t"))
-        .distinct()
-      val w = Window.partitionBy("doc_id").orderBy("t")
-      val spans = cov
-        .withColumn("isl", col("t") - row_number().over(w))
-        .groupBy("doc_id", "isl").agg(count(lit(1)).as("len"))
-      spans.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"), sum("len").as("dup_tokens"),
-          max("len").as("max_span_len"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("t"))).as("ts"))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("dup_tokens"),
+          (size(filter(zip_with(
+            slice(col("ts"), lit(2), size(col("ts"))),
+            col("ts"), (b, a) => b - a), g => g > 1)) + 1).cast("long")
+            .as("n_spans"),
+          aggregate(col("ts"),
+            struct(lit(Long.MinValue).as("prev"), lit(0L).as("cur"), lit(0L).as("mx")),
+            (acc, t) => {
+              val cur = when(t === acc.getField("prev") + 1,
+                acc.getField("cur") + 1).otherwise(lit(1L))
+              struct(t.as("prev"), cur.as("cur"),
+                greatest(acc.getField("mx"), cur).as("mx"))
+            },
+            acc => acc.getField("mx")).as("max_span_len"))
+      spanStats
         .join(docs.select("doc_id", "lang", "n_tokens"), "doc_id")
         .join(canon, "doc_id")
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_spans"),
