@@ -82,6 +82,16 @@ object Sources {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** ORC round-trip — the other columnar format real warehouses carry
+    * (Hive lineage). Spark's native vectorized ORC reader gives the
+    * same pushdown/pruning as parquet; zstd keeps parity with the
+    * parquet writer's default codec. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd").orc(path)
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
 

@@ -54,6 +54,26 @@ class SourcesSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, true), (2L, true), (3L, false)))
   }
 
+  test("orc round-trip preserves values and pushes filters into the scan") {
+    val dir = tmp()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars")
+    Sources.writeOrc(docs, s"$dir/docs_orc")
+    val back = Sources.readOrc(spark, s"$dir/docs_orc")
+    assert(back.count() === docs.count())
+    val sample = back.orderBy("doc_id").limit(3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expect = docs.orderBy("doc_id").limit(3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(sample === expect)
+    // the native vectorized ORC reader must push the predicate down
+    val f = back.filter("doc_id < 10")
+    f.count()
+    val scan = f.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PushedFilters") && !scan.contains("PushedFilters: []"),
+      s"no pushed filters in ORC scan:\n$scan")
+  }
+
   test("partitioned parquet write prunes on the partition column") {
     val dir = tmp()
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
