@@ -76,6 +76,21 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("array"))
   }
 
+  test("array_pairs fails readably past the JVM pair-count limit instead of overflowing") {
+    import spark.implicits._
+    // 70k elements → 2.45e9 pairs: Int n*(n-1)/2 would go NEGATIVE
+    // (NegativeArraySizeException) without the Long guard.
+    val err = intercept[Throwable] {
+      Seq(1).toDF("x")
+        .select(GraftFunctions.arrayPairs(array_repeat(lit(1L), 70000)))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("pairs")),
+      s"expected the readable pair-count guard, got: $err")
+  }
+
   test("shingle_ids matches the independent scala model incl. unicode and short docs") {
     val cases = Seq(
       "the quick brown fox",   // 4 tokens → 2 shingles

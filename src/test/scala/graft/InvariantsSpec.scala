@@ -18,7 +18,8 @@ class InvariantsSpec extends SparkSpec {
     Seq("graph_kcore", "graph_components", "graph_jaccard_sim",
       "evt_stickiness", "sim_knn_ivf", "sim_knn_pq", "embed_pq",
       "embed_ivf_stats", "dedup_components", "dedup_methods_agreement",
-      "sim_recall_ivf").foreach { name =>
+      "sim_recall_ivf", "embed_top_pc", "evt_markov_steady",
+      "graph_label_propagation").foreach { name =>
       q(name).count()
       assert(org.apache.spark.sql.CacheProbe.isEmpty(spark),
         s"$name left cached plans in the CacheManager")
