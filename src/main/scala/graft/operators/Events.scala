@@ -575,6 +575,105 @@ object Events extends OpModule {
             .cast("decimal(18,8)")), 4).cast("double").as("mape"))
         .orderBy("event_type")
     }),
+
+    "evt_absorb_prob" -> ((s, d) => scopedPersist { scope =>
+      // Conversion-absorption probability (r7): for every starting
+      // event type, the probability of REACHING 'purchase' within 1
+      // and within 3 transitions of the empirical event-type Markov
+      // chain — the removal-effect / journey-value input an
+      // attribution model reads next to evt_markov_steady's long-run
+      // occupancy. Same one-row deterministic-iteration shape: the
+      // |types|² transition census gathers onto ONE row and the
+      // absorption recursion p_k(i) = Σ_j P(i,j)·[j=purchase ? 1 :
+      // p_{k-1}(j)] runs IN-ROW with fixed-order folds over the
+      // (f,t)-sorted struct list, so every double is bit-identical
+      // across engines (a groupBy mat-vec would sum in partition
+      // order). Row sums cover ALL outgoing mass — stepping into the
+      // absorbing state is a real transition — and the heavy work is
+      // the partial-agged evt_path census; everything after is
+      // one-row arithmetic at any event volume.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("f"), col("next_type").as("t"))
+        .agg(count(lit(1)).as("n"))
+      val row = trans.agg(
+        sort_array(collect_list(struct(col("f"), col("t"), col("n")))).as("cl"),
+        sort_array(collect_set(col("f"))).as("tp"))
+      val tSz = size(col("tp"))
+      def tpAt(i: Column) = element_at(col("tp"), i + 1)
+      val withRs = scope.cut(row.withColumn("rs",
+        transform(sequence(lit(0), tSz - 1), i =>
+          aggregate(filter(col("cl"), s2 => s2.getField("f") === tpAt(i)),
+            lit(0L), (acc, s2) => acc + s2.getField("n")))))
+      def stepP(p: Column) = transform(sequence(lit(0), tSz - 1), i =>
+        aggregate(filter(col("cl"), s2 => s2.getField("f") === tpAt(i)),
+          lit(0.0), (acc, s2) => acc +
+            (s2.getField("n").cast("double") /
+              element_at(col("rs"), i + 1).cast("double")) *
+            when(s2.getField("t") === "purchase", lit(1.0))
+              .otherwise({
+                val pos = array_position(col("tp"), s2.getField("t"))
+                when(pos > 0, element_at(p, pos.cast("int")))
+                  .otherwise(lit(0.0))
+              })))
+      val p0 = transform(sequence(lit(0), tSz - 1), _ => lit(0.0))
+      val s1 = scope.cut(withRs.withColumn("p1", stepP(p0)))
+      val s2 = scope.cut(s1.withColumn("p2", stepP(col("p1"))))
+      val s3 = s2.withColumn("p3", stepP(col("p2")))
+      s3.select(col("tp"), col("p1"), posexplode(col("p3")).as(Seq("i", "pr3")))
+        .select(element_at(col("tp"), col("i") + 1).as("event_type"),
+          round(element_at(col("p1"), col("i") + 1), 4).as("p_1step"),
+          round(col("pr3"), 4).as("p_3step"))
+        .orderBy("event_type")
+    }),
+
+    "evt_forecast_holt" -> ((s, d) => {
+      // Holt linear-trend forecast eval (r7): double-exponential
+      // smoothing (level + trend, α=0.5 β=0.3) over each type's daily
+      // volume series, scored by one-step-ahead MAE — the trend-aware
+      // upgrade of evt_forecast_snaive, and the in-row DETERMINISTIC
+      // RECURSION shape: the day series collapses to |types|·|days|
+      // rows via one partial-agged count, gathers per type into a
+      // day-sorted array, and the non-linear Holt recursion runs as a
+      // single left fold with a struct accumulator — fixed evaluation
+      // order, so level/trend/SAE doubles are bit-identical across
+      // engines (window functions can't express the recursion; a
+      // partition-ordered sum would hash-diverge). Series are
+      // dimension-sized at any event volume; the fold is O(|days|)
+      // per type.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val ser = daily.groupBy("event_type")
+        .agg(transform(
+          sort_array(collect_list(struct(col("day"), col("n")))),
+          e => e.getField("n").cast("double")).as("xs"))
+        .filter(size(col("xs")) >= 3)
+      val xs = col("xs")
+      def lvl(acc: Column, x: Column) =
+        lit(0.5) * x + lit(0.5) * (acc.getField("l") + acc.getField("b"))
+      val acc0 = struct(
+        element_at(xs, 2).as("l"),
+        (element_at(xs, 2) - element_at(xs, 1)).as("b"),
+        lit(0.0).as("sae"), lit(0L).as("np"))
+      val folded = aggregate(
+        slice(xs, lit(3), size(xs) - 2), acc0,
+        (acc, x) => struct(
+          lvl(acc, x).as("l"),
+          (lit(0.3) * (lvl(acc, x) - acc.getField("l")) +
+            lit(0.7) * acc.getField("b")).as("b"),
+          (acc.getField("sae") +
+            abs(x - (acc.getField("l") + acc.getField("b")))).as("sae"),
+          (acc.getField("np") + 1L).as("np")))
+      ser.withColumn("st", folded)
+        .select(col("event_type"),
+          size(xs).cast("long").as("n_days"),
+          round(col("st.sae") / col("st.np").cast("double"), 4).as("mae"),
+          round(col("st.l") + col("st.b"), 4).as("forecast_next"))
+        .orderBy("event_type")
+    }),
   )
 
   /** Stickiness (DAU / trailing-28-day MAU per day) — the product
@@ -1041,5 +1140,75 @@ object Events extends OpModule {
         |FROM events
         |GROUP BY event_type, bucket_lo
         |ORDER BY event_type, bucket_lo""".stripMargin,
+
+    // Same one-row fixed-order fold contract as evt_markov_steady:
+    // every per-state sum is a left fold seeded 0 (list_prepend) over
+    // the (f,t)-sorted struct list, row sums over ALL outgoing mass.
+    "evt_absorb_prob" -> {
+      val stepSql = (p: String) =>
+        s"""list_transform(range(0, T), i ->
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(
+           |      list_filter(cl, s2 -> s2.f = tp[i+1]),
+           |      s2 -> (CAST(s2.n AS DOUBLE) / CAST(rs[i+1] AS DOUBLE)) *
+           |        (CASE WHEN s2.t = 'purchase' THEN 1.0
+           |          ELSE coalesce($p[list_position(tp, s2.t)], 0.0) END))),
+           |    (a, b) -> a + b))""".stripMargin
+      s"""WITH tr AS (
+         |  SELECT event_type AS f, next_type AS t, count(*) AS n FROM (
+         |    SELECT event_type, lead(event_type, 1)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         |    FROM events)
+         |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |row1 AS (SELECT
+         |  (SELECT list(struct_pack(f := f, t := t, n := n) ORDER BY f, t) FROM tr) AS cl,
+         |  (SELECT list(f ORDER BY f) FROM (SELECT DISTINCT f FROM tr)) AS tp),
+         |base AS (SELECT cl, tp, len(tp) AS T,
+         |  list_transform(range(0, len(tp)), i ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_filter(cl, s2 -> s2.f = tp[i+1]), s2 -> s2.n)),
+         |      (a, b) -> a + b)) AS rs FROM row1),
+         |s0 AS (SELECT cl, tp, T, rs,
+         |  list_transform(range(0, T), i -> CAST(0.0 AS DOUBLE)) AS p0 FROM base),
+         |s1 AS (SELECT cl, tp, T, rs, ${stepSql("p0")} AS p1 FROM s0),
+         |s2c AS (SELECT cl, tp, T, rs, p1, ${stepSql("p1")} AS p2 FROM s1),
+         |s3 AS (SELECT tp, p1, ${stepSql("p2")} AS p3 FROM s2c)
+         |SELECT tp[i0 + 1] AS event_type,
+         |  round(p1[i0 + 1], 4) AS p_1step,
+         |  round(p3[i0 + 1], 4) AS p_3step
+         |FROM s3, unnest(range(0, len(tp))) AS u(i0)
+         |ORDER BY event_type""".stripMargin
+    },
+
+    // Holt recursion as a RECURSIVE CTE over the day index — NOT a
+    // list_reduce struct fold: DuckDB 1.0 mis-evaluates multi-field
+    // struct accumulators inside list_reduce lambdas (common
+    // subexpressions across fields read stale/blended accumulator
+    // values — measured: b/sae wrong while l is right; scalar folds
+    // are unaffected, which is why the markov/top_pc oracles are
+    // safe). The recursion carries (l, b, sae) as scalar columns, so
+    // every double tree is the same shape the Spark fold evaluates.
+    "evt_forecast_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+        |  FROM daily GROUP BY event_type),
+        |base AS (SELECT event_type, xs, len(xs) AS n FROM ser WHERE len(xs) >= 3),
+        |rec AS (
+        |  SELECT event_type, xs, n, 2 AS t,
+        |    xs[2] AS l, xs[2] - xs[1] AS b, CAST(0.0 AS DOUBLE) AS sae
+        |  FROM base
+        |  UNION ALL
+        |  SELECT event_type, xs, n, t + 1,
+        |    0.5 * xs[t+1] + 0.5 * (l + b),
+        |    0.3 * ((0.5 * xs[t+1] + 0.5 * (l + b)) - l) + 0.7 * b,
+        |    sae + abs(xs[t+1] - (l + b))
+        |  FROM rec WHERE t < n)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round(sae / CAST(n - 2 AS DOUBLE), 4) AS mae,
+        |  round(l + b, 4) AS forecast_next
+        |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
   )
 }

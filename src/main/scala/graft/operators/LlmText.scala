@@ -632,6 +632,34 @@ object LlmText extends OpModule {
         .orderBy("lang", "rnk")
     }),
 
+    "sample_weighted" -> ((s, d) => {
+      // Weighted priority sampling (r7): k docs per source with
+      // inclusion probability ∝ n_chars — the token-mass-proportional
+      // cut a training pipeline takes when long documents should be
+      // over-represented (Duffield-style priority sampling: priority =
+      // u/weight, keep the k smallest). The uniform u is the same
+      // 31-bit Knuth scramble sample_fixed_k uses, so the sample is
+      // deterministic, engine-portable, and partition-independent;
+      // the priority is ONE double division (IEEE correctly rounded
+      // in both engines — no pow/log in the key path). At 100 TB the
+      // per-source top-k is a row_number window keyed by source:
+      // Spark's window exec pre-sorts within hash partitions, and a
+      // skewed mega-source would switch to the two-phase
+      // per-partition-top-k + re-rank shape (cf. win_topk_per_group).
+      val k = 5
+      val key = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+        % lit(1000003L)).cast("double") / col("n_chars").cast("double")
+      val w = Window.partitionBy("source").orderBy(col("pkey").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("pkey", key)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"),
+          round(col("pkey"), 6).as("pkey"))
+        .orderBy("source", "rnk")
+    }),
+
     "sample_hash" -> ((s, d) =>
       // Content-hash sampling: keep docs whose arithmetic text fold
       // lands in the first 20 of 100 buckets — deterministic,
@@ -1516,6 +1544,20 @@ object LlmText extends OpModule {
         |  FROM documents
         |) WHERE rnk <= 10
         |ORDER BY lang, rnk""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars,
+        |  round(pkey, 6) AS pkey
+        |FROM (
+        |  SELECT source, doc_id, n_chars, pkey,
+        |    row_number() OVER (PARTITION BY source ORDER BY pkey, doc_id) AS rnk
+        |  FROM (
+        |    SELECT source, doc_id, n_chars,
+        |      CAST(((doc_id % 2147483648) * 2654435761) % 1000003 AS DOUBLE)
+        |        / CAST(n_chars AS DOUBLE) AS pkey
+        |    FROM documents)
+        |) WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
 
     "sample_hash" ->
 s"""SELECT doc_id, lang, bucket FROM (

@@ -418,4 +418,58 @@ class InvariantsSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) === 7L))
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(3) >= 0.0))
   }
+
+  test("absorption probabilities are monotone in horizon and purchase-bounded") {
+    val rows = q("evt_absorb_prob").collect()
+    val srcTypes = q("evt_path").collect().map(_.getString(0)).distinct.sorted.toSeq
+    assert(rows.map(_.getString(0)).toSeq === srcTypes,
+      "absorption rows must cover exactly the types with outgoing transitions")
+    rows.foreach { r =>
+      val (p1, p3) = (r.getDouble(1), r.getDouble(2))
+      assert(p1 >= 0.0 && p1 <= 1.0 && p3 >= 0.0 && p3 <= 1.0)
+      // reaching within 3 steps includes reaching within 1 (rounding
+      // can nudge by at most 1e-4 per side)
+      assert(p3 >= p1 - 2e-4, s"${r.getString(0)}: p3 $p3 < p1 $p1")
+    }
+    // every type reaches purchase in ONE step in this data (dense
+    // 5-type chain), so all p_1step are strictly positive
+    assert(rows.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("holt forecast covers every type's full day span with finite errors") {
+    import org.apache.spark.sql.functions._
+    val rows = q("evt_forecast_holt").collect()
+    val daySpans = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct(to_date(col("ts"))).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).sorted.toSeq === daySpans.keys.toSeq.sorted)
+    rows.foreach { r =>
+      assert(r.getLong(1) === daySpans(r.getString(0)))
+      assert(r.getDouble(2) >= 0.0 && !r.getDouble(2).isNaN)
+      assert(!r.getDouble(3).isNaN)
+    }
+  }
+
+  test("weighted priority sample takes exactly k docs per source, favoring long docs") {
+    import org.apache.spark.sql.functions._
+    val rows = q("sample_weighted").collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val nSources = Tables.documents(spark, sf)
+      .select("source").distinct().count()
+    assert(bySource.size === nSources)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length === 5, s"$src: expected k=5 rows")
+      assert(rs.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      // priorities must be the per-source minima and sorted by rank
+      val keys = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(keys.sameElements(keys.sorted), s"$src: rank order != key order")
+    }
+    // weighting sanity: sampled docs skew long — their mean n_chars
+    // exceeds the corpus mean (priority = u / n_chars)
+    val sampleMean = rows.map(_.getLong(3)).sum.toDouble / rows.length
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(avg("n_chars")).collect().head.getDouble(0)
+    assert(sampleMean > corpusMean, s"sample mean $sampleMean <= corpus $corpusMean")
+  }
 }
