@@ -276,6 +276,46 @@ object Graph extends OpModule {
         .orderBy("community_size")
     }),
 
+    "graph_bfs_layers" -> ((s, d) => scopedPersist { scope =>
+      // BFS reach profile (r7): distance layers 0–3 from the
+      // highest-degree hub of the co-purchase graph, plus the mass
+      // left unreached — the "how far does influence travel"
+      // diagnostic behind spread/recommendation models, and the
+      // level-synchronous BFS every distributed graph engine runs.
+      // Seed = max-(degree, node) (deterministic argmax, no rand()).
+      // Each round is ONE adjacency equi-join against the frontier +
+      // a set-difference against the visited set — frontier and
+      // visited are node-sized, the join is the only edge-sized op,
+      // and every round is lineage-cut (the iterative-kernel
+      // discipline). The result folds all layers through a single
+      // union → groupBy, not per-layer scalar aggs (the kcore trace
+      // lesson).
+      val e = scope.persist(edges(s, d))
+      val deg = degrees(e)
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val l0 = scope.cut(deg.agg(max(struct(col("d"), col("node"))).as("m"))
+        .select(col("m.node").as("node")))
+      def nextLayer(frontier: DataFrame, visited: DataFrame): DataFrame =
+        scope.cut(
+          adj.join(frontier.select(col("node").as("fn")), col("a") === col("fn"))
+            .select(col("b").as("node")).distinct()
+            .except(visited))
+      val v0 = l0
+      val l1 = nextLayer(l0, v0)
+      val v1 = scope.cut(v0.union(l1))
+      val l2 = nextLayer(l1, v1)
+      val v2 = scope.cut(v1.union(l2))
+      val l3 = nextLayer(l2, v2)
+      val v3 = v2.union(l3)
+      val unreached = deg.select("node").except(v3)
+      Seq(l0 -> 0L, l1 -> 1L, l2 -> 2L, l3 -> 3L, unreached -> -1L)
+        .map { case (df, r) => df.select(lit(r).as("distance"), col("node")) }
+        .reduce(_ union _)
+        .groupBy("distance").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("distance")
+    }),
+
     "basket_rules" -> ((s, d) => {
       // Market-basket association rules at brand grain: support,
       // confidence and lift for every ordered brand pair that clears a
@@ -489,6 +529,32 @@ object Graph extends OpModule {
        |        GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Level-set BFS unrolled: L_r = neighbors(L_{r-1}) minus visited,
+    // seed = the deterministic (degree, node) argmax. Empty layers
+    // produce no row on either engine.
+    "graph_bfs_layers" ->
+      s"""WITH $EDGES,
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT node FROM deg ORDER BY d DESC, node DESC LIMIT 1),
+         |l1 AS (SELECT DISTINCT b AS node FROM adj JOIN l0 ON adj.a = l0.node
+         |       EXCEPT SELECT node FROM l0),
+         |v1 AS (SELECT node FROM l0 UNION SELECT node FROM l1),
+         |l2 AS (SELECT DISTINCT b AS node FROM adj JOIN l1 ON adj.a = l1.node
+         |       EXCEPT SELECT node FROM v1),
+         |v2 AS (SELECT node FROM v1 UNION SELECT node FROM l2),
+         |l3 AS (SELECT DISTINCT b AS node FROM adj JOIN l2 ON adj.a = l2.node
+         |       EXCEPT SELECT node FROM v2),
+         |v3 AS (SELECT node FROM v2 UNION SELECT node FROM l3),
+         |lab AS (
+         |  SELECT 0 AS dist, node FROM l0
+         |  UNION ALL SELECT 1, node FROM l1
+         |  UNION ALL SELECT 2, node FROM l2
+         |  UNION ALL SELECT 3, node FROM l3
+         |  UNION ALL SELECT -1, node
+         |    FROM (SELECT node FROM deg EXCEPT SELECT node FROM v3))
+         |SELECT CAST(dist AS BIGINT) AS distance, count(*) AS n_nodes
+         |FROM lab GROUP BY dist ORDER BY distance""".stripMargin,
+
     "graph_degree_hist" ->
       s"""WITH $EDGES
          |SELECT d AS degree, count(*) AS n_nodes

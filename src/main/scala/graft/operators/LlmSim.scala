@@ -312,6 +312,41 @@ object LlmSim extends OpModule {
         .orderBy("th")
     }),
 
+    "sim_range_search" -> ((s, d) => {
+      // ε-neighborhood (range) search over the WHOLE corpus (r7): for
+      // every vector, its neighbors at rounded cosine ≥ 0.3 among
+      // LSH-bucket co-residents — the radius-query sibling of the
+      // top-k family (dedup wants "everything this similar", not "the
+      // 5 most similar"). The candidate set is bucket-local
+      // (one equi-join on the 8-bit signature — never all-pairs, the
+      // same scale shape as dedup_near_minhash), pairs materialize
+      // once with a_id < b_id and symmetrize by a cheap union, and
+      // the per-vector rollup sums DECIMAL-cast cosines so the mean
+      // is partition-order-exact. At 100 TB the bucket join IS the
+      // scale path (recall is graded separately by sim_recall_eval's
+      // family); vectors with no in-radius neighbor drop out — the
+      // rollup is ≤ corpus-sized.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          lshBucket(col("embedding")).as("bucket"))
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+        .withColumn("cos", round(
+          dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
+        .filter(col("cos") >= 0.3)
+      val sym = pairs.select(col("a_id").as("vec_id"), col("cos"))
+        .union(pairs.select(col("b_id").as("vec_id"), col("cos")))
+      sym.groupBy("vec_id")
+        .agg(count(lit(1)).as("n_neighbors"),
+          round(sum(col("cos").cast("decimal(8,4)")).cast("double")
+            / count(lit(1)).cast("double"), 4).as("mean_cos"),
+          max(col("cos").cast("decimal(8,4)")).cast("double").as("max_cos"))
+        .orderBy("vec_id")
+    }),
+
     "sim_knn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -1191,6 +1226,30 @@ object LlmSim extends OpModule {
          |JOIN norms nb ON nb.vec_id = b_id
          |WHERE round(dp / (na.nrm * nb.nrm), 4) > 0.25
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "sim_range_search" ->
+      s"""WITH buckets AS ($BucketsSql),
+         |ua AS (${unnested("a", "true")}),
+         |ub AS (${unnested("b", "true")}),
+         |norms AS ($NormsSql),
+         |pairs AS (
+         |  SELECT a_id, b_id,
+         |    round(sum(ua.v * ub.v) / (na.nrm * nb.nrm), 4) AS cos
+         |  FROM ua JOIN ub ON ua.pos = ub.pos AND ua.a_id < ub.b_id
+         |  JOIN buckets ba ON ba.vec_id = ua.a_id
+         |  JOIN buckets bb ON bb.vec_id = ub.b_id AND ba.bucket = bb.bucket
+         |  JOIN norms na ON na.vec_id = ua.a_id
+         |  JOIN norms nb ON nb.vec_id = ub.b_id
+         |  GROUP BY a_id, b_id, na.nrm, nb.nrm
+         |  HAVING round(sum(ua.v * ub.v) / (na.nrm * nb.nrm), 4) >= 0.3),
+         |sym AS (
+         |  SELECT a_id AS vec_id, cos FROM pairs
+         |  UNION ALL SELECT b_id, cos FROM pairs)
+         |SELECT vec_id, count(*) AS n_neighbors,
+         |  round(CAST(sum(CAST(cos AS DECIMAL(8,4))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) AS mean_cos,
+         |  CAST(max(CAST(cos AS DECIMAL(8,4))) AS DOUBLE) AS max_cos
+         |FROM sym GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "sim_knn" ->
       s"""WITH uq AS (${unnested("q", "vec_id < 10")}),

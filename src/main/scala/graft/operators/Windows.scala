@@ -319,6 +319,46 @@ object Windows extends OpModule {
             .when(col("cum_share") <= 0.8, "B").otherwise("C").as("abc"))
         .orderBy("segment", "o_custkey")
     }),
+
+    "win_trend_theilsen" -> ((s, d) => {
+      // Theil–Sen robust trend (r7): per event type, the MEDIAN of all
+      // pairwise slopes of the daily-volume series (+ the matching
+      // median intercept) — the outlier-proof answer to "is volume
+      // trending", where one bad ingestion day wrecks an OLS fit but
+      // moves a median of ~n²/2 slopes not at all. The O(|days|²)
+      // pair expansion runs on the DAY-GRAIN ROLLUP (|types|·|days|
+      // rows), so it is dimension-sized at any event volume — the
+      // classic Theil–Sen cost bound applied after partial
+      // aggregation, never to raw events. Every slope is one exact
+      // integer subtraction + one IEEE-exact double division; the
+      // intercept uses the ROUNDED slope so both engines feed
+      // identical doubles into the second median.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("t",
+          datediff(col("day"), lit("2024-01-01").cast("date")).cast("long"))
+      val a = daily.select(col("event_type"), col("t").as("t1"), col("n").as("n1"))
+      val b = daily.select(col("event_type").as("et2"), col("t").as("t2"),
+        col("n").as("n2"))
+      val sl = a.join(b, col("event_type") === col("et2") && col("t1") < col("t2"))
+        .select(col("event_type"),
+          ((col("n2") - col("n1")).cast("double")
+            / (col("t2") - col("t1")).cast("double")).as("m"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(m, 0.5D)"), 4).as("slope"))
+      val ic = daily.join(sl.select(col("event_type"), col("slope")), Seq("event_type"))
+        .select(col("event_type"),
+          (col("n").cast("double") - col("slope") * col("t").cast("double")).as("r0"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(expr("percentile(r0, 0.5D)"), 4).as("intercept"))
+      sl.join(ic, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("slope"), col("intercept"))
+        .orderBy("event_type")
+    }),
   )
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -550,5 +590,35 @@ object Windows extends OpModule {
         |  CASE WHEN cum_share <= 0.5 THEN 'A'
         |       WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc
         |FROM r ORDER BY segment, o_custkey""".stripMargin,
+
+    // quantile_cont and Spark's percentile share the interpolation
+    // formula lower + (upper-lower)·frac on the identically-sorted
+    // slope multiset; the intercept median consumes the ROUNDED slope
+    // so its inputs are bit-identical on both engines.
+    "win_trend_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (SELECT event_type,
+        |  CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS t, n
+        |  FROM daily),
+        |sl AS (
+        |  SELECT a.event_type, count(*) AS n_pairs,
+        |    round(quantile_cont(
+        |      CAST(b.n - a.n AS DOUBLE) / CAST(b.t - a.t AS DOUBLE), 0.5), 4)
+        |      AS slope
+        |  FROM dd a JOIN dd b
+        |    ON a.event_type = b.event_type AND a.t < b.t
+        |  GROUP BY a.event_type),
+        |ic AS (
+        |  SELECT d.event_type, count(*) AS n_days,
+        |    round(quantile_cont(
+        |      CAST(d.n AS DOUBLE) - s.slope * CAST(d.t AS DOUBLE), 0.5), 4)
+        |      AS intercept
+        |  FROM dd d JOIN sl s ON d.event_type = s.event_type
+        |  GROUP BY d.event_type)
+        |SELECT sl.event_type, n_days, n_pairs, slope, intercept
+        |FROM sl JOIN ic ON sl.event_type = ic.event_type
+        |ORDER BY sl.event_type""".stripMargin,
   )
 }

@@ -472,4 +472,40 @@ class InvariantsSpec extends SparkSpec {
       .agg(avg("n_chars")).collect().head.getDouble(0)
     assert(sampleMean > corpusMean, s"sample mean $sampleMean <= corpus $corpusMean")
   }
+
+  test("bfs layers partition the node set and start from a single seed") {
+    val rows = q("graph_bfs_layers").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) === 1L, "layer 0 must be exactly the seed")
+    val nNodes = q("graph_degree_hist").agg(
+      org.apache.spark.sql.functions.sum("n_nodes")).collect().head.getLong(0)
+    assert(rows.values.sum === nNodes,
+      s"layer counts ${rows.values.sum} != node count $nNodes")
+    // layers are contiguous: an empty layer r forbids a layer r+1
+    val present = rows.keySet.filter(_ >= 0)
+    assert(present === (0L until present.size.toLong).toSet,
+      s"non-contiguous layers: $present")
+  }
+
+  test("theil-sen pair counts are n-choose-2 of the day spans") {
+    val rows = q("win_trend_theilsen").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, np) = (r.getLong(1), r.getLong(2))
+      assert(np === nd * (nd - 1) / 2,
+        s"${r.getString(0)}: $np pairs for $nd days")
+    }
+  }
+
+  test("range search stats are symmetric-consistent and radius-bounded") {
+    val rows = q("sim_range_search").collect()
+    assert(rows.nonEmpty)
+    // neighbor counts sum to an even number (each pair contributes 2)
+    assert(rows.map(_.getLong(1)).sum % 2 === 0)
+    rows.foreach { r =>
+      val (mean, mx) = (r.getDouble(2), r.getDouble(3))
+      assert(mx >= 0.3 - 1e-9 && mx <= 1.0 + 1e-9, s"max_cos $mx out of radius")
+      assert(mean >= 0.3 - 1e-4 && mean <= mx + 1e-4, s"mean $mean vs max $mx")
+    }
+  }
 }
