@@ -19,7 +19,8 @@ class InvariantsSpec extends SparkSpec {
       "evt_stickiness", "sim_knn_ivf", "sim_knn_pq", "embed_pq",
       "embed_ivf_stats", "dedup_components", "dedup_methods_agreement",
       "sim_recall_ivf", "embed_top_pc", "evt_markov_steady",
-      "graph_label_propagation").foreach { name =>
+      "graph_label_propagation", "evt_absorb_prob",
+      "graph_bfs_layers").foreach { name =>
       q(name).count()
       assert(org.apache.spark.sql.CacheProbe.isEmpty(spark),
         s"$name left cached plans in the CacheManager")

@@ -395,6 +395,34 @@ class PlansSpec extends SparkSpec {
     assert(!tree.contains("CartesianProduct"), s"cartesian in decode plan:\n$tree")
   }
 
+  test("round-7 batch operators keep equi-join shapes — no cartesian/BNL fallback") {
+    // sim_range_search must pair through the bucket equi-join, the BFS
+    // frontier joins must stay equi on the node key, and theil-sen's
+    // pair expansion must equi-join on event_type (range residual as a
+    // join condition, not a nested loop over the rollup).
+    Seq("sim_range_search", "graph_bfs_layers", "win_trend_theilsen",
+      "evt_absorb_prob", "evt_forecast_holt").foreach { name =>
+      val plan = treeString(q(name))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a nested loop:\n$plan")
+    }
+  }
+
+  test("sim_range_search partially aggregates the neighbor rollup") {
+    val plan = treeString(q("sim_range_search"))
+    assert(plan.contains("partial_"),
+      s"range-search rollup shuffles unaggregated rows:\n$plan")
+  }
+
+  test("sample_weighted ranks inside source partitions, not one global window") {
+    val plan = treeString(q("sample_weighted"))
+    val winLine = plan.linesIterator.find(_.contains("row_number()")).getOrElse("")
+    assert(winLine.contains("source"),
+      s"priority window is not partitioned by source: $winLine")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
