@@ -629,6 +629,80 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_markov_attrib" -> ((s, d) => scopedPersist { scope =>
+      // Markov removal-effect attribution (r7): each channel's credit
+      // for conversions = how much 3-step purchase-absorption mass
+      // disappears when walks entering that channel DIE there (the
+      // standard removal-effect model over the empirical chain —
+      // the principled alternative to last-click). Builds on
+      // evt_absorb_prob's one-row machinery, then posexplodes the
+      // type list so EVERY channel's counterfactual chain evaluates
+      // as one row carrying the shared (cl, tp, rs) arrays — the
+      // removal is a per-row guard inside the same fixed-order fold,
+      // so no per-channel replan, and the whole counterfactual sweep
+      // is |types| rows of in-row arithmetic regardless of event
+      // volume (the census stays the only data-sized pass).
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("f"), col("next_type").as("t"))
+        .agg(count(lit(1)).as("n"))
+      val row = trans.agg(
+        sort_array(collect_list(struct(col("f"), col("t"), col("n")))).as("cl"),
+        sort_array(collect_set(col("f"))).as("tp"))
+      val tSz = size(col("tp"))
+      def tpAt(i: Column) = element_at(col("tp"), i + 1)
+      val withRs = row.withColumn("rs",
+        transform(sequence(lit(0), tSz - 1), i =>
+          aggregate(filter(col("cl"), s2 => s2.getField("f") === tpAt(i)),
+            lit(0L), (acc, s2) => acc + s2.getField("n"))))
+      // one row per candidate channel; 'purchase' (the absorber) is
+      // not a removable channel
+      val chans = scope.cut(withRs
+        .select(col("cl"), col("tp"), col("rs"),
+          posexplode(col("tp")).as(Seq("ci", "chan")))
+        .filter(col("chan") =!= "purchase"))
+      // removed === null → the factual chain; otherwise walks entering
+      // `removed` die (contribute 0 absorption mass)
+      def stepP(p: Column, removed: Column) =
+        transform(sequence(lit(0), tSz - 1), i =>
+          aggregate(filter(col("cl"), s2 => s2.getField("f") === tpAt(i)),
+            lit(0.0), (acc, s2) => acc +
+              (s2.getField("n").cast("double") /
+                element_at(col("rs"), i + 1).cast("double")) *
+              when(removed.isNotNull && s2.getField("t") === removed, lit(0.0))
+                .when(s2.getField("t") === "purchase", lit(1.0))
+                .otherwise({
+                  val pos = array_position(col("tp"), s2.getField("t"))
+                  when(pos > 0, element_at(p, pos.cast("int")))
+                    .otherwise(lit(0.0))
+                })))
+      val p0 = transform(sequence(lit(0), tSz - 1), _ => lit(0.0))
+      val noRemoval = lit(null).cast("string")
+      val s1 = scope.cut(chans
+        .withColumn("b1", stepP(p0, noRemoval))
+        .withColumn("r1", stepP(p0, col("chan"))))
+      val s2 = scope.cut(s1
+        .withColumn("b2", stepP(col("b1"), noRemoval))
+        .withColumn("r2", stepP(col("r1"), col("chan"))))
+      val s3 = s2
+        .withColumn("b3", stepP(col("b2"), noRemoval))
+        .withColumn("r3", stepP(col("r2"), col("chan")))
+      // absorption mass summed over every start state except the
+      // removed channel itself — fixed index order on both engines
+      def massExcept(p: Column) =
+        aggregate(sequence(lit(0), tSz - 1), lit(0.0), (acc, i) =>
+          acc + when(i === col("ci"), lit(0.0))
+            .otherwise(element_at(p, i + 1)))
+      s3.select(col("chan").as("channel"),
+          round(massExcept(col("b3")), 4).as("mass_base"),
+          round(massExcept(col("r3")), 4).as("mass_removed"),
+          round(lit(1.0) - massExcept(col("r3")) / massExcept(col("b3")), 4)
+            .as("removal_effect"))
+        .orderBy("channel")
+    }),
+
     "evt_forecast_holt" -> ((s, d) => {
       // Holt linear-trend forecast eval (r7): double-exponential
       // smoothing (level + trend, α=0.5 β=0.3) over each type's daily
@@ -1178,6 +1252,57 @@ object Events extends OpModule {
          |  round(p3[i0 + 1], 4) AS p_3step
          |FROM s3, unnest(range(0, len(tp))) AS u(i0)
          |ORDER BY event_type""".stripMargin
+    },
+
+    // Counterfactual chains as scalar folds only (the struct-fold
+    // hazard memorialized on evt_forecast_holt does not apply);
+    // removal is the same guard CASE the Spark fold evaluates, and
+    // the channel sweep is the identical unnest(range) explode.
+    "evt_markov_attrib" -> {
+      val stepSql = (p: String, rem: String) =>
+        s"""list_transform(range(0, T), i ->
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(
+           |      list_filter(cl, s2 -> s2.f = tp[i+1]),
+           |      s2 -> (CAST(s2.n AS DOUBLE) / CAST(rs[i+1] AS DOUBLE)) *
+           |        (CASE WHEN s2.t = $rem THEN 0.0
+           |          WHEN s2.t = 'purchase' THEN 1.0
+           |          ELSE coalesce($p[list_position(tp, s2.t)], 0.0) END))),
+           |    (a, b) -> a + b))""".stripMargin
+      val massSql = (p: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(range(0, T), i ->
+           |    CASE WHEN i = ci THEN 0.0 ELSE $p[i+1] END)),
+           |  (a, b) -> a + b)""".stripMargin
+      s"""WITH tr AS (
+         |  SELECT event_type AS f, next_type AS t, count(*) AS n FROM (
+         |    SELECT event_type, lead(event_type, 1)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+         |    FROM events)
+         |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |row1 AS (SELECT
+         |  (SELECT list(struct_pack(f := f, t := t, n := n) ORDER BY f, t) FROM tr) AS cl,
+         |  (SELECT list(f ORDER BY f) FROM (SELECT DISTINCT f FROM tr)) AS tp),
+         |base AS (SELECT cl, tp, len(tp) AS T,
+         |  list_transform(range(0, len(tp)), i ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(list_filter(cl, s2 -> s2.f = tp[i+1]), s2 -> s2.n)),
+         |      (a, b) -> a + b)) AS rs FROM row1),
+         |ch AS (SELECT cl, tp, T, rs, ci FROM base,
+         |  unnest(range(0, T)) AS u(ci) WHERE tp[ci+1] <> 'purchase'),
+         |p00 AS (SELECT *, list_transform(range(0, T), x -> CAST(0.0 AS DOUBLE)) AS p0
+         |  FROM ch),
+         |s1 AS (SELECT *, ${stepSql("p0", "NULL")} AS b1,
+         |  ${stepSql("p0", "tp[ci+1]")} AS r1 FROM p00),
+         |s2c AS (SELECT *, ${stepSql("b1", "NULL")} AS b2,
+         |  ${stepSql("r1", "tp[ci+1]")} AS r2 FROM s1),
+         |s3 AS (SELECT *, ${stepSql("b2", "NULL")} AS b3,
+         |  ${stepSql("r2", "tp[ci+1]")} AS r3 FROM s2c)
+         |SELECT tp[ci+1] AS channel,
+         |  round(${massSql("b3")}, 4) AS mass_base,
+         |  round(${massSql("r3")}, 4) AS mass_removed,
+         |  round(1.0 - ${massSql("r3")} / ${massSql("b3")}, 4) AS removal_effect
+         |FROM s3 ORDER BY channel""".stripMargin
     },
 
     // Holt recursion as a RECURSIVE CTE over the day index — NOT a

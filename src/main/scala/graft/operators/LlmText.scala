@@ -735,6 +735,45 @@ object LlmText extends OpModule {
         .orderBy("doc_id")
     }),
 
+    "text_ccnet_buckets" -> ((s, d) => scopedPersist { scope =>
+      // CCNet-style quality split (r7): every doc scored by the
+      // unigram-NLL perplexity proxy, then cut into head/middle/tail
+      // terciles PER LANGUAGE — the canonical LLM-corpus triage
+      // (CCNet trains on head+middle, audits tail). Unlike
+      // text_perplexity_proxy's gated slice this scores the WHOLE
+      // corpus: one token explode joined to the |vocab| frequency
+      // table (the data-sized pass), one groupBy back to doc grain,
+      // then the tercile thresholds are a |langs|-row broadcast —
+      // scores and thresholds are both rounded to 4 BEFORE the
+      // bucket compare, so both engines bucket identical doubles.
+      // The doc-grain score table persists via the scope: it feeds
+      // the threshold agg and the bucket join.
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      val freq = docs.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = docs.agg(sum(size(split(col("text"), " "))).cast("long").as("total"))
+      val scored = scope.persist(toks.join(freq, "token")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 4)
+          .as("nll")))
+      val th = scored.groupBy(col("lang").as("t_lang")).agg(
+        round(expr("percentile(nll, CAST(1.0 AS DOUBLE)/3.0)"), 4).as("t1"),
+        round(expr("percentile(nll, CAST(2.0 AS DOUBLE)/3.0)"), 4).as("t2"))
+      scored.join(broadcast(th), col("lang") === col("t_lang"))
+        .withColumn("bucket",
+          when(col("nll") <= col("t1"), "head")
+            .when(col("nll") <= col("t2"), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("nll").cast("decimal(12,4)")).cast("double")
+            / count(lit(1)).cast("double"), 4).as("mean_nll"))
+        .orderBy("lang", "bucket")
+    }),
+
     "text_dedup_summary" -> ((s, d) =>
       // Corpus-level dedup health metric: doc count, distinct-text
       // count, duplicate rate — one partial-aggregated pass.
@@ -1105,6 +1144,31 @@ object LlmText extends OpModule {
       }
       labels.select(col("doc_id"), col("label").as("canonical"))
         .orderBy("doc_id")
+    }),
+
+    "dedup_rep_select" -> ((s, d) => {
+      // Canonical-representative selection (r7): the choice a dedup
+      // pass actually ships — within each near-dup component keep the
+      // LONGEST document, ties to the smallest doc_id (deterministic
+      // integer criterion, no float in the keep decision; "keep
+      // longest" is the standard heuristic — the longest member
+      // usually subsumes its truncated near-copies). Composes the
+      // graded component labels with a broadcast-sized doc-stats join
+      // and ONE partial-agged struct-max argmax per cluster — no
+      // window over the corpus; at 100 TB the argmax shape is the
+      // same partial/final max every groupBy gets.
+      val comps = queries("dedup_components")(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id").as("d_id"),
+        col("n_chars"))
+      comps.join(docs, col("doc_id") === col("d_id"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("n_chars"), (lit(0L) - col("doc_id")).as("nd"))).as("m"))
+        .select(col("canonical"), col("cluster_size"),
+          (lit(0L) - col("m.nd")).as("rep_doc_id"),
+          col("m.n_chars").as("rep_n_chars"),
+          (col("cluster_size") - 1).as("n_dropped"))
+        .orderBy("canonical")
     }),
 
     "dedup_methods_agreement" -> ((s, d) => {
@@ -1615,6 +1679,36 @@ s"""SELECT doc_id, lang, bucket FROM (
          |FROM toks JOIN cnts USING (token) CROSS JOIN total
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "text_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |freq AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total
+        |        FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll
+        |  FROM toks JOIN freq USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id, lang),
+        |th AS (
+        |  SELECT lang AS t_lang,
+        |    round(quantile_cont(nll, CAST(1.0 AS DOUBLE)/3.0), 4) AS t1,
+        |    round(quantile_cont(nll, CAST(2.0 AS DOUBLE)/3.0), 4) AS t2
+        |  FROM scored GROUP BY lang),
+        |b AS (
+        |  SELECT s.lang,
+        |    CASE WHEN nll <= t1 THEN 'head'
+        |         WHEN nll <= t2 THEN 'middle' ELSE 'tail' END AS bucket, nll
+        |  FROM scored s JOIN th ON s.lang = th.t_lang)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(nll AS DECIMAL(12,4))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS mean_nll
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
     "text_dedup_summary" ->
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
         |  round(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*), 4) AS dup_rate
@@ -1809,21 +1903,23 @@ s"""SELECT doc_id, lang, bucket FROM (
          |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_components" ->
-      s"""WITH $JaccardCtes,
-         |docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM scored
-         |  UNION ALL SELECT b_id AS src, a_id AS dst FROM scored
-         |  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM docs
-         |),
-         |l0 AS (SELECT doc_id, doc_id AS label FROM docs),
-         |l1 AS (SELECT e.src AS doc_id, min(l.label) AS label
-         |       FROM edges e JOIN l0 l ON e.dst = l.doc_id GROUP BY e.src),
-         |l2 AS (SELECT e.src AS doc_id, min(l.label) AS label
-         |       FROM edges e JOIN l1 l ON e.dst = l.doc_id GROUP BY e.src),
-         |l3 AS (SELECT e.src AS doc_id, min(l.label) AS label
-         |       FROM edges e JOIN l2 l ON e.dst = l.doc_id GROUP BY e.src)
+      s"""WITH $ComponentsCtes
          |SELECT doc_id, label AS canonical FROM l3 ORDER BY doc_id""".stripMargin,
+
+    "dedup_rep_select" ->
+      s"""WITH $ComponentsCtes,
+         |lab AS (SELECT doc_id, label AS canonical FROM l3),
+         |jj AS (SELECT canonical, l.doc_id, d.n_chars
+         |       FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+         |rep AS (
+         |  SELECT canonical, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY canonical
+         |      ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY canonical) AS cluster_size
+         |  FROM jj)
+         |SELECT canonical, cluster_size, doc_id AS rep_doc_id,
+         |  n_chars AS rep_n_chars, cluster_size - 1 AS n_dropped
+         |FROM rep WHERE rn = 1 ORDER BY canonical""".stripMargin,
 
     "dedup_methods_agreement" ->
       s"""WITH $JaccardCtes,
@@ -1977,4 +2073,23 @@ s"""SELECT doc_id, lang, bucket FROM (
        |  JOIN sizes sb ON sb.doc_id = b_id
        |  WHERE round(CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 4) >= 0.2
        |)""".stripMargin
+
+  /** Near-dup component labels (3 unrolled min-label rounds over the
+    * Jaccard pair graph) — shared by dedup_components and
+    * dedup_rep_select. Terminal CTE: l3(doc_id, label). */
+  private lazy val ComponentsCtes: String =
+    s"""$JaccardCtes,
+       |docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM scored
+       |  UNION ALL SELECT b_id AS src, a_id AS dst FROM scored
+       |  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM docs
+       |),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM docs),
+       |l1 AS (SELECT e.src AS doc_id, min(l.label) AS label
+       |       FROM edges e JOIN l0 l ON e.dst = l.doc_id GROUP BY e.src),
+       |l2 AS (SELECT e.src AS doc_id, min(l.label) AS label
+       |       FROM edges e JOIN l1 l ON e.dst = l.doc_id GROUP BY e.src),
+       |l3 AS (SELECT e.src AS doc_id, min(l.label) AS label
+       |       FROM edges e JOIN l2 l ON e.dst = l.doc_id GROUP BY e.src)""".stripMargin
 }

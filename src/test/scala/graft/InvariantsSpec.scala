@@ -20,7 +20,8 @@ class InvariantsSpec extends SparkSpec {
       "embed_ivf_stats", "dedup_components", "dedup_methods_agreement",
       "sim_recall_ivf", "embed_top_pc", "evt_markov_steady",
       "graph_label_propagation", "evt_absorb_prob",
-      "graph_bfs_layers").foreach { name =>
+      "graph_bfs_layers", "evt_markov_attrib",
+      "text_ccnet_buckets").foreach { name =>
       q(name).count()
       assert(org.apache.spark.sql.CacheProbe.isEmpty(spark),
         s"$name left cached plans in the CacheManager")
@@ -472,6 +473,59 @@ class InvariantsSpec extends SparkSpec {
     val corpusMean = Tables.documents(spark, sf)
       .agg(avg("n_chars")).collect().head.getDouble(0)
     assert(sampleMean > corpusMean, s"sample mean $sampleMean <= corpus $corpusMean")
+  }
+
+  test("removal effects are nonnegative and base mass matches evt_absorb_prob") {
+    val rows = q("evt_markov_attrib").collect()
+    assert(rows.nonEmpty)
+    assert(!rows.map(_.getString(0)).contains("purchase"),
+      "the absorber is not a removable channel")
+    rows.foreach { r =>
+      val (mb, mr, re) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // removing a channel can only destroy absorption mass
+      assert(mr <= mb + 1e-4, s"${r.getString(0)}: removed $mr > base $mb")
+      assert(re >= -1e-4 && re <= 1.0 + 1e-4, s"${r.getString(0)}: effect $re")
+    }
+    // cross-check one channel's base mass against evt_absorb_prob's
+    // p_3step sum over the same start set
+    val p3 = q("evt_absorb_prob").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val expected = p3.filterNot(_._1 == r.getString(0)).values.sum
+      assert(math.abs(r.getDouble(1) - expected) < 5e-3,
+        s"${r.getString(0)}: base ${r.getDouble(1)} vs absorb-sum $expected")
+    }
+  }
+
+  test("representative selection keeps one longest doc per component") {
+    val comps = q("dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val reps = q("dedup_rep_select").collect()
+    assert(reps.length === comps.map(_._2).distinct.length)
+    val sizes = comps.groupBy(_._2).view.mapValues(_.length).toMap
+    reps.foreach { r =>
+      val canonical = r.getLong(0)
+      assert(r.getLong(1) === sizes(canonical).toLong)
+      assert(r.getLong(4) === r.getLong(1) - 1)
+      // the representative must be a member of its own cluster
+      assert(comps.exists { case (d, c) => c === canonical && d === r.getLong(2) })
+    }
+  }
+
+  test("ccnet buckets partition the corpus into per-lang terciles") {
+    val rows = q("text_ccnet_buckets").collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val byBucket = rs.map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      // terciles: no bucket may hold more than ~60% of a language
+      // (exact thirds up to rounding ties on equal scores)
+      val n = byBucket.values.sum
+      byBucket.foreach { case (b, c) =>
+        assert(c <= math.ceil(n * 0.6).toLong, s"$lang/$b: $c of $n docs")
+      }
+    }
   }
 
   test("bfs layers partition the node set and start from a single seed") {
