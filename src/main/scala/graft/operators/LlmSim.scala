@@ -177,6 +177,47 @@ object LlmSim extends OpModule {
     * query distance table — persisted via the scope so the
     * trained-codebook lineage executes once, not twice, and releases
     * after the top-k materializes (r5). */
+  /** IVF×PQ composed (r7) — the production ANN index shape (FAISS's
+    * IVFPQ): the trained IVF coarse quantizer GATES which database
+    * vectors are scored, PQ ADC does the scoring on compressed codes.
+    * Each query probes its 2 nearest trained cells; only codes of
+    * vectors living in those cells join the broadcast distance table
+    * — at 100 TB the scan cost drops from |V|·M code rows to
+    * (2/C)·|V|·M, and the full float vectors are still never touched
+    * at query time. Composes (does not re-derive) the graded IVF and
+    * PQ training chains; recall vs the exact truth stays gated by the
+    * sim_recall_* family. */
+  private[graft] def ivfpqBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val Q = 10
+    val (cents, assign) = ivfTrain(s, d, scope)
+    val e = pqElems(s, d)
+    val dists = scope.cut(pqDists(e, pqCodebook(e, scope)))
+    val codes = pqArgmin(dists)
+      .select(col("vec_id"), col("m"), col("k").as("code"))
+    val qv = assign.filter(col("vec_id") < Q)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val qcells = kmAssignTopN(qv, cents, 2)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val ncells = assign.select(col("vec_id").as("n_id"), col("cell"))
+    val cand = broadcast(qcells).join(ncells, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+    val dtab = dists.filter(col("vec_id") < Q)
+      .select(col("vec_id").as("dq_id"), col("m").as("qm"),
+        col("k"), col("dist"))
+    val adc = codes.join(cand, col("vec_id") === col("n_id"))
+      .join(broadcast(dtab), col("q_id") === col("dq_id") &&
+        col("m") === col("qm") && col("code") === col("k"))
+      .groupBy("q_id", "n_id")
+      .agg(sum("dist").as("adc_dist"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("n_id"))
+    adc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("n_id"), col("adc_dist"))
+      .orderBy("q_id", "rnk")
+  }
+
   private[graft] def knnPqBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
     val Q = 10
@@ -817,6 +858,8 @@ object LlmSim extends OpModule {
     // Persist-scoped (r5); see knnPqBody.
     "sim_knn_pq" -> ((s, d) => scopedPersist(knnPqBody(s, d))),
 
+    "sim_knn_ivfpq" -> ((s, d) => scopedPersist(ivfpqBody(s, d))),
+
 
     "sim_recall_pq" -> ((s, d) => {
       // PQ quality gate: per-query recall@3 of the ADC search against
@@ -1012,29 +1055,29 @@ object LlmSim extends OpModule {
     * topn = 1 and kmAssignTopN's rank window for topn > 1). Expects
     * CTEs `u` (unnested vectors) and `norms`. */
   private def kmAssignSql(cents: String, withCos: Boolean = false,
-      topn: Int = 1): String =
+      topn: Int = 1, u: String = "u"): String =
     s"""SELECT vec_id, cell${if (withCos) ", cos" else ""} FROM (
        |  SELECT sc.vec_id, sc.cell, sc.cos,
        |    row_number() OVER (PARTITION BY sc.vec_id ORDER BY sc.cos DESC, sc.cell) AS rn
        |  FROM (
-       |    SELECT u.vec_id, c.cell,
-       |      round(sum(u.v * c.c) / (n.nrm * cn.cnrm), 4) AS cos
-       |    FROM u JOIN $cents c ON u.pos = c.pos
-       |    JOIN norms n ON n.vec_id = u.vec_id
+       |    SELECT $u.vec_id, c.cell,
+       |      round(sum($u.v * c.c) / (n.nrm * cn.cnrm), 4) AS cos
+       |    FROM $u JOIN $cents c ON $u.pos = c.pos
+       |    JOIN norms n ON n.vec_id = $u.vec_id
        |    JOIN (SELECT cell, sqrt(sum(c * c)) AS cnrm FROM $cents GROUP BY cell) cn
        |      ON cn.cell = c.cell
-       |    GROUP BY u.vec_id, c.cell, n.nrm, cn.cnrm
+       |    GROUP BY $u.vec_id, c.cell, n.nrm, cn.cnrm
        |  ) sc
        |) WHERE rn <= $topn""".stripMargin
 
   /** One centroid-update pass in SQL: integer-sum mean of FLOOR(v·1e6)
     * per (cell, pos) — order-independent, engine-identical. */
-  private def kmUpdateSql(assign: String): String =
-    s"""SELECT a.cell, u.pos,
-       |  CAST(sum(CAST(floor(u.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+  private def kmUpdateSql(assign: String, u: String = "u"): String =
+    s"""SELECT a.cell, $u.pos,
+       |  CAST(sum(CAST(floor($u.v * 1000000.0) AS BIGINT)) AS DOUBLE)
        |    / (1000000.0 * count(*)) AS c
-       |FROM $assign a JOIN u ON u.vec_id = a.vec_id
-       |GROUP BY a.cell, u.pos""".stripMargin
+       |FROM $assign a JOIN $u ON $u.vec_id = a.vec_id
+       |GROUP BY a.cell, $u.pos""".stripMargin
 
   /** One PQ distance pass in SQL: per-(vector, subspace, code)
     * integer L2 vs codebook `cb(k, cpos, ci)`. */
@@ -1383,6 +1426,45 @@ object LlmSim extends OpModule {
         |  round(CAST(dot AS DOUBLE)
         |    / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE))), 4) AS cos
         |FROM p ORDER BY la, lb""".stripMargin,
+
+    // IVF chain renamed (fu/f0/fa…/fc…) so it composes with PqCtes'
+    // u/e/c0 in one WITH block; both chains are byte-equivalent to
+    // the graded sim_knn_ivf / sim_knn_pq training CTEs.
+    "sim_knn_ivfpq" -> {
+      val fuSql =
+        """SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+          |    CAST(unnest(embedding) AS DOUBLE) AS v
+          |  FROM embeddings""".stripMargin
+      s"""WITH fu AS ($fuSql),
+         |norms AS ($NormsSql),
+         |f0 AS (SELECT vec_id AS cell, pos, v AS c FROM fu WHERE vec_id < 16),
+         |fa1 AS (${kmAssignSql("f0", u = "fu")}),
+         |fc1 AS (${kmUpdateSql("fa1", u = "fu")}),
+         |fa2 AS (${kmAssignSql("fc1", u = "fu")}),
+         |fc2 AS (${kmUpdateSql("fa2", u = "fu")}),
+         |assign AS (${kmAssignSql("fc2", u = "fu")}),
+         |qtop AS (${kmAssignSql("fc2", topn = 2, u = "fu")}),
+         |$PqCtes,
+         |codes AS (SELECT vec_id, m, k FROM best WHERE rn = 1),
+         |cand AS (
+         |  SELECT qa.vec_id AS q_id, nb.vec_id AS n_id
+         |  FROM qtop qa JOIN assign nb ON qa.cell = nb.cell
+         |    AND qa.vec_id < 10 AND nb.vec_id <> qa.vec_id),
+         |dtab AS (SELECT vec_id AS q_id, m, k, dist FROM dists
+         |         WHERE vec_id < 10),
+         |adc AS (
+         |  SELECT c2.q_id, codes.vec_id AS n_id,
+         |    CAST(sum(dtab.dist) AS BIGINT) AS adc_dist
+         |  FROM codes JOIN cand c2 ON codes.vec_id = c2.n_id
+         |  JOIN dtab ON dtab.q_id = c2.q_id AND dtab.m = codes.m
+         |    AND dtab.k = codes.k
+         |  GROUP BY c2.q_id, codes.vec_id)
+         |SELECT q_id, rnk, n_id, adc_dist FROM (
+         |  SELECT q_id, n_id, adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc_dist, n_id) AS BIGINT) AS rnk
+         |  FROM adc) WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    },
 
     "sim_knn_pq" ->
       s"""WITH $PqCtes,

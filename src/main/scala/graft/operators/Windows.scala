@@ -320,6 +320,47 @@ object Windows extends OpModule {
         .orderBy("segment", "o_custkey")
     }),
 
+    "win_changepoint" -> ((s, d) => {
+      // Binary changepoint detection (r7): per event type, the split
+      // of the daily-volume series that maximizes the absolute
+      // mean-shift |mean(left) − mean(right)| — the level-shift scan
+      // an ingestion monitor runs when win_cusum says "something
+      // drifted" and the owner asks WHEN. All candidate splits
+      // evaluate from ONE prefix-sum window over the day-grain
+      // rollup (|types|·|days| rows, partitioned by type — never a
+      // global frame): each row knows (i, S_i, T, S), so both means
+      // are exact-integer divisions and the argmax is a partial-agged
+      // struct-max on the ROUNDED delta (ties → earliest day) — no
+      // second pass, no self-join, engine-identical doubles.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val pre = daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("si", sum("n").over(run))
+        .withColumn("tt", count(lit(1)).over(all))
+        .withColumn("ss", sum("n").over(all))
+        .filter(col("i") < col("tt"))
+        .withColumn("mean_l",
+          col("si").cast("double") / col("i").cast("double"))
+        .withColumn("mean_r", (col("ss") - col("si")).cast("double")
+          / (col("tt") - col("i")).cast("double"))
+        .withColumn("delta", round(abs(col("mean_l") - col("mean_r")), 4))
+      pre.groupBy("event_type")
+        .agg(max(struct(col("delta"), (lit(0L) - col("i")).as("ni"),
+          col("day"), col("mean_l"), col("mean_r"))).as("m"))
+        .select(col("event_type"),
+          date_format(col("m.day"), "yyyy-MM-dd").as("split_day"),
+          (lit(0L) - col("m.ni")).as("n_left"),
+          round(col("m.mean_l"), 4).as("mean_left"),
+          round(col("m.mean_r"), 4).as("mean_right"),
+          col("m.delta").as("delta"))
+        .orderBy("event_type")
+    }),
+
     "win_trend_theilsen" -> ((s, d) => {
       // Theil–Sen robust trend (r7): per event type, the MEDIAN of all
       // pairwise slopes of the daily-volume series (+ the matching
@@ -590,6 +631,35 @@ object Windows extends OpModule {
         |  CASE WHEN cum_share <= 0.5 THEN 'A'
         |       WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc
         |FROM r ORDER BY segment, o_custkey""".stripMargin,
+
+    "win_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT event_type, day,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si,
+        |    count(*) OVER (PARTITION BY event_type) AS tt,
+        |    sum(n) OVER (PARTITION BY event_type) AS ss
+        |  FROM daily),
+        |sc AS (
+        |  SELECT event_type, day, i,
+        |    CAST(si AS DOUBLE) / CAST(i AS DOUBLE) AS mean_l,
+        |    CAST(ss - si AS DOUBLE) / CAST(tt - i AS DOUBLE) AS mean_r,
+        |    round(abs(CAST(si AS DOUBLE) / CAST(i AS DOUBLE)
+        |      - CAST(ss - si AS DOUBLE) / CAST(tt - i AS DOUBLE)), 4) AS delta
+        |  FROM pre WHERE i < tt),
+        |best AS (
+        |  SELECT event_type, day, i, mean_l, mean_r, delta,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY delta DESC, i) AS rn
+        |  FROM sc)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day,
+        |  CAST(i AS BIGINT) AS n_left,
+        |  round(mean_l, 4) AS mean_left, round(mean_r, 4) AS mean_right, delta
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // quantile_cont and Spark's percentile share the interpolation
     // formula lower + (upper-lower)·frac on the identically-sorted

@@ -528,6 +528,43 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq never beats plain pq at any rank (gating only loses candidates)") {
+    val pq = q("sim_knn_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val ivfpq = q("sim_knn_ivfpq").collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.length <= 3, s"query $qid returned ${rs.length} rows")
+      rs.foreach { r =>
+        // the ungated ADC top-k at the same rank is at least as close
+        pq.get((qid, r.getLong(1))).foreach { d =>
+          assert(r.getLong(3) >= d, s"q$qid rank ${r.getLong(1)}: gated " +
+            s"${r.getLong(3)} beat ungated $d")
+        }
+      }
+    }
+  }
+
+  test("changepoint means recombine to the global mean") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("t"), sum("n").as("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    q("win_changepoint").collect().foreach { r =>
+      val (t, sTot) = daily(r.getString(0))
+      val nL = r.getLong(2)
+      assert(nL >= 1 && nL < t, s"${r.getString(0)}: split $nL of $t")
+      val recombined = (nL * r.getDouble(3) + (t - nL) * r.getDouble(4)) / t
+      val globalMean = sTot.toDouble / t
+      assert(math.abs(recombined - globalMean) < 1e-2,
+        s"${r.getString(0)}: $recombined vs $globalMean")
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
   test("bfs layers partition the node set and start from a single seed") {
     val rows = q("graph_bfs_layers").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

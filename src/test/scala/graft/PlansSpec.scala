@@ -410,6 +410,22 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("sim_knn_ivfpq broadcasts the query-side tables and stays cartesian-free") {
+    scopedPlan(graft.operators.LlmSim.ivfpqBody(spark, sf)) { plan =>
+      assert(plan.contains("BroadcastHashJoin"),
+        s"cell gate / distance table should broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in ivfpq plan:\n$plan")
+    }
+  }
+
+  test("win_changepoint windows are partitioned by event_type") {
+    val plan = treeString(q("win_changepoint"))
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"no window in changepoint plan:\n$plan")
+    winLines.foreach(l => assert(l.contains("event_type"),
+      s"unpartitioned window frame: $l"))
+  }
+
   test("sim_range_search partially aggregates the neighbor rollup") {
     val plan = treeString(q("sim_range_search"))
     assert(plan.contains("partial_"),
