@@ -22,6 +22,48 @@ import graft.Tables
 object Aggregates extends OpModule {
 
   val queries: Map[String, Q] = Map(
+    "agg_bootstrap_ci" -> ((s, d) => {
+      // Poisson bootstrap CI (r7): 95% confidence interval for the
+      // mean order value per market segment — THE distributed
+      // bootstrap (per-row independent Poisson(1) resample weights,
+      // so one pass replaces B full resamples; the shape production
+      // systems use precisely because rows never co-locate). The
+      // "random" weights are a deterministic Knuth scramble of
+      // (o_orderkey, replica) thresholded at the Poisson(1) pmf
+      // (0/1/2/3+ occurrences), so both engines draw the identical
+      // resamples — no rand(), partition-independent. The B=32
+      // replica explode partial-aggs to |segments|·B rows before the
+      // shuffle; replica means divide exact DECIMAL sums; the CI is
+      // an exact percentile over 32 engine-identical doubles.
+      val B = 32
+      val o = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+          Dec2(col("o_totalprice")).as("price"))
+      val rep = o.select(col("segment"), col("o_orderkey"), col("price"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("h", ((col("o_orderkey") % lit(2147483648L))
+          * lit(2654435761L) + col("b") * lit(97003L)) % lit(1000003L))
+        .withColumn("w", when(col("h") < 367879, lit(0L))
+          .when(col("h") < 735758, lit(1L))
+          .when(col("h") < 919698, lit(2L)).otherwise(lit(3L)))
+      val means = rep.groupBy("segment", "b")
+        .agg((sum(col("price") * col("w")).cast("double")
+          / sum(col("w")).cast("double")).as("mb"))
+      val ci = means.groupBy(col("segment").as("c_seg"))
+        .agg(round(expr("percentile(mb, 0.025D)"), 4).as("ci_lo"),
+          round(expr("percentile(mb, 0.975D)"), 4).as("ci_hi"))
+      o.groupBy("segment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("price")).cast("double") / count(lit(1)), 4)
+            .as("mean_price"))
+        .join(broadcast(ci), col("segment") === col("c_seg"))
+        .select("segment", "n_orders", "mean_price", "ci_lo", "ci_hi")
+        .orderBy("segment")
+    }),
+
     "agg_string_agg" -> ((s, d) =>
       // Ordered string aggregation: sort_array(collect_list) gives the
       // deterministic order string_agg(... ORDER BY) has in the oracle.
@@ -563,6 +605,35 @@ object Aggregates extends OpModule {
       |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment AS segment, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |rep AS (
+        |  SELECT segment, price, b,
+        |    ((o_orderkey % 2147483648) * 2654435761 + b * 97003) % 1000003 AS h
+        |  FROM o CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+        |wts AS (
+        |  SELECT segment, b, price,
+        |    CASE WHEN h < 367879 THEN 0 WHEN h < 735758 THEN 1
+        |         WHEN h < 919698 THEN 2 ELSE 3 END AS w
+        |  FROM rep),
+        |means AS (
+        |  SELECT segment, b,
+        |    CAST(sum(price * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mb
+        |  FROM wts GROUP BY segment, b),
+        |ci AS (
+        |  SELECT segment, round(quantile_cont(mb, 0.025), 4) AS ci_lo,
+        |    round(quantile_cont(mb, 0.975), 4) AS ci_hi
+        |  FROM means GROUP BY segment),
+        |base AS (
+        |  SELECT segment, count(*) AS n_orders,
+        |    round(CAST(sum(price) AS DOUBLE) / count(*), 4) AS mean_price
+        |  FROM o GROUP BY segment)
+        |SELECT segment, n_orders, mean_price, ci_lo, ci_hi
+        |FROM base JOIN ci USING (segment) ORDER BY segment""".stripMargin,
+
     "agg_string_agg" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n,
         |  string_agg(c_name, ',' ORDER BY c_name) AS names

@@ -254,17 +254,7 @@ object Graph extends OpModule {
       // argmax — no window over the adjacency); rounds persist via
       // cut, the iterative-kernel discipline.
       val e = scope.persist(edges(s, d))
-      val adj = e.select(col("u").as("a"), col("v").as("b"))
-        .union(e.select(col("v").as("a"), col("u").as("b")))
-      val l0 = degrees(e).select(col("node"), col("node").as("lbl"))
-      def step(prev: DataFrame): DataFrame = scope.cut(
-        adj.join(prev.select(col("node").as("bn"), col("lbl")), col("b") === col("bn"))
-          .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy("a")
-          .agg(max(struct(col("c"), (lit(0L) - col("lbl")).as("nl"))).as("m"))
-          .select(col("a").as("node"), (lit(0L) - col("m.nl")).as("lbl")))
-      val l1 = step(l0)
-      val l2 = step(l1)
+      val (l1, l2) = lpaLabels(e, scope)
       val changed = l2.select(col("node").as("n2"), col("lbl").as("lb2"))
         .join(l1, col("n2") === col("node"))
         .filter(col("lb2") =!= col("lbl"))
@@ -316,6 +306,40 @@ object Graph extends OpModule {
         .orderBy("distance")
     }),
 
+    "graph_modularity" -> ((s, d) => scopedPersist { scope =>
+      // Community-quality gate (r7): Newman modularity of the LPA
+      // partition — the "did label propagation find real structure"
+      // check, exactly as the sim_recall_* gates grade the ANN
+      // indexes (an index/partition you haven't scored is one you
+      // can't trust). Q = Σ_c [e_c/m − (d_c/2m)²] over the same
+      // 2-round deterministic LPA labels the graded operator emits.
+      // Every aggregate (intra-edge counts, community degree sums,
+      // their squares) is an exact integer; doubles appear only in
+      // the final one-row formula — so the score is engine-identical
+      // without tolerance games. Plan: the label join is the only
+      // edge-sized op after the LPA supersteps; community rollups are
+      // node-sized, the scalars broadcast-cross into one row.
+      val e = scope.persist(edges(s, d))
+      val (_, l2) = lpaLabels(e, scope)
+      val lu = l2.select(col("node").as("u2"), col("lbl").as("lu"))
+      val lv = l2.select(col("node").as("v2"), col("lbl").as("lv"))
+      val lab = e.join(lu, col("u") === col("u2"))
+        .join(lv, col("v") === col("v2"))
+      val intra = lab.filter(col("lu") === col("lv"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val m = e.agg(count(lit(1)).as("m_edges"))
+      val dsum = degrees(e).join(l2, "node")
+        .groupBy("lbl").agg(sum("d").as("d_c"))
+      val parts = dsum.agg(count(lit(1)).as("n_communities"),
+        sum(col("d_c") * col("d_c")).as("sd2"))
+      broadcast(parts).crossJoin(broadcast(m)).crossJoin(broadcast(intra))
+        .select(col("n_communities"), col("m_edges"), col("intra_edges"),
+          round(col("intra_edges").cast("double") / col("m_edges").cast("double")
+            - col("sd2").cast("double")
+              / (lit(4.0) * col("m_edges").cast("double")
+                 * col("m_edges").cast("double")), 4).as("modularity"))
+    }),
+
     "basket_rules" -> ((s, d) => {
       // Market-basket association rules at brand grain: support,
       // confidence and lift for every ordered brand pair that clears a
@@ -355,6 +379,27 @@ object Graph extends OpModule {
         .orderBy("b1", "b2")
     }),
   )
+
+  /** Two deterministic LPA supersteps over edge set `e` (most-frequent
+    * neighbor label, ties → MIN label) — shared by
+    * graph_label_propagation (histogram + churn) and graph_modularity
+    * (the quality gate scoring the same partition). Returns (l1, l2);
+    * each round is one |adj| equi-join + two partial-agged groupBys,
+    * lineage-cut. */
+  private[graft] def lpaLabels(e: DataFrame, scope: PersistScope)
+      : (DataFrame, DataFrame) = {
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+    val l0 = degrees(e).select(col("node"), col("node").as("lbl"))
+    def step(prev: DataFrame): DataFrame = scope.cut(
+      adj.join(prev.select(col("node").as("bn"), col("lbl")), col("b") === col("bn"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy("a")
+        .agg(max(struct(col("c"), (lit(0L) - col("lbl")).as("nl"))).as("m"))
+        .select(col("a").as("node"), (lit(0L) - col("m.nl")).as("lbl")))
+    val l1 = step(l0)
+    (l1, step(l1))
+  }
 
   /** k-core decomposition (k=3), 3 unrolled peeling rounds: each
     * round recomputes degrees over the surviving edge set, drops
@@ -527,6 +572,24 @@ object Graph extends OpModule {
        |deg AS (SELECT node, count(*) AS d
        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
        |        GROUP BY 1)""".stripMargin
+
+  /** Two unrolled deterministic-LPA rounds over the EDGES CTEs,
+    * ending in l1/l2(node, lbl) — shared by graph_label_propagation
+    * and graph_modularity. Argmax formulated as max-count window +
+    * min(label): different SQL shape, identical integer semantics to
+    * the Spark struct-max. */
+  private val LpaCtes: String = {
+    val step = (prev: String, cnt: String, out: String) =>
+      s"""$cnt AS (SELECT adj.a, p.lbl, count(*) AS c
+         |  FROM adj JOIN $prev p ON p.node = adj.b GROUP BY 1, 2),
+         |$out AS (SELECT a AS node, min(lbl) AS lbl FROM (
+         |  SELECT a, lbl, c, max(c) OVER (PARTITION BY a) AS mc FROM $cnt)
+         |  WHERE c = mc GROUP BY a)""".stripMargin
+    s"""adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       |l0 AS (SELECT node, node AS lbl FROM deg),
+       |${step("l0", "c1", "l1")},
+       |${step("l1", "c2", "l2")}""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // Level-set BFS unrolled: L_r = neighbors(L_{r-1}) minus visited,
@@ -713,25 +776,34 @@ object Graph extends OpModule {
     // LPA argmax stated as max-count window + min(label) — different
     // formulation, identical semantics to the Spark struct-max (exact
     // integer counts, so any argmax formulation agrees).
-    "graph_label_propagation" -> {
-      val step = (prev: String, cnt: String, out: String) =>
-        s"""$cnt AS (SELECT adj.a, p.lbl, count(*) AS c
-           |  FROM adj JOIN $prev p ON p.node = adj.b GROUP BY 1, 2),
-           |$out AS (SELECT a AS node, min(lbl) AS lbl FROM (
-           |  SELECT a, lbl, c, max(c) OVER (PARTITION BY a) AS mc FROM $cnt)
-           |  WHERE c = mc GROUP BY a)""".stripMargin
+    "graph_modularity" ->
       s"""WITH $EDGES,
-         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-         |l0 AS (SELECT node, node AS lbl FROM deg),
-         |${step("l0", "c1", "l1")},
-         |${step("l1", "c2", "l2")},
+         |$LpaCtes,
+         |intra AS (
+         |  SELECT count(*) AS intra_edges
+         |  FROM e JOIN l2 lu ON lu.node = e.u
+         |       JOIN l2 lv ON lv.node = e.v AND lu.lbl = lv.lbl),
+         |mm AS (SELECT count(*) AS m_edges FROM e),
+         |ds AS (SELECT l.lbl, CAST(sum(d) AS BIGINT) AS d_c
+         |       FROM deg JOIN l2 l ON l.node = deg.node GROUP BY l.lbl),
+         |parts AS (SELECT count(*) AS n_communities,
+         |  CAST(sum(d_c * d_c) AS BIGINT) AS sd2 FROM ds)
+         |SELECT n_communities, m_edges, intra_edges,
+         |  round(CAST(intra_edges AS DOUBLE) / CAST(m_edges AS DOUBLE)
+         |    - CAST(sd2 AS DOUBLE)
+         |      / (4.0 * CAST(m_edges AS DOUBLE) * CAST(m_edges AS DOUBLE)), 4)
+         |    AS modularity
+         |FROM parts CROSS JOIN mm CROSS JOIN intra""".stripMargin,
+
+    "graph_label_propagation" ->
+      s"""WITH $EDGES,
+         |$LpaCtes,
          |chg AS (SELECT count(*) AS labels_changed_last_round
          |        FROM l2 JOIN l1 ON l2.node = l1.node AND l2.lbl <> l1.lbl)
          |SELECT csz AS community_size, count(*) AS n_communities,
          |  (SELECT labels_changed_last_round FROM chg) AS labels_changed_last_round
          |FROM (SELECT lbl, count(*) AS csz FROM l2 GROUP BY lbl)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "basket_rules" ->
       """WITH ob AS (

@@ -21,7 +21,8 @@ class InvariantsSpec extends SparkSpec {
       "sim_recall_ivf", "embed_top_pc", "evt_markov_steady",
       "graph_label_propagation", "evt_absorb_prob",
       "graph_bfs_layers", "evt_markov_attrib",
-      "text_ccnet_buckets").foreach { name =>
+      "text_ccnet_buckets", "graph_modularity",
+      "sim_knn_ivfpq").foreach { name =>
       q(name).count()
       assert(org.apache.spark.sql.CacheProbe.isEmpty(spark),
         s"$name left cached plans in the CacheManager")
@@ -526,6 +527,30 @@ class InvariantsSpec extends SparkSpec {
         assert(c <= math.ceil(n * 0.6).toLong, s"$lang/$b: $c of $n docs")
       }
     }
+  }
+
+  test("bootstrap CI brackets the true mean with sane width") {
+    q("agg_bootstrap_ci").collect().foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi, s"${r.getString(0)}: lo $lo > hi $hi")
+      // the point estimate virtually always falls inside its own
+      // 95% bootstrap interval
+      assert(mean >= lo - 1e-9 && mean <= hi + 1e-9,
+        s"${r.getString(0)}: mean $mean outside [$lo, $hi]")
+      assert(hi - lo < mean, s"${r.getString(0)}: degenerate CI width")
+    }
+  }
+
+  test("modularity is consistent with the LPA community histogram") {
+    val m = q("graph_modularity").collect().head
+    assert(m.getDouble(3) > -1.0 && m.getDouble(3) <= 1.0)
+    assert(m.getLong(2) <= m.getLong(1), "intra edges exceed edge count")
+    val histCommunities = q("graph_label_propagation").collect()
+      .map(r => r.getLong(0) * r.getLong(1)).sum // size × count = nodes
+    // communities in the modularity rollup must cover all nodes
+    val nNodes = q("graph_degree_hist").agg(
+      org.apache.spark.sql.functions.sum("n_nodes")).collect().head.getLong(0)
+    assert(histCommunities === nNodes)
   }
 
   test("ivfpq never beats plain pq at any rank (gating only loses candidates)") {
