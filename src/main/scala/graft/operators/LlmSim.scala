@@ -363,28 +363,44 @@ object LlmSim extends OpModule {
       // same scale shape as dedup_near_minhash), pairs materialize
       // once with a_id < b_id and symmetrize by a cheap union, and
       // the per-vector rollup sums DECIMAL-cast cosines so the mean
-      // is partition-order-exact. At 100 TB the bucket join IS the
-      // scale path (recall is graded separately by sim_recall_eval's
-      // family); vectors with no in-radius neighbor drop out — the
-      // rollup is ≤ corpus-sized.
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+      // is partition-order-exact. Cosines are computed on the EXACT
+      // ⌊v·1e6⌋ integer grid (the MIPS/PQ discipline): dot and
+      // squared norms are exact integer-valued doubles (≤ 2.8e14 <
+      // 2⁵³ — every partial sum exact), so ip/(√n2a·√n2b) is
+      // bit-identical across engines regardless of summation order —
+      // a float-dot formulation hit a round-4 tie at sf0.1 when the
+      // full-corpus pair count first sampled a boundary. At 100 TB
+      // the bucket join IS the scale path (recall graded by the
+      // sim_recall_* family); no-neighbor vectors drop — the rollup
+      // is ≤ corpus-sized.
+      val ie = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6).cast("double")).as("iv"),
           lshBucket(col("embedding")).as("bucket"))
-      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+        .select(col("vec_id"), col("iv"), col("bucket"),
+          sqrt(dot(col("iv"), col("iv"))).as("nrm"))
+      val a = ie.select(col("bucket"), col("vec_id").as("a_id"),
+        col("iv").as("a_iv"), col("nrm").as("a_nrm"))
+      val b = ie.select(col("bucket"), col("vec_id").as("b_id"),
+        col("iv").as("b_iv"), col("nrm").as("b_nrm"))
       val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
         .withColumn("cos", round(
-          dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
+          dot(col("a_iv"), col("b_iv")) / (col("a_nrm") * col("b_nrm")), 4))
         .filter(col("cos") >= 0.3)
-      val sym = pairs.select(col("a_id").as("vec_id"), col("cos"))
-        .union(pairs.select(col("b_id").as("vec_id"), col("cos")))
+      // the mean is emitted as an exact scaled integer (Σ cos·1e4 div
+      // n): a double mean of round-4 cosines lands on .00005 ties
+      // where the engines' round-half conventions differ (measured at
+      // sf0.1 — eight vectors, every mean off by exactly 1e-4)
+      val sym = pairs
+        .select(col("a_id").as("vec_id"),
+          round(col("cos") * 10000).cast("long").as("c4"))
+        .union(pairs.select(col("b_id").as("vec_id"),
+          round(col("cos") * 10000).cast("long").as("c4")))
       sym.groupBy("vec_id")
         .agg(count(lit(1)).as("n_neighbors"),
-          round(sum(col("cos").cast("decimal(8,4)")).cast("double")
-            / count(lit(1)).cast("double"), 4).as("mean_cos"),
-          max(col("cos").cast("decimal(8,4)")).cast("double").as("max_cos"))
+          expr("sum(c4) div count(1)").as("mean_cos_e4"),
+          max(col("c4")).as("max_cos_e4"))
         .orderBy("vec_id")
     }),
 
@@ -1270,28 +1286,39 @@ object LlmSim extends OpModule {
          |WHERE round(dp / (na.nrm * nb.nrm), 4) > 0.25
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // Exact ⌊v·1e6⌋ integer grid: ip and n2 are exact BIGINTs, so the
+    // cosine double tree is bit-identical to the Spark side whatever
+    // order this engine sums in.
     "sim_range_search" ->
       s"""WITH buckets AS ($BucketsSql),
-         |ua AS (${unnested("a", "true")}),
-         |ub AS (${unnested("b", "true")}),
-         |norms AS ($NormsSql),
+         |ui AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi
+         |  FROM embeddings),
+         |n2 AS (SELECT vec_id, CAST(sum(vi * vi) AS BIGINT) AS n2
+         |       FROM ui GROUP BY vec_id),
          |pairs AS (
-         |  SELECT a_id, b_id,
-         |    round(sum(ua.v * ub.v) / (na.nrm * nb.nrm), 4) AS cos
-         |  FROM ua JOIN ub ON ua.pos = ub.pos AND ua.a_id < ub.b_id
-         |  JOIN buckets ba ON ba.vec_id = ua.a_id
-         |  JOIN buckets bb ON bb.vec_id = ub.b_id AND ba.bucket = bb.bucket
-         |  JOIN norms na ON na.vec_id = ua.a_id
-         |  JOIN norms nb ON nb.vec_id = ub.b_id
-         |  GROUP BY a_id, b_id, na.nrm, nb.nrm
-         |  HAVING round(sum(ua.v * ub.v) / (na.nrm * nb.nrm), 4) >= 0.3),
+         |  SELECT ua.vec_id AS a_id, ub.vec_id AS b_id,
+         |    round(CAST(CAST(sum(ua.vi * ub.vi) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4)
+         |      AS cos
+         |  FROM ui ua JOIN ui ub ON ua.pos = ub.pos AND ua.vec_id < ub.vec_id
+         |  JOIN buckets ba ON ba.vec_id = ua.vec_id
+         |  JOIN buckets bb ON bb.vec_id = ub.vec_id AND ba.bucket = bb.bucket
+         |  JOIN n2 na ON na.vec_id = ua.vec_id
+         |  JOIN n2 nb ON nb.vec_id = ub.vec_id
+         |  GROUP BY ua.vec_id, ub.vec_id, na.n2, nb.n2
+         |  HAVING round(CAST(CAST(sum(ua.vi * ub.vi) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4)
+         |    >= 0.3),
          |sym AS (
-         |  SELECT a_id AS vec_id, cos FROM pairs
-         |  UNION ALL SELECT b_id, cos FROM pairs)
+         |  SELECT a_id AS vec_id, CAST(round(cos * 10000) AS BIGINT) AS c4
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT b_id, CAST(round(cos * 10000) AS BIGINT) FROM pairs)
          |SELECT vec_id, count(*) AS n_neighbors,
-         |  round(CAST(sum(CAST(cos AS DECIMAL(8,4))) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE), 4) AS mean_cos,
-         |  CAST(max(CAST(cos AS DECIMAL(8,4))) AS DOUBLE) AS max_cos
+         |  CAST(sum(c4) // count(*) AS BIGINT) AS mean_cos_e4,
+         |  max(c4) AS max_cos_e4
          |FROM sym GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "sim_knn" ->

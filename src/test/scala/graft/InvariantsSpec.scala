@@ -620,9 +620,10 @@ class InvariantsSpec extends SparkSpec {
     // neighbor counts sum to an even number (each pair contributes 2)
     assert(rows.map(_.getLong(1)).sum % 2 === 0)
     rows.foreach { r =>
-      val (mean, mx) = (r.getDouble(2), r.getDouble(3))
-      assert(mx >= 0.3 - 1e-9 && mx <= 1.0 + 1e-9, s"max_cos $mx out of radius")
-      assert(mean >= 0.3 - 1e-4 && mean <= mx + 1e-4, s"mean $mean vs max $mx")
+      val (mean, mx) = (r.getLong(2), r.getLong(3)) // scaled 1e4
+      assert(mx >= 3000L && mx <= 10000L, s"max_cos_e4 $mx out of radius")
+      // floor-divided mean sits within [radius-1, max]
+      assert(mean >= 2999L && mean <= mx, s"mean_e4 $mean vs max $mx")
     }
   }
 }
