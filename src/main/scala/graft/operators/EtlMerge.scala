@@ -306,6 +306,35 @@ object EtlMerge extends OpModule {
         .orderBy("from_day")
     }),
 
+    "etl_ttl_purge_plan" -> ((s, d) => {
+      // Retention-policy purge plan (r7): which day-partitions a
+      // TTL=14d policy deletes, with row/user mass and the cumulative
+      // reclaim — the dry-run every GDPR/retention job ships before
+      // it drops data (partition-level deletes are cheap; the plan is
+      // what gets reviewed). Day-grain rollup first (the only
+      // data-sized pass), TTL cutoff anchored to the table's OWN max
+      // day (self-describing — no wall clock, reproducible on any
+      // snapshot), then a running window over the |expired days|
+      // plan — dimension-sized at any event volume (the
+      // etl_backfill_plan precedent for post-rollup global windows).
+      val ev = Tables.events(s, d)
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct("user_id").as("n_users"))
+      val bounds = ev.agg(max(to_date(col("ts"))).as("mx"),
+        count(lit(1)).as("total_rows"))
+      val expired = daily.crossJoin(broadcast(bounds))
+        .filter(col("day") < date_sub(col("mx"), 14))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      expired
+        .withColumn("cum_rows", sum("n_rows").over(w))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_rows"), col("n_users"), col("cum_rows"),
+          round(col("cum_rows").cast("double")
+            / col("total_rows").cast("double"), 4).as("cum_share"))
+        .orderBy("day")
+    }),
+
     "etl_scd2_merge" -> ((s, d) => {
       // base dimension: one open version per key (valid_from fixed,
       // valid_to null); delta: changed segment for every 5th key.
@@ -694,6 +723,27 @@ object EtlMerge extends OpModule {
         |SELECT day FROM spine
         |WHERE day NOT IN (SELECT day FROM loaded)
         |ORDER BY day""".stripMargin,
+
+    "etl_ttl_purge_plan" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1),
+        |bounds AS (SELECT max(CAST(ts AS DATE)) AS mx, count(*) AS total_rows
+        |           FROM events),
+        |expired AS (
+        |  SELECT day, n_rows, n_users, total_rows FROM daily CROSS JOIN bounds
+        |  WHERE day < mx - 14),
+        |run AS (
+        |  SELECT day, n_rows, n_users, total_rows,
+        |    sum(n_rows) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows
+        |  FROM expired)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_rows, n_users,
+        |  CAST(cum_rows AS BIGINT) AS cum_rows,
+        |  round(CAST(cum_rows AS DOUBLE) / CAST(total_rows AS DOUBLE), 4)
+        |    AS cum_share
+        |FROM run ORDER BY day""".stripMargin,
 
     "etl_backfill_plan" ->
       """WITH loaded AS (

@@ -629,6 +629,49 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_survival_km" -> ((s, d) => {
+      // Kaplan-Meier user-lifetime survival (r7): S(t) over observed
+      // activity spans with RIGHT-CENSORING — users still active in
+      // the final week are censored, not counted as churned (the
+      // statistically honest retention curve; naive "days retained"
+      // histograms systematically overstate churn at the window
+      // edge). The event stream collapses to one row per user (the
+      // only data-sized pass), lifetimes roll up to |offsets| rows,
+      // and the KM product S(t) = Π_{t'≤t} (1 − d/r) runs IN-ROW on
+      // the offset-sorted gather with fixed-order scalar folds —
+      // bit-identical doubles, the deterministic-iteration family
+      // (at-risk counts and event counts are exact integers).
+      val ev = Tables.events(s, d)
+      val per = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("fd"), max(to_date(col("ts"))).as("ld"))
+      val obs = ev.agg(max(to_date(col("ts"))).as("obs_end"))
+      val roll = per.crossJoin(broadcast(obs))
+        .select(datediff(col("ld"), col("fd")).cast("long").as("t"),
+          when(col("ld") > date_sub(col("obs_end"), 7), lit(1L))
+            .otherwise(lit(0L)).as("cens"))
+        .groupBy("t")
+        .agg(count(lit(1)).as("n_all"), sum(lit(1L) - col("cens")).as("d"))
+      val g = roll.agg(sort_array(
+        collect_list(struct(col("t"), col("n_all"), col("d")))).as("sl"))
+      val sz = size(col("sl"))
+      val nAll = transform(col("sl"), e => e.getField("n_all"))
+      val dArr = transform(col("sl"), e => e.getField("d"))
+      val total = aggregate(nAll, lit(0L), (acc, x) => acc + x)
+      val risk = transform(sequence(lit(0), sz - 1), i =>
+        total - aggregate(slice(nAll, lit(1), i), lit(0L), (acc, x) => acc + x))
+      val surv = transform(sequence(lit(0), sz - 1), i =>
+        aggregate(sequence(lit(0), i), lit(1.0), (acc, j) =>
+          acc * (lit(1.0) - element_at(dArr, j + 1).cast("double")
+            / element_at(col("risk"), j + 1).cast("double"))))
+      g.withColumn("risk", risk).withColumn("surv", surv)
+        .select(col("sl"), col("risk"), posexplode(col("surv")).as(Seq("i", "s")))
+        .select(element_at(col("sl"), col("i") + 1).getField("t").as("t_days"),
+          element_at(col("risk"), col("i") + 1).as("n_risk"),
+          element_at(col("sl"), col("i") + 1).getField("d").as("n_events"),
+          round(col("s"), 4).as("survival"))
+        .orderBy("t_days")
+    }),
+
     "evt_markov_attrib" -> ((s, d) => scopedPersist { scope =>
       // Markov removal-effect attribution (r7): each channel's credit
       // for conversions = how much 3-step purchase-absorption mass
@@ -1253,6 +1296,40 @@ object Events extends OpModule {
          |FROM s3, unnest(range(0, len(tp))) AS u(i0)
          |ORDER BY event_type""".stripMargin
     },
+
+    // KM folds are scalar-only (product and prefix sums) — safe from
+    // the struct-fold hazard documented on evt_forecast_holt.
+    "evt_survival_km" ->
+      """WITH per AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+        |    max(CAST(ts AS DATE)) AS ld
+        |  FROM events GROUP BY user_id),
+        |obs AS (SELECT max(CAST(ts AS DATE)) AS obs_end FROM events),
+        |roll AS (
+        |  SELECT date_diff('day', fd, ld) AS t, count(*) AS n_all,
+        |    CAST(sum(CASE WHEN ld > obs_end - 7 THEN 0 ELSE 1 END) AS BIGINT) AS d
+        |  FROM per CROSS JOIN obs GROUP BY 1),
+        |g AS (SELECT
+        |  list(struct_pack(t := t, n_all := n_all, d := d) ORDER BY t) AS sl
+        |  FROM roll),
+        |arrs AS (SELECT sl, len(sl) AS sz,
+        |  list_transform(sl, e -> e.n_all) AS n_arr,
+        |  list_transform(sl, e -> e.d) AS d_arr FROM g),
+        |tot AS (SELECT *, list_reduce(list_prepend(CAST(0 AS BIGINT), n_arr),
+        |    (a, b) -> a + b) AS total FROM arrs),
+        |rk AS (SELECT *, list_transform(range(0, sz), i ->
+        |    total - list_reduce(list_prepend(CAST(0 AS BIGINT), n_arr[1:i]),
+        |      (a, b) -> a + b)) AS risk FROM tot),
+        |sv AS (SELECT *, list_transform(range(0, sz), i ->
+        |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |      list_transform(range(0, i + 1), j ->
+        |        1.0 - CAST(d_arr[j+1] AS DOUBLE) / CAST(risk[j+1] AS DOUBLE))),
+        |      (a, b) -> a * b)) AS surv FROM rk)
+        |SELECT CAST(sl[i0+1].t AS BIGINT) AS t_days,
+        |  risk[i0+1] AS n_risk, sl[i0+1].d AS n_events,
+        |  round(surv[i0+1], 4) AS survival
+        |FROM sv, unnest(range(0, sz)) AS u(i0)
+        |ORDER BY t_days""".stripMargin,
 
     // Counterfactual chains as scalar folds only (the struct-fold
     // hazard memorialized on evt_forecast_holt does not apply);

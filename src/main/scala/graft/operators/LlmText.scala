@@ -735,6 +735,36 @@ object LlmText extends OpModule {
         .orderBy("doc_id")
     }),
 
+    "text_docfreq_prune" -> ((s, d) => {
+      // Vocabulary pruning plan (r7): the document-frequency census
+      // behind every tf-idf/embedding vocabulary cut — how much of
+      // the vocabulary and how much corpus MASS each pruning class
+      // removes: hapax (df=1, typically typos/ids), rare (df≤3),
+      // stopword-ish (df ≥ half the corpus), keep. One token explode
+      // with a per-token (df, occurrences) partial agg is the only
+      // data-sized pass; the class rollup is 4 rows. Exact integers
+      // throughout; the one double is the final mass-share ratio.
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_occ"))
+      val df = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(countDistinct("doc_id").as("dfc"), count(lit(1)).as("occ"))
+      df.crossJoin(broadcast(nDocs))
+        .withColumn("class",
+          when(col("dfc") === 1, "hapax")
+            .when(col("dfc") <= 3, "rare")
+            .when(col("dfc") * 2 >= col("n_docs"), "stopword")
+            .otherwise("keep"))
+        .groupBy("class")
+        .agg(countDistinct("token").as("n_tokens"),
+          sum("occ").as("n_occurrences"),
+          round(sum(col("occ")).cast("double")
+            / first(col("total_occ")).cast("double"), 4).as("mass_share"))
+        .orderBy("class")
+    }),
+
     "text_ccnet_buckets" -> ((s, d) => scopedPersist { scope =>
       // CCNet-style quality split (r7): every doc scored by the
       // unigram-NLL perplexity proxy, then cut into head/middle/tail
@@ -1678,6 +1708,29 @@ s"""SELECT doc_id, lang, bucket FROM (
          |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll
          |FROM toks JOIN cnts USING (token) CROSS JOIN total
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_docfreq_prune" ->
+      """WITH nd AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_occ
+        |  FROM documents),
+        |df AS (
+        |  SELECT token, count(DISTINCT doc_id) AS dfc, count(*) AS occ
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY token),
+        |cls AS (
+        |  SELECT CASE WHEN dfc = 1 THEN 'hapax'
+        |              WHEN dfc <= 3 THEN 'rare'
+        |              WHEN dfc * 2 >= n_docs THEN 'stopword'
+        |              ELSE 'keep' END AS class,
+        |    token, occ, total_occ
+        |  FROM df CROSS JOIN nd)
+        |SELECT class, count(DISTINCT token) AS n_tokens,
+        |  CAST(sum(occ) AS BIGINT) AS n_occurrences,
+        |  round(CAST(sum(occ) AS DOUBLE) / CAST(any_value(total_occ) AS DOUBLE), 4)
+        |    AS mass_share
+        |FROM cls GROUP BY class ORDER BY class""".stripMargin,
 
     "text_ccnet_buckets" ->
       """WITH toks AS (

@@ -529,6 +529,50 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("KM survival is a proper decreasing curve with consistent risk sets") {
+    val rows = q("evt_survival_km").collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.head.getLong(1) === nUsers, "t=min risk set must be all users")
+    var lastS = 1.0 + 1e-9
+    var lastRisk = Long.MaxValue
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "events exceed the risk set")
+      assert(r.getDouble(3) <= lastS + 1e-9, "survival increased")
+      assert(r.getLong(1) <= lastRisk, "risk set grew over time")
+      lastS = r.getDouble(3); lastRisk = r.getLong(1)
+    }
+  }
+
+  test("ttl purge plan partitions strictly expired days with a monotone reclaim") {
+    import org.apache.spark.sql.functions._
+    val rows = q("etl_ttl_purge_plan").collect()
+    assert(rows.nonEmpty)
+    val expected = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"))
+      .agg(max("day").as("mx"), count(lit(1)).as("n")).collect().head
+    val cutoff = java.time.LocalDate.parse(expected.getDate(0).toString).minusDays(14)
+    rows.foreach(r => assert(
+      java.time.LocalDate.parse(r.getString(0)).isBefore(cutoff),
+      s"${r.getString(0)} not expired (cutoff $cutoff)"))
+    val cums = rows.map(_.getLong(3))
+    assert(cums.sameElements(cums.sorted), "cumulative rows not monotone")
+    assert(cums.last === rows.map(_.getLong(1)).sum)
+  }
+
+  test("docfreq pruning classes partition the vocabulary and its mass") {
+    import org.apache.spark.sql.functions._
+    val rows = q("text_docfreq_prune").collect()
+    val docs = Tables.documents(spark, sf)
+    val vocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .select(countDistinct("t"), count(lit(1))).collect().head
+    assert(rows.map(_.getLong(1)).sum === vocab.getLong(0), "vocab not partitioned")
+    assert(rows.map(_.getLong(2)).sum === vocab.getLong(1), "mass not partitioned")
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 5e-4)
+    assert(rows.map(_.getString(0)).toSet
+      .subsetOf(Set("hapax", "rare", "stopword", "keep")))
+  }
+
   test("bootstrap CI brackets the true mean with sane width") {
     q("agg_bootstrap_ci").collect().foreach { r =>
       val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
