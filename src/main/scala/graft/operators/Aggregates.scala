@@ -22,6 +22,48 @@ import graft.Tables
 object Aggregates extends OpModule {
 
   val queries: Map[String, Q] = Map(
+    "agg_moments" -> ((s, d) => {
+      // Higher-moment profile (r7): mean/sd/skewness/excess-kurtosis
+      // of event value per type — the distribution-shape screen that
+      // catches what agg_stats' first two moments can't (heavy tails,
+      // asymmetric drift). All four raw power sums accumulate on the
+      // exact ⌊value·100⌋ integer grid in DECIMAL(38) (v⁴ ≤ 6.25e18
+      // fits a 64-bit term; the SUM would overflow, the decimal
+      // doesn't) — one partial-agged pass, order-independent, and the
+      // central-moment doubles derive from identical exact integers
+      // on both engines. Skew/kurtosis are scale-invariant so the
+      // cent grid cancels; mean/sd rescale by the single exact /100.
+      val v = floor(col("value") * 100).cast("long")
+      // v ≤ ~56k on this data: v² and v³ fit int64; v⁴ does NOT
+      // (≈9.9e18 > 2⁶³−1) — it multiplies as v²·v² lifted to DECIMAL
+      // first (mirrored with HUGEINT in the oracle)
+      val mom = Tables.events(s, d)
+        .select(col("event_type"), v.as("v"), (v * v).as("v2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)")).as("s1"),
+          sum(col("v2").cast("decimal(38,0)")).as("s2"),
+          sum((col("v2") * col("v")).cast("decimal(38,0)")).as("s3"),
+          sum(col("v2").cast("decimal(38,0)")
+            * col("v2").cast("decimal(38,0)")).as("s4"))
+      val n = col("n").cast("double")
+      val m = col("s1").cast("double") / n
+      val m2 = col("s2").cast("double") / n - m * m
+      val m3 = col("s3").cast("double") / n -
+        lit(3.0) * m * (col("s2").cast("double") / n) +
+        lit(2.0) * m * m * m
+      val m4 = col("s4").cast("double") / n -
+        lit(4.0) * m * (col("s3").cast("double") / n) +
+        lit(6.0) * m * m * (col("s2").cast("double") / n) -
+        lit(3.0) * m * m * m * m
+      mom.select(col("event_type"), col("n"),
+          round(m / 100.0, 4).as("mean_v"),
+          round(sqrt(m2) / 100.0, 4).as("sd_v"),
+          when(m2 > 0, round(m3 / (m2 * sqrt(m2)), 4)).as("skewness"),
+          when(m2 > 0, round(m4 / (m2 * m2) - lit(3.0), 4)).as("ex_kurtosis"))
+        .orderBy("event_type")
+    }),
+
     "agg_bootstrap_ci" -> ((s, d) => {
       // Poisson bootstrap CI (r7): 95% confidence interval for the
       // mean order value per market segment — THE distributed
@@ -605,6 +647,42 @@ object Aggregates extends OpModule {
       |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Identical double trees from identical exact DECIMAL power sums;
+    // CASE guards the zero-variance branch on both engines.
+    "agg_moments" ->
+      """WITH mom AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(v AS HUGEINT)) AS s1,
+        |    sum(CAST(v2 AS HUGEINT)) AS s2,
+        |    sum(CAST(v2 * v AS HUGEINT)) AS s3,
+        |    sum(CAST(v2 AS HUGEINT) * CAST(v2 AS HUGEINT)) AS s4
+        |  FROM (SELECT event_type, v, v * v AS v2 FROM (
+        |          SELECT event_type,
+        |            CAST(floor(value * 100) AS BIGINT) AS v FROM events))
+        |  GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+        |    CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+        |    CAST(s4 AS DOUBLE) AS d4
+        |  FROM mom),
+        |c AS (
+        |  SELECT event_type, n,
+        |    d1 / nd AS m,
+        |    d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+        |    d3 / nd - 3.0 * (d1 / nd) * (d2 / nd)
+        |      + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+        |    d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)
+        |      + 6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd)
+        |      - 3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4
+        |  FROM d)
+        |SELECT event_type, n,
+        |  round(m / 100.0, 4) AS mean_v,
+        |  round(sqrt(m2) / 100.0, 4) AS sd_v,
+        |  CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 4) END AS skewness,
+        |  CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 4) END AS ex_kurtosis
+        |FROM c ORDER BY event_type""".stripMargin,
+
     "agg_bootstrap_ci" ->
       """WITH o AS (
         |  SELECT c_mktsegment AS segment, o_orderkey,

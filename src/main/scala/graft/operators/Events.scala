@@ -629,6 +629,35 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_behavior_cos_hist" -> ((s, d) => {
+      // Behavioral-conformity histogram (r7): cosine between each
+      // user's event-type count vector and the global type
+      // distribution, bucketed at 0.05 — the "how typical is this
+      // user" screen (low-cosine mass = niche/bot-like behavior,
+      // feeding evt_bot_detect's cadence evidence from the WHAT-they-
+      // do side). Vectors live in |types|-dim count space, so every
+      // dot/norm is an EXACT int64 (the sim_range_search grid
+      // discipline without needing a grid) — cosines are bit-identical
+      // doubles, the floor-bucket cut is tie-free on both engines.
+      // One |users|·|types| partial-agged rollup is the only
+      // data-sized pass; the global vector broadcasts.
+      val ev = Tables.events(s, d)
+      val ut = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      val gt = ev.groupBy(col("event_type").as("g_type"))
+        .agg(count(lit(1)).as("gn"))
+      val n2g = gt.agg(sum(col("gn") * col("gn")).as("n2g"))
+      ut.join(broadcast(gt), col("event_type") === col("g_type"))
+        .groupBy("user_id")
+        .agg(sum(col("n") * col("gn")).as("dp"),
+          sum(col("n") * col("n")).as("n2u"))
+        .crossJoin(broadcast(n2g))
+        .withColumn("cos", col("dp").cast("double")
+          / (sqrt(col("n2u").cast("double")) * sqrt(col("n2g").cast("double"))))
+        .groupBy(floor(col("cos") * 20).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("bucket")
+    }),
+
     "evt_survival_km" -> ((s, d) => {
       // Kaplan-Meier user-lifetime survival (r7): S(t) over observed
       // activity spans with RIGHT-CENSORING — users still active in
@@ -1296,6 +1325,25 @@ object Events extends OpModule {
          |FROM s3, unnest(range(0, len(tp))) AS u(i0)
          |ORDER BY event_type""".stripMargin
     },
+
+    "evt_behavior_cos_hist" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |gt AS (SELECT event_type AS g_type, count(*) AS gn
+        |       FROM events GROUP BY 1),
+        |n2g AS (SELECT CAST(sum(gn * gn) AS BIGINT) AS n2g FROM gt),
+        |per AS (
+        |  SELECT user_id, CAST(sum(n * gn) AS BIGINT) AS dp,
+        |    CAST(sum(n * n) AS BIGINT) AS n2u
+        |  FROM ut JOIN gt ON ut.event_type = gt.g_type
+        |  GROUP BY user_id)
+        |SELECT CAST(floor((CAST(dp AS DOUBLE)
+        |    / (sqrt(CAST(n2u AS DOUBLE)) * sqrt(CAST(n2g AS DOUBLE)))) * 20)
+        |    AS BIGINT) AS bucket,
+        |  count(*) AS n_users
+        |FROM per CROSS JOIN n2g
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // KM folds are scalar-only (product and prefix sums) — safe from
     // the struct-fold hazard documented on evt_forecast_holt.

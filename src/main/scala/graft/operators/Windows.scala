@@ -320,6 +320,35 @@ object Windows extends OpModule {
         .orderBy("segment", "o_custkey")
     }),
 
+    "win_seasonal_split" -> ((s, d) => {
+      // Additive seasonal decomposition (r7), the classical-STL-lite:
+      // trend = centered 7-day moving average of daily volume,
+      // seasonal index = mean detrended residual per weekday — the
+      // "is Monday really +30%" readout behind evt_seasonality's raw
+      // matrix. The residual is kept as the EXACT integer 7·n − Σ₇
+      // (n minus the window mean, scaled by 7 to stay integral), so
+      // the per-weekday mean is one exact-integer ratio — no double
+      // accumulates across rows on either engine. Windows are
+      // type-partitioned over the day-grain rollup; edge days without
+      // a full 7-day window drop (the standard centered-MA boundary
+      // rule).
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      daily
+        .withColumn("sum7", sum("n").over(w))
+        .withColumn("cnt7", count(lit(1)).over(w))
+        .filter(col("cnt7") === 7)
+        .withColumn("r7", lit(7) * col("n") - col("sum7"))
+        .groupBy(col("event_type"), dayofweek(col("day")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(col("r7")).cast("double")
+            / (lit(7.0) * count(lit(1)).cast("double")), 4).as("seasonal"))
+        .orderBy("event_type", "dow")
+    }),
+
     "win_changepoint" -> ((s, d) => {
       // Binary changepoint detection (r7): per event type, the split
       // of the daily-volume series that maximizes the absolute
@@ -631,6 +660,29 @@ object Windows extends OpModule {
         |  CASE WHEN cum_share <= 0.5 THEN 'A'
         |       WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc
         |FROM r ORDER BY segment, o_custkey""".stripMargin,
+
+    // DoW base offset: DuckDB dayofweek is 0-based Sunday, Spark's is
+    // 1-based — the +1 mirrors evt_seasonality's convention.
+    "win_seasonal_split" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT event_type, day, n,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+        |  FROM daily),
+        |res AS (
+        |  SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+        |    7 * n - sum7 AS r7
+        |  FROM win WHERE cnt7 = 7)
+        |SELECT event_type, dow, count(*) AS n_days,
+        |  round(CAST(sum(r7) AS DOUBLE) / (7.0 * CAST(count(*) AS DOUBLE)), 4)
+        |    AS seasonal
+        |FROM res GROUP BY event_type, dow
+        |ORDER BY event_type, dow""".stripMargin,
 
     "win_changepoint" ->
       """WITH daily AS (

@@ -529,6 +529,49 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("moment profile agrees with agg_stats means and sane shape bounds") {
+    import org.apache.spark.sql.functions._
+    val rows = q("agg_moments").collect()
+    assert(rows.nonEmpty)
+    val means = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(avg(floor(col("value") * 100) / 100.0).as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - means(r.getString(0))) < 1e-3,
+        s"${r.getString(0)}: mean ${r.getDouble(2)} vs ${means(r.getString(0))}")
+      assert(r.getDouble(3) > 0, "sd must be positive on this data")
+      // kurtosis lower bound: m4/m2^2 >= 1 + skew^2 (Pearson)
+      val (sk, ku) = (r.getDouble(4), r.getDouble(5))
+      assert(ku + 3.0 >= 1.0 + sk * sk - 1e-3,
+        s"${r.getString(0)}: kurtosis $ku violates the Pearson bound for skew $sk")
+    }
+  }
+
+  test("behavior cosine histogram covers every user within [0,1] buckets") {
+    val rows = q("evt_behavior_cos_hist").collect()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nUsers)
+    rows.foreach { r =>
+      // count-space cosines are nonnegative and ≤ 1 → buckets 0..20
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 20L,
+        s"bucket ${r.getLong(0)} out of range")
+    }
+  }
+
+  test("seasonal indices per type sum to roughly zero (additive decomposition)") {
+    val rows = q("win_seasonal_split").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      assert(rs.length === 7, s"$et: expected all 7 weekdays")
+      // weighted residual means cancel: Σ n_days·seasonal ≈ 0
+      val weighted = rs.map(r => r.getLong(2) * r.getDouble(3)).sum
+      val total = rs.map(_.getLong(2)).sum
+      assert(math.abs(weighted / total) < 2.0,
+        s"$et: seasonal indices do not cancel (weighted mean ${weighted / total})")
+    }
+  }
+
   test("KM survival is a proper decreasing curve with consistent risk sets") {
     val rows = q("evt_survival_km").collect().sortBy(_.getLong(0))
     assert(rows.nonEmpty)
