@@ -121,6 +121,23 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq(Row(4L, 1L, 2L)))
   }
 
+  test("graph_bfs_layers walks the fixture from hub 3 in one hop") {
+    // Graph {1-2, 1-3, 2-3, 3-4}; seed = max-(degree, node) = node 3
+    // (degree 3). L0 = {3}, L1 = {1, 2, 4}; every remaining neighbor
+    // is already visited → L2 = L3 = ∅, nothing unreached.
+    val got = SparkEntry.queries("graph_bfs_layers")(spark, dir).collect().toSeq
+    assert(got === Seq(Row(0L, 1L), Row(1L, 3L)))
+  }
+
+  test("graph_modularity scores the single-community fixture at exactly zero") {
+    // LPA collapses the fixture to ONE community (see the consensus
+    // test): intra = m = 4, Σd_c = 8 → Q = 4/4 − 8²/(4·4²) = 0 — the
+    // textbook fact that a partition with everything in one block has
+    // zero modularity.
+    val got = SparkEntry.queries("graph_modularity")(spark, dir).collect().toSeq
+    assert(got === Seq(Row(1L, 4L, 4L, 0.0)))
+  }
+
   test("graph_pagerank conserves rank mass over the sf0.001 trade graph") {
     val rows = SparkEntry.queries("graph_pagerank")(spark, "/root/testdata/sf0.001")
       .collect()
