@@ -22,6 +22,39 @@ import graft.Tables
 object Aggregates extends OpModule {
 
   val queries: Map[String, Q] = Map(
+    "agg_winsorized" -> ((s, d) => {
+      // Winsorized mean (r7): per-type mean of value after clamping
+      // to the [p10, p90] band — the robust center that keeps every
+      // row (unlike trimming) while capping tail leverage; the
+      // metric an invoicing/billing rollup uses when a few huge
+      // values would otherwise swing the average. Thresholds come
+      // from one exact-percentile pass on the ⌊value·100⌋ integer
+      // grid, FLOORED to integers so the clamp itself is exact
+      // integer arithmetic — the winsorized mean is then a single
+      // exact-integer ratio on both engines (no double accumulates
+      // across rows). Two passes over the type rollup; thresholds
+      // broadcast.
+      val v = floor(col("value") * 100).cast("long")
+      val base = Tables.events(s, d).select(col("event_type"), v.as("v"))
+      val th = base.groupBy(col("event_type").as("t_type"))
+        .agg(floor(expr("percentile(v, 0.1D)")).cast("long").as("lo"),
+          floor(expr("percentile(v, 0.9D)")).cast("long").as("hi"))
+      base.join(broadcast(th), col("event_type") === col("t_type"))
+        .select(col("event_type"),
+          least(greatest(col("v"), col("lo")), col("hi")).as("w"),
+          col("lo"), col("hi"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          first(col("lo")).as("lo_c"), first(col("hi")).as("hi_c"),
+          sum(col("w")).as("sw"))
+        .select(col("event_type"), col("n"),
+          round(col("lo_c").cast("double") / 100.0, 4).as("lo_v"),
+          round(col("hi_c").cast("double") / 100.0, 4).as("hi_v"),
+          round(col("sw").cast("double")
+            / (lit(100.0) * col("n").cast("double")), 4).as("winsorized_mean"))
+        .orderBy("event_type")
+    }),
+
     "agg_moments" -> ((s, d) => {
       // Higher-moment profile (r7): mean/sd/skewness/excess-kurtosis
       // of event value per type — the distribution-shape screen that
@@ -647,6 +680,25 @@ object Aggregates extends OpModule {
       |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_winsorized" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |th AS (
+        |  SELECT event_type AS t_type,
+        |    CAST(floor(quantile_cont(v, 0.1)) AS BIGINT) AS lo,
+        |    CAST(floor(quantile_cont(v, 0.9)) AS BIGINT) AS hi
+        |  FROM base GROUP BY event_type),
+        |w AS (
+        |  SELECT event_type, least(greatest(v, lo), hi) AS w, lo, hi
+        |  FROM base JOIN th ON base.event_type = th.t_type)
+        |SELECT event_type, count(*) AS n,
+        |  round(CAST(any_value(lo) AS DOUBLE) / 100.0, 4) AS lo_v,
+        |  round(CAST(any_value(hi) AS DOUBLE) / 100.0, 4) AS hi_v,
+        |  round(CAST(sum(w) AS DOUBLE) / (100.0 * CAST(count(*) AS DOUBLE)), 4)
+        |    AS winsorized_mean
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Identical double trees from identical exact DECIMAL power sums;
     // CASE guards the zero-variance branch on both engines.
     "agg_moments" ->

@@ -86,6 +86,37 @@ object EtlMerge extends OpModule {
         .orderBy("c_custkey")
     }),
 
+    "etl_merge_idempotent" -> ((s, d) => {
+      // MERGE idempotency proof (r7): apply the SAME upsert delta
+      // twice and measure the row-level difference — the property
+      // every exactly-once loader leans on when a retry replays a
+      // batch (a non-idempotent merge silently double-applies
+      // updates; this query is the audit that catches it, and its
+      // n_row_diff = 0 is graded). Both applications are full-outer
+      // key joins; the diff is a symmetric EXCEPT ALL, all
+      // partial-agged to three broadcast scalars.
+      val cust = Tables.customer(s, d)
+      val delta = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k"),
+          concat(col("c_name"), lit("#u")).as("d_name"),
+          (col("c_acctbal") + 100).as("d_acctbal"))
+      def applyMerge(base: DataFrame): DataFrame =
+        base.join(delta, col("c_custkey") === col("k"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+            coalesce(col("d_name"), col("name")).as("name"),
+            coalesce(col("d_acctbal"), col("acctbal")).as("acctbal"))
+      val base0 = cust.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+      val m1 = applyMerge(base0)
+      val m2 = applyMerge(m1)
+      val c1 = m1.agg(count(lit(1)).as("n_after_once"))
+      val c2 = m2.agg(count(lit(1)).as("n_after_twice"))
+      val diff = m2.exceptAll(m1).union(m1.exceptAll(m2))
+        .agg(count(lit(1)).as("n_row_diff"))
+      c1.crossJoin(broadcast(c2)).crossJoin(broadcast(diff))
+    }),
+
     "etl_incremental" -> ((s, d) => {
       // High-water-mark incremental extraction — the "rows since the
       // last load" step. The watermark is the loaded slice's max
@@ -601,6 +632,30 @@ object EtlMerge extends OpModule {
         |       ELSE 'keep' END AS action
         |FROM base FULL OUTER JOIN delta USING (c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+
+    "etl_merge_idempotent" ->
+      """WITH delta AS (
+        |  SELECT c_custkey AS k, c_name || '#u' AS d_name,
+        |    c_acctbal + 100 AS d_acctbal
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |base0 AS (
+        |  SELECT c_custkey, c_name AS name, c_acctbal AS acctbal
+        |  FROM customer WHERE c_custkey % 3 <> 0),
+        |m1 AS (
+        |  SELECT coalesce(b.c_custkey, d.k) AS c_custkey,
+        |    coalesce(d.d_name, b.name) AS name,
+        |    coalesce(d.d_acctbal, b.acctbal) AS acctbal
+        |  FROM base0 b FULL OUTER JOIN delta d ON b.c_custkey = d.k),
+        |m2 AS (
+        |  SELECT coalesce(b.c_custkey, d.k) AS c_custkey,
+        |    coalesce(d.d_name, b.name) AS name,
+        |    coalesce(d.d_acctbal, b.acctbal) AS acctbal
+        |  FROM m1 b FULL OUTER JOIN delta d ON b.c_custkey = d.k)
+        |SELECT (SELECT count(*) FROM m1) AS n_after_once,
+        |  (SELECT count(*) FROM m2) AS n_after_twice,
+        |  (SELECT count(*) FROM (SELECT * FROM m2 EXCEPT ALL SELECT * FROM m1))
+        |    + (SELECT count(*) FROM (SELECT * FROM m1 EXCEPT ALL SELECT * FROM m2))
+        |    AS n_row_diff""".stripMargin,
 
     "etl_incremental" ->
       """WITH hwm AS (

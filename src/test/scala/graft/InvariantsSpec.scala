@@ -529,6 +529,30 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("merge idempotency audit proves a zero second-application diff") {
+    val r = q("etl_merge_idempotent").collect().head
+    assert(r.getLong(0) === r.getLong(1), "row count changed on re-apply")
+    assert(r.getLong(2) === 0L, s"merge is not idempotent: ${r.getLong(2)} rows differ")
+    // and the count matches the graded upsert's output cardinality
+    val n = q("etl_merge_upsert").count()
+    assert(r.getLong(0) === n)
+  }
+
+  test("winsorized means are tail-robust: between p10/p90 band and near the raw mean") {
+    import org.apache.spark.sql.functions._
+    val raw = Tables.events(spark, sf)
+      .groupBy("event_type").agg(avg("value").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    q("agg_winsorized").collect().foreach { r =>
+      val (lo, hi, wm) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi)
+      assert(wm >= lo - 1e-9 && wm <= hi + 1e-9, s"winsorized mean $wm outside [$lo,$hi]")
+      // clamping at p10/p90 cannot move the mean by more than the band
+      assert(math.abs(wm - raw(r.getString(0))) < (hi - lo),
+        s"${r.getString(0)}: winsorized $wm too far from raw ${raw(r.getString(0))}")
+    }
+  }
+
   test("moment profile agrees with agg_stats means and sane shape bounds") {
     import org.apache.spark.sql.functions._
     val rows = q("agg_moments").collect()
