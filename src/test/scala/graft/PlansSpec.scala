@@ -439,6 +439,24 @@ class PlansSpec extends SparkSpec {
       s"priority window is not partitioned by source: $winLine")
   }
 
+  test("round-7 continuation rollups keep map-side partial aggregation") {
+    // every one of these shuffles a rollup, not raw rows
+    Seq("text_docfreq_prune", "evt_behavior_cos_hist", "agg_winsorized",
+      "agg_moments", "evt_survival_km").foreach { name =>
+      val plan = treeString(q(name))
+      assert(plan.contains("partial_"),
+        s"$name shuffles unaggregated rows:\n$plan")
+    }
+  }
+
+  test("win_seasonal_split windows are partitioned by event_type") {
+    val plan = treeString(q("win_seasonal_split"))
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    winLines.foreach(l => assert(l.contains("event_type"),
+      s"unpartitioned seasonal window: $l"))
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
