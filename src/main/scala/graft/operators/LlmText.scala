@@ -1176,6 +1176,57 @@ object LlmText extends OpModule {
         .orderBy("doc_id")
     }),
 
+    "dedup_lsh_scurve" -> ((s, d) => {
+      // LSH S-curve tuning eval (r7): empirical candidate rate per
+      // exact-Jaccard bucket vs the THEORETICAL banding curve for
+      // this index's (r=2 rows, b=4 bands, ≥2 matching bands) rule —
+      // P(candidate | s) = 1 − q⁴ − 4pq³ with p = s², q = 1−p (the
+      // ≥2-of-4 binomial tail; the textbook 1−(1−s^r)^b is the ≥1
+      // rule and would mis-grade this index). The comparison every
+      // LSH deployment reads before trusting its recall: a measured
+      // rate far off the curve means broken hashing, not bad luck.
+      // The formula uses only exact-rounded mults/subs on identical
+      // bucket midpoints — no pow, bit-identical on both engines.
+      // The exact-Jaccard side is the FULL C(100,2) pair spine of the
+      // gated doc slice (zero-overlap pairs included at bucket 0 —
+      // the curve needs the low-similarity mass the ≥0.2 dedup gate
+      // drops), the standard gated-eval-truth-set shape; candidates
+      // come from the graded minhash pipeline.
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val sizes = docs.select(col("doc_id"),
+        size(array_distinct(bigramArr(col("text")))).cast("long").as("n_grams"))
+      val grams = docs.select(col("doc_id"),
+        explode(array_distinct(bigramArr(col("text")))).as("bigram"))
+      val common = grams.select(col("doc_id").as("a_id"), col("bigram"))
+        .join(grams.select(col("doc_id").as("b_id"), col("bigram")), "bigram")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+      val spine = sizes.select(col("doc_id").as("a_id"), col("n_grams").as("a_n"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")),
+          col("a_id") < col("b_id"))
+      val jac = spine.join(common, Seq("a_id", "b_id"), "left")
+        .withColumn("nc", coalesce(col("n_common"), lit(0L)))
+        .withColumn("jaccard", round(col("nc").cast("double")
+          / (col("a_n") + col("b_n") - col("nc")).cast("double"), 4))
+      val cand = queries("dedup_near_minhash")(s, d)
+        .select(col("a_id").as("c_a"), col("b_id").as("c_b"), lit(1).as("hit"))
+      jac.join(cand, col("a_id") === col("c_a") && col("b_id") === col("c_b"),
+          "left")
+        .groupBy(floor(col("jaccard") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_candidates"))
+        .withColumn("sm",
+          least(col("bucket").cast("double") * 0.1 + 0.05, lit(1.0)))
+        .withColumn("p", col("sm") * col("sm"))
+        .withColumn("qq", lit(1.0) - col("p"))
+        .select(col("bucket"), col("n_pairs"), col("n_candidates"),
+          round(col("n_candidates").cast("double")
+            / col("n_pairs").cast("double"), 4).as("empirical_rate"),
+          round(lit(1.0) - col("qq") * col("qq") * col("qq") * col("qq")
+            - lit(4.0) * col("p") * (col("qq") * col("qq") * col("qq")), 4)
+            .as("theory_rate"))
+        .orderBy("bucket")
+    }),
+
     "dedup_rep_select" -> ((s, d) => {
       // Canonical-representative selection (r7): the choice a dedup
       // pass actually ships — within each near-dup component keep the
@@ -1958,6 +2009,45 @@ s"""SELECT doc_id, lang, bucket FROM (
     "dedup_components" ->
       s"""WITH $ComponentsCtes
          |SELECT doc_id, label AS canonical FROM l3 ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_scurve" ->
+      s"""WITH $PairBaseCtes,
+         |sigs AS ($MinhashSigSql),
+         |bands AS ($BandsSql),
+         |mh AS (
+         |  SELECT a.doc_id AS c_a, b.doc_id AS c_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY c_a, c_b HAVING count(*) >= 2),
+         |spine AS (
+         |  SELECT sa.doc_id AS a_id, sb.doc_id AS b_id,
+         |    sa.n_grams AS a_n, sb.n_grams AS b_n
+         |  FROM sizes sa JOIN sizes sb ON sa.doc_id < sb.doc_id),
+         |jac AS (
+         |  SELECT spine.a_id, spine.b_id,
+         |    round(CAST(coalesce(n_common, 0) AS DOUBLE)
+         |      / CAST(a_n + b_n - coalesce(n_common, 0) AS DOUBLE), 4) AS jaccard
+         |  FROM spine LEFT JOIN common
+         |    ON spine.a_id = common.a_id AND spine.b_id = common.b_id),
+         |bk AS (
+         |  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket,
+         |    count(*) AS n_pairs,
+         |    count(mh.c_a) AS n_candidates
+         |  FROM jac LEFT JOIN mh ON jac.a_id = mh.c_a
+         |    AND jac.b_id = mh.c_b
+         |  GROUP BY bucket),
+         |mid AS (
+         |  SELECT bucket, n_pairs, n_candidates,
+         |    least(CAST(bucket AS DOUBLE) * 0.1 + 0.05, 1.0) AS sm
+         |  FROM bk),
+         |pq2 AS (SELECT bucket, n_pairs, n_candidates,
+         |  sm * sm AS p, 1.0 - sm * sm AS qq FROM mid)
+         |SELECT bucket, n_pairs, n_candidates,
+         |  round(CAST(n_candidates AS DOUBLE) / CAST(n_pairs AS DOUBLE), 4)
+         |    AS empirical_rate,
+         |  round(1.0 - qq * qq * qq * qq - 4.0 * p * (qq * qq * qq), 4)
+         |    AS theory_rate
+         |FROM pq2 ORDER BY bucket""".stripMargin,
 
     "dedup_rep_select" ->
       s"""WITH $ComponentsCtes,

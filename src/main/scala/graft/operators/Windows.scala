@@ -320,6 +320,27 @@ object Windows extends OpModule {
         .orderBy("segment", "o_custkey")
     }),
 
+    "win_wow_growth" -> ((s, d) => {
+      // Week-over-week growth (r7): daily volume per type against the
+      // SAME WEEKDAY one week back (lag 7 over the day series) — the
+      // growth readout that cancels weekly seasonality by
+      // construction, complementing win_mom_growth's month grain and
+      // win_seasonal_split's decomposition. Type-partitioned lag over
+      // the day-grain rollup; growth is one exact-integer ratio.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("n7", lag("n", 7).over(w))
+        .filter(col("n7").isNotNull)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("n7"),
+          round((col("n") - col("n7")).cast("double")
+            / col("n7").cast("double"), 4).as("wow_growth"))
+        .orderBy("event_type", "day")
+    }),
+
     "win_seasonal_split" -> ((s, d) => {
       // Additive seasonal decomposition (r7), the classical-STL-lite:
       // trend = centered 7-day moving average of daily volume,
@@ -660,6 +681,19 @@ object Windows extends OpModule {
         |  CASE WHEN cum_share <= 0.5 THEN 'A'
         |       WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc
         |FROM r ORDER BY segment, o_custkey""".stripMargin,
+
+    "win_wow_growth" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, day, n,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS n7
+        |  FROM daily)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, n7,
+        |  round(CAST(n - n7 AS DOUBLE) / CAST(n7 AS DOUBLE), 4) AS wow_growth
+        |FROM lagged WHERE n7 IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin,
 
     // DoW base offset: DuckDB dayofweek is 0-based Sunday, Spark's is
     // 1-based — the +1 mirrors evt_seasonality's convention.

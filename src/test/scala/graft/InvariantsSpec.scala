@@ -529,6 +529,38 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("lsh s-curve covers the full pair spine with sane rates") {
+    val rows = q("dedup_lsh_scurve").collect()
+    val nDocs = Tables.documents(spark, sf).filter(
+      org.apache.spark.sql.functions.col("doc_id") < 100).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs * (nDocs - 1) / 2,
+      "pair buckets must partition the full C(n,2) spine")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val (emp, th) = (r.getDouble(3), r.getDouble(4))
+      assert(emp >= 0.0 && emp <= 1.0 && th >= -1e-9 && th <= 1.0 + 1e-9)
+    }
+    // theory is monotone increasing in the bucket midpoint
+    val theory = rows.sortBy(_.getLong(0)).map(_.getDouble(4))
+    assert(theory.sameElements(theory.sorted), "S-curve must be monotone")
+  }
+
+  test("wow growth rows reconstruct from the daily rollup exactly") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    val rows = q("win_wow_growth").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) === daily((r.getString(0), r.getString(1))))
+      val back = java.time.LocalDate.parse(r.getString(1)).minusDays(7).toString
+      assert(r.getLong(3) === daily((r.getString(0), back)),
+        s"${r.getString(0)} ${r.getString(1)}: lag-7 mismatch")
+    }
+  }
+
   test("merge idempotency audit proves a zero second-application diff") {
     val r = q("etl_merge_idempotent").collect().head
     assert(r.getLong(0) === r.getLong(1), "row count changed on re-apply")
