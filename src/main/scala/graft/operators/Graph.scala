@@ -378,7 +378,48 @@ object Graph extends OpModule {
             / (col("n1") * col("n2")).cast("double"), 4).as("lift"))
         .orderBy("b1", "b2")
     }),
+
+    "graph_clustering_coeff" -> ((s, d) =>
+      // Persist-scoped; see clusteringBody.
+      scopedPersist(clusteringBody(s, d))),
   )
+
+  /** Body of graph_clustering_coeff, exposed for plan-shape tests. */
+  private[graft] def clusteringBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+      // LOCAL clustering-coefficient distribution — the per-node twin
+      // of graph_triangles' single global number: how many nodes live
+      // in tightly closed neighborhoods (coeff→1) vs open hubs
+      // (coeff→0). Per-node triangle counts enumerate wedges CENTERED
+      // at each node (both orientations of the edge list) and probe
+      // the closing edge with one equi-join: Σd² wedge work is the
+      // irreducible cost of local (not global) counting, and it stays
+      // bounded because the category projection caps degrees — at
+      // raw-key scale the standard mitigation is a hub degree cap
+      // (drop or sample centers with d > K), same as the jaccard/
+      // link-predict family. The coefficient is bucketed on the EXACT
+      // integer decile (10·t) div pairs ∈ 0..10 — no double ever
+      // crosses engines; per-bucket sums stay exact longs.
+      val e = scope.persist(edges(s, d))
+      val adj = e.select(col("u").as("ctr"), col("v").as("nb"))
+        .union(e.select(col("v").as("ctr"), col("u").as("nb")))
+      val w1 = adj.select(col("ctr"), col("nb").as("a"))
+      val w2 = adj.select(col("ctr").as("ctr2"), col("nb").as("b"))
+      val wedges = w1
+        .join(w2, col("ctr") === col("ctr2") && col("a") < col("b"))
+        .select("ctr", "a", "b")
+      val triPerNode = wedges
+        .join(e, col("a") === col("u") && col("b") === col("v"))
+        .groupBy("ctr").agg(count(lit(1)).as("t"))
+      degrees(e).filter(col("d") >= 2)
+        .join(triPerNode.withColumnRenamed("ctr", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("t"), lit(0L)).as("t"),
+          expr("d * (d - 1) div 2").as("pairs"))
+        .groupBy(expr("(10 * t) div pairs").as("bucket"))
+        .agg(count(lit(1)).as("n_nodes"), sum("t").as("sum_tri"),
+          sum("pairs").as("sum_pairs"))
+        .orderBy("bucket")
+  }
 
   /** Two deterministic LPA supersteps over edge set `e` (most-frequent
     * neighbor label, ties → MIN label) — shared by
@@ -825,5 +866,27 @@ object Graph extends OpModule {
         |CROSS JOIN n_orders n
         |WHERE round(CAST(nab AS DOUBLE) / CAST(n.n AS DOUBLE), 6) >= 0.015
         |ORDER BY b1, b2""".stripMargin,
+
+    // Same per-center wedge enumeration + closing-edge probe; the
+    // decile bucket is pure integer division so both engines bin
+    // identically.
+    "graph_clustering_coeff" ->
+      s"""WITH $EDGES,
+         |adj AS (SELECT u AS ctr, v AS nb FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |tri AS (
+         |  SELECT a.ctr, count(*) AS t
+         |  FROM adj a JOIN adj b ON a.ctr = b.ctr AND a.nb < b.nb
+         |  JOIN e ON e.u = a.nb AND e.v = b.nb
+         |  GROUP BY 1),
+         |pn AS (
+         |  SELECT deg.node, coalesce(tri.t, 0) AS t,
+         |    d * (d - 1) // 2 AS pairs
+         |  FROM deg LEFT JOIN tri ON tri.ctr = deg.node
+         |  WHERE d >= 2)
+         |SELECT (10 * t) // pairs AS bucket, count(*) AS n_nodes,
+         |  CAST(sum(t) AS BIGINT) AS sum_tri,
+         |  CAST(sum(pairs) AS BIGINT) AS sum_pairs
+         |FROM pn GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -1037,6 +1037,78 @@ object LlmSim extends OpModule {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("lang", "batch_id")
     }),
+
+    "sample_balanced_class" -> ((s, d) => {
+      // Class-balanced downsample of the labeled embedding set: every
+      // label keeps exactly m = min class size rows — the rebalancing
+      // cut a classifier-training pipeline takes before fitting on a
+      // skewed label mix. Rows rank inside their class by the same
+      // 31-bit Knuth scramble the sampling family uses (deterministic,
+      // engine-portable, partition-independent); m broadcasts as one
+      // row. At this shape the rank is a label-partitioned window —
+      // ~10 classes would skew a 100 TB shuffle, so the scale path is
+      // the two-phase top-k (per-partition pre-rank, re-rank the
+      // survivors: cf. win_topk_per_group) with m from a first cheap
+      // count pass. Output is the per-class audit (counts + id
+      // checksums), all exact integers.
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val m = e.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min("n").as("m"))
+      val key = ((col("vec_id") % lit(2147483648L)) * lit(2654435761L)) %
+        lit(1000003L)
+      val w = Window.partitionBy("label").orderBy(key.asc, col("vec_id").asc)
+      e.withColumn("rnk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(m))
+        .filter(col("rnk") <= col("m"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("id_sum"),
+          min("vec_id").as("id_min"), max("vec_id").as("id_max"))
+        .orderBy("label")
+    }),
+
+    "sim_label_homophily" -> ((s, d) => {
+      // Label homophily among near-duplicate candidates: for each
+      // label, what fraction of its LSH-bucket-local pairs at rounded
+      // cosine ≥ 0.3 stay within the label — the label-noise audit a
+      // curated training set runs (homophily ≈ 1 means the embedding
+      // space respects the labels; ≈ class prior means the labels are
+      // noise). Same scale shape as sim_range_search: candidates are
+      // bucket-co-residents only (one equi-join on the 8-bit
+      // signature — never all-pairs), cosines on the exact ⌊v·1e6⌋
+      // integer grid so the ≥ τ gate is bit-identical across engines,
+      // labels join from the dimension-sized id→label map, and the
+      // rollup is |labels|-sized with exact-integer counts; the share
+      // is one division from those integers.
+      val ie = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6).cast("double")).as("iv"),
+          lshBucket(col("embedding")).as("bucket"))
+        .select(col("vec_id"), col("label"), col("iv"), col("bucket"),
+          sqrt(dot(col("iv"), col("iv"))).as("nrm"))
+      val a = ie.select(col("bucket"), col("vec_id").as("a_id"),
+        col("label").as("a_label"), col("iv").as("a_iv"),
+        col("nrm").as("a_nrm"))
+      val b = ie.select(col("bucket"), col("vec_id").as("b_id"),
+        col("label").as("b_label"), col("iv").as("b_iv"),
+        col("nrm").as("b_nrm"))
+      val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+        .filter(round(
+          dot(col("a_iv"), col("b_iv")) / (col("a_nrm") * col("b_nrm")), 4)
+          >= 0.3)
+        .select(col("a_label"), col("b_label"))
+      pairs
+        .select(col("a_label").as("label"), col("b_label").as("other"))
+        .union(pairs.select(col("b_label").as("label"),
+          col("a_label").as("other")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("label") === col("other"), 1)).as("n_same"))
+        .select(col("label"), col("n_pairs"), col("n_same"),
+          round(col("n_same").cast("double")
+            / col("n_pairs").cast("double"), 4).as("homophily"))
+        .orderBy("label")
+    }),
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -1830,5 +1902,57 @@ object LlmSim extends OpModule {
         |  CAST(sum(nb) AS BIGINT) AS n_bytes, max(nb) AS max_bytes,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM packed GROUP BY 1, 2 ORDER BY lang, batch_id""".stripMargin,
+
+    "sample_balanced_class" ->
+      """WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+        |m AS (SELECT min(n) AS m FROM c),
+        |r AS (
+        |  SELECT label, vec_id,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY ((vec_id % 2147483648) * 2654435761) % 1000003,
+        |        vec_id) AS rnk
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_kept,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |  min(vec_id) AS id_min, max(vec_id) AS id_max
+        |FROM r, m WHERE rnk <= m.m
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    // Same bucket-gated exact-integer-grid pair set as
+    // sim_range_search; labels join on both endpoints and the share
+    // is one division from exact counts.
+    "sim_label_homophily" ->
+      s"""WITH buckets AS ($BucketsSql),
+         |ui AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS vi
+         |  FROM embeddings),
+         |n2 AS (SELECT vec_id, CAST(sum(vi * vi) AS BIGINT) AS n2
+         |       FROM ui GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT ua.vec_id AS a_id, ub.vec_id AS b_id
+         |  FROM ui ua JOIN ui ub ON ua.pos = ub.pos AND ua.vec_id < ub.vec_id
+         |  JOIN buckets ba ON ba.vec_id = ua.vec_id
+         |  JOIN buckets bb ON bb.vec_id = ub.vec_id AND ba.bucket = bb.bucket
+         |  JOIN n2 na ON na.vec_id = ua.vec_id
+         |  JOIN n2 nb ON nb.vec_id = ub.vec_id
+         |  GROUP BY ua.vec_id, ub.vec_id, na.n2, nb.n2
+         |  HAVING round(CAST(CAST(sum(ua.vi * ub.vi) AS BIGINT) AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4)
+         |    >= 0.3),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |pl AS (
+         |  SELECT la.label AS label, lb.label AS other
+         |  FROM pairs JOIN lab la ON la.vec_id = a_id
+         |  JOIN lab lb ON lb.vec_id = b_id),
+         |sym AS (SELECT label, other FROM pl
+         |        UNION ALL SELECT other, label FROM pl)
+         |SELECT label, n_pairs, n_same,
+         |  round(CAST(n_same AS DOUBLE) / CAST(n_pairs AS DOUBLE), 4)
+         |    AS homophily
+         |FROM (SELECT label, count(*) AS n_pairs,
+         |        count(CASE WHEN label = other THEN 1 END) AS n_same
+         |      FROM sym GROUP BY 1)
+         |ORDER BY label""".stripMargin,
   )
 }

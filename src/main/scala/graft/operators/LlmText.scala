@@ -1300,6 +1300,63 @@ object LlmText extends OpModule {
           sum(when(col("kept"), col("n_chars"))).as("chars_kept"))
         .orderBy("lang")
     }),
+
+    "text_hapax_ratio" -> ((s, d) =>
+      // Vocabulary-health profile per language: type count, hapax
+      // (frequency-1) count, hapax share and type/token ratio — the
+      // lexical-diversity gates a corpus curator reads next to
+      // text_zipf's slope (a scraped corpus whose hapax share
+      // collapses is template spam; one that explodes is OCR noise).
+      // Two partial-agged passes: token→(lang, token) counts, then a
+      // |langs|-sized rollup; the ratios are single divisions from
+      // exact integers, so both engines compute the identical double.
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+        .groupBy("lang")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          count(when(col("c") === 1, 1)).as("n_hapax"))
+        .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_hapax").cast("double")
+            / col("n_types").cast("double"), 4).as("hapax_share"),
+          round(col("n_types").cast("double")
+            / col("n_tokens").cast("double"), 4).as("ttr"))
+        .orderBy("lang")),
+
+    "text_ngram_entropy" -> ((s, d) =>
+      // Per-language bigram conditional entropy H(next|cur) — the
+      // predictability readout behind text_perplexity_proxy: natural
+      // text sits in a band, templated spam collapses toward 0.
+      // Identity H = (Σ n_c·ln n_c − Σ c·ln c) / N over exact integer
+      // counts (n_c = context total, c = bigram count) turns the
+      // nested conditional sum into TWO scalar folds over SORTED
+      // in-row lists — the agg_entropy discipline that pins double
+      // summation order on both engines (a sum() over shuffled rows
+      // would be partition-order-dependent). List sizes are |vocab|
+      // and |bigram types| per lang — bounded by the vocabulary, not
+      // the corpus; the bigram stream itself reduces map-side.
+      {
+        def xlnx(c: String) = expr(
+          s"aggregate($c, CAST(0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))")
+        val bgc = Tables.documents(s, d)
+          .select(col("lang"), explode(bigramArr(col("text"))).as("bg"))
+          .groupBy("lang", "bg").agg(count(lit(1)).as("c"))
+          .withColumn("cur", substring_index(col("bg"), " ", 1))
+        val byType = bgc.groupBy("lang")
+          .agg(sum("c").as("n_bigrams"), count(lit(1)).as("n_types"),
+            sort_array(collect_list(col("c"))).as("cs"))
+        val byCur = bgc.groupBy("lang", "cur").agg(sum("c").as("nc"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_contexts"),
+            sort_array(collect_list(col("nc"))).as("ncs"))
+        byType.join(byCur, Seq("lang"))
+          .select(col("lang"), col("n_bigrams"), col("n_types"),
+            col("n_contexts"),
+            round((xlnx("ncs") - xlnx("cs"))
+              / col("n_bigrams").cast("double"), 4).as("cond_entropy"))
+          .orderBy("lang")
+      }),
   )
 
   /** Near-dup pairs among docs < 100 by bigram-set Jaccard ≥ 0.2 —
@@ -2127,6 +2184,56 @@ s"""SELECT doc_id, lang, bucket FROM (
          |    AS chars_kept
          |FROM l3 JOIN documents d ON d.doc_id = l3.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "text_hapax_ratio" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |g AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    count(CASE WHEN c = 1 THEN 1 END) AS n_hapax
+        |  FROM c GROUP BY 1)
+        |SELECT lang, n_tokens, n_types, n_hapax,
+        |  round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 4)
+        |    AS hapax_share,
+        |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+        |    AS ttr
+        |FROM g ORDER BY lang""".stripMargin,
+
+    // Identity H(next|cur) = (Σ nc·ln nc − Σ c·ln c)/N; both Σ run as
+    // scalar folds over SORTED integer lists (agg_entropy discipline)
+    // so double summation order is pinned on both engines.
+    "text_ngram_entropy" ->
+      """WITH bgl AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM (SELECT lang, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |bgc AS (SELECT lang, bg, count(*) AS c FROM bgl GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    count(*) AS n_types, list_sort(list(c)) AS cs
+        |  FROM bgc GROUP BY 1),
+        |bc AS (
+        |  SELECT lang, count(*) AS n_contexts, list_sort(list(nc)) AS ncs
+        |  FROM (SELECT lang, string_split(bg, ' ')[1] AS cur,
+        |          CAST(sum(c) AS BIGINT) AS nc
+        |        FROM bgc GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT bt.lang, n_bigrams, n_types, n_contexts,
+        |  round((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(ncs,
+        |             x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))),
+        |           (a, b) -> a + b)
+        |       - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list_transform(cs,
+        |             x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE)))),
+        |           (a, b) -> a + b))
+        |    / CAST(n_bigrams AS DOUBLE), 4) AS cond_entropy
+        |FROM bt JOIN bc ON bt.lang = bc.lang
+        |ORDER BY bt.lang""".stripMargin,
   )
 
   /** Per-doc `bits`-wide simhash (doc_id, simhash) over a hashed-id

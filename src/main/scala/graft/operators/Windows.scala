@@ -450,6 +450,34 @@ object Windows extends OpModule {
           col("slope"), col("intercept"))
         .orderBy("event_type")
     }),
+
+    "win_rolling_median" -> ((s, d) =>
+      // Exact rolling 7-row median of each user's value series — the
+      // robust smoother that win_moving_avg's mean cannot give when a
+      // single spike lands in the frame. Spark has no median window
+      // function, so the frame is gathered with collect_list over the
+      // bounded ROWS frame and the median read in-row from the sorted
+      // array: O(k log k) per row with k=7 FIXED, so the plan is one
+      // user-partitioned window shuffle + map work, independent of
+      // data scale — never a per-group self-join. Values live on the
+      // exact ⌊value·100⌋ integer grid and the median is emitted as
+      // lower+upper middle (med2x100 = an exact scaled integer), so
+      // no double crosses engines; frames are deterministic via the
+      // (ts, event_id) total order. DuckDB gathers the same frame
+      // with list() OVER and indexes the same sorted positions.
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("v100"))
+        .withColumn("fr", sort_array(collect_list(col("v100")).over(
+          Window.partitionBy("user_id")
+            .orderBy(col("ts"), col("event_id"))
+            .rowsBetween(-6, 0))))
+        .select(col("user_id"), col("event_id"),
+          size(col("fr")).cast("long").as("n_frame"),
+          (element_at(col("fr"), expr("(size(fr) + 1) div 2").cast("int"))
+            + element_at(col("fr"), expr("size(fr) div 2 + 1").cast("int")))
+            .as("med2x100"))
+        .orderBy("user_id", "event_id")),
   )
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -776,5 +804,20 @@ object Windows extends OpModule {
         |SELECT sl.event_type, n_days, n_pairs, slope, intercept
         |FROM sl JOIN ic ON sl.event_type = ic.event_type
         |ORDER BY sl.event_type""".stripMargin,
+
+    "win_rolling_median" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS v100
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id,
+        |    list_sort(list(v100) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
+        |  FROM v)
+        |SELECT user_id, event_id, CAST(len(fr) AS BIGINT) AS n_frame,
+        |  fr[(len(fr) + 1) // 2] + fr[len(fr) // 2 + 1] AS med2x100
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
   )
 }

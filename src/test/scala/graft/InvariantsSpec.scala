@@ -769,4 +769,96 @@ class InvariantsSpec extends SparkSpec {
       assert(mean >= 2999L && mean <= mx, s"mean_e4 $mean vs max $mx")
     }
   }
+
+  test("rolling median covers every event and stays inside its frame") {
+    import org.apache.spark.sql.functions._
+    val rows = q("win_rolling_median").collect()
+    assert(rows.length === Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      assert(n >= 1L && n <= 7L, s"frame size $n out of [1,7]")
+    }
+    // singleton frames (each user's first event) are 2x the raw value
+    val firsts = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("event_id"),
+        (floor(col("value") * 100).cast("long") * 2).as("exp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => firsts.contains(r.getLong(1))).foreach { r =>
+      assert(r.getLong(3) === firsts(r.getLong(1)),
+        s"event ${r.getLong(1)}: singleton median mismatch")
+    }
+  }
+
+  test("local clustering buckets reconcile with the global triangle census") {
+    val rows = q("graph_clustering_coeff").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(b >= 0L && b <= 10L, s"bucket $b out of decile range")
+      assert(r.getLong(2) <= r.getLong(3), "sum_tri must be <= sum_pairs")
+    }
+    // Σ per-node triangles = 3 × global triangle count (each triangle
+    // is counted once at each of its three corners)
+    val global = q("graph_triangles").collect().head
+    assert(rows.map(_.getLong(2)).sum === 3L * global.getLong(3))
+    // every node of degree >= 2 lands in exactly one bucket
+    val expected = q("graph_degree_hist").collect()
+      .filter(_.getLong(0) >= 2L).map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(1)).sum === expected)
+  }
+
+  test("balanced class sample keeps exactly the min class size per label") {
+    import org.apache.spark.sql.functions._
+    val m = Tables.embeddings(spark, sf).groupBy("label").count()
+      .agg(min("count")).collect().head.getLong(0)
+    val rows = q("sample_balanced_class").collect()
+    val labels = Tables.embeddings(spark, sf).select("label")
+      .distinct().count()
+    assert(rows.length === labels)
+    rows.foreach(r => assert(r.getLong(1) === m,
+      s"label ${r.getInt(0)}: kept ${r.getLong(1)} != min class $m"))
+  }
+
+  test("label homophily counts are symmetric and share-bounded") {
+    val rows = q("sim_label_homophily").collect()
+    if (rows.nonEmpty) {
+      assert(rows.map(_.getLong(1)).sum % 2 === 0,
+        "symmetrized pair endpoints must be even")
+      rows.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1))
+        val h = r.getDouble(3)
+        assert(h >= 0.0 && h <= 1.0)
+      }
+    }
+  }
+
+  test("hapax counts nest inside types inside tokens") {
+    val rows = q("text_hapax_ratio").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1))
+    }
+    import org.apache.spark.sql.functions._
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).count()
+    assert(rows.map(_.getLong(1)).sum === totalTokens)
+  }
+
+  test("bigram conditional entropy is bounded by the unigram context log") {
+    val rows = q("text_ngram_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, nt, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nc <= nt && nt <= nb,
+        s"${r.getString(0)}: contexts $nc types $nt bigrams $nb")
+      val h = r.getDouble(4)
+      // 0 <= H(next|cur) <= ln(#bigram types) with rounding slack
+      assert(h >= -1e-4 && h <= math.log(nt.toDouble) + 1e-4,
+        s"${r.getString(0)}: entropy $h out of bounds")
+    }
+  }
 }

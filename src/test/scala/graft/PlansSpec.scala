@@ -457,6 +457,52 @@ class PlansSpec extends SparkSpec {
       s"unpartitioned seasonal window: $l"))
   }
 
+  test("win_rolling_median window is user-partitioned, never global") {
+    val plan = treeString(q("win_rolling_median"))
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    winLines.foreach(l => assert(l.contains("user_id"),
+      s"unpartitioned rolling-median window: $l"))
+  }
+
+  test("graph_clustering_coeff stays equi-joined with a partial-agged rollup") {
+    scopedPlan(graft.operators.Graph.clusteringBody(spark, sf)) { plan =>
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"wedge enumeration degenerated to a cartesian:\n$plan")
+      assert(plan.contains("partial_"),
+        s"decile rollup shuffles unaggregated nodes:\n$plan")
+    }
+  }
+
+  test("sim_label_homophily is bucket-gated and partially aggregated") {
+    val plan = treeString(q("sim_label_homophily"))
+    assert(!plan.contains("CartesianProduct"),
+      s"homophily pair join degenerated to all-pairs:\n$plan")
+    assert(plan.contains("partial_"),
+      s"homophily rollup shuffles unaggregated endpoints:\n$plan")
+  }
+
+  test("text vocabulary rollups keep map-side partial aggregation") {
+    Seq("text_hapax_ratio", "text_ngram_entropy").foreach { name =>
+      val plan = treeString(q(name))
+      assert(plan.contains("partial_"),
+        s"$name shuffles unaggregated tokens:\n$plan")
+    }
+  }
+
+  test("sample_balanced_class ranks in label partitions, broadcast min") {
+    val plan = treeString(q("sample_balanced_class"))
+    val winLine = plan.linesIterator
+      .find(_.contains("row_number()")).getOrElse("")
+    assert(winLine.contains("label"),
+      s"class rank window is not partitioned by label: $winLine")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"min-class scalar is not broadcast:\n$plan")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
