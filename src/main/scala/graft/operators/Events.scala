@@ -820,6 +820,132 @@ object Events extends OpModule {
           round(col("st.l") + col("st.b"), 4).as("forecast_next"))
         .orderBy("event_type")
     }),
+
+    "evt_type_corr" -> ((s, d) => {
+      // Pairwise Pearson correlation of DAILY VOLUMES between event
+      // types — "do errors spike when purchases spike?" is the first
+      // cross-signal question an incident review asks. The series
+      // align on a dense (day × type) spine (missing combinations are
+      // true zeros, not dropped rows — dropping them biases the
+      // correlation), which is dimension-sized, so the pair self-join
+      // on day and the moment rollup move |days|·|types|² rows at
+      // most. All five moments are exact integer sums (the
+      // agg_corr_matrix discipline), so the one corr division is
+      // engine-identical; zero-variance series (n·sxx = sx²) guard to
+      // NULL via exact integer equality on both sides.
+      val ev = Tables.events(s, d)
+      val daily = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val spine = ev.select(to_date(col("ts")).as("day")).distinct()
+        .crossJoin(ev.select("event_type").distinct())
+      val dense = spine.join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val a = dense.select(col("day"), col("event_type").as("type_a"),
+        col("n").as("x"))
+      val b = dense.select(col("day").as("day2"),
+        col("event_type").as("type_b"), col("n").as("y"))
+      a.join(b, col("day") === col("day2") && col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_days"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("type_a"), col("type_b"), col("n_days"),
+          when(col("n_days") * col("sxx") === col("sx") * col("sx") ||
+            col("n_days") * col("syy") === col("sy") * col("sy"),
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("n_days") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")
+                / (sqrt((col("n_days") * col("sxx")
+                  - col("sx") * col("sx")).cast("double"))
+                  * sqrt((col("n_days") * col("syy")
+                    - col("sy") * col("sy")).cast("double"))), 4))
+            .as("corr"))
+        .orderBy("type_a", "type_b")
+    }),
+
+    "evt_autocorr" -> ((s, d) => {
+      // Lag-1 / lag-7 autocorrelation of each type's daily volume —
+      // the memory-vs-weekly-cycle fingerprint (high lag-7, low lag-1
+      // = strong weekly seasonality; both high = trending). The day
+      // axis is the CONTIGUOUS min..max date spine (a distinct-days
+      // spine would silently shorten lags across gaps), zero-filled
+      // per type; the lag pairing is one equi-join of the dense
+      // series to itself shifted by k days. Spine and series are
+      // dimension-sized; moments are exact integer sums and the corr
+      // divides once under the same zero-variance NULL guard as
+      // evt_type_corr (lag-7 windows of a quiet type CAN be
+      // constant).
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(to_date(min(col("ts"))).as("lo"),
+        to_date(max(col("ts"))).as("hi"))
+      val spine = bounds.select(explode(
+        sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+        .crossJoin(ev.select("event_type").distinct())
+      val daily = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val dense = spine.join(daily, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      def ac(k: Int): DataFrame =
+        dense.withColumn("x", lag("n", k).over(w))
+          .filter(col("x").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("x").as("sx"), sum("n").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("n") * col("n")).as("syy"),
+            sum(col("x") * col("n")).as("sxy"))
+          .select(col("event_type"), lit(k.toLong).as("lag_d"),
+            col("n_pairs"),
+            when(col("n_pairs") * col("sxx") === col("sx") * col("sx") ||
+              col("n_pairs") * col("syy") === col("sy") * col("sy"),
+              lit(null).cast("double"))
+              .otherwise(round(
+                (col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+                  .cast("double")
+                  / (sqrt((col("n_pairs") * col("sxx")
+                    - col("sx") * col("sx")).cast("double"))
+                    * sqrt((col("n_pairs") * col("syy")
+                      - col("sy") * col("sy")).cast("double"))), 4))
+              .as("autocorr"))
+      ac(1).unionByName(ac(7)).orderBy("event_type", "lag_d")
+    }),
+
+    "evt_user_overlap" -> ((s, d) => {
+      // Audience overlap between event types: per type pair, the
+      // Jaccard of their distinct-user sets — "are purchasers a
+      // subset of clickers, and do error users overlap signups?" The
+      // (type, user) incidence deduplicates FIRST (one partial-agged
+      // distinct at events grain), then the pair intersection is an
+      // equi-join on user_id between two |types|·|users| incidence
+      // sides with type_a < type_b; per-type user counts broadcast.
+      // Counts exact; Jaccard is one division from exact integers.
+      val tu = Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+      val cnt = tu.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+      val b = tu.select(col("event_type").as("type_b"),
+        col("user_id").as("uid2"))
+      a.join(b, col("user_id") === col("uid2") &&
+          col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(cnt.select(col("event_type").as("type_a"),
+          col("nu").as("n_a"))), Seq("type_a"))
+        .join(broadcast(cnt.select(col("event_type").as("type_b"),
+          col("nu").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          round(col("n_common").cast("double")
+            / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
   )
 
   /** Stickiness (DAU / trailing-28-day MAU per day) — the product
@@ -1460,5 +1586,102 @@ object Events extends OpModule {
         |  round(sae / CAST(n - 2 AS DOUBLE), 4) AS mae,
         |  round(l + b, 4) AS forecast_next
         |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
+
+    // Dense (day × type) spine so zero days enter the moments; the
+    // corr is one division from exact integer sums with the same
+    // integer-equality zero-variance guard as the Spark side.
+    "evt_type_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT day, event_type
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+        |dense AS (
+        |  SELECT s.day, s.event_type, coalesce(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.day = s.day AND d.event_type = s.event_type),
+        |m AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_days,
+        |    CAST(sum(a.n) AS BIGINT) AS sx, CAST(sum(b.n) AS BIGINT) AS sy,
+        |    CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+        |    CAST(sum(b.n * b.n) AS BIGINT) AS syy,
+        |    CAST(sum(a.n * b.n) AS BIGINT) AS sxy
+        |  FROM dense a JOIN dense b
+        |    ON a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_days,
+        |  CASE WHEN n_days * sxx = sx * sx OR n_days * syy = sy * sy
+        |    THEN NULL
+        |    ELSE round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 4)
+        |  END AS corr
+        |FROM m ORDER BY type_a, type_b""".stripMargin,
+
+    // Contiguous min..max date spine (generate_series) so a lag of k
+    // ROWS is exactly k DAYS; same moment/guard discipline.
+    "evt_autocorr" ->
+      """WITH bounds AS (
+        |  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+        |    AS DATE) AS day
+        |  FROM bounds),
+        |dense AS (
+        |  SELECT s.day, t.event_type, coalesce(d.n, 0) AS n
+        |  FROM spine s
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |  LEFT JOIN (SELECT CAST(ts AS DATE) AS day, event_type,
+        |               count(*) AS n
+        |             FROM events GROUP BY 1, 2) d
+        |    ON d.day = s.day AND d.event_type = t.event_type),
+        |lagged AS (
+        |  SELECT event_type, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS x7
+        |  FROM dense),
+        |m AS (
+        |  SELECT event_type, 1 AS lk, count(*) AS n_pairs,
+        |    CAST(sum(x1) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS sxx,
+        |    CAST(sum(n * n) AS BIGINT) AS syy,
+        |    CAST(sum(x1 * n) AS BIGINT) AS sxy
+        |  FROM lagged WHERE x1 IS NOT NULL GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, 7, count(*),
+        |    CAST(sum(x7) AS BIGINT), CAST(sum(n) AS BIGINT),
+        |    CAST(sum(x7 * x7) AS BIGINT), CAST(sum(n * n) AS BIGINT),
+        |    CAST(sum(x7 * n) AS BIGINT)
+        |  FROM lagged WHERE x7 IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(lk AS BIGINT) AS lag_d, n_pairs,
+        |  CASE WHEN n_pairs * sxx = sx * sx OR n_pairs * syy = sy * sy
+        |    THEN NULL
+        |    ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4)
+        |  END AS autocorr
+        |FROM m ORDER BY event_type, lag_d""".stripMargin,
+
+    "evt_user_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |cnt AS (SELECT event_type, count(*) AS nu FROM tu GROUP BY 1),
+        |inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_common
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, ca.nu AS n_a, cb.nu AS n_b, n_common,
+        |  round(CAST(n_common AS DOUBLE)
+        |    / CAST(ca.nu + cb.nu - n_common AS DOUBLE), 4) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.event_type = type_a
+        |JOIN cnt cb ON cb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }

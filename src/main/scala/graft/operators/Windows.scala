@@ -478,6 +478,40 @@ object Windows extends OpModule {
             + element_at(col("fr"), expr("size(fr) div 2 + 1").cast("int")))
             .as("med2x100"))
         .orderBy("user_id", "event_id")),
+
+    "win_bollinger" -> ((s, d) => {
+      // Bollinger bands on daily volume: 7-day rolling mean ± 2σ per
+      // type, plus an EXACT breakout flag — the volatility envelope
+      // an anomaly triage reads next to win_rolling_zscore. The σ
+      // comparison never touches doubles: |x−μ| > 2σ over the frame
+      // (n=7, S=Σx, Q=Σx²) is equivalent to the integer predicate
+      // (7x−S)² > 4(7Q−S²), so the flag is engine-exact; the
+      // reported mean/sd derive from the same exact integers with
+      // one division/sqrt (identical expression tree both engines).
+      // Frames are type-partitioned windows over the day-grain
+      // rollup; partial frames (first 6 days) drop per the standard
+      // full-window band rule.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("sx", sum("n").over(w))
+        .withColumn("sq", sum(col("n") * col("n")).over(w))
+        .filter(col("k") === 7)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          round(col("sx").cast("double") / 7.0, 4).as("mean7"),
+          round(sqrt((lit(7) * col("sq") - col("sx") * col("sx"))
+            .cast("double")) / 7.0, 4).as("sd7"),
+          when((lit(7) * col("n") - col("sx"))
+            * (lit(7) * col("n") - col("sx"))
+            > lit(4) * (lit(7) * col("sq") - col("sx") * col("sx")), 1L)
+            .otherwise(0L).as("breakout"))
+        .orderBy("event_type", "day")
+    }),
   )
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -819,5 +853,24 @@ object Windows extends OpModule {
         |SELECT user_id, event_id, CAST(len(fr) AS BIGINT) AS n_frame,
         |  fr[(len(fr) + 1) // 2] + fr[len(fr) // 2 + 1] AS med2x100
         |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+    "win_bollinger" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |    count(*) OVER fr AS k, sum(n) OVER fr AS sx,
+        |    sum(n * n) OVER fr AS sq
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  round(CAST(sx AS DOUBLE) / 7.0, 4) AS mean7,
+        |  round(sqrt(CAST(7 * sq - sx * sx AS DOUBLE)) / 7.0, 4) AS sd7,
+        |  CAST(CASE WHEN (7 * n - sx) * (7 * n - sx)
+        |    > 4 * (7 * sq - sx * sx) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS breakout
+        |FROM w WHERE k = 7 ORDER BY event_type, day""".stripMargin,
   )
 }

@@ -848,6 +848,77 @@ class InvariantsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === totalTokens)
   }
 
+  test("bollinger breakouts agree with the rounded band arithmetic") {
+    val rows = q("win_bollinger").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, sd, brk) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(sd >= 0.0)
+      assert(brk === 0L || brk === 1L)
+      // the exact integer predicate must agree with the double bands
+      // up to rounding slack
+      val outside = math.abs(n.toDouble - mean) > 2.0 * sd - 1e-3
+      if (brk === 1L) assert(outside,
+        s"${r.getString(0)} ${r.getString(1)}: breakout inside bands")
+    }
+  }
+
+  test("type correlation covers every pair with bounded coefficients") {
+    val types = Tables.events(spark, sf).select("event_type")
+      .distinct().count()
+    val rows = q("evt_type_corr").collect()
+    assert(rows.length === types * (types - 1) / 2)
+    val days = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts"))).distinct().count()
+    rows.foreach { r =>
+      assert(r.getLong(2) === days, "pair must span the full day spine")
+      if (!r.isNullAt(3)) {
+        val c = r.getDouble(3)
+        assert(c >= -1.0001 && c <= 1.0001)
+      }
+    }
+  }
+
+  test("autocorrelation pairs count the contiguous spine minus the lag") {
+    import org.apache.spark.sql.functions._
+    val b = Tables.events(spark, sf)
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .collect().head
+    val spineDays = java.time.temporal.ChronoUnit.DAYS.between(
+      b.getDate(0).toLocalDate, b.getDate(1).toLocalDate) + 1
+    val rows = q("evt_autocorr").collect()
+    val types = Tables.events(spark, sf).select("event_type")
+      .distinct().count()
+    assert(rows.length === 2 * types)
+    rows.foreach { r =>
+      assert(r.getLong(2) === spineDays - r.getLong(1),
+        s"${r.getString(0)} lag ${r.getLong(1)}: wrong pair count")
+      if (!r.isNullAt(3)) {
+        val c = r.getDouble(3)
+        assert(c >= -1.0001 && c <= 1.0001)
+      }
+    }
+  }
+
+  test("user overlap counts nest inside the per-type audience sizes") {
+    import org.apache.spark.sql.functions._
+    val perType = Tables.events(spark, sf)
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = q("evt_user_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === perType(ta) && r.getLong(3) === perType(tb))
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+      val j = r.getDouble(5)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
   test("bigram conditional entropy is bounded by the unigram context log") {
     val rows = q("text_ngram_entropy").collect()
     assert(rows.nonEmpty)

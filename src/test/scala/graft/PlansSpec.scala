@@ -503,6 +503,27 @@ class PlansSpec extends SparkSpec {
       s"min-class scalar is not broadcast:\n$plan")
   }
 
+  test("win_bollinger frames are type-partitioned, never global") {
+    val plan = treeString(q("win_bollinger"))
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    winLines.foreach(l => assert(l.contains("event_type"),
+      s"unpartitioned bollinger window: $l"))
+  }
+
+  test("correlation-family rollups keep partial aggregation, no cartesian blowup") {
+    // type_corr/autocorr build dimension-sized spines via an explicit
+    // broadcast cross (fine); the data-sized joins must stay equi.
+    Seq("evt_type_corr", "evt_autocorr", "evt_user_overlap").foreach { name =>
+      val plan = treeString(q(name))
+      assert(plan.contains("partial_"),
+        s"$name shuffles unaggregated rows:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian on the data-sized side:\n$plan")
+    }
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
