@@ -645,6 +645,30 @@ object Aggregates extends OpModule {
           array_join(sort_array(collect_set(col("source"))), ",").as("sources"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
+
+    "agg_freq_items" -> ((s, d) => {
+      // Exact frequent-items census: the 25 heaviest parts by lineitem
+      // support with their exact per-myriad share — the support probe
+      // behind basket_rules' pair mining and the skew audit behind
+      // join_salted. One partial-agged groupBy (the |parts|-sized
+      // rollup is the only shuffle), the corpus total broadcasts as
+      // one row, the share is pure integer arithmetic (cnt·10000 div
+      // N — a relative-threshold gate would be scale-brittle: at
+      // growing |parts| every share shrinks below any fixed cut), and
+      // the top-k is TakeOrderedAndProject (per-partition top-k then
+      // merge — never a global sort of the rollup). At 100 TB this
+      // exact pass is what a Misra-Gries/SpaceSaving sketch
+      // approximates; exact stays viable because the key space is
+      // dimension-sized even when the fact table is not.
+      val l = Tables.lineitem(s, d).select(col("l_partkey"))
+      val tot = l.agg(count(lit(1)).as("n_rows"))
+      l.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("cnt"),
+          expr("cnt * 10000 div n_rows").as("per_myriad"))
+        .orderBy(col("cnt").desc, col("l_partkey"))
+        .limit(25)
+    }),
   )
 
   /** Shared Spark/DuckDB SQL — identical text runs on both engines.
@@ -1112,5 +1136,11 @@ object Aggregates extends OpModule {
         |  CAST(sum(n) AS BIGINT) AS n_docs
         |FROM (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "agg_freq_items" ->
+      """WITH t AS (SELECT count(*) AS n_rows FROM lineitem),
+        |c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, cnt, cnt * 10000 // n_rows AS per_myriad
+        |FROM c, t ORDER BY cnt DESC, l_partkey LIMIT 25""".stripMargin,
   )
 }

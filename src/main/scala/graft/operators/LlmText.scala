@@ -1301,6 +1301,32 @@ object LlmText extends OpModule {
         .orderBy("lang")
     }),
 
+    "dedup_cross_lang" -> ((s, d) => {
+      // Cross-language near-duplicate census: the lang-pair matrix of
+      // minhash-LSH candidate near-dups over the FULL corpus —
+      // within-lang mass is ordinary duplication, CROSS-lang mass
+      // flags templated/machine-copied content that survives a
+      // per-lang dedup pass (the reason multilingual pipelines dedup
+      // globally, not per shard). Rides the graded LSH candidate
+      // generator (bucket-local pairs, never all-pairs — the scale
+      // path, not the gated brute-force truth set); lang labels join
+      // from the dimension-sized map, pairs canonicalize by (least,
+      // greatest), and every output is an exact integer (pair counts
+      // + band-agreement mass).
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      queries("dedup_near_minhash")(s, d)
+        .join(langs.select(col("doc_id").as("a_id"),
+          col("lang").as("la")), "a_id")
+        .join(langs.select(col("doc_id").as("b_id"),
+          col("lang").as("lb")), "b_id")
+        .select(least(col("la"), col("lb")).as("lang_a"),
+          greatest(col("la"), col("lb")).as("lang_b"), col("n_bands"))
+        .groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).as("n_pairs"), sum("n_bands").as("sum_bands"),
+          max("n_bands").as("max_bands"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     "text_hapax_ratio" -> ((s, d) =>
       // Vocabulary-health profile per language: type count, hapax
       // (frequency-1) count, hapax share and type/token ratio — the
@@ -2184,6 +2210,25 @@ s"""SELECT doc_id, lang, bucket FROM (
          |    AS chars_kept
          |FROM l3 JOIN documents d ON d.doc_id = l3.doc_id
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "dedup_cross_lang" ->
+      s"""WITH sigs AS ($MinhashSigSql),
+         |bands AS ($BandsSql),
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY a_id, b_id HAVING count(*) >= 2),
+         |pl AS (
+         |  SELECT least(la.lang, lb.lang) AS lang_a,
+         |    greatest(la.lang, lb.lang) AS lang_b, n_bands
+         |  FROM cand
+         |  JOIN documents la ON la.doc_id = a_id
+         |  JOIN documents lb ON lb.doc_id = b_id)
+         |SELECT lang_a, lang_b, count(*) AS n_pairs,
+         |  CAST(sum(n_bands) AS BIGINT) AS sum_bands,
+         |  max(n_bands) AS max_bands
+         |FROM pl GROUP BY 1, 2 ORDER BY lang_a, lang_b""".stripMargin,
 
     "text_hapax_ratio" ->
       """WITH tok AS (

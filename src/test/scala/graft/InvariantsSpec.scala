@@ -848,6 +848,32 @@ class InvariantsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === totalTokens)
   }
 
+  test("frequent items are the true top-25 of the part support rollup") {
+    import org.apache.spark.sql.functions._
+    val rows = q("agg_freq_items").collect()
+    assert(rows.length === 25)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)), "not sorted by support")
+    // the 25th count must dominate every excluded part's count
+    val floor25 = counts.last
+    val excluded = Tables.lineitem(spark, sf).groupBy("l_partkey").count()
+      .filter(!col("l_partkey").isin(rows.map(_.getLong(0)): _*))
+      .agg(max("count")).collect().head.getLong(0)
+    assert(excluded <= floor25, s"excluded part with $excluded > $floor25")
+  }
+
+  test("cross-lang dedup pair mass reconciles with the LSH candidate set") {
+    val total = q("dedup_near_minhash").count()
+    val rows = q("dedup_cross_lang").collect()
+    assert(rows.map(_.getLong(2)).sum === total,
+      "lang-pair census must partition the full candidate set")
+    rows.foreach { r =>
+      val (np, sb, mb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mb >= 2L && mb <= 4L, s"band count $mb out of [2,4]")
+      assert(sb >= 2 * np && sb <= 4 * np)
+    }
+  }
+
   test("bollinger breakouts agree with the rounded band arithmetic") {
     val rows = q("win_bollinger").collect()
     assert(rows.nonEmpty)
