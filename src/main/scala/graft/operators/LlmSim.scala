@@ -1066,6 +1066,56 @@ object LlmSim extends OpModule {
         .orderBy("label")
     }),
 
+    "embed_centroid_drift" -> ((s, d) => {
+      // Per-label centroid drift between two corpus snapshots (the
+      // even/odd vec_id halves stand in for "last ingest vs this
+      // ingest"): ‖centroid_A − centroid_B‖₂ per label — the
+      // embedding-drift monitor that tells a training pipeline its
+      // feature space moved before a model does. Per-dim sums ride
+      // the exact ⌊v·1e6⌋ integer grid; the squared per-dim gap
+      // (Sa·nb − Sb·na)² lifts through DECIMAL(38) BEFORE squaring
+      // (long² overflows at ~3e9 — the agg_moments lesson), its
+      // 64-dim total is an exact decimal sum (order-free), and ONE
+      // sqrt/divide at the end makes the drift engine-identical.
+      // Everything after the (label, half, pos) partial agg is
+      // dimension-sized (10·2·64 rows).
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), col("half"), col("pos"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("iv"))
+      val sums = base.groupBy("label", "half", "pos")
+        .agg(sum("iv").as("s"))
+      val cnts = Tables.embeddings(s, d)
+        .groupBy(col("label"), (col("vec_id") % 2).as("half"))
+        .agg(count(lit(1)).as("n"))
+      val a = sums.filter(col("half") === 0)
+        .select(col("label"), col("pos"), col("s").as("sa"))
+      val b = sums.filter(col("half") === 1)
+        .select(col("label").as("lbl_b"), col("pos").as("pos_b"),
+          col("s").as("sb"))
+      val na = cnts.filter(col("half") === 0)
+        .select(col("label"), col("n").as("n_a"))
+      val nb = cnts.filter(col("half") === 1)
+        .select(col("label").as("lbl_n"), col("n").as("n_b"))
+      val diff = a.join(b, col("label") === col("lbl_b") &&
+          col("pos") === col("pos_b"))
+        .join(broadcast(na), Seq("label"))
+        .join(broadcast(nb), col("label") === col("lbl_n"))
+        .withColumn("dd", (col("sa") * col("n_b") - col("sb") * col("n_a"))
+          .cast("decimal(38,0)"))
+      diff.groupBy("label")
+        .agg(any_value(col("n_a")).as("n_a"), any_value(col("n_b")).as("n_b"),
+          sum(col("dd") * col("dd")).as("tot"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          when(col("n_a") === 0 || col("n_b") === 0,
+            lit(null).cast("double"))
+            .otherwise(round(sqrt(col("tot").cast("double"))
+              / (col("n_a") * col("n_b")).cast("double") / 1e6, 4))
+            .as("drift"))
+        .orderBy("label")
+    }),
+
     "sim_label_homophily" -> ((s, d) => {
       // Label homophily among near-duplicate candidates: for each
       // label, what fraction of its LSH-bucket-local pairs at rounded
@@ -1917,6 +1967,38 @@ object LlmSim extends OpModule {
         |  min(vec_id) AS id_min, max(vec_id) AS id_max
         |FROM r, m WHERE rnk <= m.m
         |GROUP BY label ORDER BY label""".stripMargin,
+
+    // Exact per-dim integer sums per (label, half); the squared gap
+    // stays exact (HUGEINT here, DECIMAL(38) Spark-side) and one
+    // terminal sqrt/divide matches bit-for-bit.
+    "embed_centroid_drift" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, vec_id % 2 AS half,
+        |    unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS iv
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, half, pos, CAST(sum(iv) AS BIGINT) AS s
+        |  FROM base GROUP BY 1, 2, 3),
+        |cnts AS (
+        |  SELECT label, vec_id % 2 AS half, count(*) AS n
+        |  FROM embeddings GROUP BY 1, 2),
+        |diff AS (
+        |  SELECT a.label, na.n AS n_a, nb.n AS n_b,
+        |    (a.s * nb.n - b.s * na.n) AS dd
+        |  FROM sums a
+        |  JOIN sums b ON b.label = a.label AND b.pos = a.pos AND b.half = 1
+        |  JOIN cnts na ON na.label = a.label AND na.half = 0
+        |  JOIN cnts nb ON nb.label = a.label AND nb.half = 1
+        |  WHERE a.half = 0)
+        |SELECT label, any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+        |  CASE WHEN any_value(n_a) = 0 OR any_value(n_b) = 0 THEN NULL
+        |    ELSE round(sqrt(CAST(sum(dd * dd) AS DOUBLE))
+        |      / CAST(any_value(n_a) * any_value(n_b) AS DOUBLE)
+        |      / 1000000.0, 4)
+        |  END AS drift
+        |FROM diff GROUP BY label ORDER BY label""".stripMargin,
 
     // Same bucket-gated exact-integer-grid pair set as
     // sim_range_search; labels join on both endpoints and the share

@@ -1327,6 +1327,57 @@ object LlmText extends OpModule {
         .orderBy("lang_a", "lang_b")
     }),
 
+    "text_js_divergence" -> ((s, d) => {
+      // Jensen-Shannon divergence of unigram distributions between
+      // every language pair — the distribution-shift readout a corpus
+      // curator runs between shards/snapshots (JSD ∈ [0, ln 2];
+      // symmetric and finite where KL is not). The per-token term
+      // 0.5·[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] evaluates from EXACT
+      // integers only — 2p/(p+q) = 2·ca·Nb/(ca·Nb + cb·Na), so both
+      // log arguments are exact integer ratios and every pair-token
+      // term is the identical double on both engines. Terms sum per
+      // pair as a scalar fold over the SORTED term list (agg_entropy
+      // discipline — vocab-bounded, order-pinned). The dense
+      // (lang × vocab) grid makes one-sided tokens explicit zeros;
+      // grid and pair table are vocab-sized, not corpus-sized.
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      val dense = counts.select("token").distinct()
+        .crossJoin(counts.select("lang").distinct())
+        .join(counts, Seq("lang", "token"), "left")
+        .select(col("lang"), col("token"), coalesce(col("c"), lit(0L)).as("c"))
+      val tot = counts.groupBy("lang").agg(sum("c").as("n"))
+      val a = dense.join(broadcast(tot), Seq("lang"))
+        .select(col("lang").as("lang_a"), col("token"),
+          col("c").as("ca"), col("n").as("na"))
+      val b = dense.join(broadcast(tot), Seq("lang"))
+        .select(col("lang").as("lang_b"), col("token").as("tok_b"),
+          col("c").as("cb"), col("n").as("nb"))
+      val terms = a.join(b, col("token") === col("tok_b") &&
+          col("lang_a") < col("lang_b"))
+        .filter(col("ca") + col("cb") > 0)
+        .select(col("lang_a"), col("lang_b"),
+          (when(col("ca") === 0, lit(0.0)).otherwise(
+            (col("ca").cast("double") / col("na").cast("double")) *
+              log((lit(2) * col("ca") * col("nb")).cast("double")
+                / (col("ca") * col("nb") + col("cb") * col("na"))
+                  .cast("double")))
+            + when(col("cb") === 0, lit(0.0)).otherwise(
+              (col("cb").cast("double") / col("nb").cast("double")) *
+                log((lit(2) * col("cb") * col("na")).cast("double")
+                  / (col("ca") * col("nb") + col("cb") * col("na"))
+                    .cast("double")))).as("t"))
+      terms.groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).as("n_union"),
+          sort_array(collect_list(col("t"))).as("ts"))
+        .select(col("lang_a"), col("lang_b"), col("n_union"),
+          round(lit(0.5) * expr(
+            "aggregate(ts, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 4)
+            .as("jsd"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     "text_hapax_ratio" -> ((s, d) =>
       // Vocabulary-health profile per language: type count, hapax
       // (frequency-1) count, hapax share and type/token ratio — the
@@ -2229,6 +2280,45 @@ s"""SELECT doc_id, lang, bucket FROM (
          |  CAST(sum(n_bands) AS BIGINT) AS sum_bands,
          |  max(n_bands) AS max_bands
          |FROM pl GROUP BY 1, 2 ORDER BY lang_a, lang_b""".stripMargin,
+
+    // Dense (lang × vocab) grid + exact-integer log arguments; the
+    // pair fold runs list_reduce over the sorted term list.
+    "text_js_divergence" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |counts AS (SELECT lang, token, count(*) AS c
+        |           FROM tok GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT l.lang, t.token, coalesce(c.c, 0) AS c
+        |  FROM (SELECT DISTINCT token FROM counts) t
+        |  CROSS JOIN (SELECT DISTINCT lang FROM counts) l
+        |  LEFT JOIN counts c ON c.lang = l.lang AND c.token = t.token),
+        |tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+        |        FROM counts GROUP BY 1),
+        |terms AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    (CASE WHEN a.c = 0 THEN 0.0 ELSE
+        |       (CAST(a.c AS DOUBLE) / CAST(na.n AS DOUBLE))
+        |         * ln(CAST(2 * a.c * nb.n AS DOUBLE)
+        |           / CAST(a.c * nb.n + b.c * na.n AS DOUBLE)) END
+        |     + CASE WHEN b.c = 0 THEN 0.0 ELSE
+        |       (CAST(b.c AS DOUBLE) / CAST(nb.n AS DOUBLE))
+        |         * ln(CAST(2 * b.c * na.n AS DOUBLE)
+        |           / CAST(a.c * nb.n + b.c * na.n AS DOUBLE)) END) AS t
+        |  FROM dense a
+        |  JOIN dense b ON b.token = a.token AND a.lang < b.lang
+        |  JOIN tot na ON na.lang = a.lang
+        |  JOIN tot nb ON nb.lang = b.lang
+        |  WHERE a.c + b.c > 0),
+        |g AS (
+        |  SELECT lang_a, lang_b, count(*) AS n_union,
+        |    list_sort(list(t)) AS ts
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, n_union,
+        |  round(0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE), ts),
+        |    (a, b) -> a + b), 4) AS jsd
+        |FROM g ORDER BY lang_a, lang_b""".stripMargin,
 
     "text_hapax_ratio" ->
       """WITH tok AS (

@@ -512,6 +512,48 @@ object Windows extends OpModule {
             .otherwise(0L).as("breakout"))
         .orderBy("event_type", "day")
     }),
+
+    "win_rolling_corr" -> ((s, d) => {
+      // Rolling 7-day Pearson correlation between daily event VOLUME
+      // and daily event VALUE per type — the coupling monitor ("are
+      // we earning per event what we used to?") that a level-only
+      // band (win_bollinger) can't see. Both series live on exact
+      // integer grids (count; Σvalue as the ⌊·100⌋ decimal-cents
+      // sum), all five frame moments are window sums of exact
+      // integers, and the one corr division reuses the evt_type_corr
+      // NULL guard (n·sxx = sx²) — constant frames are common in a
+      // 7-day window. Magnitudes: daily cents ≤ ~1e8 at sf0.1, so
+      // k·Σv² ≤ ~1e17 < 2⁶³; at true 100 TB volumes the moments lift
+      // through DECIMAL(38) exactly as agg_moments does. Frames are
+      // type-partitioned windows over the day-grain rollup.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          (sum(Dec2(col("value"))) * 100).cast("long").as("y"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w))
+        .withColumn("sy", sum("y").over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .filter(col("k") === 7)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          when(col("k") * col("sxx") === col("sx") * col("sx") ||
+            col("k") * col("syy") === col("sy") * col("sy"),
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+                / (sqrt((col("k") * col("sxx")
+                  - col("sx") * col("sx")).cast("double"))
+                  * sqrt((col("k") * col("syy")
+                    - col("sy") * col("sy")).cast("double"))), 4))
+            .as("corr7"))
+        .orderBy("event_type", "day")
+    }),
   )
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -871,6 +913,28 @@ object Windows extends OpModule {
         |  CAST(CASE WHEN (7 * n - sx) * (7 * n - sx)
         |    > 4 * (7 * sq - sx * sx) THEN 1 ELSE 0 END AS BIGINT)
         |    AS breakout
+        |FROM w WHERE k = 7 ORDER BY event_type, day""".stripMargin,
+
+    "win_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day,
+        |    count(*) OVER fr AS k,
+        |    sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+        |    sum(x * x) OVER fr AS sxx, sum(y * y) OVER fr AS syy,
+        |    sum(x * y) OVER fr AS sxy
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CASE WHEN k * sxx = sx * sx OR k * syy = sy * sy THEN NULL
+        |    ELSE round(CAST(k * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(k * syy - sy * sy AS DOUBLE))), 4)
+        |  END AS corr7
         |FROM w WHERE k = 7 ORDER BY event_type, day""".stripMargin,
   )
 }

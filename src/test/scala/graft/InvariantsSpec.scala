@@ -848,6 +848,52 @@ class InvariantsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === totalTokens)
   }
 
+  test("rolling correlation stays bounded and spans full frames only") {
+    val rows = q("win_rolling_corr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val c = r.getDouble(2)
+        assert(c >= -1.0001 && c <= 1.0001, s"corr7 $c out of [-1,1]")
+      }
+    }
+    // row count per type = n_days - 6 (full frames only)
+    import org.apache.spark.sql.functions._
+    val daysPerType = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(to_date(col("ts"))).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perType = rows.groupBy(_.getString(0)).view.mapValues(_.length)
+    perType.foreach { case (t, n) =>
+      assert(n === (daysPerType(t) - 6).max(0L).toInt,
+        s"$t: $n rows for ${daysPerType(t)} days")
+    }
+  }
+
+  test("centroid drift is non-negative and covers every label") {
+    val labels = Tables.embeddings(spark, sf).select("label")
+      .distinct().count()
+    val rows = q("embed_centroid_drift").collect()
+    assert(rows.length === labels)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) > 0)
+      if (!r.isNullAt(3)) assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
+  test("JS divergence is symmetric-bounded over every lang pair") {
+    val langs = Tables.documents(spark, sf).select("lang")
+      .distinct().count()
+    val rows = q("text_js_divergence").collect()
+    assert(rows.length === langs * (langs - 1) / 2)
+    val ln2 = math.log(2.0)
+    rows.foreach { r =>
+      val j = r.getDouble(3)
+      assert(j >= -1e-4 && j <= ln2 + 1e-4,
+        s"${r.getString(0)}/${r.getString(1)}: jsd $j out of [0, ln2]")
+      assert(r.getLong(2) > 0)
+    }
+  }
+
   test("frequent items are the true top-25 of the part support rollup") {
     import org.apache.spark.sql.functions._
     val rows = q("agg_freq_items").collect()

@@ -524,6 +524,22 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("batch-M rollups keep partial aggregation and partitioned windows") {
+    Seq("embed_centroid_drift", "text_js_divergence").foreach { name =>
+      val plan = treeString(q(name))
+      assert(plan.contains("partial_"),
+        s"$name shuffles unaggregated rows:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a data-sized cartesian:\n$plan")
+    }
+    val plan = treeString(q("win_rolling_corr"))
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    winLines.foreach(l => assert(l.contains("event_type"),
+      s"unpartitioned rolling-corr window: $l"))
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
