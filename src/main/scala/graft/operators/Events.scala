@@ -916,6 +916,33 @@ object Events extends OpModule {
       ac(1).unionByName(ac(7)).orderBy("event_type", "lag_d")
     }),
 
+    "evt_new_vs_returning" -> ((s, d) => {
+      // Daily new-vs-returning census: each day's users and events
+      // split by whether the user's FIRST-ever day is that day — the
+      // acquisition-vs-retention readout every growth dashboard leads
+      // with (evt_retention gives the cohort matrix; this is the
+      // daily topline). First-seen days are one partial-agged min per
+      // user (dimension-sized) and broadcast back onto the day
+      // rollup; the split is an exact date equality, all outputs
+      // exact integers.
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val first = ev.groupBy("user_id").agg(min("day").as("first_day"))
+      ev.join(broadcast(first), Seq("user_id"))
+        .groupBy("day")
+        .agg(
+          countDistinct(when(col("day") === col("first_day"),
+            col("user_id"))).as("n_new_users"),
+          countDistinct(when(col("day") =!= col("first_day"),
+            col("user_id"))).as("n_ret_users"),
+          count(when(col("day") === col("first_day"), 1)).as("n_new_events"),
+          count(when(col("day") =!= col("first_day"), 1)).as("n_ret_events"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_new_users"), col("n_ret_users"),
+          col("n_new_events"), col("n_ret_events"))
+        .orderBy("day")
+    }),
+
     "evt_user_overlap" -> ((s, d) => {
       // Audience overlap between event types: per type pair, the
       // Jaccard of their distinct-user sets — "are purchasers a
@@ -1665,6 +1692,21 @@ object Events extends OpModule {
         |        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 4)
         |  END AS autocorr
         |FROM m ORDER BY event_type, lag_d""".stripMargin,
+
+    "evt_new_vs_returning" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |fst AS (SELECT user_id, min(day) AS first_day
+        |        FROM ev GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT CASE WHEN day = first_day THEN ev.user_id END)
+        |    AS n_new_users,
+        |  count(DISTINCT CASE WHEN day <> first_day THEN ev.user_id END)
+        |    AS n_ret_users,
+        |  count(CASE WHEN day = first_day THEN 1 END) AS n_new_events,
+        |  count(CASE WHEN day <> first_day THEN 1 END) AS n_ret_events
+        |FROM ev JOIN fst ON fst.user_id = ev.user_id
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "evt_user_overlap" ->
       """WITH tu AS (

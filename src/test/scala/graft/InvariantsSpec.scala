@@ -974,6 +974,25 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("new-vs-returning splits partition the daily event and user masses") {
+    import org.apache.spark.sql.functions._
+    val rows = q("evt_new_vs_returning").collect()
+    assert(rows.nonEmpty)
+    // event split sums back to the raw daily event count
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day")).count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) + r.getLong(4) === daily(r.getString(0)),
+        s"${r.getString(0)}: event split does not sum to the daily total")
+    }
+    // total new users across days = distinct users overall
+    val users = Tables.events(spark, sf).select("user_id")
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum === users,
+      "every user must be new on exactly one day")
+  }
+
   test("user overlap counts nest inside the per-type audience sizes") {
     import org.apache.spark.sql.functions._
     val perType = Tables.events(spark, sf)
