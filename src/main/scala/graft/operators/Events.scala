@@ -82,6 +82,31 @@ object Events extends OpModule {
         .orderBy("user_id", "session_id")
     }),
 
+    "evt_session_native" -> ((s, d) =>
+      // Native `session_window` twin of the hand-rolled lag/cumsum
+      // evt_session (r7 advice #5): same 30-min gap sessionization,
+      // expressed with Spark's built-in gap-merge aggregation — the
+      // formulation a Structured-Streaming job would share verbatim.
+      // Boundary semantics, pinned empirically by SessionParitySpec's
+      // fixture: an event landing EXACTLY gap after its predecessor
+      // MERGES into the session (Spark's merge condition is
+      // start <= prev_end inclusive), i.e. a new session only when the
+      // gap is strictly greater — the same strict > evt_session's
+      // lag/cumsum uses, so the two formulations agree unconditionally
+      // (SessionParitySpec proves it on real data). Window end is
+      // last_ts + gap. Scale shape: one shuffle on
+      // user_id, then per-partition sort + linear merge — the same
+      // distribution as the window formulation, minus the second
+      // windowed pass (lag + running sum collapse into the merge).
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("val_sum"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("sess_start_us"),
+          unix_micros(col("w.end")).as("sess_end_us"),
+          col("n_events"), col("val_sum"))
+        .orderBy("user_id", "sess_start_us")),
+
     "evt_funnel" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("user_id")
@@ -1150,6 +1175,31 @@ object Events extends OpModule {
          |  round(sum(value), 4) AS val_sum
          |FROM t GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    // session_window's gap-merge via lag/cumsum: strict > at the
+    // exact-gap boundary (pinned by SessionParitySpec's fixture —
+    // Spark merges an exactly-gap-late event). end = last + gap.
+    "evt_session_native" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    lag(epoch_us(ts), 1) OVER ($EventWin) AS prev_us
+         |  FROM events
+         |), s AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM g
+         |), t AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(sum(is_new) OVER ($EventWin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+         |  FROM s
+         |)
+         |SELECT user_id, min(epoch_us(ts)) AS sess_start_us,
+         |  max(epoch_us(ts)) + 1800000000 AS sess_end_us,
+         |  count(*) AS n_events, round(sum(value), 4) AS val_sum
+         |FROM t GROUP BY user_id, sid
+         |ORDER BY user_id, sess_start_us""".stripMargin,
 
     "evt_funnel" ->
       """SELECT user_id, first_view, first_click, first_purchase,

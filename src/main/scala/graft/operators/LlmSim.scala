@@ -553,6 +553,50 @@ object LlmSim extends OpModule {
         .orderBy("doc_id", "bucket")
     }),
 
+    "multimodal_audio_stats" -> ((s, d) => {
+      // REAL audio decode, hash-graded (r8, twin of the r7 image path):
+      // synthesize a deterministic 16-bit PCM mono WAV per doc
+      // (sample[i] = (doc_id·31 + i·7) mod 2001 − 1000, n = 800 +
+      // (doc_id mod 5)·160 frames @ 8 kHz), push it through the full
+      // multimodal pipeline — RIFF container metadata + WavCodec's
+      // javax.sound.sampled PCM decode under the batched mapPartitions
+      // stage — and emit per-(doc, 256-sample window) integer stats.
+      // DuckDB cannot parse WAV, but 16-bit PCM is LOSSLESS: the
+      // write→read round trip returns the exact synthesized integers,
+      // so count/Σv²/max|v| per window are pure arithmetic on both
+      // sides — no float ever crosses the compare. Scale shape:
+      // |docs| blobs → CPU-bound decode in mapPartitions batches
+      // (partition count is the parallelism knob; the decoded stream
+      // never materializes as a column) → dimension-sized stat rows.
+      import s.implicits._
+      import graft.multimodal.{MediaRow, Multimodal}
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 48)
+        .as[Long].map { id =>
+          val n = 800 + (id % 5).toInt * 160
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = ((id * 31 + i * 7) % 2001 - 1000).toInt
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRow(id, "audio", bos.toByteArray)
+        }
+      Multimodal.audioWindowStats(media, windowSamples = 256).toDF()
+        .select(col("media_id").as("doc_id"), col("sample_rate"),
+          col("channels"), col("win_no"), col("n_samples"), col("sum_sq"),
+          col("peak_abs"))
+        .orderBy("doc_id", "win_no")
+    }),
+
     "multimodal_join" -> ((s, d) =>
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -1899,6 +1943,27 @@ object LlmSim extends OpModule {
         |JOIN dims d USING (doc_id)
         |LEFT JOIN cnt c ON c.doc_id = s.doc_id AND c.bucket = s.bucket
         |ORDER BY s.doc_id, s.bucket""".stripMargin,
+
+    // Arithmetic prediction of the real javax.sound.sampled decode:
+    // 16-bit PCM is lossless, so the synthesized integer samples
+    // survive the WAV round trip exactly — every stat is integer math.
+    // sum(v*v) is HUGEINT in DuckDB (the multimodal_batch_plan lesson);
+    // CAST pins it to BIGINT like the Spark side's Long.
+    "multimodal_audio_stats" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+        |  FROM documents WHERE doc_id < 48),
+        |idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM docs),
+        |smp AS (
+        |  SELECT doc_id, i // 256 AS win_no,
+        |    (doc_id * 31 + i * 7) % 2001 - 1000 AS v
+        |  FROM idx)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels, CAST(win_no AS BIGINT) AS win_no,
+        |  count(*) AS n_samples, CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs
+        |FROM smp GROUP BY doc_id, win_no
+        |ORDER BY doc_id, win_no""".stripMargin,
 
     "multimodal_join" ->
       """SELECT doc_id, lang, source, CAST(label AS BIGINT) AS label,

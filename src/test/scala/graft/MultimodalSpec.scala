@@ -133,6 +133,59 @@ class MultimodalSpec extends SparkSpec {
     assert(again === feats.map { case (k, v) => k -> v.toSeq })
   }
 
+  test("WavCodec round-trips REAL WAV bytes losslessly through the pipeline") {
+    import spark.implicits._
+    // Synthesize genuine RIFF/WAVE containers (encoded with the same
+    // javax.sound.sampled the codec decodes with): 16-bit PCM mono is
+    // lossless, so the decoded stream must be bit-identical to the
+    // synthesized integers — the property multimodal_audio_stats'
+    // hash-grade rests on.
+    def wav(id: Long, n: Int): MediaRow = {
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = ((id * 31 + i * 7) % 2001 - 1000).toInt
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(id, "audio", bos.toByteArray)
+    }
+
+    // direct codec check: exact samples + container metadata
+    val one = wav(3L, 700)
+    assert(Multimodal.WavCodec.sampleRate(one.content) === 8000f)
+    assert(Multimodal.WavCodec.channels(one.content) === 1)
+    val got = Multimodal.WavCodec.samples(one.content)
+    assert(got.toSeq === (0 until 700).map(i => ((3L * 31 + i * 7) % 2001 - 1000).toInt))
+
+    // pipeline check: per-window integer stats, hand-computed fixture,
+    // batch/partition independence like every other multimodal stage
+    val wavs = (0L until 12L).map(id => wav(id, 500 + id.toInt * 10))
+    val stats = Multimodal.audioWindowStats(wavs.toDS(), windowSamples = 256,
+      batchSize = 5, parallelism = 3).collect()
+    val byKey = stats.map(s => (s.media_id, s.win_no) -> s).toMap
+    (0L until 12L).foreach { id =>
+      val n = 500 + id.toInt * 10
+      val samples = (0 until n).map(i => ((id * 31 + i * 7) % 2001 - 1000).toInt)
+      samples.grouped(256).zipWithIndex.foreach { case (w, k) =>
+        val s = byKey((id, k.toLong))
+        assert(s.n_samples === w.length.toLong)
+        assert(s.sum_sq === w.map(v => v.toLong * v).sum)
+        assert(s.peak_abs === w.map(v => math.abs(v).toLong).max)
+        assert(s.sample_rate === 8000L && s.channels === 1L)
+      }
+    }
+    val again = Multimodal.audioWindowStats(wavs.toDS(), windowSamples = 256,
+      batchSize = 64, parallelism = 1).collect()
+      .map(s => (s.media_id, s.win_no) -> (s.n_samples, s.sum_sq, s.peak_abs)).toMap
+    assert(again === byKey.map { case (k, s) => k -> (s.n_samples, s.sum_sq, s.peak_abs) })
+  }
+
   test("frame sampling emits every nth fixed-size window") {
     import spark.implicits._
     // payload 100 bytes, frame 10 bytes → 10 frames, every 3rd → 0,3,6,9
