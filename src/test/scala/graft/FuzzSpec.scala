@@ -1,0 +1,345 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Differential fuzz harness (r7 advice #2): every case generates ONE
+  * random relational pipeline (filter → project | groupBy-agg | window)
+  * from a seeded RNG and renders it TWICE — once through the DataFrame
+  * DSL (Column objects), once as Spark-SQL text over temp views — then
+  * asserts schema and row-for-row equality of the two executions. The
+  * two renderings exercise independent front-end paths (Column AST
+  * construction vs the SQL parser), so a divergence flags either a
+  * formulation hazard of the kind this repo has hit cross-engine
+  * before, or a genuine planner bug.
+  *
+  * The generators are SEEDED with the hazard classes already caught in
+  * production rounds (BASELINE.md): round-half-tie literals (.00005,
+  * 2.5 — the sim_range_search class), double aggregation routed
+  * through DECIMAL (the float-summation-order class; plain
+  * sum(double) is partition-order nondeterministic even within one
+  * engine, which fixture 3 demonstrates), timestamp truncation
+  * (date_trunc / unix_micros div), and explicit NULLS FIRST/LAST
+  * ordering over nullable computed columns.
+  *
+  * Seeds are fixed (cases are reproducible by number); any divergence
+  * should be reduced to a named fixture test here, per the advice.
+  */
+class FuzzSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private case class Col(name: String, kind: String) // long | dbl | str | ts
+  private case class Table(name: String, cols: Seq[Col], uniqueKey: Seq[String])
+
+  private val tables = Seq(
+    Table("lineitem", Seq(Col("l_orderkey", "long"), Col("l_partkey", "long"),
+      Col("l_suppkey", "long"), Col("l_quantity", "dbl"),
+      Col("l_extendedprice", "dbl"), Col("l_discount", "dbl"),
+      Col("l_returnflag", "str"), Col("l_linestatus", "str"),
+      Col("l_shipdate", "ts")), Seq.empty),
+    Table("orders", Seq(Col("o_orderkey", "long"), Col("o_custkey", "long"),
+      Col("o_totalprice", "dbl"), Col("o_orderstatus", "str"),
+      Col("o_orderpriority", "str"), Col("o_orderdate", "ts")),
+      Seq("o_orderkey")),
+    Table("events", Seq(Col("event_id", "long"), Col("user_id", "long"),
+      Col("event_type", "str"), Col("value", "dbl"), Col("ts", "ts")),
+      Seq("event_id")),
+    Table("documents", Seq(Col("doc_id", "long"), Col("lang", "str"),
+      Col("source", "str"), Col("n_chars", "long")), Seq("doc_id")))
+
+  /** One expression rendered both ways; `kind` drives composition. */
+  private case class Expr(dsl: Column, sql: String, kind: String)
+
+  private lazy val views: Unit = tables.foreach { t =>
+    Tables(spark, sf, t.name).cache().createOrReplaceTempView(s"fz_${t.name}")
+  }
+
+  // ---- generators ---------------------------------------------------
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.length))
+
+  /** Tie-prone and ordinary numeric literals (hazard-seeded). */
+  private def dblLit(r: Random): (Column, String) = {
+    val v = pick(r, Seq("0.00005", "2.5", "0.5", "1.1", "3.25", "0.0001",
+      "7.75", "100.125"))
+    (expr(s"CAST($v AS DOUBLE)"), s"CAST($v AS DOUBLE)")
+  }
+
+  private def longLit(r: Random): (Column, String) = {
+    val v = pick(r, Seq(1L, 2L, 3L, 7L, 10L, 97L, 1000L))
+    (lit(v), v.toString)
+  }
+
+  private def baseCol(r: Random, t: Table, kind: String): Col =
+    pick(r, t.cols.filter(_.kind == kind))
+
+  private def numExpr(r: Random, t: Table, depth: Int): Expr = {
+    val useDbl = t.cols.exists(_.kind == "dbl") && r.nextBoolean()
+    val kind = if (useDbl) "dbl" else "long"
+    val c = baseCol(r, t, kind)
+    if (depth == 0 || r.nextInt(3) == 0) Expr(col(c.name), c.name, kind)
+    else {
+      val inner = Expr(col(c.name), c.name, kind)
+      r.nextInt(6) match {
+        case 0 =>
+          val (dl, sl) = if (kind == "dbl") dblLit(r) else longLit(r)
+          Expr(inner.dsl + dl, s"(${inner.sql} + $sl)", kind)
+        case 1 =>
+          val (dl, sl) = if (kind == "dbl") dblLit(r) else longLit(r)
+          Expr(inner.dsl * dl, s"(${inner.sql} * $sl)", kind)
+        case 2 if kind == "long" =>
+          val (dl, sl) = longLit(r)
+          Expr(pmod(inner.dsl, dl), s"pmod(${inner.sql}, $sl)", "long")
+        case 3 if kind == "dbl" =>
+          // hazard seed: round at a digit where .xxxx5 ties live
+          Expr(round(inner.dsl, 4), s"round(${inner.sql}, 4)", "dbl")
+        case 4 =>
+          Expr(abs(inner.dsl), s"abs(${inner.sql})", kind)
+        case _ =>
+          val (dl, sl) = if (kind == "dbl") dblLit(r) else longLit(r)
+          Expr(inner.dsl - dl, s"(${inner.sql} - $sl)", kind)
+      }
+    }
+  }
+
+  /** Possibly-null computed value (hazard seed for null ordering). */
+  private def nullableExpr(r: Random, t: Table): Expr = {
+    val e = numExpr(r, t, 1)
+    val (dl, sl) = longLit(r)
+    r.nextInt(3) match {
+      case 0 => Expr(nullif(pmod(e.dsl.cast("long"), dl), lit(0L)),
+        s"nullif(pmod(CAST(${e.sql} AS BIGINT), $sl), 0)", "long")
+      case 1 => Expr(when(e.dsl > dl, e.dsl), // else NULL
+        s"CASE WHEN ${e.sql} > $sl THEN ${e.sql} END", e.kind)
+      case _ => e
+    }
+  }
+
+  private def tsExpr(r: Random, t: Table): Option[Expr] =
+    t.cols.find(_.kind == "ts").map { c =>
+      r.nextInt(3) match {
+        case 0 => Expr(date_trunc("hour", col(c.name)).cast("string"),
+          s"CAST(date_trunc('hour', ${c.name}) AS STRING)", "str")
+        case 1 => Expr(to_date(col(c.name)).cast("string"),
+          s"CAST(CAST(${c.name} AS DATE) AS STRING)", "str")
+        case _ => Expr(expr(s"unix_micros(${c.name}) div 1000000"),
+          s"(unix_micros(${c.name}) div 1000000)", "long")
+      }
+    }
+
+  private def predicate(r: Random, t: Table): Expr = {
+    def one(): Expr = r.nextInt(5) match {
+      case 0 =>
+        val e = numExpr(r, t, 1)
+        val (dl, sl) =
+          if (e.kind == "dbl") dblLit(r)
+          else { val (d, s) = longLit(r); (d * lit(100), s"($s * 100)") }
+        val op = pick(r, Seq(("<", (a: Column, b: Column) => a < b),
+          (">", (a: Column, b: Column) => a > b),
+          ("<=", (a: Column, b: Column) => a <= b),
+          (">=", (a: Column, b: Column) => a >= b)))
+        Expr(op._2(e.dsl, if (e.kind == "dbl") dl else dl),
+          s"(${e.sql} ${op._1} ${if (e.kind == "dbl") sl else sl})", "bool")
+      case 1 =>
+        val c = baseCol(r, t, "str")
+        Expr(col(c.name).isNotNull, s"(${c.name} IS NOT NULL)", "bool")
+      case 2 =>
+        val c = baseCol(r, t, "long")
+        val (dl, sl) = longLit(r)
+        Expr(pmod(col(c.name), dl + lit(1)) === lit(0),
+          s"(pmod(${c.name}, ($sl + 1)) = 0)", "bool")
+      case 3 =>
+        val c = baseCol(r, t, "str")
+        val letter = ('a' + r.nextInt(4)).toChar
+        Expr(lower(col(c.name)).startsWith(letter.toString),
+          s"(lower(${c.name}) LIKE '$letter%')", "bool")
+      case _ =>
+        val e = numExpr(r, t, 0)
+        val (dl, sl) = longLit(r)
+        Expr(e.dsl.cast("long") =!= sl.toLong,
+          s"(CAST(${e.sql} AS BIGINT) <> $sl)", "bool")
+    }
+    val n = 1 + r.nextInt(2)
+    Seq.fill(n)(one()).reduce { (a, b) =>
+      if (r.nextBoolean()) Expr(a.dsl && b.dsl, s"(${a.sql} AND ${b.sql})", "bool")
+      else Expr(a.dsl || b.dsl, s"(${a.sql} OR ${b.sql})", "bool")
+    }
+  }
+
+  // ---- pipeline shapes ----------------------------------------------
+
+  /** Row-mode: filter + project + total-order sort (+ maybe limit). */
+  private def rowCase(r: Random, t: Table): (DataFrame, String) = {
+    val p = predicate(r, t)
+    val es = (Seq(numExpr(r, t, 1), nullableExpr(r, t)) ++ tsExpr(r, t).toSeq)
+      .zipWithIndex.map { case (e, i) => (e.dsl.as(s"c$i"), s"${e.sql} AS c$i", s"c$i") }
+    // explicit null placement — the same on both sides (hazard seed)
+    val nullsFirst = r.nextBoolean()
+    val ord = es.map(_._3)
+    val dslOrd = ord.map(c => if (nullsFirst) col(c).asc_nulls_first else col(c).asc_nulls_last)
+    val sqlOrd = ord.map(c => s"$c ASC NULLS ${if (nullsFirst) "FIRST" else "LAST"}")
+    val lim = if (r.nextInt(3) == 0) Some(50 + r.nextInt(200)) else None
+    val df0 = spark.table(s"fz_${t.name}").filter(p.dsl)
+      .select(es.map(_._1): _*).orderBy(dslOrd: _*)
+    val df = lim.fold(df0)(df0.limit)
+    val sql = s"SELECT ${es.map(_._2).mkString(", ")} FROM fz_${t.name} " +
+      s"WHERE ${p.sql} ORDER BY ${sqlOrd.mkString(", ")}" +
+      lim.fold("")(l => s" LIMIT $l")
+    (df, sql)
+  }
+
+  /** Agg-mode: filter + groupBy + aggregates + total-order sort.
+    * Double-valued aggregates are routed through DECIMAL(18,6) — the
+    * float-summation-order discipline every graded query uses. */
+  private def aggCase(r: Random, t: Table): (DataFrame, String) = {
+    val p = predicate(r, t)
+    val strKey = baseCol(r, t, "str")
+    val keys = Seq((col(strKey.name), strKey.name, strKey.name)) ++
+      (if (r.nextBoolean()) {
+        val c = baseCol(r, t, "long")
+        val (dl, sl) = longLit(r)
+        Seq((pmod(col(c.name), dl + lit(1)).as("k2"),
+          s"pmod(${c.name}, ($sl + 1)) AS k2", "k2"))
+      } else tsExpr(r, t).toSeq.map(e => (e.dsl.as("k2"), s"${e.sql} AS k2", "k2")))
+    def dec(e: Expr): (Column, String) =
+      (e.dsl.cast("decimal(18,6)"), s"CAST(${e.sql} AS DECIMAL(18,6))")
+    val aggPool: Seq[(Column, String, String)] = {
+      val eN = numExpr(r, t, 1)
+      val eL = numExpr(r, t, 0)
+      val (dn, sn) = dec(eN)
+      Seq(
+        (count(lit(1)).as("n"), "count(*) AS n", "n"),
+        (sum(dn).as("s"), s"sum($sn) AS s", "s"),
+        (min(eL.dsl).as("mn"), s"min(${eL.sql}) AS mn", "mn"),
+        (max(eL.dsl).as("mx"), s"max(${eL.sql}) AS mx", "mx"),
+        (avg(dn).as("av"), s"avg($sn) AS av", "av"),
+        (count(when(p.dsl, 1)).as("cf"),
+          s"count(CASE WHEN ${p.sql} THEN 1 END) AS cf", "cf"))
+    }
+    val aggs = r.shuffle(aggPool).take(1 + r.nextInt(3))
+    val outCols = keys.map(_._3) ++ aggs.map(_._3)
+    val df = spark.table(s"fz_${t.name}").filter(p.dsl)
+      .groupBy(keys.map(_._1): _*)
+      .agg(aggs.head._1, aggs.tail.map(_._1): _*)
+      .orderBy(outCols.map(c => col(c).asc_nulls_first): _*)
+    val sql = s"SELECT ${(keys.map(_._2) ++ aggs.map(_._2)).mkString(", ")} " +
+      s"FROM fz_${t.name} WHERE ${p.sql} GROUP BY ${keys.map(_._3).mkString(", ")} " +
+      s"ORDER BY ${outCols.map(c => s"$c ASC NULLS FIRST").mkString(", ")}"
+    (df, sql)
+  }
+
+  /** Window-mode (unique-key tables only): deterministic frame over a
+    * total per-partition order. */
+  private def winCase(r: Random, t: Table): (DataFrame, String) = {
+    import org.apache.spark.sql.expressions.Window
+    val p = predicate(r, t)
+    val part = baseCol(r, t, "str").name
+    val key = t.uniqueKey.head
+    val w = Window.partitionBy(part).orderBy(col(key))
+    val wSql = s"PARTITION BY $part ORDER BY $key"
+    val eL = numExpr(r, t, 0)
+    val fns: Seq[(Column, String)] = Seq(
+      (row_number().over(w), s"row_number() OVER ($wSql)"),
+      (rank().over(w), s"rank() OVER ($wSql)"),
+      (sum(eL.dsl).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        s"sum(${eL.sql}) OVER ($wSql ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+      (lag(col(key), 1).over(w), s"lag($key, 1) OVER ($wSql)"))
+    val chosen = r.shuffle(fns).take(1 + r.nextInt(2)).zipWithIndex
+      .map { case ((d, s), i) => (d.as(s"w$i"), s"$s AS w$i", s"w$i") }
+    val outCols = Seq(part, key) ++ chosen.map(_._3)
+    val df = spark.table(s"fz_${t.name}").filter(p.dsl)
+      .select(Seq(col(part), col(key)) ++ chosen.map(_._1): _*)
+      .orderBy(outCols.map(c => col(c).asc_nulls_last): _*)
+    val sql = s"SELECT $part, $key, ${chosen.map(_._2).mkString(", ")} " +
+      s"FROM fz_${t.name} WHERE ${p.sql} " +
+      s"ORDER BY ${outCols.map(c => s"$c ASC NULLS LAST").mkString(", ")}"
+    (df, sql)
+  }
+
+  // ---- the differential check ---------------------------------------
+
+  private def check(seed: Int): Unit = {
+    views
+    val r = new Random(seed)
+    val t = pick(r, tables)
+    val (df, sql) = r.nextInt(3) match {
+      case 0 => rowCase(r, t)
+      case 1 => aggCase(r, t)
+      case _ if t.uniqueKey.nonEmpty => winCase(r, t)
+      case _ => aggCase(r, t)
+    }
+    val viaSql = spark.sql(sql)
+    assert(df.schema.fieldNames.toSeq === viaSql.schema.fieldNames.toSeq,
+      s"seed $seed: column mismatch\nSQL: $sql")
+    val a = df.collect().map(_.toSeq).toSeq
+    val b = viaSql.collect().map(_.toSeq).toSeq
+    assert(a === b,
+      s"seed $seed: DSL and SQL diverge (${a.length} vs ${b.length} rows)\n" +
+        s"SQL: $sql\nfirst diff: ${a.zip(b).find { case (x, y) => x != y }}")
+  }
+
+  // 120 seeded cases, 4 test blocks for progress granularity
+  for (block <- 0 until 4)
+    test(s"differential fuzz: seeds ${block * 30}..${block * 30 + 29}") {
+      (block * 30 until (block + 1) * 30).foreach(check)
+    }
+
+  // ---- hazard-class fixtures (the classes that motivated the suite) --
+
+  test("fixture: double sums are partition-order sensitive; decimal sums are not") {
+    views
+    val li = spark.table("fz_lineitem")
+    val decSums = Seq(1, 3, 13).map { n =>
+      li.repartition(n)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,6)"))).head.getDecimal(0)
+    }
+    assert(decSums.distinct.size === 1,
+      "DECIMAL sum must be identical under any partitioning — the " +
+        "discipline graded queries rely on")
+    // The double sum is *usually* partition-order dependent in its low
+    // bits; we don't assert inequality (it may collide), only that the
+    // decimal route is exact: decimal total == exactly-summed doubles
+    // via BigDecimal on the driver.
+    val exact = li.select(col("l_extendedprice")).collect()
+      .map(r => BigDecimal(r.getDouble(0))).sum.setScale(6)
+    assert(decSums.head.compareTo(exact.underlying.stripTrailingZeros) === 0 ||
+      BigDecimal(decSums.head) === exact)
+  }
+
+  test("fixture: round-half ties agree between DSL and SQL at the .00005 boundary") {
+    import spark.implicits._
+    val ties = Seq(0.00005, 0.00015, 2.5, 3.5, -0.00005, 1.00005)
+      .toDF("v").cache()
+    ties.createOrReplaceTempView("fz_ties")
+    val a = ties.select(round(col("v"), 4).as("r")).collect().map(_.getDouble(0)).toSeq
+    val b = spark.sql("SELECT round(v, 4) AS r FROM fz_ties")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(a === b, "round() must be the same function through both front-ends")
+  }
+
+  test("fixture: timestamp truncation — unix_micros div vs date_trunc agree on hour grain") {
+    views
+    val viaDiv = spark.table("fz_events")
+      .select((expr("unix_micros(ts) div 3600000000") * 3600L).as("h"))
+    val viaTrunc = spark.table("fz_events")
+      .select(unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+    assert(viaDiv.exceptAll(viaTrunc).isEmpty && viaTrunc.exceptAll(viaDiv).isEmpty,
+      "integer-div truncation and date_trunc must agree for epoch-positive data")
+  }
+
+  test("fixture: NULLS FIRST/LAST explicit ordering matches between DSL and SQL") {
+    views
+    val df = spark.table("fz_orders")
+      .select(nullif(pmod(col("o_orderkey"), lit(7)), lit(0)).as("k"),
+        col("o_orderkey"))
+      .orderBy(col("k").desc_nulls_first, col("o_orderkey").asc)
+      .limit(100)
+    val viaSql = spark.sql(
+      """SELECT nullif(pmod(o_orderkey, 7), 0) AS k, o_orderkey
+        |FROM fz_orders
+        |ORDER BY k DESC NULLS FIRST, o_orderkey ASC LIMIT 100""".stripMargin)
+    assert(df.collect().map(_.toSeq).toSeq === viaSql.collect().map(_.toSeq).toSeq)
+  }
+}
