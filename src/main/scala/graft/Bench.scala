@@ -11,11 +11,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_QUERIES=a,b,c: bench only the named queries (exact
+    // names) — the sf1 stress leg uses this to time the heavy band
+    // without paying a full 256-query pass at 10× data.
+    val qFilter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benched = SparkEntry.queries.filter { case (n, _) =>
+      qFilter.forall(_.contains(n)) }
+    // SPARK_GRAFT_BUCKETED=true: materialize the hash-clustered catalog
+    // layout for sfDir and time the ENTIRE query set over it (r7 advice
+    // #1 — measuring the shuffle-elimination payoff the correctness
+    // matrix already proved safe). Materialization happens BEFORE the
+    // warm-up pass, so its one-time shuffle cost never lands in a
+    // timed pass — exactly how a production table would amortize it.
+    val bucketed = sys.env.get("SPARK_GRAFT_BUCKETED").contains("true")
+    if (bucketed) {
+      Tables.materializeBucketed(spark, sfDir)
+      spark.conf.set(Tables.BucketedConf, "true")
+    }
     // Untimed warm-up pass: single-JVM local mode pays JIT, codegen
     // compilation, and classloading on first call — noise a long-lived
     // cluster amortizes away. The timed pass below measures
     // steady-state plan execution.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benched.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Two timed passes, min per query: this machine shows transient
@@ -26,7 +44,7 @@ object Bench {
     // that starts throwing must not time as a plausible number — it
     // lands in the emitted "errors" map with its exception class.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def timedPass(): Map[String, Double] = SparkEntry.queries.map {
+    def timedPass(): Map[String, Double] = benched.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
@@ -34,6 +52,10 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
     }
     val (p1, p2) = (timedPass(), timedPass())
+    if (bucketed) {
+      spark.conf.set(Tables.BucketedConf, "false")
+      Tables.dropBucketed(spark, sfDir)
+    }
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     def jmap(kvs: Iterable[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v)
@@ -43,7 +65,8 @@ object Bench {
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"queries":${jmap(results)},"sf":"$sfDir"}"""
+    val layout = if (bucketed) "bucketed" else "loose"
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"layout":"$layout","queries":${jmap(results)},"sf":"$sfDir"}"""
     // The full per-query map (154 queries, ~5 KB) outran the driver's
     // captured log tail in BOTH prior rounds ("parsed": null) — the
     // tail window is ~2 KB, so any line longer than that is
@@ -56,7 +79,7 @@ object Bench {
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(25)
     val compact = s"""{"metric":"total","value":${BigDecimal(total)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"queries":${jmap(slowest)},"queries_note":"slowest 25 of ${results.size}; full map in /root/repo/bench_out.json","sf":"$sfDir"}"""
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"layout":"$layout","queries":${jmap(slowest)},"queries_note":"slowest 25 of ${results.size}; full map in /root/repo/bench_out.json","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

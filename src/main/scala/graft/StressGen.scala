@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up synthesizer for the local stress leg (r7 advice #3): build
+  * an sf1-equivalent dataset by unioning N key-shifted copies of the
+  * sf0.1 tables, preserving every cross-table join relationship
+  * (shifted foreign keys land on the same-shift dimension copy) and
+  * per-entity structure (each copy brings NEW users/orders/docs, so
+  * per-key group sizes stay realistic instead of inflating 10×).
+  *
+  * Copies are differentiated where identity would distort the
+  * operators under test: document text gets a per-copy prefix (and
+  * n_chars is recomputed) so exact/near-dup rates stay realistic
+  * rather than multiplying every duplicate class by N; embeddings are
+  * rotated by copy index so ANN/dedup geometry gets new points, not N
+  * coincident ones. region/nation stay as-is (true dimensions).
+  *
+  * Usage: runMain graft.StressGen [srcDir] [outDir] [copies]
+  * Defaults: /root/testdata/sf0.1 → /root/repo/tmp-sf1 × 10.
+  */
+object StressGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/root/repo/tmp-sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ks = spark.range(copies).toDF("k")
+
+    /** Union `copies` key-shifted replicas: each key column named in
+      * `shifts` moves by k·span(col), computed from the source so the
+      * copies' keyspaces are disjoint but join-consistent. */
+    def scaled(name: String, shifts: Seq[String]): DataFrame = {
+      val df = Tables(spark, src, name)
+      val spans = shifts.map { c =>
+        c -> (df.agg(max(col(c))).head().getLong(0) + 1L)
+      }
+      val crossed = df.crossJoin(broadcast(ks))
+      spans.foldLeft(crossed) { case (d, (c, span)) =>
+        d.withColumn(c, col(c) + col("k") * lit(span))
+      }
+    }
+
+    def write(name: String, df: DataFrame): Unit = {
+      // 32 files per table: the multi-file layout a real corpus has
+      // (single-file testdata serializes per-row-expensive map stages).
+      df.drop("k").repartition(32).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+      println(s"[stressgen] wrote $name")
+    }
+
+    Seq("region", "nation").foreach(n => write(n, Tables(spark, src, n)))
+    write("supplier", scaled("supplier", Seq("s_suppkey")))
+    write("part", scaled("part", Seq("p_partkey")))
+    write("customer", scaled("customer", Seq("c_custkey")))
+    write("orders", scaled("orders", Seq("o_orderkey", "o_custkey")))
+    write("lineitem", scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    write("events", scaled("events", Seq("event_id", "user_id")))
+    write("documents",
+      scaled("documents", Seq("doc_id"))
+        .withColumn("text",
+          when(col("k") === 0, col("text"))
+            .otherwise(concat(lit("v"), col("k"), lit(" "), col("text"))))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    write("embeddings",
+      scaled("embeddings", Seq("vec_id"))
+        .withColumn("embedding",
+          when(col("k") === 0, col("embedding")).otherwise(
+            concat(
+              slice(col("embedding"), col("k") + 1,
+                size(col("embedding")) - col("k")),
+              slice(col("embedding"), lit(1), col("k"))))))
+    spark.stop()
+  }
+}

@@ -23,14 +23,26 @@ object Tables {
     * the key its repeated joins/windows cluster by, so those exchanges
     * vanish once the layout is materialized. Dimension tables
     * (region/nation/supplier/part) stay loose — they broadcast.
+    *
+    * documents/embeddings are deliberately NOT bucketed (r8, measured):
+    * their hot operations never join on doc_id/vec_id — dedup joins on
+    * minhash/simhash bucket keys, ANN on coarse cells and PQ codes —
+    * so a primary-key bucketing buys zero exchanges; and because a
+    * bucketed scan pins one task per bucket file and AQE cannot
+    * coalesce it, the iterative ANN/graph chains that re-scan these
+    * small tables 30+ times paid the extra task floor on EVERY stage
+    * (bucketed-vs-loose full bench at sf0.1: sim_recall_ivf 2.1→4.5 s,
+    * embed_ivf_stats 1.9→3.8 s, total 119.7→153.2 s — all of it this
+    * class, while the true bucket-key band improved; see BASELINE.md
+    * r8 row). The general rule at any scale: bucket a table on a key
+    * only if its repeated shuffles actually ride that key, and size
+    * bucket count to the table — a blanket layout is a cost.
     */
   val bucketKeys: Map[String, String] = Map(
-    "orders"     -> "o_orderkey",
-    "lineitem"   -> "l_orderkey",
-    "customer"   -> "c_custkey",
-    "events"     -> "user_id",
-    "documents"  -> "doc_id",
-    "embeddings" -> "vec_id")
+    "orders"   -> "o_orderkey",
+    "lineitem" -> "l_orderkey",
+    "customer" -> "c_custkey",
+    "events"   -> "user_id")
 
   /** Idempotent session pinning shared by EVERY read path (loose and
     * bucketed): UTC session timezone — the NTZ→TIMESTAMP events cast
@@ -80,13 +92,33 @@ object Tables {
     * that pays for itself the second time a 100 TB fact table is
     * joined on the same key). Reads go through the loose path here, so
     * events ts-normalization happens exactly once, at write time.
-    */
+    *
+    * `buckets = 0` (default) sizes the bucket count PER TABLE from its
+    * row count (~25k rows/bucket, clamped [4, 256]) — measured r8: a
+    * blanket 32 buckets pinned 32 scan tasks per stage on tables a
+    * tenth that size (bucketed scans cannot AQE-coalesce), costing
+    * more across the query set than the eliminated exchanges saved.
+    * The same rule holds at 100 TB with a bigger constant: bucket
+    * count must track table size or the layout becomes a tax. The
+    * orders/lineitem pair shares one count (the larger table's) so
+    * their orderkey SMJ stays exchange-free without relying on
+    * bucket-coalescing support. */
   def materializeBucketed(s: SparkSession, dir: String,
-      buckets: Int = 32): Unit =
-    bucketKeys.foreach { case (n, k) =>
-      graft.sources.Sources.writeBucketed(
-        loose(s, dir, n), bucketedName(dir, n), k, buckets)
+      buckets: Int = 0): Unit = {
+    def auto(n: String): Int = {
+      val rows = loose(s, dir, n).count()
+      math.max(4, math.min(256, ((rows + 24999) / 25000).toInt))
     }
+    val pairCount = if (buckets > 0) buckets
+      else math.max(auto("lineitem"), auto("orders"))
+    bucketKeys.foreach { case (n, k) =>
+      val b = if (buckets > 0) buckets
+        else if (n == "lineitem" || n == "orders") pairCount
+        else auto(n)
+      graft.sources.Sources.writeBucketed(
+        loose(s, dir, n), bucketedName(dir, n), k, b)
+    }
+  }
 
   /** Drop every bucketed layout materialized for `dir` — including
     * stale generations whose content fingerprint no longer matches the

@@ -317,6 +317,34 @@ object EtlMerge extends OpModule {
         .orderBy("day")
     }),
 
+    "etl_compaction_plan" -> ((s, d) => {
+      // Small-file compaction planning (r8) — the OPTIMIZE/bin-pack
+      // pass every long-lived lakehouse table needs: treat each
+      // (event_type, day) shard as one "file" with its row count,
+      // then greedily pack consecutive shards (day order, within
+      // type) into bins of ≥ TARGET rows via cum-before div TARGET —
+      // the rewrite plan a compactor executes. Everything after the
+      // one partial-agged shard rollup is dimension-sized
+      // (|types|·|days| rows), so the planner costs one scan at any
+      // table size; the window is per-type over that tiny frame. All
+      // integer arithmetic. TARGET=2000 is the test-scale stand-in
+      // for a ~128 MB real target; the packing math is scale-free.
+      val T = 2000L
+      val shards = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      shards
+        .withColumn("cum_before", sum("n").over(w) - col("n"))
+        .withColumn("bin", expr(s"cum_before div $T"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n_shards"), sum("n").as("n_rows"),
+          date_format(min("day"), "yyyy-MM-dd").as("first_day"),
+          date_format(max("day"), "yyyy-MM-dd").as("last_day"))
+        .orderBy("event_type", "bin")
+    }),
+
     "etl_backfill_plan" -> ((s, d) => {
       // Backfill planning on top of the completeness audit: collapse
       // the missing days into CONTIGUOUS ranges (one backfill job per
@@ -799,6 +827,24 @@ object EtlMerge extends OpModule {
         |  round(CAST(cum_rows AS DOUBLE) / CAST(total_rows AS DOUBLE), 4)
         |    AS cum_share
         |FROM run ORDER BY day""".stripMargin,
+
+    "etl_compaction_plan" ->
+      """WITH shards AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), binned AS (
+        |  SELECT event_type, day, n,
+        |    (sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+        |      // 2000 AS bin
+        |  FROM shards
+        |)
+        |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+        |  count(*) AS n_shards, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  strftime(min(day), '%Y-%m-%d') AS first_day,
+        |  strftime(max(day), '%Y-%m-%d') AS last_day
+        |FROM binned GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin,
 
     "etl_backfill_plan" ->
       """WITH loaded AS (

@@ -393,6 +393,49 @@ object LlmText extends OpModule {
       tokens(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(50)),
 
+    "text_heavy_hitters" -> ((s, d) => {
+      // φ-heavy-hitters via Misra–Gries + exact recount (r8): the
+      // single-pass sketch pattern a 100 TB token stream needs —
+      // phase 1 runs an MG summary with k=500 counters PER PARTITION
+      // inside mapPartitions (O(k) state, no shuffle of the stream);
+      // phase 2 exactly recounts only the candidate union (≤ k·P
+      // words, broadcast to a semi join); phase 3 keeps words with
+      // exact cnt·500 > n_total (φ = 1/500, integer compare — no
+      // float threshold). The MG merge theorem makes the result
+      // LAYOUT-INDEPENDENT: per-partition undercount ≤ n_p/(k+1), so
+      // total undercount < n/ (k+1) ≤ φ·n and every true φ-heavy word
+      // survives phase 1 whatever the partitioning; the exact recount
+      // then discards false candidates. At this corpus the vocab
+      // (31 words) is smaller than k, so the summary happens to be
+      // exact — at web scale (vocab ≫ k) the bound is what matters,
+      // and the full-vocab shuffle this replaces is the cost of
+      // text_wordcount. Oracle is the plain GROUP BY + HAVING —
+      // the candidate phase must be invisible in the result.
+      import s.implicits._
+      val k = 500
+      val toks = tokens(s, d).select(col("token")).as[String]
+      val candidates = toks.mapPartitions { it =>
+        val c = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (c.contains(t)) c(t) += 1L
+          else if (c.size < k) c(t) = 1L
+          else { // decrement-all step: the arriving token is absorbed
+            c.mapValuesInPlace((_, v) => v - 1L)
+            c.filterInPlace((_, v) => v > 0L)
+          }
+        }
+        c.keysIterator
+      }.toDF("token").distinct()
+      val tot = tokens(s, d).agg(count(lit(1)).as("n_total"))
+      tokens(s, d).join(broadcast(candidates), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * lit(k.toLong) > col("n_total"))
+        .select(col("token"), col("cnt"),
+          expr("cnt * 1000000 div n_total").as("share_ppm"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     "text_vocab_growth" -> ((s, d) => {
       // Heaps'-law check: vocabulary size after the first N docs, at
       // doc-count checkpoints (sub-linear growth is the natural-corpus
@@ -1658,6 +1701,15 @@ object LlmText extends OpModule {
     "text_wordcount" ->
       s"""SELECT token, count(*) AS cnt FROM ($TokensSql)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    // Exact φ=1/500 heavy hitters — the MG candidate phase on the
+    // Spark side must be invisible in the result (merge theorem).
+    "text_heavy_hitters" ->
+      s"""WITH t AS ($TokensSql), tot AS (SELECT count(*) AS n FROM t),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+         |SELECT token, cnt, cnt * 1000000 // (SELECT n FROM tot) AS share_ppm
+         |FROM c WHERE cnt * 500 > (SELECT n FROM tot)
+         |ORDER BY cnt DESC, token""".stripMargin,
 
     "text_vocab_growth" ->
       s"""WITH fd AS (

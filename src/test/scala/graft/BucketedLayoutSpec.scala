@@ -62,6 +62,40 @@ class BucketedLayoutSpec extends SparkSpec {
     } finally Tables.dropBucketed(spark, sf)
   }
 
+  test("bucketed layout eliminates hash exchanges across the shuffle-heavy band") {
+    // r7 advice #1, assertion leg: for graded queries whose hot
+    // shuffle rides a bucket key (orderkey equi-joins, per-user
+    // windows/aggs over events), the bucketed layout must plan
+    // strictly FEWER hash exchanges than loose parquet — the
+    // mechanism behind the bench delta recorded in BASELINE.md.
+    // Terminal ORDER BY range exchanges stay in both layouts and are
+    // not counted. Broadcast is disabled so the loose plan shows its
+    // shuffle (at sf0.001 AQE would otherwise broadcast the small
+    // side and hide it).
+    Tables.materializeBucketed(spark, sf, buckets = 4)
+    val band = Seq("join_inner_equi", "join_multiway", "evt_session",
+      "evt_session_native", "evt_funnel", "win_lag_lead")
+    def hashExchanges(n: String): Int = {
+      val df = SparkEntry.queries(n)(spark, sf)
+      df.count()
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val loose = band.map(n => n -> hashExchanges(n)).toMap
+        val bucketed = withBucketed { band.map(n => n -> hashExchanges(n)).toMap }
+        band.foreach { n =>
+          assert(bucketed(n) < loose(n),
+            s"$n: ${bucketed(n)} hash exchanges bucketed vs ${loose(n)} loose — " +
+              "expected at least one eliminated")
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally Tables.dropBucketed(spark, sf)
+  }
+
   test("bucketed events keep the normalized TimestampType ts") {
     Tables.materializeBucketed(spark, sf, buckets = 4)
     try withBucketed {

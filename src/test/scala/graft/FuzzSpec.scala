@@ -26,9 +26,21 @@ import scala.util.Random
   * Seeds are fixed (cases are reproducible by number); any divergence
   * should be reduced to a named fixture test here, per the advice.
   */
-class FuzzSpec extends SparkSpec {
+class FuzzSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private val sf = "/root/testdata/sf0.001"
+
+  // The cached views MUST be released when this suite ends: the shared
+  // session's CacheManager matches plan fragments, so a still-cached
+  // lineitem would silently replace other suites' parquet scans with
+  // InMemoryTableScan and break their pushdown plan locks (observed:
+  // PlansSpec filter_pred).
+  private val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  override def afterAll(): Unit = {
+    cached.foreach(_.unpersist(blocking = false))
+    cached.clear()
+    super.afterAll()
+  }
 
   private case class Col(name: String, kind: String) // long | dbl | str | ts
   private case class Table(name: String, cols: Seq[Col], uniqueKey: Seq[String])
@@ -53,7 +65,9 @@ class FuzzSpec extends SparkSpec {
   private case class Expr(dsl: Column, sql: String, kind: String)
 
   private lazy val views: Unit = tables.foreach { t =>
-    Tables(spark, sf, t.name).cache().createOrReplaceTempView(s"fz_${t.name}")
+    val df = Tables(spark, sf, t.name).cache()
+    cached += df
+    df.createOrReplaceTempView(s"fz_${t.name}")
   }
 
   // ---- generators ---------------------------------------------------
@@ -312,6 +326,7 @@ class FuzzSpec extends SparkSpec {
     import spark.implicits._
     val ties = Seq(0.00005, 0.00015, 2.5, 3.5, -0.00005, 1.00005)
       .toDF("v").cache()
+    cached += ties
     ties.createOrReplaceTempView("fz_ties")
     val a = ties.select(round(col("v"), 4).as("r")).collect().map(_.getDouble(0)).toSeq
     val b = spark.sql("SELECT round(v, 4) AS r FROM fz_ties")
