@@ -846,6 +846,60 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_forecast_hw" -> ((s, d) => {
+      // Holt-Winters ADDITIVE forecast eval (r8): level + trend +
+      // 7-day season (α=.5 β=.3 γ=.4) over each type's daily volume,
+      // scored by one-step-ahead MAE — completes the forecasting
+      // ladder (snaive → Holt → Holt-Winters). Same deterministic
+      // in-row recursion shape as evt_forecast_holt, with the season
+      // carried as an array INSIDE the fold accumulator and updated
+      // positionally per step — fixed evaluation order makes every
+      // double bit-identical to the oracle's recursive CTE (whose
+      // per-row columns reference only the previous iteration's row;
+      // NOTE: a DuckDB list_reduce+struct_pack fold is NOT usable
+      // here — duckdb 1.0 mutates the acc struct field-by-field
+      // sequentially, so later fields see already-updated values;
+      // caught while prototyping this oracle). Init: l₀ = mean of the
+      // first season, b₀ = 0, s₀ = first-season residuals. Series are
+      // dimension-sized (|types|·|days|) at any event volume.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val ser = daily.groupBy("event_type")
+        .agg(transform(
+          sort_array(collect_list(struct(col("day"), col("n")))),
+          e => e.getField("n").cast("double")).as("xs"))
+        .filter(size(col("xs")) >= 15)
+      val xs = col("xs")
+      val l0 = aggregate(slice(xs, 1, 7), lit(0.0), (a, x) => a + x) / lit(7.0)
+      val acc0 = struct(
+        l0.as("l"), lit(0.0).as("b"),
+        transform(slice(xs, 1, 7), x => x - l0).as("s"),
+        lit(0.0).as("sae"), lit(7).as("t"))
+      def fl(acc: Column, f: String) = acc.getField(f)
+      def jd(acc: Column) = pmod(fl(acc, "t"), lit(7)) + 1 // 1-based slot of x_{t+1}
+      def sj(acc: Column) = element_at(fl(acc, "s"), jd(acc))
+      def nl(acc: Column, x: Column) =
+        lit(0.5) * (x - sj(acc)) + lit(0.5) * (fl(acc, "l") + fl(acc, "b"))
+      val folded = aggregate(
+        slice(xs, lit(8), size(xs) - 7), acc0,
+        (acc, x) => struct(
+          nl(acc, x).as("l"),
+          (lit(0.3) * (nl(acc, x) - fl(acc, "l")) + lit(0.7) * fl(acc, "b")).as("b"),
+          transform(fl(acc, "s"), (v, k0) =>
+            when(k0 + 1 === jd(acc),
+              lit(0.4) * (x - nl(acc, x)) + lit(0.6) * v).otherwise(v)).as("s"),
+          (fl(acc, "sae") + abs(x - (fl(acc, "l") + fl(acc, "b") + sj(acc)))).as("sae"),
+          (fl(acc, "t") + 1).as("t")))
+      ser.withColumn("st", folded)
+        .select(col("event_type"), size(xs).cast("long").as("n_days"),
+          round(col("st.sae") / (size(xs) - 7).cast("double"), 4).as("mae"),
+          round(col("st.l") + col("st.b") +
+            element_at(col("st.s"), pmod(size(xs), lit(7)) + 1), 4)
+            .as("forecast_next"))
+        .orderBy("event_type")
+    }),
+
     "evt_type_corr" -> ((s, d) => {
       // Pairwise Pearson correlation of DAILY VOLUMES between event
       // types — "do errors spike when purchases spike?" is the first
@@ -1662,6 +1716,40 @@ object Events extends OpModule {
         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
         |  round(sae / CAST(n - 2 AS DOUBLE), 4) AS mae,
         |  round(l + b, 4) AS forecast_next
+        |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
+
+    // Same recursive-CTE discipline as evt_forecast_holt: each
+    // iteration's columns reference only the PREVIOUS row, which
+    // sidesteps duckdb's sequential-mutation struct_pack fold (see
+    // the query scaladoc). Season array updated via list_transform
+    // with 1-based index k (Spark's transform index is 0-based).
+    "evt_forecast_hw" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+        |  FROM daily GROUP BY event_type),
+        |base AS (SELECT event_type, xs, len(xs) AS n FROM ser WHERE len(xs) >= 15),
+        |init AS (SELECT event_type, xs, n,
+        |  list_reduce(xs[1:7], (a, x) -> a + x) / CAST(7 AS DOUBLE) AS l0
+        |  FROM base),
+        |rec AS (
+        |  SELECT event_type, xs, n, 7 AS t, l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+        |    list_transform(xs[1:7], x -> x - l0) AS s, CAST(0.0 AS DOUBLE) AS sae
+        |  FROM init
+        |  UNION ALL
+        |  SELECT event_type, xs, n, t + 1,
+        |    0.5 * (xs[t+1] - s[(t % 7) + 1]) + 0.5 * (l + b),
+        |    0.3 * ((0.5 * (xs[t+1] - s[(t % 7) + 1]) + 0.5 * (l + b)) - l) + 0.7 * b,
+        |    list_transform(s, (v, k) -> CASE WHEN k = (t % 7) + 1
+        |      THEN 0.4 * (xs[t+1] - (0.5 * (xs[t+1] - s[(t % 7) + 1])
+        |             + 0.5 * (l + b))) + 0.6 * v ELSE v END),
+        |    sae + abs(xs[t+1] - (l + b + s[(t % 7) + 1]))
+        |  FROM rec WHERE t < n)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round(sae / CAST(n - 7 AS DOUBLE), 4) AS mae,
+        |  round(l + b + s[(n % 7) + 1], 4) AS forecast_next
         |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
 
     // Dense (day × type) spine so zero days enter the moments; the
