@@ -317,6 +317,61 @@ object EtlMerge extends OpModule {
         .orderBy("day")
     }),
 
+    "etl_zorder_layout" -> ((s, d) => {
+      // Z-order layout audit (r8) — the OPTIMIZE ZORDER decision
+      // input: interleave 10 bits each of (custkey, order-day) into a
+      // 20-bit Morton code, carve the value space into blocks
+      // (z >> 12 → ≤256 blocks; value-range blocks, deliberately NOT
+      // an ntile global sort — no unpartitioned window anywhere), and
+      // measure per-block locality against the two single-column
+      // layouts. The audit row a lakehouse reads: Z-blocks bound BOTH
+      // dimensions' spans simultaneously (multi-predicate scans prune
+      // on either column), while by-day blocks leave the custkey span
+      // near-full and vice versa. One map-side code computation +
+      // three small rollups; all averages are one double division
+      // from exact integer sums. Scale: |orders| map + |blocks|-sized
+      // aggregation at any table size.
+      // o_orderdate loads as TIMESTAMP_NTZ; cast under the pinned UTC
+      // session is a value identity and matches DuckDB's epoch_us.
+      // Both dimensions normalize to an exact-integer 10-bit grid
+      // anchored to the table's own min/max (broadcast bounds — the
+      // etl_ttl_purge_plan anchoring discipline), so every layout
+      // carves the SAME 1024×1024 space into 256 equal-rank blocks
+      // and the span columns are directly comparable grid units.
+      val dayNum = expr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+      val bounds = Tables.orders(s, d).agg(
+        min(col("o_custkey")).as("ck_lo"), max(col("o_custkey")).as("ck_hi"),
+        min(dayNum).as("dn_lo"), max(dayNum).as("dn_hi"))
+      def interleave(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        (0 until 10).map { i =>
+          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+            .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        }.reduce(_ bitwiseOR _)
+      val base = Tables.orders(s, d)
+        .select(col("o_custkey"), dayNum.as("day_num"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("ck10",
+          expr("(o_custkey - ck_lo) * 1024 div (ck_hi - ck_lo + 1)"))
+        .withColumn("dn10",
+          expr("(day_num - dn_lo) * 1024 div (dn_hi - dn_lo + 1)"))
+        .withColumn("z", interleave(col("ck10"), col("dn10")))
+      def audit(layout: String, block: org.apache.spark.sql.Column) =
+        base.groupBy(block.as("block"))
+          .agg(count(lit(1)).as("n"),
+            (max("ck10") - min("ck10")).as("ck_span"),
+            (max("dn10") - min("dn10")).as("day_span"))
+          .agg(lit(layout).as("layout"),
+            count(lit(1)).as("n_blocks"),
+            round(sum("n").cast("double") / count(lit(1)), 4).as("avg_rows"),
+            round(sum("ck_span").cast("double") / count(lit(1)), 4).as("avg_ck_span"),
+            round(sum("day_span").cast("double") / count(lit(1)), 4).as("avg_day_span"))
+      audit("by_custkey", expr("ck10 div 4"))
+        .unionAll(audit("by_day", expr("dn10 div 4")))
+        .unionAll(audit("zorder", expr("z div 4096")))
+        .orderBy("layout")
+    }),
+
     "etl_compaction_plan" -> ((s, d) => {
       // Small-file compaction planning (r8) — the OPTIMIZE/bin-pack
       // pass every long-lived lakehouse table needs: treat each
@@ -827,6 +882,41 @@ object EtlMerge extends OpModule {
         |  round(CAST(cum_rows AS DOUBLE) / CAST(total_rows AS DOUBLE), 4)
         |    AS cum_share
         |FROM run ORDER BY day""".stripMargin,
+
+    // Same 10+10-bit Morton interleave, generated from one Scala
+    // template so the bit arithmetic cannot drift between engines.
+    "etl_zorder_layout" -> {
+      val zbits = (0 until 10).map(i =>
+        s"(((ck10 >> $i) & 1) << ${2 * i}) | " +
+          s"(((dn10 >> $i) & 1) << ${2 * i + 1})").mkString(" | ")
+      s"""WITH base AS (
+         |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS day_num
+         |  FROM orders),
+         |bounds AS (
+         |  SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+         |    min(day_num) AS dn_lo, max(day_num) AS dn_hi FROM base),
+         |grid AS (
+         |  SELECT (o_custkey - ck_lo) * 1024 // (ck_hi - ck_lo + 1) AS ck10,
+         |    (day_num - dn_lo) * 1024 // (dn_hi - dn_lo + 1) AS dn10
+         |  FROM base, bounds),
+         |coded AS (SELECT ck10, dn10, ($zbits) AS z FROM grid),
+         |blk AS (
+         |  SELECT 'by_custkey' AS layout, ck10 // 4 AS block, ck10, dn10 FROM coded
+         |  UNION ALL
+         |  SELECT 'by_day', dn10 // 4, ck10, dn10 FROM coded
+         |  UNION ALL
+         |  SELECT 'zorder', z // 4096, ck10, dn10 FROM coded),
+         |per AS (
+         |  SELECT layout, block, count(*) AS n,
+         |    max(ck10) - min(ck10) AS ck_span,
+         |    max(dn10) - min(dn10) AS day_span
+         |  FROM blk GROUP BY layout, block)
+         |SELECT layout, count(*) AS n_blocks,
+         |  round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS avg_rows,
+         |  round(CAST(sum(ck_span) AS DOUBLE) / count(*), 4) AS avg_ck_span,
+         |  round(CAST(sum(day_span) AS DOUBLE) / count(*), 4) AS avg_day_span
+         |FROM per GROUP BY layout ORDER BY layout""".stripMargin
+    },
 
     "etl_compaction_plan" ->
       """WITH shards AS (

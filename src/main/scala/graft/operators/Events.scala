@@ -846,6 +846,87 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_abtest_welch" -> ((s, d) => {
+      // A/B experiment readout (r8): users split into variants by
+      // user_id parity (the deterministic stand-in for an assignment
+      // hash), metric = per-user purchase spend; Welch's unequal-
+      // variance t statistic + Welch–Satterthwaite df. All moments
+      // are EXACT integer cents (the agg_corr_matrix discipline:
+      // Dec2 → ×100 → BIGINT Σx, Σx²), so the final t/df doubles are
+      // one fixed-order expression from exact integers — engine-
+      // identical. Two partial-agged shuffles (user rollup, then a
+      // 2-row variant rollup); the statistic is computed on the
+      // 2-row frame. At 100 TB: same two map-side-combining
+      // aggregations, nothing else grows.
+      val per = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg((sum(Dec2(col("value"))) * 100).cast("long").as("xc"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      val m = per.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("xc").as("sx"),
+          sum(col("xc") * col("xc")).as("sxx"))
+      def side(g: Int, c: String) = max(when(col("grp") === g, col(c)))
+      val wide = m.agg(
+        side(0, "n").as("na"), side(0, "sx").as("sxa"), side(0, "sxx").as("sxxa"),
+        side(1, "n").as("nb"), side(1, "sx").as("sxb"), side(1, "sxx").as("sxxb"))
+      val (na, nb) = (col("na").cast("double"), col("nb").cast("double"))
+      val (sxa, sxb) = (col("sxa").cast("double"), col("sxb").cast("double"))
+      val (sxxa, sxxb) = (col("sxxa").cast("double"), col("sxxb").cast("double"))
+      val va = (sxxa - sxa * sxa / na) / (na - 1)
+      val vb = (sxxb - sxb * sxb / nb) / (nb - 1)
+      val sea = va / na
+      val seb = vb / nb
+      wide.select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(sxa / na / 100, 4).as("mean_a"),
+        round(sxb / nb / 100, 4).as("mean_b"),
+        round((sxa / na - sxb / nb) / sqrt(sea + seb), 4).as("t_stat"),
+        round((sea + seb) * (sea + seb) /
+          (sea * sea / (na - 1) + seb * seb / (nb - 1)), 4).as("df"))
+    }),
+
+    "evt_pit_features" -> ((s, d) => {
+      // Point-in-time (leakage-free) feature snapshot (r8) — THE
+      // training-data join: for every label event (purchase), gather
+      // per-user features computed STRICTLY BEFORE the label instant
+      // (upper bound −1 µs): trailing-7d view/click counts, trailing
+      // 24h spend, prior-purchase count, microseconds since the
+      // user's first event. Expressed as VALUE-RANGE window frames
+      // over the user-ordered stream — one shuffle on user_id, one
+      // sorted scan per user, NO events×events self-join (the naive
+      // PIT formulation) — and value-based frames make same-µs ties
+      // order-independent, so both engines agree without an event_id
+      // tiebreak inside the frame. Spend goes through DECIMAL: a
+      // range-frame sum of doubles is frame-order-sensitive.
+      // At 100 TB this is the per-user-sorted-scan shape that
+      // bucketing events on user_id makes exchange-free.
+      val us = unix_micros(col("ts"))
+      def w(lo: Long) = Window.partitionBy("user_id").orderBy(us)
+        .rangeBetween(lo, -1L)
+      val day7 = -7L * 86400L * 1000000L
+      val day1 = -86400L * 1000000L
+      Tables.events(s, d)
+        .withColumn("n_views_7d",
+          count(when(col("event_type") === "view", 1)).over(w(day7)))
+        .withColumn("n_clicks_7d",
+          count(when(col("event_type") === "click", 1)).over(w(day7)))
+        .withColumn("spend_24h", coalesce(
+          sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,6)"))).over(w(day1)),
+          lit(0).cast("decimal(18,6)")).cast("double"))
+        .withColumn("n_prior_purchases",
+          count(when(col("event_type") === "purchase", 1))
+            .over(w(Window.unboundedPreceding)))
+        .withColumn("age_us", us - min(us).over(w(Window.unboundedPreceding)))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("label_us"), col("event_id"),
+          col("n_views_7d"), col("n_clicks_7d"),
+          round(col("spend_24h"), 4).as("spend_24h"),
+          col("n_prior_purchases"), col("age_us"))
+        .orderBy("user_id", "label_us", "event_id")
+    }),
+
     "evt_forecast_hw" -> ((s, d) => {
       // Holt-Winters ADDITIVE forecast eval (r8): level + trend +
       // 7-day season (α=.5 β=.3 γ=.4) over each type's daily volume,
@@ -1717,6 +1798,78 @@ object Events extends OpModule {
         |  round(sae / CAST(n - 2 AS DOUBLE), 4) AS mae,
         |  round(l + b, 4) AS forecast_next
         |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
+
+    // Exact integer-cent moments; t/df doubles in the same textual
+    // operation order as the Spark side.
+    "evt_abtest_welch" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS xc,
+        |    user_id % 2 AS grp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), m AS (
+        |  SELECT grp, count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
+        |    CAST(sum(xc * xc) AS BIGINT) AS sxx
+        |  FROM per GROUP BY grp
+        |), wide AS (
+        |  SELECT
+        |    max(CASE WHEN grp = 0 THEN n END) AS na0,
+        |    max(CASE WHEN grp = 0 THEN sx END) AS sxa,
+        |    max(CASE WHEN grp = 0 THEN sxx END) AS sxxa,
+        |    max(CASE WHEN grp = 1 THEN n END) AS nb0,
+        |    max(CASE WHEN grp = 1 THEN sx END) AS sxb,
+        |    max(CASE WHEN grp = 1 THEN sxx END) AS sxxb
+        |  FROM m
+        |), dbl AS (
+        |  SELECT na0, nb0,
+        |    CAST(na0 AS DOUBLE) AS na, CAST(nb0 AS DOUBLE) AS nb,
+        |    CAST(sxa AS DOUBLE) AS sxa, CAST(sxxa AS DOUBLE) AS sxxa,
+        |    CAST(sxb AS DOUBLE) AS sxb, CAST(sxxb AS DOUBLE) AS sxxb
+        |  FROM wide
+        |)
+        |SELECT na0 AS n_a, nb0 AS n_b,
+        |  round(sxa / na / 100, 4) AS mean_a,
+        |  round(sxb / nb / 100, 4) AS mean_b,
+        |  round((sxa / na - sxb / nb) /
+        |    sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
+        |       + (sxxb - sxb * sxb / nb) / (nb - 1) / nb), 4) AS t_stat,
+        |  round(((sxxa - sxa * sxa / na) / (na - 1) / na
+        |       + (sxxb - sxb * sxb / nb) / (nb - 1) / nb)
+        |      * ((sxxa - sxa * sxa / na) / (na - 1) / na
+        |       + (sxxb - sxb * sxb / nb) / (nb - 1) / nb)
+        |    / ((sxxa - sxa * sxa / na) / (na - 1) / na
+        |        * ((sxxa - sxa * sxa / na) / (na - 1) / na) / (na - 1)
+        |      + (sxxb - sxb * sxb / nb) / (nb - 1) / nb
+        |        * ((sxxb - sxb * sxb / nb) / (nb - 1) / nb) / (nb - 1)), 4)
+        |    AS df
+        |FROM dbl""".stripMargin,
+
+    // Identical value-range window formulation; strictly-before upper
+    // bound = 1 PRECEDING on the µs axis; spend through DECIMAL.
+    "evt_pit_features" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w7 AS n_views_7d,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w7 AS n_clicks_7d,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,6)) END) OVER w1,
+        |      CAST(0 AS DECIMAL(18,6))) AS spend,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) OVER wp
+        |      AS n_prior_purchases,
+        |    epoch_us(ts) - min(epoch_us(ts)) OVER wp AS age_us
+        |  FROM events
+        |  WINDOW
+        |    w7 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING),
+        |    w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING),
+        |    wp AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, us AS label_us, event_id, n_views_7d, n_clicks_7d,
+        |  CAST(round(spend, 4) AS DOUBLE) AS spend_24h, n_prior_purchases, age_us
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY user_id, label_us, event_id""".stripMargin,
 
     // Same recursive-CTE discipline as evt_forecast_holt: each
     // iteration's columns reference only the PREVIOUS row, which

@@ -597,6 +597,49 @@ object LlmSim extends OpModule {
         .orderBy("doc_id", "win_no")
     }),
 
+    "multimodal_frame_census" -> ((s, d) => {
+      // Graded video-path census (r8): the frame-SAMPLING pipeline is
+      // fully real — fixed-size frame windows past the container
+      // header, every-nth selection, typed batched stage — while the
+      // video DECODE itself honestly remains the FakeCodec stand-in
+      // (no video codec ships in this JVM; the header contract is
+      // FakeCodec's 6-byte magic+dims). Blob bytes are deterministic
+      // arithmetic (payload[i] = (doc·13 + i·17) mod 251), so every
+      // emitted stat — frame byte count (incl. the partial tail
+      // frame), byte sum, order-sensitive polynomial hash — is
+      // integer-predictable by the oracle without any decoder.
+      // Scale shape: |docs| unsplittable blobs → partition-parallel
+      // sampling; emitted census rows are |frames|-sized, tiny.
+      import s.implicits._
+      import graft.multimodal.{MediaRow, Multimodal}
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 40)
+        .as[Long].map { id =>
+          val np = 160 + (id % 5).toInt * 48
+          val w = 64 + (id % 3).toInt
+          val h = 48
+          val header = Array[Byte]('F', 'I',
+            ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+            ((h >> 8) & 0xff).toByte, (h & 0xff).toByte)
+          val payload = Array.tabulate(np)(i =>
+            ((id * 13 + i * 17) % 251).toByte)
+          MediaRow(id, "video", header ++ payload)
+        }
+      Multimodal.sampleFrames(media, frameBytes = 32, everyNth = 3)
+        .map { f =>
+          var sumB = 0L
+          var poly = 0L
+          f.frame.foreach { b =>
+            val v = (b & 0xff).toLong
+            sumB += v
+            poly = (poly * 31 + v) % 1000003L
+          }
+          (f.media_id, f.frame_no.toLong, f.frame.length.toLong, sumB, poly)
+        }
+        .toDF("doc_id", "frame_no", "n_bytes", "byte_sum", "poly_hash")
+        .orderBy("doc_id", "frame_no")
+    }),
+
     "multimodal_join" -> ((s, d) =>
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -1964,6 +2007,29 @@ object LlmSim extends OpModule {
         |  CAST(max(abs(v)) AS BIGINT) AS peak_abs
         |FROM smp GROUP BY doc_id, win_no
         |ORDER BY doc_id, win_no""".stripMargin,
+
+    // Pure-arithmetic frame prediction: payload byte i is
+    // (doc·13 + i·17) mod 251, frames are 32-byte windows (partial
+    // tail included) sampled every 3rd; poly fold order matches the
+    // Spark side's left-to-right scan.
+    "multimodal_frame_census" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 160 + (doc_id % 5) * 48 AS np
+        |  FROM documents WHERE doc_id < 40),
+        |frames AS (
+        |  SELECT doc_id, np, unnest(range(0, (np + 31) // 32)) AS k FROM docs),
+        |sampled AS (
+        |  SELECT doc_id, k, k * 32 AS lo, least(np, k * 32 + 32) AS hi
+        |  FROM frames WHERE k % 3 = 0)
+        |SELECT doc_id, CAST(k AS BIGINT) AS frame_no,
+        |  CAST(hi - lo AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(lo, hi), i -> (doc_id * 13 + i * 17) % 251)),
+        |    (a, b) -> a + b) AS BIGINT) AS byte_sum,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(lo, hi), i -> (doc_id * 13 + i * 17) % 251)),
+        |    (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS poly_hash
+        |FROM sampled ORDER BY doc_id, frame_no""".stripMargin,
 
     "multimodal_join" ->
       """SELECT doc_id, lang, source, CAST(label AS BIGINT) AS label,
