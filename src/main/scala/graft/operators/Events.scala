@@ -846,6 +846,45 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_decay_score" -> ((s, d) => {
+      // Time-decayed engagement score (r8): per user,
+      // Σ value·2^(−Δdays/7) with Δ anchored to the table's own max
+      // timestamp (reproducible on any snapshot — the ttl_purge
+      // anchoring). Cross-engine hazard handled head-on: libm `pow`
+      // is NOT correctly rounded, so 2^(−d/7) is decomposed into
+      // 0.5^(d div 7) — computed EXACTLY as 1/(1<<k), powers of two
+      // are exact doubles — times r^(d mod 7) with r = 0.5^(1/7)
+      // pinned as one double literal and its 7 powers PRECOMPUTED in
+      // Scala ([[DecayR]]) and rendered into the oracle SQL from the
+      // same array, so both engines multiply identical doubles. The
+      // weighted sum folds in-row over the per-user (ts, event_id)-
+      // sorted term list — fixed order, bit-identical. Scale: one
+      // user_id shuffle; per-user lists are session-sized.
+      val anchor = Tables.events(s, d).agg(max(unix_micros(col("ts"))).as("a_us"))
+      val terms = Tables.events(s, d)
+        .crossJoin(broadcast(anchor))
+        .withColumn("days", expr("(a_us - unix_micros(ts)) div 86400000000"))
+        .withColumn("k", expr("days div 7"))
+        .withColumn("m", expr("days % 7"))
+        .withColumn("decay",
+          (lit(1.0) /
+            expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)")) *
+            DecayR.zipWithIndex.tail.foldLeft(when(col("m") === 0, DecayR(0))) {
+              case (c, (r, i)) => c.when(col("m") === i, r)
+            }.otherwise(0.0))
+        .withColumn("term", col("value") * col("decay"))
+      terms.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          aggregate(
+            transform(
+              sort_array(collect_list(struct(
+                unix_micros(col("ts")).as("us"), col("event_id"), col("term")))),
+              e => e.getField("term")),
+            lit(0.0), (a, x) => a + x).as("raw"))
+        .select(col("user_id"), col("n_events"), round(col("raw"), 4).as("score"))
+        .orderBy("user_id")
+    }),
+
     "evt_abtest_welch" -> ((s, d) => {
       // A/B experiment readout (r8): users split into variants by
       // user_id parity (the deterministic stand-in for an assignment
@@ -1161,6 +1200,14 @@ object Events extends OpModule {
           .as("stickiness"))
       .orderBy("day")
   }
+
+  /** r = 0.5^(1/7) pinned as one double literal; DecayR(i) = rⁱ by
+    * repeated multiplication. evt_decay_score renders its oracle SQL
+    * literals from THIS array (Double.toString is shortest-roundtrip,
+    * so DuckDB parses back the identical double) — the reason the
+    * non-correctly-rounded libm `pow` never runs on either engine. */
+  private val DecayR: Array[Double] =
+    Array.iterate(1.0, 7)(_ * 0.9057236642639067)
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
 
@@ -1798,6 +1845,36 @@ object Events extends OpModule {
         |  round(sae / CAST(n - 2 AS DOUBLE), 4) AS mae,
         |  round(l + b, 4) AS forecast_next
         |FROM rec WHERE t = n ORDER BY event_type""".stripMargin,
+
+    // Decay literals rendered from DecayR (see its scaladoc); term
+    // fold is a scalar left-reduce in (us, event_id) order — scalar
+    // acc, so duckdb's struct-mutation fold hazard doesn't apply.
+    "evt_decay_score" -> {
+      val rmCase = DecayR.zipWithIndex.map { case (r, i) =>
+        s"WHEN m = $i THEN CAST($r AS DOUBLE)"
+      }.mkString(" ")
+      s"""WITH anchor AS (SELECT max(epoch_us(ts)) AS a_us FROM events),
+         |t AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         |    (a_us - epoch_us(ts)) // 86400000000 AS days
+         |  FROM events, anchor),
+         |dec AS (
+         |  SELECT user_id, event_id, us,
+         |    value * ((1.0 / CAST(1 << (days // 7) AS DOUBLE)) *
+         |      (CASE $rmCase ELSE 0.0 END)) AS term
+         |  FROM (SELECT *, days % 7 AS m FROM t)),
+         |per AS (
+         |  SELECT user_id, count(*) AS n_events,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(
+         |        list(struct_pack(us := us, event_id := event_id, term := term)
+         |          ORDER BY us, event_id),
+         |        e -> e.term)),
+         |      (a, x) -> a + x) AS raw
+         |  FROM dec GROUP BY user_id)
+         |SELECT user_id, n_events, round(raw, 4) AS score
+         |FROM per ORDER BY user_id""".stripMargin
+    },
 
     // Exact integer-cent moments; t/df doubles in the same textual
     // operation order as the Spark side.

@@ -404,6 +404,44 @@ object LlmSim extends OpModule {
         .orderBy("vec_id")
     }),
 
+    "dedup_semdedup" -> ((s, d) => scopedPersist { scope =>
+      // SemDeDup-shaped semantic dedup (Abbas et al. 2023, public
+      // method): cluster the corpus with the TRAINED coarse quantizer
+      // (ivfTrain's C=16, 2 Lloyd iterations — the same machinery the
+      // IVF index uses), then enumerate pairs ONLY within a cluster
+      // and drop the higher-id member of every pair at rounded cosine
+      // ≥ 0.45 (keep-first, the dedup-family convention). Emits the
+      // per-cluster census a curation run reviews before applying.
+      // Cosines on the exact ⌊v·1e6⌋ integer grid (sim_range_search's
+      // cross-engine lesson). Scale shape: THE SemDeDup argument —
+      // Σ|cell|² pairs instead of |V|²/2, with cluster count scaling
+      // to keep cells bounded; training persists via the scope, the
+      // pair join is one equi-join on cell.
+      val (_, assign) = ivfTrain(s, d, scope)
+      val ie = assign.select(col("vec_id"), col("cell"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
+        .withColumn("inrm", sqrt(dot(col("iv"), col("iv"))))
+      val a = ie.select(col("cell"), col("vec_id").as("a_id"),
+        col("iv").as("a_iv"), col("inrm").as("a_nrm"))
+      val b = ie.select(col("cell"), col("vec_id").as("b_id"),
+        col("iv").as("b_iv"), col("inrm").as("b_nrm"))
+      val dups = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+        .withColumn("cos", round(
+          dot(col("a_iv"), col("b_iv")) / (col("a_nrm") * col("b_nrm")), 4))
+        .filter(col("cos") >= 0.45)
+      val dropped = dups.select(col("cell"), col("b_id")).distinct()
+      val members = ie.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      val pairc = dups.groupBy("cell").agg(count(lit(1)).as("n_dup_pairs"))
+      val dropc = dropped.groupBy("cell").agg(count(lit(1)).as("n_dropped"))
+      members.join(pairc, Seq("cell"), "left").join(dropc, Seq("cell"), "left")
+        .select(col("cell"), col("n_members"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy("cell")
+    }),
+
     "sim_knn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -1922,6 +1960,49 @@ object LlmSim extends OpModule {
          |SELECT CAST(np AS BIGINT) AS nprobe, q_id, n_brute, n_hits,
          |  round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall
          |FROM hits ORDER BY nprobe, q_id""".stripMargin,
+
+    // Same trained C=16 Lloyd chain as sim_knn_ivf; within-cell pairs
+    // on the exact ⌊v·1e6⌋ integer grid; keep-first drop rule.
+    "dedup_semdedup" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |norms AS ($NormsSql),
+         |c0 AS (SELECT vec_id AS cell, pos, v AS c FROM u WHERE vec_id < 16),
+         |a1 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmUpdateSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmUpdateSql("a2")}),
+         |assign AS (${kmAssignSql("c2")}),
+         |iu AS (SELECT vec_id, pos,
+         |  CAST(floor(v * 1000000.0) AS DOUBLE) AS w FROM u),
+         |inorm AS (SELECT vec_id, sqrt(sum(w * w)) AS inrm FROM iu GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |dots AS (
+         |  SELECT p.cell, p.a_id, p.b_id, sum(x.w * y.w) AS dp
+         |  FROM pairs p JOIN iu x ON x.vec_id = p.a_id
+         |  JOIN iu y ON y.vec_id = p.b_id AND y.pos = x.pos
+         |  GROUP BY 1, 2, 3),
+         |dups AS (
+         |  SELECT d.cell, d.a_id, d.b_id FROM dots d
+         |  JOIN inorm na ON na.vec_id = d.a_id
+         |  JOIN inorm nb ON nb.vec_id = d.b_id
+         |  WHERE round(d.dp / (na.inrm * nb.inrm), 4) >= 0.45),
+         |mem AS (SELECT cell, count(*) AS n_members FROM assign GROUP BY cell),
+         |pc AS (SELECT cell, count(*) AS n_dup_pairs FROM dups GROUP BY cell),
+         |dc AS (SELECT cell, count(*) AS n_dropped
+         |  FROM (SELECT DISTINCT cell, b_id FROM dups) GROUP BY cell)
+         |SELECT m.cell, m.n_members,
+         |  CAST(coalesce(pc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+         |  CAST(coalesce(dc.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |  m.n_members - CAST(coalesce(dc.n_dropped, 0) AS BIGINT) AS n_kept
+         |FROM mem m LEFT JOIN pc ON pc.cell = m.cell
+         |LEFT JOIN dc ON dc.cell = m.cell
+         |ORDER BY m.cell""".stripMargin,
 
     "sim_knn_ivf" ->
       s"""WITH u AS (
