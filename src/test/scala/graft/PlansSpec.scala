@@ -540,6 +540,41 @@ class PlansSpec extends SparkSpec {
       s"unpartitioned rolling-corr window: $l"))
   }
 
+  test("round-8 operators keep their scale shapes") {
+    // evt_pit_features: ALL feature frames ride per-user windows (one
+    // user_id exchange), never a global window, and no self-join.
+    val pit = treeString(q("evt_pit_features"))
+    val pitWins = pit.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(pitWins.nonEmpty)
+    pitWins.foreach(l => assert(l.contains("user_id"),
+      s"unpartitioned PIT feature window: $l"))
+    assert(!pit.contains("CartesianProduct") &&
+      !pit.contains("BroadcastNestedLoopJoin"),
+      s"PIT features degenerated to a pair join:\n$pit")
+    // text_heavy_hitters: the candidate recount must be a BROADCAST
+    // left-semi join (candidates are sketch-sized), and the recount
+    // aggregates map-side.
+    val hh = treeString(q("text_heavy_hitters"))
+    assert(hh.contains("BroadcastHashJoin") && hh.contains("LeftSemi"),
+      s"MG candidates did not broadcast into a semi join:\n$hh")
+    assert(hh.contains("partial_"), s"recount shuffles raw tokens:\n$hh")
+    // dedup_semdedup / etl_zorder_layout / evt_decay_score /
+    // evt_abtest_welch / etl_compaction_plan: equi-join shapes and
+    // partial aggregation throughout — no cartesian fallback.
+    Seq("dedup_semdedup", "etl_zorder_layout", "evt_decay_score",
+      "evt_abtest_welch", "etl_compaction_plan", "multimodal_frame_census",
+      "evt_session_native", "multimodal_audio_stats", "evt_forecast_hw")
+      .foreach { name =>
+        val plan = treeString(q(name))
+        assert(!plan.contains("CartesianProduct"),
+          s"$name planned a data-sized cartesian:\n$plan")
+      }
+    // etl_compaction_plan's packing window is per-type, never global.
+    val cp = treeString(q("etl_compaction_plan"))
+    cp.linesIterator.filter(_.contains("windowspecdefinition")).foreach(l =>
+      assert(l.contains("event_type"), s"global packing window: $l"))
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
