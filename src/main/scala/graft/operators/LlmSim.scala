@@ -404,6 +404,99 @@ object LlmSim extends OpModule {
         .orderBy("vec_id")
     }),
 
+    "sim_mmr_diversify" -> ((s, d) => {
+      // Maximal-Marginal-Relevance selection (Carbonell & Goldstein
+      // 1998, public method) — the diversity-aware sampler a training
+      // pipeline runs AFTER dedup: per label, shortlist the 6 vectors
+      // most relevant to the label centroid, then pick k=3 greedily by
+      // MMR score 0.7·rel − 0.3·max-sim-to-already-selected. The
+      // greedy recursion is UNROLLED (k=3): each step is an argmax
+      // struct-min over the |labels|·6 candidate frame joined to the
+      // |labels|·36 pairwise-sim table — everything after the corpus
+      // scan is dimension-sized, so the iterative selection costs
+      // three tiny joins, not three corpus passes. All cosines on the
+      // exact ⌊v·1e6⌋ integer grid, rounded 4; every tie breaks to
+      // the lower vec_id; MMR scores are one fixed-order double
+      // expression from those rounded inputs — engine-identical.
+      val iu = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
+        .withColumn("inrm", sqrt(dot(col("iv"), col("iv"))))
+      // label centroid on the grid (exact integer sums / n)
+      val cent = iu
+        .select(col("label"), posexplode(col("iv")).as(Seq("pos", "w")))
+        .groupBy("label", "pos")
+        .agg((sum(col("w").cast("long")).cast("double") / count(lit(1))).as("c"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          _.getField("c")).as("c_iv"))
+        .withColumn("cnrm", sqrt(dot(col("c_iv"), col("c_iv"))))
+      val rel = iu.join(broadcast(cent), "label")
+        .withColumn("rel", round(
+          dot(col("iv"), col("c_iv")) / (col("inrm") * col("cnrm")), 4))
+      val wTop = Window.partitionBy("label").orderBy(col("rel").desc, col("vec_id"))
+      val cand = rel.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 6)
+        .select(col("label"), col("vec_id"), col("iv"), col("inrm"), col("rel"))
+      val sims = cand.select(col("label"), col("vec_id").as("i_id"),
+          col("iv").as("i_iv"), col("inrm").as("i_nrm"))
+        .join(cand.select(col("label"), col("vec_id").as("j_id"),
+          col("iv").as("j_iv"), col("inrm").as("j_nrm")), Seq("label"))
+        .filter(col("i_id") =!= col("j_id"))
+        .select(col("label"), col("i_id"), col("j_id"), round(
+          dot(col("i_iv"), col("j_iv")) / (col("i_nrm") * col("j_nrm")), 4)
+          .as("sim"))
+      // MMR scores live on an EXACT integer 1e5 grid: rel/sim are
+      // already round-4 values, so rel_e4 = round(rel·1e4) is an exact
+      // integer and score_e5 = 7·rel_e4 − 3·max_sim_e4 is pure integer
+      // arithmetic — 0.7·rel − 0.3·sim as doubles lands on .xxxxx5
+      // round-half ties at the 4th decimal roughly half the time
+      // (caught by the sf0.01 rehearsal; the sim_range_search mean
+      // lesson at selection grain).
+      val c0 = cand.select(col("label"), col("vec_id"),
+        round(col("rel") * 10000).cast("long").as("rel_e4"))
+      val simsI = sims.select(col("label"), col("i_id"), col("j_id"),
+        round(col("sim") * 10000).cast("long").as("sim_e4"))
+      // step 1: pure relevance argmax (empty selected set ⇒ score 7·rel)
+      val s1 = c0.groupBy("label")
+        .agg(min(struct((-col("rel_e4")).as("ns"), col("vec_id").as("id"))).as("m"))
+        .select(col("label"), col("m.id").as("s1"),
+          (lit(7L) * -col("m.ns")).as("sc1"))
+      // step 2: MMR against {s1}
+      val r2 = c0.join(s1.select("label", "s1"), "label")
+        .filter(col("vec_id") =!= col("s1"))
+        .join(simsI.select(col("label").as("l2"), col("i_id"), col("j_id"),
+          col("sim_e4").as("m1")),
+          col("label") === col("l2") && col("vec_id") === col("i_id")
+            && col("s1") === col("j_id"))
+        .withColumn("score", lit(7L) * col("rel_e4") - lit(3L) * col("m1"))
+      val s2 = r2.groupBy("label")
+        .agg(min(struct((-col("score")).as("ns"), col("vec_id").as("id"))).as("m"))
+        .select(col("label"), col("m.id").as("s2"), (-col("m.ns")).as("sc2"))
+      // step 3: MMR against {s1, s2}
+      val r3 = r2.select(col("label"), col("vec_id"), col("rel_e4"),
+          col("s1"), col("m1"))
+        .join(s2.select("label", "s2"), "label")
+        .filter(col("vec_id") =!= col("s2"))
+        .join(simsI.select(col("label").as("l3"), col("i_id"), col("j_id"),
+          col("sim_e4").as("m2")),
+          col("label") === col("l3") && col("vec_id") === col("i_id")
+            && col("s2") === col("j_id"))
+        .withColumn("score",
+          lit(7L) * col("rel_e4") - lit(3L) * greatest(col("m1"), col("m2")))
+      val s3 = r3.groupBy("label")
+        .agg(min(struct((-col("score")).as("ns"), col("vec_id").as("id"))).as("m"))
+        .select(col("label"), col("m.id").as("s3"), (-col("m.ns")).as("sc3"))
+      s1.select(col("label"), lit(1L).as("pick"), col("s1").as("vec_id"),
+          col("sc1").as("mmr_score_e5"))
+        .unionAll(s2.select(col("label"), lit(2L).as("pick"),
+          col("s2").as("vec_id"), col("sc2").as("mmr_score_e5")))
+        .unionAll(s3.select(col("label"), lit(3L).as("pick"),
+          col("s3").as("vec_id"), col("sc3").as("mmr_score_e5")))
+        .orderBy("label", "pick")
+    }),
+
     "dedup_semdedup" -> ((s, d) => scopedPersist { scope =>
       // SemDeDup-shaped semantic dedup (Abbas et al. 2023, public
       // method): cluster the corpus with the TRAINED coarse quantizer
@@ -1960,6 +2053,74 @@ object LlmSim extends OpModule {
          |SELECT CAST(np AS BIGINT) AS nprobe, q_id, n_brute, n_hits,
          |  round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall
          |FROM hits ORDER BY nprobe, q_id""".stripMargin,
+
+    // Unrolled k=3 greedy MMR, identical argmax tie-breaks
+    // (score DESC, vec_id ASC) and the same fixed-order score
+    // expression over rounded integer-grid cosines.
+    "sim_mmr_diversify" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |iu AS (SELECT vec_id, label, pos,
+         |  CAST(floor(v * 1000000.0) AS DOUBLE) AS w FROM u),
+         |inorm AS (SELECT vec_id, sqrt(sum(w * w)) AS inrm FROM iu GROUP BY vec_id),
+         |cent AS (SELECT label, pos,
+         |  CAST(sum(CAST(w AS BIGINT)) AS DOUBLE) / count(*) AS c
+         |  FROM iu GROUP BY label, pos),
+         |cnorm AS (SELECT label, sqrt(sum(c * c)) AS cnrm FROM cent GROUP BY label),
+         |rel AS (
+         |  SELECT iu.vec_id, iu.label,
+         |    round(sum(iu.w * ce.c) / (n.inrm * cn.cnrm), 4) AS rel
+         |  FROM iu JOIN cent ce ON ce.label = iu.label AND ce.pos = iu.pos
+         |  JOIN inorm n ON n.vec_id = iu.vec_id
+         |  JOIN cnorm cn ON cn.label = iu.label
+         |  GROUP BY iu.vec_id, iu.label, n.inrm, cn.cnrm),
+         |cand AS (SELECT vec_id, label, rel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY rel DESC, vec_id) AS rk FROM rel) WHERE rk <= 6),
+         |sims AS (
+         |  SELECT a.label, a.vec_id AS i_id, b.vec_id AS j_id,
+         |    round(sum(x.w * y.w) / (na.inrm * nb.inrm), 4) AS sim
+         |  FROM cand a JOIN cand b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  JOIN iu x ON x.vec_id = a.vec_id
+         |  JOIN iu y ON y.vec_id = b.vec_id AND y.pos = x.pos
+         |  JOIN inorm na ON na.vec_id = a.vec_id
+         |  JOIN inorm nb ON nb.vec_id = b.vec_id
+         |  GROUP BY a.label, a.vec_id, b.vec_id, na.inrm, nb.inrm),
+         |candi AS (SELECT label, vec_id,
+         |  CAST(round(rel * 10000) AS BIGINT) AS rel_e4 FROM cand),
+         |simsi AS (SELECT label, i_id, j_id,
+         |  CAST(round(sim * 10000) AS BIGINT) AS sim_e4 FROM sims),
+         |s1 AS (SELECT label, vec_id AS s1, 7 * rel_e4 AS sc1 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY rel_e4 DESC, vec_id) AS rn FROM candi) WHERE rn = 1),
+         |r2 AS (
+         |  SELECT c.label, c.vec_id, c.rel_e4, s1.s1, sm.sim_e4 AS m1,
+         |    7 * c.rel_e4 - 3 * sm.sim_e4 AS score
+         |  FROM candi c JOIN s1 ON s1.label = c.label AND c.vec_id <> s1.s1
+         |  JOIN simsi sm ON sm.label = c.label AND sm.i_id = c.vec_id
+         |    AND sm.j_id = s1.s1),
+         |s2 AS (SELECT label, vec_id AS s2, score AS sc2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY score DESC, vec_id) AS rn FROM r2) WHERE rn = 1),
+         |r3 AS (
+         |  SELECT r2.label, r2.vec_id,
+         |    7 * r2.rel_e4 - 3 * greatest(r2.m1, sm.sim_e4) AS score
+         |  FROM r2 JOIN s2 ON s2.label = r2.label AND r2.vec_id <> s2.s2
+         |  JOIN simsi sm ON sm.label = r2.label AND sm.i_id = r2.vec_id
+         |    AND sm.j_id = s2.s2),
+         |s3 AS (SELECT label, vec_id AS s3, score AS sc3 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY score DESC, vec_id) AS rn FROM r3) WHERE rn = 1)
+         |SELECT label, CAST(1 AS BIGINT) AS pick, s1 AS vec_id,
+         |  CAST(sc1 AS BIGINT) AS mmr_score_e5 FROM s1
+         |UNION ALL
+         |SELECT label, CAST(2 AS BIGINT), s2, CAST(sc2 AS BIGINT) FROM s2
+         |UNION ALL
+         |SELECT label, CAST(3 AS BIGINT), s3, CAST(sc3 AS BIGINT) FROM s3
+         |ORDER BY label, pick""".stripMargin,
 
     // Same trained C=16 Lloyd chain as sim_knn_ivf; within-cell pairs
     // on the exact ⌊v·1e6⌋ integer grid; keep-first drop rule.
