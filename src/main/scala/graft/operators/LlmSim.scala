@@ -404,6 +404,49 @@ object LlmSim extends OpModule {
         .orderBy("vec_id")
     }),
 
+    "embed_matryoshka_eval" -> ((s, d) => scopedPersist { scope =>
+      // Matryoshka truncation eval (Kusupati et al. 2022, public
+      // method): recall@5 of top-k search using only the FIRST m
+      // dimensions (m ∈ {8,16,32}) against the full-64-dim truth set
+      // — the eval that licenses serving truncated embeddings (MRL's
+      // whole point: m/64 of the storage and FLOPs at a measured
+      // recall cost). Truth = the graded sim_knn top-5; truncated
+      // legs score on the exact ⌊v·1e6⌋ integer-grid PREFIX, same
+      // rank tie-breaks. The truth set persists via the scope —
+      // three legs left-join it. Gated brute-force shape (|Q|=10),
+      // like every truth set in the recall family.
+      val ie = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
+      val truth = scope.persist(
+        queries("sim_knn")(s, d).select(col("q_id"), col("n_id")))
+      def knnAt(m: Int): DataFrame = {
+        val t = ie.select(col("vec_id"), slice(col("iv"), 1, m).as("tv"))
+          .withColumn("tnrm", sqrt(dot(col("tv"), col("tv"))))
+        val q = t.filter(col("vec_id") < 10).select(col("vec_id").as("t_q"),
+          col("tv").as("q_tv"), col("tnrm").as("q_nrm"))
+        val n = t.select(col("vec_id").as("t_n"), col("tv").as("n_tv"),
+          col("tnrm").as("n_nrm"))
+        val w = Window.partitionBy("t_q").orderBy(col("cos").desc, col("t_n"))
+        q.join(n, col("t_q") =!= col("t_n"))
+          .withColumn("cos", round(
+            dot(col("q_tv"), col("n_tv")) / (col("q_nrm") * col("n_nrm")), 4))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("t_q"), col("t_n"))
+      }
+      Seq(8, 16, 32).map { m =>
+        truth
+          .join(knnAt(m),
+            col("q_id") === col("t_q") && col("n_id") === col("t_n"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_truth"), count(col("t_q")).as("n_hits"))
+          .select(lit(m.toLong).as("m_dims"), col("q_id"), col("n_truth"),
+            col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+      }.reduce(_ unionAll _).orderBy("m_dims", "q_id")
+    }),
+
     "sim_mmr_diversify" -> ((s, d) => {
       // Maximal-Marginal-Relevance selection (Carbonell & Goldstein
       // 1998, public method) — the diversity-aware sampler a training
@@ -2053,6 +2096,52 @@ object LlmSim extends OpModule {
          |SELECT CAST(np AS BIGINT) AS nprobe, q_id, n_brute, n_hits,
          |  round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall
          |FROM hits ORDER BY nprobe, q_id""".stripMargin,
+
+    // Full-dim truth replicates the sim_knn oracle; truncated legs
+    // score the integer-grid PREFIX (pos <= m) with the same ranks.
+    "embed_matryoshka_eval" ->
+      s"""WITH uq AS (${unnested("q", "vec_id < 10")}),
+         |un AS (${unnested("n", "true")}),
+         |norms AS ($NormsSql),
+         |scored AS (
+         |  SELECT q_id, n_id, round(sum(uq.v * un.v) / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM uq JOIN un ON uq.pos = un.pos AND uq.q_id <> un.n_id
+         |  JOIN norms nq ON nq.vec_id = uq.q_id
+         |  JOIN norms nn ON nn.vec_id = un.n_id
+         |  GROUP BY q_id, n_id, nq.nrm, nn.nrm),
+         |truth AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM scored) WHERE rk <= 5),
+         |iu AS (SELECT vec_id, pos,
+         |  CAST(floor(v * 1000000.0) AS DOUBLE) AS w
+         |  FROM (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)),
+         |ms AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS m),
+         |tn AS (SELECT m, vec_id, sqrt(sum(w * w)) AS tnrm
+         |  FROM iu, ms WHERE pos <= m GROUP BY m, vec_id),
+         |tdots AS (
+         |  SELECT nx.m, x.vec_id AS t_q, y.vec_id AS t_n, sum(x.w * y.w) AS dp
+         |  FROM ms nx
+         |  JOIN iu x ON x.pos <= nx.m
+         |  JOIN iu y ON y.pos = x.pos AND y.vec_id <> x.vec_id
+         |  WHERE x.vec_id < 10
+         |  GROUP BY nx.m, x.vec_id, y.vec_id),
+         |tknn AS (SELECT m, t_q, t_n FROM (
+         |  SELECT td.m, td.t_q, td.t_n,
+         |    row_number() OVER (PARTITION BY td.m, td.t_q
+         |      ORDER BY round(td.dp / (a.tnrm * b.tnrm), 4) DESC, td.t_n) AS rk
+         |  FROM tdots td
+         |  JOIN tn a ON a.m = td.m AND a.vec_id = td.t_q
+         |  JOIN tn b ON b.m = td.m AND b.vec_id = td.t_n) WHERE rk <= 5)
+         |SELECT m AS m_dims, q_id, count(*) AS n_truth,
+         |  count(t_q) AS n_hits,
+         |  round(CAST(count(t_q) AS DOUBLE) / count(*), 4) AS recall
+         |FROM (SELECT ms.m, t.q_id, t.n_id, k.t_q
+         |      FROM ms CROSS JOIN truth t
+         |      LEFT JOIN tknn k ON k.m = ms.m AND k.t_q = t.q_id
+         |        AND k.t_n = t.n_id)
+         |GROUP BY m, q_id ORDER BY m_dims, q_id""".stripMargin,
 
     // Unrolled k=3 greedy MMR, identical argmax tie-breaks
     // (score DESC, vec_id ASC) and the same fixed-order score

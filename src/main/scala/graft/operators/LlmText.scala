@@ -219,6 +219,29 @@ object LlmText extends OpModule {
             .cast("long").as("n_other"))
         .orderBy("doc_id")),
 
+    "text_tokenizer_fertility" -> ((s, d) =>
+      // Tokenizer fertility by language (r8) — the tokenizer-eval
+      // metric multilingual LLM work reads first: BPE-class pieces
+      // per whitespace word (fertility) and characters per piece,
+      // per lang. High fertility on a language = the tokenizer
+      // fragments it = more compute per byte of that language.
+      // Reuses text_token_bpe's GPT-2-ish split classes; all ratios
+      // are exact scaled integers (Σ·10⁴ div Σ — no float crosses
+      // the compare). Map-only regexp projection + one |langs|-sized
+      // partial-agged rollup at any corpus size.
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("n_bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_ws").as("ws_total"),
+          sum("n_bpe").as("bpe_total"), sum("n_chars").as("chars_total"))
+        .select(col("lang"), col("n_docs"), col("ws_total"), col("bpe_total"),
+          expr("bpe_total * 10000 div ws_total").as("fertility_e4"),
+          expr("chars_total * 10000 div bpe_total").as("chars_per_piece_e4"))
+        .orderBy("lang")),
+
     "text_pii_scrub" -> ((s, d) =>
       // PII release audit — the scrub-before-training gate: per-lang
       // document and hit counts for email / phone / national-id
@@ -1588,6 +1611,22 @@ object LlmText extends OpModule {
         |  CAST(len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS BIGINT) AS n_other
         |FROM documents WHERE doc_id < 200
         |ORDER BY doc_id""".stripMargin,
+
+    "text_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |      AS BIGINT) AS n_bpe
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_ws) AS BIGINT) AS ws_total,
+        |  CAST(sum(n_bpe) AS BIGINT) AS bpe_total,
+        |  CAST(sum(n_bpe) AS BIGINT) * 10000 // CAST(sum(n_ws) AS BIGINT)
+        |    AS fertility_e4,
+        |  CAST(sum(n_chars) AS BIGINT) * 10000 // CAST(sum(n_bpe) AS BIGINT)
+        |    AS chars_per_piece_e4
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_pii_scrub" ->
       """WITH h AS (
