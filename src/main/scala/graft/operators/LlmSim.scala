@@ -404,6 +404,39 @@ object LlmSim extends OpModule {
         .orderBy("vec_id")
     }),
 
+    "sim_knn_hamming" -> ((s, d) => {
+      // Binary (sign) quantization + Hamming kNN (r8) — the 1-bit
+      // retrieval path modern embedding serving ships beside int8/PQ:
+      // 64 dims collapse to 64 BITS (64× less storage than float32;
+      // distance = popcount(xor) — a handful of CPU instructions).
+      // Bits pack into TWO 32-bit halves, deliberately: packing bit
+      // 63 of one BIGINT trips signed-overflow edges differently per
+      // engine, and the two-word form is how a real >64-dim index
+      // lays out words anyway. Sign rule v > 0 (exact-zero → 0) is
+      // bit-identical on both engines; every distance is an integer.
+      // Gated brute shape (|Q|=10) like the rest of the kNN family —
+      // at scale the same codes feed a multi-index/LSH path.
+      val bits = "(v, i) -> IF(v > CAST(0 AS FLOAT), " +
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))"
+      def pack(from: Int) =
+        expr(s"aggregate(zip_with(slice(embedding, $from, 32), " +
+          s"sequence(0, 31), $bits), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+      val packed = Tables.embeddings(s, d).select(col("vec_id"),
+        pack(1).as("lo"), pack(33).as("hi"))
+      val q = packed.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+        col("lo").as("q_lo"), col("hi").as("q_hi"))
+      val n = packed.select(col("vec_id").as("n_id"),
+        col("lo").as("n_lo"), col("hi").as("n_hi"))
+      val w = Window.partitionBy("q_id").orderBy(col("hdist"), col("n_id"))
+      q.join(n, col("q_id") =!= col("n_id"))
+        .withColumn("hdist", expr(
+          "CAST(bit_count(q_lo ^ n_lo) + bit_count(q_hi ^ n_hi) AS BIGINT)"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select("q_id", "n_id", "hdist", "rk")
+        .orderBy("q_id", "rk")
+    }),
+
     "embed_matryoshka_eval" -> ((s, d) => scopedPersist { scope =>
       // Matryoshka truncation eval (Kusupati et al. 2022, public
       // method): recall@5 of top-k search using only the FIRST m
@@ -2096,6 +2129,33 @@ object LlmSim extends OpModule {
          |SELECT CAST(np AS BIGINT) AS nprobe, q_id, n_brute, n_hits,
          |  round(CAST(n_hits AS DOUBLE) / n_brute, 4) AS recall
          |FROM hits ORDER BY nprobe, q_id""".stripMargin,
+
+    // Same two-word sign packing; popcount(xor) distances are pure
+    // integers on both engines.
+    "sim_knn_hamming" ->
+      """WITH u AS (
+        |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pos <= 32 AND v > 0
+        |      THEN (CAST(1 AS BIGINT) << (pos - 1)) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN pos > 32 AND v > 0
+        |      THEN (CAST(1 AS BIGINT) << (pos - 33)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM u GROUP BY vec_id),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    CAST(bit_count(xor(q.lo, n.lo)) + bit_count(xor(q.hi, n.hi))
+        |      AS BIGINT) AS hdist
+        |  FROM codes q JOIN codes n
+        |    ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
+        |SELECT q_id, n_id, hdist, rk FROM (
+        |  SELECT q_id, n_id, hdist,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY hdist, n_id)
+        |      AS BIGINT) AS rk
+        |  FROM scored) WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
 
     // Full-dim truth replicates the sim_knn oracle; truncated legs
     // score the integer-grid PREFIX (pos <= m) with the same ranks.
