@@ -22,7 +22,7 @@ class InvariantsSpec extends SparkSpec {
       "graph_label_propagation", "evt_absorb_prob",
       "graph_bfs_layers", "evt_markov_attrib",
       "text_ccnet_buckets", "graph_modularity",
-      "sim_knn_ivfpq").foreach { name =>
+      "sim_knn_ivfpq", "dedup_semdedup", "embed_matryoshka_eval").foreach { name =>
       q(name).count()
       assert(org.apache.spark.sql.CacheProbe.isEmpty(spark),
         s"$name left cached plans in the CacheManager")
@@ -1021,6 +1021,101 @@ class InvariantsSpec extends SparkSpec {
       // 0 <= H(next|cur) <= ln(#bigram types) with rounding slack
       assert(h >= -1e-4 && h <= math.log(nt.toDouble) + 1e-4,
         s"${r.getString(0)}: entropy $h out of bounds")
+    }
+  }
+
+  test("heavy hitters carry exact wordcount counts and clear the threshold") {
+    // The MG candidate phase must be invisible: every emitted token's
+    // count equals the full groupBy's count, and every count clears
+    // the exact φ=1/500 bar against the independently-computed total.
+    import org.apache.spark.sql.functions._
+    val hh = q("text_heavy_hitters").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.nonEmpty)
+    val full = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = full.values.sum
+    hh.foreach { case (t, c) =>
+      assert(full(t) === c, s"heavy hitter $t count drifted from groupBy")
+      assert(c * 500 > total, s"$t emitted below the φ threshold")
+    }
+    full.foreach { case (t, c) =>
+      if (c * 500 > total) assert(hh.contains(t), s"φ-heavy $t missed — MG guarantee broken")
+    }
+  }
+
+  test("semdedup census accounts for every vector exactly once") {
+    import org.apache.spark.sql.functions._
+    val rows = q("dedup_semdedup").collect()
+    val members = rows.map(_.getLong(1)).sum
+    assert(members === Tables.embeddings(spark, sf).count(),
+      "cluster membership must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3) + r.getLong(4),
+        s"cell ${r.getLong(0)}: kept + dropped != members")
+      assert(r.getLong(2) >= r.getLong(3),
+        s"cell ${r.getLong(0)}: more drops than duplicate pairs")
+    }
+  }
+
+  test("PIT features never look forward and prior-purchase counts are monotone") {
+    val rows = q("evt_pit_features").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.values.foreach { es =>
+      val ordered = es.sortBy(_._2).map(_._3)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+        "prior-purchase count decreased over a user's label timeline")
+    }
+  }
+
+  test("A/B variant sizes cover every purchasing user exactly once") {
+    import org.apache.spark.sql.functions._
+    val r = q("evt_abtest_welch").collect().head
+    val users = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) === users)
+  }
+
+  test("z-order blocks bound both dimensions better than the cross dimension") {
+    // The locality claim, engine-side: Z-blocks must beat by_day on
+    // custkey span AND by_custkey on day span (each single-column
+    // layout leaves its cross dimension near-unbounded).
+    val m = q("etl_zorder_layout").collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(m("zorder")._1 < m("by_day")._1,
+      s"zorder ck span ${m("zorder")._1} not better than by_day ${m("by_day")._1}")
+    assert(m("zorder")._2 < m("by_custkey")._2,
+      s"zorder day span ${m("zorder")._2} not better than by_custkey ${m("by_custkey")._2}")
+  }
+
+  test("hamming distances are bounded by the bit width with full rank coverage") {
+    val rows = q("sim_knn_hamming").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 64L,
+        s"hamming distance ${r.getLong(2)} outside [0, 64]")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach(g =>
+      assert(g.map(_.getLong(3)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("decay scores are bounded by undecayed per-user value sums") {
+    import org.apache.spark.sql.functions._
+    val scores = q("evt_decay_score").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sums = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("s")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scores.keySet === sums.keySet)
+    scores.foreach { case (u, (n, sc)) =>
+      assert(n === sums(u)._1, s"user $u event count drifted")
+      assert(sc <= sums(u)._2 + 1e-6,
+        s"user $u decayed score $sc exceeds raw sum ${sums(u)._2}")
     }
   }
 }
