@@ -317,6 +317,38 @@ object EtlMerge extends OpModule {
         .orderBy("day")
     }),
 
+    "etl_bucket_advisor" -> ((s, d) => {
+      // Bucketed-layout advisor (r8) — the operator form of this
+      // round's measured lesson (BASELINE.md r8 bucketed-delta row):
+      // for each candidate (table, bucket key), one partial-agged scan
+      // yields the inputs a layout decision needs — row count, key
+      // cardinality, hot-key skew ratio — and the size-derived bucket
+      // count Tables.materializeBucketed's auto mode would pick
+      // (~25k rows/bucket clamped [4,256]; at 100 TB the same rule
+      // with a ~512 MB constant). skewed=true routes the key to
+      // salting (etl_skew_audit's contract) BEFORE a layout bakes the
+      // hot key into one bucket forever. Integer arithmetic
+      // throughout; ratio is an exact scaled integer.
+      val legs = Seq(
+        ("orders", "o_orderkey", Tables.orders(s, d)),
+        ("lineitem", "l_orderkey", Tables.lineitem(s, d)),
+        ("customer", "c_custkey", Tables.customer(s, d)),
+        ("events", "user_id", Tables.events(s, d)))
+      legs.map { case (t, k, df) =>
+        df.groupBy(col(k).as("kk")).agg(count(lit(1)).as("n"))
+          .agg(sum("n").as("n_rows"), count(lit(1)).as("n_keys"),
+            max("n").as("max_key_rows"))
+          .select(lit(t).as("table_name"), lit(k).as("bucket_key"),
+            col("n_rows"), col("n_keys"), col("max_key_rows"),
+            expr("greatest(CAST(4 AS BIGINT), least(CAST(256 AS BIGINT), " +
+              "(n_rows + 24999) div 25000))").as("planned_buckets"),
+            expr("max_key_rows * n_keys * 10000 div n_rows")
+              .as("skew_ratio_e4"),
+            (expr("max_key_rows * n_keys * 10000 div n_rows") > 100000L)
+              .as("skewed"))
+      }.reduce(_ unionAll _).orderBy("table_name")
+    }),
+
     "etl_zorder_layout" -> ((s, d) => {
       // Z-order layout audit (r8) — the OPTIMIZE ZORDER decision
       // input: interleave 10 bits each of (custkey, order-day) into a
@@ -882,6 +914,31 @@ object EtlMerge extends OpModule {
         |  round(CAST(cum_rows AS DOUBLE) / CAST(total_rows AS DOUBLE), 4)
         |    AS cum_share
         |FROM run ORDER BY day""".stripMargin,
+
+    // One per-table rollup leg each; derived columns are the same
+    // integer arithmetic.
+    "etl_bucket_advisor" -> {
+      def leg(t: String, k: String) =
+        s"""SELECT '$t' AS table_name, '$k' AS bucket_key,
+           |  CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           |  CAST(max(n) AS BIGINT) AS max_key_rows
+           |FROM (SELECT $k AS kk, count(*) AS n FROM $t GROUP BY 1)""".stripMargin
+      s"""WITH legs AS (
+         |${leg("orders", "o_orderkey")}
+         |UNION ALL
+         |${leg("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${leg("customer", "c_custkey")}
+         |UNION ALL
+         |${leg("events", "user_id")}
+         |)
+         |SELECT table_name, bucket_key, n_rows, n_keys, max_key_rows,
+         |  greatest(CAST(4 AS BIGINT), least(CAST(256 AS BIGINT),
+         |    (n_rows + 24999) // 25000)) AS planned_buckets,
+         |  max_key_rows * n_keys * 10000 // n_rows AS skew_ratio_e4,
+         |  max_key_rows * n_keys * 10000 // n_rows > 100000 AS skewed
+         |FROM legs ORDER BY table_name""".stripMargin
+    },
 
     // Same 10+10-bit Morton interleave, generated from one Scala
     // template so the bit arithmetic cannot drift between engines.

@@ -272,17 +272,54 @@ class FuzzSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     (df, sql)
   }
 
+  /** Join-mode: random filters on both sides of the lineitem⋈orders
+    * orderkey join, random join type (incl. semi/anti), aggregated to
+    * a one-row summary — exercises the join surface the other three
+    * shapes never touch. */
+  private def joinCase(r: Random): (DataFrame, String) = {
+    val li = tables.find(_.name == "lineitem").get
+    val or = tables.find(_.name == "orders").get
+    val p1 = predicate(r, li)
+    val p2 = predicate(r, or)
+    val jt = pick(r, Seq("INNER", "LEFT", "LEFT SEMI", "LEFT ANTI"))
+    val left = spark.table("fz_lineitem").filter(p1.dsl)
+    val right = spark.table("fz_orders").filter(p2.dsl)
+    val dslType = jt match {
+      case "INNER" => "inner"
+      case "LEFT" => "left"
+      case "LEFT SEMI" => "left_semi"
+      case _ => "left_anti"
+    }
+    val joined = left.join(right,
+      left("l_orderkey") === right("o_orderkey"), dslType)
+    val (df, sel) =
+      if (jt == "LEFT SEMI" || jt == "LEFT ANTI")
+        (joined.agg(count(lit(1)).as("n"), sum("l_orderkey").as("sk"),
+          sum("l_partkey").as("sp")),
+          "count(*) AS n, sum(l_orderkey) AS sk, sum(l_partkey) AS sp")
+      else
+        (joined.agg(count(lit(1)).as("n"), sum("l_orderkey").as("sk"),
+          count(col("o_orderkey")).as("nr"), sum("o_custkey").as("sc")),
+          "count(*) AS n, sum(l_orderkey) AS sk, " +
+            "count(o_orderkey) AS nr, sum(o_custkey) AS sc")
+    val sql = s"SELECT $sel FROM (SELECT * FROM fz_lineitem WHERE ${p1.sql}) a " +
+      s"$jt JOIN (SELECT * FROM fz_orders WHERE ${p2.sql}) b " +
+      "ON a.l_orderkey = b.o_orderkey"
+    (df, sql)
+  }
+
   // ---- the differential check ---------------------------------------
 
   private def check(seed: Int): Unit = {
     views
     val r = new Random(seed)
     val t = pick(r, tables)
-    val (df, sql) = r.nextInt(3) match {
+    val (df, sql) = r.nextInt(4) match {
       case 0 => rowCase(r, t)
       case 1 => aggCase(r, t)
-      case _ if t.uniqueKey.nonEmpty => winCase(r, t)
-      case _ => aggCase(r, t)
+      case 2 if t.uniqueKey.nonEmpty => winCase(r, t)
+      case 2 => aggCase(r, t)
+      case _ => joinCase(r)
     }
     val viaSql = spark.sql(sql)
     assert(df.schema.fieldNames.toSeq === viaSql.schema.fieldNames.toSeq,
