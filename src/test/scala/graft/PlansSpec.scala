@@ -563,7 +563,9 @@ class PlansSpec extends SparkSpec {
     // partial aggregation throughout — no cartesian fallback.
     Seq("dedup_semdedup", "etl_zorder_layout", "evt_decay_score",
       "evt_abtest_welch", "etl_compaction_plan", "multimodal_frame_census",
-      "evt_session_native", "multimodal_audio_stats", "evt_forecast_hw")
+      "evt_session_native", "multimodal_audio_stats", "evt_forecast_hw",
+      "sim_mmr_diversify", "embed_matryoshka_eval", "text_tokenizer_fertility",
+      "etl_bucket_advisor", "evt_pit_features")
       .foreach { name =>
         val plan = treeString(q(name))
         assert(!plan.contains("CartesianProduct"),
