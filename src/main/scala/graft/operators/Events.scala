@@ -298,6 +298,40 @@ object Events extends OpModule {
         .orderBy("cohort", "weeks_since")
     }),
 
+    "evt_cohort_ltv" -> ((s, d) => {
+      // Cumulative cohort LTV curve (r8) — the growth chart read off
+      // evt_cohort_revenue's matrix: running revenue per cohort over
+      // weeks-since, divided by the cohort's FULL size (every first-
+      // seen user, not just buyers — buyer-only denominators overstate
+      // LTV). The running total is a per-cohort window over the
+      // dimension-sized weekly rollup and stays DECIMAL until output,
+      // so the cumsum is exact; per-user LTV emits as exact integer
+      // cents (cum·100 div size). Same two-rollup scale shape as the
+      // parent; the curve frame is |cohorts|·|weeks|.
+      val e = Tables.events(s, d)
+      val first = e.groupBy("user_id")
+        .agg(min(to_date(date_trunc("week", col("ts")))).as("cohort"))
+      val sizes = first.groupBy("cohort")
+        .agg(countDistinct("user_id").as("cohort_size"))
+      val weekly = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"),
+          col("value"))
+        .join(first, "user_id")
+        .withColumn("weeks_since", expr("datediff(wk, cohort) div 7").cast("long"))
+        .groupBy("cohort", "weeks_since")
+        .agg(sum(Dec2(col("value"))).as("rev"))
+      val w = Window.partitionBy("cohort").orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly
+        .withColumn("cum_rev", sum("rev").over(w))
+        .join(sizes, "cohort")
+        .select(col("cohort"), col("weeks_since"), col("cohort_size"),
+          round(col("cum_rev"), 4).cast("double").as("cum_revenue"),
+          expr("CAST(cum_rev * 100 AS BIGINT) div cohort_size")
+            .as("ltv_cents_per_user"))
+        .orderBy("cohort", "weeks_since")
+    }),
+
     "evt_error_recovery" -> ((s, d) => {
       // Time-to-recovery after errors: for each error event, the gap
       // to the user's NEXT non-error event (forward ignore-nulls frame
@@ -1516,6 +1550,34 @@ object Events extends OpModule {
         |FROM p JOIN first ON p.user_id = first.user_id
         |GROUP BY cohort, weeks_since
         |ORDER BY cohort, weeks_since""".stripMargin,
+
+    // Decimal cumsum inside the window (exact), ×100 cents division.
+    "evt_cohort_ltv" ->
+      """WITH first AS (
+        |  SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id
+        |), sizes AS (
+        |  SELECT cohort, count(DISTINCT user_id) AS cohort_size
+        |  FROM first GROUP BY cohort
+        |), p AS (
+        |  SELECT e.user_id, CAST(date_trunc('week', e.ts) AS DATE) AS wk, e.value
+        |  FROM events e WHERE e.event_type = 'purchase'
+        |), weekly AS (
+        |  SELECT cohort, CAST((wk - cohort) // 7 AS BIGINT) AS weeks_since,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS rev
+        |  FROM p JOIN first ON p.user_id = first.user_id
+        |  GROUP BY cohort, weeks_since
+        |), curve AS (
+        |  SELECT cohort, weeks_since,
+        |    sum(rev) OVER (PARTITION BY cohort ORDER BY weeks_since
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM weekly
+        |)
+        |SELECT c.cohort, c.weeks_since, s.cohort_size,
+        |  CAST(round(c.cum_rev, 4) AS DOUBLE) AS cum_revenue,
+        |  CAST(c.cum_rev * 100 AS BIGINT) // s.cohort_size AS ltv_cents_per_user
+        |FROM curve c JOIN sizes s ON s.cohort = c.cohort
+        |ORDER BY c.cohort, c.weeks_since""".stripMargin,
 
     "evt_error_recovery" ->
       s"""WITH g AS (
