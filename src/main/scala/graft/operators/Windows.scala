@@ -479,6 +479,37 @@ object Windows extends OpModule {
             .as("med2x100"))
         .orderBy("user_id", "event_id")),
 
+    "win_rsi" -> ((s, d) => {
+      // Relative Strength Index (simple-average form) on daily volume
+      // per type (r8) — completes the indicator family next to
+      // win_bollinger/win_ewma: trailing-14 gain vs loss balance of
+      // day-over-day deltas. Deltas, gains, and losses are exact
+      // INTEGERS (daily counts), and the index emits as the exact
+      // scaled integer 100·G/(G+L)·10⁴ div — no float ever crosses
+      // the compare (an all-flat window nulls via nullif on both
+      // engines). Type-partitioned windows over the day-grain rollup;
+      // partial frames drop per the full-window band rule.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val byDay = Window.partitionBy("event_type").orderBy("day")
+      val w14 = byDay.rowsBetween(-13, 0)
+      daily
+        .withColumn("diff", col("n") - lag("n", 1).over(byDay))
+        .filter(col("diff").isNotNull)
+        .withColumn("gain", greatest(col("diff"), lit(0L)))
+        .withColumn("loss", greatest(-col("diff"), lit(0L)))
+        .withColumn("k", count(lit(1)).over(w14))
+        .withColumn("g14", sum("gain").over(w14))
+        .withColumn("l14", sum("loss").over(w14))
+        .filter(col("k") === 14)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("g14"), col("l14"),
+          expr("g14 * 1000000 div nullif(g14 + l14, 0)").as("rsi_e4"))
+        .orderBy("event_type", "day")
+    }),
+
     "win_bollinger" -> ((s, d) => {
       // Bollinger bands on daily volume: 7-day rolling mean ± 2σ per
       // type, plus an EXACT breakout flag — the volatility envelope
@@ -895,6 +926,34 @@ object Windows extends OpModule {
         |SELECT user_id, event_id, CAST(len(fr) AS BIGINT) AS n_frame,
         |  fr[(len(fr) + 1) // 2] + fr[len(fr) // 2 + 1] AS med2x100
         |FROM w ORDER BY user_id, event_id""".stripMargin,
+
+    // Integer gains/losses; the index is the same scaled-integer
+    // division with a nullif guard.
+    "win_rsi" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), d AS (
+        |  SELECT event_type, day, n,
+        |    n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS diff
+        |  FROM daily
+        |), gl AS (
+        |  SELECT event_type, day,
+        |    greatest(diff, 0) AS gain, greatest(-diff, 0) AS loss
+        |  FROM d WHERE diff IS NOT NULL
+        |), win AS (
+        |  SELECT event_type, day,
+        |    count(*) OVER w AS k,
+        |    CAST(sum(gain) OVER w AS BIGINT) AS g14,
+        |    CAST(sum(loss) OVER w AS BIGINT) AS l14
+        |  FROM gl
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, g14, l14,
+        |  g14 * 1000000 // nullif(g14 + l14, 0) AS rsi_e4
+        |FROM win WHERE k = 14
+        |ORDER BY event_type, day""".stripMargin,
 
     "win_bollinger" ->
       """WITH daily AS (
