@@ -323,7 +323,11 @@ object EtlMerge extends OpModule {
       // for each candidate (table, bucket key), one partial-agged scan
       // yields the inputs a layout decision needs — row count, key
       // cardinality, hot-key skew ratio — and the size-derived bucket
-      // count Tables.materializeBucketed's auto mode would pick
+      // count Tables.materializeBucketed's auto mode would pick —
+      // INCLUDING its orders/lineitem pairing rule (the pair shares
+      // the larger table's count so their orderkey SMJ stays
+      // exchange-free), applied here as a max over the pair group so
+      // the advisory equals the actual layout pick (r8 advice).
       // (~25k rows/bucket clamped [4,256]; at 100 TB the same rule
       // with a ~512 MB constant). skewed=true routes the key to
       // salting (etl_skew_audit's contract) BEFORE a layout bakes the
@@ -341,12 +345,21 @@ object EtlMerge extends OpModule {
           .select(lit(t).as("table_name"), lit(k).as("bucket_key"),
             col("n_rows"), col("n_keys"), col("max_key_rows"),
             expr("greatest(CAST(4 AS BIGINT), least(CAST(256 AS BIGINT), " +
-              "(n_rows + 24999) div 25000))").as("planned_buckets"),
+              "(n_rows + 24999) div 25000))").as("own_buckets"),
             expr("max_key_rows * n_keys * 10000 div n_rows")
               .as("skew_ratio_e4"),
             (expr("max_key_rows * n_keys * 10000 div n_rows") > 100000L)
               .as("skewed"))
-      }.reduce(_ unionAll _).orderBy("table_name")
+      }.reduce(_ unionAll _)
+        // orders/lineitem share one count (the larger table's): a
+        // 4-row window, free at any scale.
+        .withColumn("planned_buckets",
+          max("own_buckets").over(Window.partitionBy(
+            when(col("table_name").isin("orders", "lineitem"), "o-l pair")
+              .otherwise(col("table_name")))))
+        .select("table_name", "bucket_key", "n_rows", "n_keys",
+          "max_key_rows", "planned_buckets", "skew_ratio_e4", "skewed")
+        .orderBy("table_name")
     }),
 
     "etl_zorder_layout" -> ((s, d) => {
@@ -933,8 +946,11 @@ object EtlMerge extends OpModule {
          |${leg("events", "user_id")}
          |)
          |SELECT table_name, bucket_key, n_rows, n_keys, max_key_rows,
-         |  greatest(CAST(4 AS BIGINT), least(CAST(256 AS BIGINT),
-         |    (n_rows + 24999) // 25000)) AS planned_buckets,
+         |  max(greatest(CAST(4 AS BIGINT), least(CAST(256 AS BIGINT),
+         |    (n_rows + 24999) // 25000))) OVER (PARTITION BY
+         |      CASE WHEN table_name IN ('orders', 'lineitem')
+         |           THEN 'o-l pair' ELSE table_name END)
+         |    AS planned_buckets,
          |  max_key_rows * n_keys * 10000 // n_rows AS skew_ratio_e4,
          |  max_key_rows * n_keys * 10000 // n_rows > 100000 AS skewed
          |FROM legs ORDER BY table_name""".stripMargin

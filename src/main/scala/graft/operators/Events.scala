@@ -100,7 +100,10 @@ object Events extends OpModule {
       // windowed pass (lag + running sum collapse into the merge).
       Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("val_sum"))
+        // val_sum rides the Dec2 decimal route (r8 advice): a raw
+        // double sum is partition-merge-order-nondeterministic.
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(Dec2(col("value"))), 4).cast("double").as("val_sum"))
         .select(col("user_id"),
           unix_micros(col("w.start")).as("sess_start_us"),
           unix_micros(col("w.end")).as("sess_end_us"),
@@ -901,11 +904,17 @@ object Events extends OpModule {
         .withColumn("k", expr("days div 7"))
         .withColumn("m", expr("days % 7"))
         .withColumn("decay",
-          (lit(1.0) /
-            expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)")) *
-            DecayR.zipWithIndex.tail.foldLeft(when(col("m") === 0, DecayR(0))) {
-              case (c, (r, i)) => c.when(col("m") === i, r)
-            }.otherwise(0.0))
+          // k ≥ 63 would shift past the BIGINT width (Java masks the
+          // shift mod 64 → silently-wrapped bogus weight; 32-bit
+          // engines overflow even earlier). The true weight there is
+          // < 1e-19 — emit exactly 0.0 on BOTH engines instead, so a
+          // >217-day snapshot span stays cross-engine identical.
+          when(col("k") >= 63, lit(0.0)).otherwise(
+            (lit(1.0) /
+              expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(k AS INT)) AS DOUBLE)")) *
+              DecayR.zipWithIndex.tail.foldLeft(when(col("m") === 0, DecayR(0))) {
+                case (c, (r, i)) => c.when(col("m") === i, r)
+              }.otherwise(0.0)))
         .withColumn("term", col("value") * col("decay"))
       terms.groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -936,9 +945,14 @@ object Events extends OpModule {
         .groupBy(col("user_id"))
         .agg((sum(Dec2(col("value"))) * 100).cast("long").as("xc"))
         .withColumn("grp", pmod(col("user_id"), lit(2)))
+      // Σx² routes through DECIMAL: per-user cent totals squared would
+      // silently wrap a Java long at ~3e9 cents/user (DuckDB errors
+      // instead of wrapping — the engines would even disagree on HOW
+      // they fail). DECIMAL(18,0)² → DECIMAL(38,0) keeps both exact.
       val m = per.groupBy("grp")
         .agg(count(lit(1)).as("n"), sum("xc").as("sx"),
-          sum(col("xc") * col("xc")).as("sxx"))
+          sum(col("xc").cast("decimal(18,0)") * col("xc").cast("decimal(18,0)"))
+            .as("sxx"))
       def side(g: Int, c: String) = max(when(col("grp") === g, col(c)))
       val wide = m.agg(
         side(0, "n").as("na"), side(0, "sx").as("sxa"), side(0, "sxx").as("sxxa"),
@@ -1413,7 +1427,8 @@ object Events extends OpModule {
          |)
          |SELECT user_id, min(epoch_us(ts)) AS sess_start_us,
          |  max(epoch_us(ts)) + 1800000000 AS sess_end_us,
-         |  count(*) AS n_events, round(sum(value), 4) AS val_sum
+         |  count(*) AS n_events,
+         |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS val_sum
          |FROM t GROUP BY user_id, sid
          |ORDER BY user_id, sess_start_us""".stripMargin,
 
@@ -1922,8 +1937,9 @@ object Events extends OpModule {
          |  FROM events, anchor),
          |dec AS (
          |  SELECT user_id, event_id, us,
-         |    value * ((1.0 / CAST(1 << (days // 7) AS DOUBLE)) *
-         |      (CASE $rmCase ELSE 0.0 END)) AS term
+         |    value * (CASE WHEN days // 7 >= 63 THEN 0.0
+         |      ELSE (1.0 / CAST(CAST(1 AS BIGINT) << (days // 7) AS DOUBLE)) *
+         |        (CASE $rmCase ELSE 0.0 END) END) AS term
          |  FROM (SELECT *, days % 7 AS m FROM t)),
          |per AS (
          |  SELECT user_id, count(*) AS n_events,
@@ -1948,7 +1964,7 @@ object Events extends OpModule {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
         |), m AS (
         |  SELECT grp, count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
-        |    CAST(sum(xc * xc) AS BIGINT) AS sxx
+        |    sum(CAST(xc AS DECIMAL(18,0)) * CAST(xc AS DECIMAL(18,0))) AS sxx
         |  FROM per GROUP BY grp
         |), wide AS (
         |  SELECT

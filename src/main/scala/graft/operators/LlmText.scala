@@ -1189,7 +1189,7 @@ object LlmText extends OpModule {
       // dedup_ngram_jaccard; at corpus scale the candidate pairs come
       // from the LSH bucket path and this exact score is the refine
       // step on candidates only.
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
       val grams = docs.select(col("doc_id"),
         explode(array_distinct(bigramArr(col("text")))).as("bigram"))
       val sizes = docs.select(col("doc_id"),
@@ -1221,7 +1221,7 @@ object LlmText extends OpModule {
       // between supersteps instead of recomputed, and iterated until a
       // fixpoint counter stops changing). Persist-scoped (r5): the
       // edge cache is released once the assignment materializes.
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 100).select("doc_id")
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000).select("doc_id")
       val p = ngramJaccardPairs(s, d)
       // The edge list feeds every superstep's join — persist it so the
       // pair pipeline materializes once instead of once per round (the
@@ -1258,7 +1258,7 @@ object LlmText extends OpModule {
       // the curve needs the low-similarity mass the ≥0.2 dedup gate
       // drops), the standard gated-eval-truth-set shape; candidates
       // come from the graded minhash pipeline.
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
       val sizes = docs.select(col("doc_id"),
         size(array_distinct(bigramArr(col("text")))).cast("long").as("n_grams"))
       val grams = docs.select(col("doc_id"),
@@ -1324,7 +1324,7 @@ object LlmText extends OpModule {
       // cells are each method's pair count, off-diagonal cells the
       // overlap — the eval that says whether the cheap detectors
       // agree with the exact baseline before you trust them alone.
-      // All sets restrict to the ngram baseline's doc_id < 100
+      // All sets restrict to the ngram baseline's doc_id < 1000
       // comparison universe; ONE self-join of the tagged pair union
       // produces the whole matrix. The union is PERSISTED before the
       // self-join: each side of the join would otherwise re-run all
@@ -1332,7 +1332,7 @@ object LlmText extends OpModule {
       // the priciest plans in the module).
       def pairsOf(name: String, tag: String) = queries(name)(s, d)
         .select(lit(tag).as("m"), col("a_id"), col("b_id"))
-        .filter(col("a_id") < 100 && col("b_id") < 100)
+        .filter(col("a_id") < 1000 && col("b_id") < 1000)
       scopedPersist { scope =>
         val tagged = scope.persist(pairsOf("dedup_near_minhash", "minhash")
           .union(pairsOf("dedup_simhash_pairs", "simhash"))
@@ -1355,7 +1355,7 @@ object LlmText extends OpModule {
       // report every corpus build publishes. One equi-join on doc_id
       // plus one partial agg over the |docs<100| slice.
       val comp = queries("dedup_components")(s, d)
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
         .select(col("doc_id").as("d_id"), col("lang"), col("n_chars"))
       comp.join(docs, col("doc_id") === col("d_id"))
         .withColumn("kept", col("canonical") === col("doc_id"))
@@ -1502,11 +1502,11 @@ object LlmText extends OpModule {
       }),
   )
 
-  /** Near-dup pairs among docs < 100 by bigram-set Jaccard ≥ 0.2 —
+  /** Near-dup pairs among docs < 1000 by bigram-set Jaccard ≥ 0.2 —
     * the declared brute-force correctness baseline (gated input), also
     * the edge source for `dedup_components`. */
   private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
     val grams = docs.select(col("doc_id"),
       explode(array_distinct(bigramArr(col("text")))).as("bigram"))
     // per-doc set sizes map-side from the array — no aggregate over
@@ -2318,12 +2318,12 @@ s"""SELECT doc_id, lang, bucket FROM (
          |),
          |tagged AS (
          |  SELECT 'minhash' AS m, a_id, b_id FROM mh
-         |    WHERE a_id < 100 AND b_id < 100
+         |    WHERE a_id < 1000 AND b_id < 1000
          |  UNION ALL
          |  SELECT 'ngram', a_id, b_id FROM scored
          |  UNION ALL
          |  SELECT 'simhash', a_id, b_id FROM shp
-         |    WHERE a_id < 100 AND b_id < 100
+         |    WHERE a_id < 1000 AND b_id < 1000
          |)
          |SELECT x.m AS m_a, y.m AS m_b, count(*) AS n_common
          |FROM tagged x JOIN tagged y
@@ -2332,7 +2332,7 @@ s"""SELECT doc_id, lang, bucket FROM (
 
     "dedup_keep_stats" ->
       s"""WITH $JaccardCtes,
-         |docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+         |docs AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
          |edges AS (
          |  SELECT a_id AS src, b_id AS dst FROM scored
          |  UNION ALL SELECT b_id AS src, a_id AS dst FROM scored
@@ -2520,7 +2520,7 @@ s"""SELECT doc_id, lang, bucket FROM (
     * n_common)` + `sizes` — shared by the Jaccard and containment
     * scorers. */
   private lazy val PairBaseCtes: String =
-    s"""toks AS (SELECT * FROM ($TokensSql) WHERE doc_id < 100),
+    s"""toks AS (SELECT * FROM ($TokensSql) WHERE doc_id < 1000),
        |grams AS (
        |  SELECT DISTINCT doc_id, bigram FROM (
        |    SELECT doc_id,
@@ -2537,7 +2537,7 @@ s"""SELECT doc_id, lang, bucket FROM (
        |)""".stripMargin
 
   /** Shared CTE block ending in `scored(a_id, b_id, n_common, jaccard)`
-    * — the thresholded bigram-Jaccard pairs among docs < 100 (mirrors
+    * — the thresholded bigram-Jaccard pairs among docs < 1000 (mirrors
     * `ngramJaccardPairs`). */
   private lazy val JaccardCtes: String =
     s"""$PairBaseCtes,
@@ -2555,7 +2555,7 @@ s"""SELECT doc_id, lang, bucket FROM (
     * dedup_rep_select. Terminal CTE: l3(doc_id, label). */
   private lazy val ComponentsCtes: String =
     s"""$JaccardCtes,
-       |docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+       |docs AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
        |edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM scored
        |  UNION ALL SELECT b_id AS src, a_id AS dst FROM scored

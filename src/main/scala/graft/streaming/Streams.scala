@@ -298,27 +298,53 @@ object Streams {
     * time-ordered events — StreamBatchParitySpec locks replay equality
     * against an independent fold, and archetype agreement with the
     * batch op (more recent activity ⇒ higher score) is by
-    * construction. Update-mode emission; production adds an
-    * event-time timeout to reap idle users.
+    * construction. Update-mode emission.
+    *
+    * Late-arrival contract (r8 advice): an event arriving in a LATER
+    * micro-batch with an earlier event time never rewinds the anchor —
+    * the decay exponent clamps at 0 (a negative Δ would make
+    * pow(0.5, Δ/h) > 1 and silently INFLATE the score). The late value
+    * joins at the current anchor's weight (over-weighted by at most
+    * its missed decay, never by more than 1×) — the only bounded-error
+    * rule O(1) state admits; exact late handling needs history. State
+    * is reaped by an event-time timeout once a user has been idle past
+    * `idleTimeout` of watermark time (the timeout emits the user's
+    * final row, then drops the state — without this, per-user state
+    * grows without bound on a 100 TB-scale keyspace).
     */
   def decayScores(events: Dataset[Event],
-                  halflifeUs: Long = 7L * 86400L * 1000000L): Dataset[DecayRow] = {
+                  halflifeUs: Long = 7L * 86400L * 1000000L,
+                  watermark: String = "1 hour",
+                  idleTimeout: String = "30 days"): Dataset[DecayRow] = {
     implicit val stateEnc: Encoder[DecayState] = Encoders.product[DecayState]
     implicit val outEnc: Encoder[DecayRow] = Encoders.product[DecayRow]
-    events.groupByKey(_.user_id)(Encoders.scalaLong)
-      .mapGroupsWithState[DecayState, DecayRow](GroupStateTimeout.NoTimeout) {
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[DecayState, DecayRow](GroupStateTimeout.EventTimeTimeout) {
         (user: Long, batch: Iterator[Event], state: GroupState[DecayState]) =>
-          var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0.0, 0L))
-          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-            val us = micros(e.ts)
-            val acc =
-              if (st.lastUs == Long.MinValue) e.value
-              else st.acc * math.pow(0.5,
-                (us - st.lastUs).toDouble / halflifeUs) + e.value
-            st = DecayState(us, acc, st.n + 1)
+          if (state.hasTimedOut) {
+            // Idle past the timeout horizon: flush the final score and
+            // reap the state (the row is a re-emission in update mode).
+            val st = state.get
+            state.remove()
+            DecayRow(user, st.n, st.acc)
+          } else {
+            var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0.0, 0L))
+            batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val us = micros(e.ts)
+              // Anchor never rewinds; late events get Δ = 0, not Δ < 0.
+              val newUs =
+                if (st.lastUs == Long.MinValue) us else math.max(us, st.lastUs)
+              val acc =
+                if (st.lastUs == Long.MinValue) e.value
+                else st.acc * math.pow(0.5,
+                  (newUs - st.lastUs).toDouble / halflifeUs) + e.value
+              st = DecayState(newUs, acc, st.n + 1)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastUs / 1000L, idleTimeout)
+            DecayRow(user, st.n, st.acc)
           }
-          state.update(st)
-          DecayRow(user, st.n, st.acc)
       }
   }
 

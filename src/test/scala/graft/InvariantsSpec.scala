@@ -532,7 +532,7 @@ class InvariantsSpec extends SparkSpec {
   test("lsh s-curve covers the full pair spine with sane rates") {
     val rows = q("dedup_lsh_scurve").collect()
     val nDocs = Tables.documents(spark, sf).filter(
-      org.apache.spark.sql.functions.col("doc_id") < 100).count()
+      org.apache.spark.sql.functions.col("doc_id") < 1000).count()
     assert(rows.map(_.getLong(1)).sum === nDocs * (nDocs - 1) / 2,
       "pair buckets must partition the full C(n,2) spine")
     rows.foreach { r =>

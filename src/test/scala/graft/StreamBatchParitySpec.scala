@@ -300,4 +300,40 @@ class StreamBatchParitySpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(stream.map(_._1).contains(batchTop))
   }
+
+  test("decayScores clamps a cross-batch late event (no score inflation)") {
+    // r8 advice: an out-of-order event in a LATER micro-batch used to
+    // produce a negative decay delta → pow(0.5, Δ/h) > 1 → inflated
+    // score. The clamp pins Δ = 0: the late value joins at the current
+    // anchor's weight and the anchor never rewinds.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val in = MemoryStream[Event]
+    // Batch 1: two on-time events, 7 days apart (one halflife).
+    in.addData(
+      Event(1L, t("2024-01-01T00:00:00Z"), 42L, "view", 10.0),
+      Event(2L, t("2024-01-08T00:00:00Z"), 42L, "view", 10.0))
+    // Wide watermark so the 5-day-late event is accepted (not dropped
+    // by the lateness filter) and reaches the clamp under test.
+    val q = Streams.decayScores(in.toDS(), watermark = "30 days").toDF()
+      .writeStream.format("memory").queryName("par_decay_late")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // Batch 2: a LATE event (event time before the anchor).
+      in.addData(Event(3L, t("2024-01-03T00:00:00Z"), 42L, "view", 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("par_decay_late")
+      .filter(col("user_id") === 42L).orderBy(col("n_events").desc)
+      .collect().head
+    // After batch 1: acc = 10·0.5 + 10 = 15. The late event adds its
+    // value at Δ=0 weight → exactly 25; the pre-clamp bug would have
+    // produced 10·pow(0.5, −5/7) + ... ≈ 26.4 > 25 (inflation) with a
+    // rewound anchor.
+    assert(last.getLong(1) === 3L)
+    assert(math.abs(last.getDouble(2) - 25.0) < 1e-9,
+      s"late-event clamp broken: score=${last.getDouble(2)}")
+  }
 }
