@@ -191,7 +191,7 @@ object LlmSim extends OpModule {
       scope: PersistScope): DataFrame = {
     val Q = 10
     val (cents, assign) = ivfTrain(s, d, scope)
-    val e = pqElems(s, d)
+    val e = scope.persist(pqElems(s, d))
     val dists = scope.cut(pqDists(e, pqCodebook(e, scope)))
     val codes = pqArgmin(dists)
       .select(col("vec_id"), col("m"), col("k").as("code"))
@@ -219,9 +219,19 @@ object LlmSim extends OpModule {
   }
 
   private[graft] def knnPqBody(s: SparkSession, d: String)(
-      scope: PersistScope): DataFrame = {
+      scope: PersistScope): DataFrame =
+    knnPqOn(scope.persist(pqElems(s, d)), scope)
+
+  /** ADC top-3 search over a (possibly shared) element table `e` —
+    * the body of sim_knn_pq, factored out so sim_recall_pq's truth
+    * and ADC legs ride ONE persisted element table and ONE trained
+    * chain (r8 perf advice: the element scan/explode fed the Lloyd
+    * passes and the final code/dtab joins 6× per query; persisting it
+    * once collapses those to a single materialization — the same
+    * share-the-trained-index discipline ivfpqBody already applies to
+    * its IVF leg). */
+  private def knnPqOn(e: DataFrame, scope: PersistScope): DataFrame = {
     val Q = 10
-    val e = pqElems(s, d)
     val dists = scope.cut(pqDists(e, pqCodebook(e, scope)))
     val codes = pqArgmin(dists)
       .select(col("vec_id"), col("m"), col("k").as("code"))
@@ -847,6 +857,80 @@ object LlmSim extends OpModule {
         .orderBy("doc_id", "frame_no")
     }),
 
+    "multimodal_video_decode" -> ((s, d) => {
+      // REAL video-frame decode, hash-graded (r9, closing the r8
+      // verdict's last fake-codec gap): compose the two PROVEN paths —
+      // multimodal_frame_census's frame sampler and decode_hist's
+      // javax.imageio decode — into a graded video pipeline. Each
+      // synthesized container is a FakeCodec 6-byte header plus K
+      // fixed-size 512-byte frame slots, each slot holding a REAL PNG
+      // (grayscale g = (doc·7 + frame·11 + x·3 + y·5) mod 256, dims
+      // keyed off doc_id) zero-padded to the slot size — a PNG reader
+      // stops at IEND, so the padding is invisible to the decode.
+      // sampleFrames picks every 2nd slot; each SAMPLED frame then
+      // runs the full ImageIoCodec metadata + luminance-histogram
+      // decode under the batched mapPartitions stage. DuckDB cannot
+      // decode PNGs, but predicts the decode exactly by arithmetic
+      // (the decode_hist contract: identical left-assoc BT.601 fold,
+      // exact float32-share inversion to integer pixel counts).
+      // Scale shape: |docs| unsplittable blobs → partition-parallel
+      // sampling → CPU-bound per-frame decode in batches; no wide
+      // shuffle anywhere.
+      import s.implicits._
+      import graft.multimodal.{MediaRow, Multimodal}
+      val FB = 512
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 32)
+        .as[Long].map { id =>
+          val k = 4 + (id % 3).toInt
+          val wpx = 8 + (id % 5).toInt
+          val hpx = 6 + (id % 3).toInt
+          val header = Array[Byte]('F', 'I',
+            ((wpx >> 8) & 0xff).toByte, (wpx & 0xff).toByte,
+            ((hpx >> 8) & 0xff).toByte, (hpx & 0xff).toByte)
+          val frames = (0 until k).flatMap { f =>
+            val img = new java.awt.image.BufferedImage(
+              wpx, hpx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < hpx) {
+              var x = 0
+              while (x < wpx) {
+                val g = ((id * 7 + f * 11 + x * 3 + y * 5) % 256).toInt
+                img.setRGB(x, y, (g << 16) | (g << 8) | g)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            val png = bos.toByteArray
+            require(png.length <= FB, s"PNG ${png.length}B overflows $FB-byte slot")
+            png ++ new Array[Byte](FB - png.length)
+          }
+          MediaRow(id, "video", header ++ frames.toArray)
+        }
+      val sampled = Multimodal.sampleFrames(media, frameBytes = FB, everyNth = 2)
+        .map(f => MediaRow(f.media_id * 100 + f.frame_no, "image", f.frame))
+      val feats = Multimodal
+        .imageFeatures(sampled, dim = 8, codec = Multimodal.ImageIoCodec)
+        .toDF()
+        .select(col("media_id").as("fid"),
+          posexplode(col("features")).as(Seq("bucket", "share")))
+      val meta = Multimodal.imageMeta(sampled, Multimodal.ImageIoCodec).toDF()
+        .select(col("media_id").as("m_id"), col("format"),
+          col("width"), col("height"))
+      feats.join(broadcast(meta), col("fid") === col("m_id"))
+        .select(expr("fid div 100").as("doc_id"),
+          pmod(col("fid"), lit(100)).cast("long").as("frame_no"),
+          col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bucket").cast("long").as("bucket"),
+          round(col("share").cast("double") * col("width") * col("height"))
+            .cast("long").as("n_px"))
+        .orderBy("doc_id", "frame_no", "bucket")
+    }),
+
     "multimodal_join" -> ((s, d) =>
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -1157,7 +1241,7 @@ object LlmSim extends OpModule {
       // Persist-scoped (r5): the Lloyd passes persist per round and
       // release once the code table materializes.
       scopedPersist { scope =>
-        val e = pqElems(s, d)
+        val e = scope.persist(pqElems(s, d))
         pqArgmin(pqDists(e, pqCodebook(e, scope)))
           .select(col("vec_id"), col("m").as("subspace"),
             col("k").as("code"), col("dist_sq"))
@@ -1171,18 +1255,19 @@ object LlmSim extends OpModule {
     "sim_knn_ivfpq" -> ((s, d) => scopedPersist(ivfpqBody(s, d))),
 
 
-    "sim_recall_pq" -> ((s, d) => {
+    "sim_recall_pq" -> ((s, d) => scopedPersist { scope =>
       // PQ quality gate: per-query recall@3 of the ADC search against
       // the EXACT integer-L2 truth set — the compression-loss eval
       // that decides M/K before a codebook ships. Truth side is a
       // gated brute force (|Q|·|V| element join, broadcast query
-      // sub-vectors, partial-agged); ADC side reuses the graded
-      // sim_knn_pq plan. Same rank-tiebreak discipline on both sides.
+      // sub-vectors, partial-agged); ADC side is the graded sim_knn_pq
+      // body. Both legs ride ONE persisted element table in ONE scope
+      // (r8 perf advice: the previous shape scanned/exploded the
+      // corpus independently for truth, Lloyd training, and the final
+      // code joins — this round's chronic slowest query). Same
+      // rank-tiebreak discipline on both sides.
       val Q = 10
-      val u = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
-        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
-          floor(col("vf").cast("double") * 1e6).cast("long").as("vi"))
+      val u = scope.persist(pqElems(s, d))
       val qs = u.filter(col("vec_id") < Q)
         .select(col("vec_id").as("q_id"), col("pos").as("qpos"),
           col("vi").as("qvi"))
@@ -1194,7 +1279,7 @@ object LlmSim extends OpModule {
       val truth = exact.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("vec_id").as("n_id"))
-      val adc = queries("sim_knn_pq")(s, d)
+      val adc = knnPqOn(u, scope)
         .select(col("q_id").as("a_q"), col("n_id").as("a_n"), lit(1).as("hit"))
       truth
         .join(adc, col("q_id") === col("a_q") && col("n_id") === col("a_n"),
@@ -2377,6 +2462,37 @@ object LlmSim extends OpModule {
         |JOIN dims d USING (doc_id)
         |LEFT JOIN cnt c ON c.doc_id = s.doc_id AND c.bucket = s.bucket
         |ORDER BY s.doc_id, s.bucket""".stripMargin,
+
+    // Arithmetic prediction of the real per-frame PNG decode: same
+    // sampled-frame spine as the Spark sampler (every 2nd of k slots),
+    // same left-assoc BT.601 fold and bucket floor as decode_hist.
+    "multimodal_video_decode" ->
+      """WITH docs AS (
+        |  SELECT doc_id, 4 + doc_id % 3 AS k,
+        |    8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 32),
+        |frm AS (SELECT doc_id, w, h, unnest(range(0, k)) AS f FROM docs),
+        |sampled AS (SELECT * FROM frm WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, f, w, h, unnest(range(0, w)) AS x FROM sampled),
+        |pxy AS (SELECT doc_id, f, w, h, x, unnest(range(0, h)) AS y FROM px),
+        |bkt AS (
+        |  SELECT doc_id, f,
+        |    least(7, CAST(floor(
+        |      (0.299 * g + 0.587 * g + 0.114 * g) / 256.0 * 8) AS BIGINT)) AS bucket
+        |  FROM (SELECT doc_id, f,
+        |          CAST((doc_id * 7 + f * 11 + x * 3 + y * 5) % 256 AS DOUBLE) AS g
+        |        FROM pxy)),
+        |cnt AS (SELECT doc_id, f, bucket, count(*) AS n_px
+        |        FROM bkt GROUP BY 1, 2, 3),
+        |spine AS (SELECT doc_id, f, unnest(range(0, 8)) AS bucket FROM sampled)
+        |SELECT s.doc_id, CAST(s.f AS BIGINT) AS frame_no, 'png' AS format,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  s.bucket, CAST(coalesce(c.n_px, 0) AS BIGINT) AS n_px
+        |FROM spine s
+        |JOIN docs d USING (doc_id)
+        |LEFT JOIN cnt c ON c.doc_id = s.doc_id AND c.f = s.f
+        |  AND c.bucket = s.bucket
+        |ORDER BY s.doc_id, frame_no, s.bucket""".stripMargin,
 
     // Arithmetic prediction of the real javax.sound.sampled decode:
     // 16-bit PCM is lossless, so the synthesized integer samples

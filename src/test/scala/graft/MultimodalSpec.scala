@@ -196,4 +196,53 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.forall(_.frame.length === 10))
     }
   }
+
+  test("a zero-padded PNG frame slot decodes identically to the bare PNG") {
+    // The video container packs each REAL PNG into a fixed-size slot
+    // with zero padding (frame slots must be fixed-width for the
+    // sampler's offset arithmetic); a PNG reader stops at IEND, so the
+    // padding must be invisible to both the metadata path and the full
+    // pixel decode. This is the container contract
+    // multimodal_video_decode's grading rests on.
+    val img = new java.awt.image.BufferedImage(
+      9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val g = (x * 3 + y * 5) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(png.length <= 512, s"slot overflow: ${png.length}")
+    val padded = png ++ new Array[Byte](512 - png.length)
+    val c = Multimodal.ImageIoCodec
+    assert(c.format(padded) === c.format(png))
+    assert(c.width(padded) === 9 && c.height(padded) === 7)
+    assert(c.features(padded, 8).toSeq === c.features(png, 8).toSeq)
+  }
+
+  test("multimodal_video_decode grades real pixels on every sampled frame") {
+    // End-to-end on the graded query at the smoke SF: row spine =
+    // every-2nd frame × 8 buckets for each doc < 32, per-frame pixel
+    // counts sum to the frame's full raster (the decode saw ALL
+    // pixels, not a truncated or padding-polluted raster).
+    val rows = graft.SparkEntry.queries("multimodal_video_decode")(
+      spark, "/root/testdata/sf0.001").collect()
+    val byFrame = rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+    (0L until 32L).foreach { id =>
+      val k = 4 + (id % 3).toInt
+      val expectFrames = (0 until k).filter(_ % 2 == 0).map(_.toLong)
+      val got = byFrame.keys.filter(_._1 == id).map(_._2).toSeq.sorted
+      assert(got === expectFrames, s"doc $id sampled frames: $got")
+      expectFrames.foreach { f =>
+        val cells = byFrame((id, f))
+        assert(cells.length === 8)
+        val w = 8 + (id % 5); val h = 6 + (id % 3)
+        assert(cells.map(_.getLong(6)).sum === w * h,
+          s"doc $id frame $f: pixel counts must cover the $w x $h raster")
+        assert(cells.forall(r => r.getString(2) == "png" &&
+          r.getLong(3) == w && r.getLong(4) == h))
+      }
+    }
+  }
 }
