@@ -680,6 +680,29 @@ object LlmSim extends OpModule {
         .orderBy("q_id")
     }),
 
+    "sim_recall_hamming" -> ((s, d) => scopedPersist { scope =>
+      // Hamming-path quality gate (r9): per-query recall@5 of the
+      // 1-bit sign-quantized search against the exact cosine truth —
+      // completes the per-path recall family (LSH: sim_recall_eval,
+      // IVF: sim_recall_ivf, PQ: sim_recall_pq; every ANN serving
+      // path in the module now ships with its accuracy eval). The
+      // eval that prices the 64×-compression trade before a binary
+      // index ships. Composes the two graded kNN operators; truth
+      // persists via the scope, one dimension-sized left join + agg.
+      val truth = scope.persist(
+        queries("sim_knn")(s, d).select(col("q_id"), col("n_id")))
+      val ham = queries("sim_knn_hamming")(s, d)
+        .select(col("q_id").as("h_q"), col("n_id").as("h_n"), lit(1).as("hit"))
+      truth
+        .join(ham, col("q_id") === col("h_q") && col("n_id") === col("h_n"),
+          "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+        .select(col("q_id"), col("n_truth"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+        .orderBy("q_id")
+    }),
+
     "sim_recall_ivf" -> ((s, d) => scopedPersist { scope =>
       // IVF quality gate: per-query recall@5 PER NPROBE (r5) — the
       // nprobe ∈ {1, 2, 4} sweep a deployment reads before choosing
@@ -1382,6 +1405,115 @@ object LlmSim extends OpModule {
         .orderBy("cell", "pos")
     }),
 
+    "embed_rq" -> ((s, d) => scopedPersist { scope =>
+      // Residual quantization eval (r9) — the second-stage encoding
+      // FAISS-style IVF indexes apply after coarse assignment: stage 1
+      // is the trained C=8 k-means (the embed_kmeans chain), stage 2
+      // quantizes the RESIDUAL v − c(assigned) with its own K=8
+      // codebook (deterministic lowest-id init + one integer-exact
+      // Lloyd round via the shared pq machinery, M=1 subspace spanning
+      // all 64 dims). The graded readout is the decision table an RQ
+      // deployment reads: per (cell, residual-code) usage and the
+      // stage-1 → stage-2 distortion drop — if the drop is small, the
+      // second stage isn't paying for its bytes. Engine-exactness:
+      // residuals live on the integer grid from the start
+      // (ri = ⌊v·1e6⌋ − ⌊c·1e6⌋ — both terms exact), so every
+      // distance, mean, and distortion sum is integer arithmetic; the
+      // drop ratio is ONE double division. Scale shape: training is
+      // the same broadcast-codebook partial-agg chain as PQ; residual
+      // element rows shuffle once on vec_id. Sums stay < 2^63 up to
+      // ~10⁵ vectors/group at this dim; a 100 TB run lifts them to
+      // DECIMAL like sim_centroid_separation.
+      val C = 8
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      var cents = kmInit(s, d, C)
+      for (_ <- 1 to 2) cents = scope.cut(kmUpdate(e, kmAssign(e, cents)))
+      val assign = scope.cut(kmAssign(e, cents).select("vec_id", "cell"))
+      val ci = cents.select(col("cell").as("c_cell"),
+          posexplode(col("c_emb")).as(Seq("pos0", "c")))
+        .select(col("c_cell"), (col("pos0") + 1).cast("long").as("cpos0"),
+          floor(col("c") * 1e6).cast("long").as("cci"))
+      val vi = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
+        .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+          floor(col("vf").cast("double") * 1e6).cast("long").as("vi0"))
+      // residual element table in the pq helpers' (vec_id, pos, m, vi)
+      // shape — M = 1 subspace over the full dimension
+      val e2 = scope.persist(vi.join(assign, "vec_id")
+        .join(broadcast(ci),
+          col("cell") === col("c_cell") && col("pos") === col("cpos0"))
+        .select(col("vec_id"), col("cell"), col("pos"), lit(0L).as("m"),
+          (col("vi0") - col("cci")).as("vi")))
+      val cb0 = e2.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("k"), col("pos").as("cpos"), col("vi").as("ci"))
+      val a1 = scope.cut(pqArgmin(pqDists(e2.drop("cell"), cb0)).drop("dist_sq"))
+      val cb1 = scope.cut(pqUpdate(e2.drop("cell"), a1))
+      val fin = pqArgmin(pqDists(e2.drop("cell"), cb1))
+        .select(col("vec_id").as("f_id"), col("k").as("rcode"),
+          col("dist_sq").as("d2"))
+      val d1 = e2.groupBy("vec_id", "cell")
+        .agg(sum(col("vi") * col("vi")).as("d1"))
+      d1.join(fin, col("vec_id") === col("f_id"))
+        .groupBy("cell", "rcode")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("d1").as("sum_d1"), sum("d2").as("sum_d2"))
+        .select(col("cell"), col("rcode"), col("n_vecs"),
+          col("sum_d1"), col("sum_d2"),
+          round(lit(1.0) - col("sum_d2").cast("double")
+            / col("sum_d1").cast("double"), 4).as("distortion_drop"))
+        .orderBy("cell", "rcode")
+    }),
+
+    "embed_silhouette" -> ((s, d) => scopedPersist { scope =>
+      // Simplified-silhouette eval of the trained k-means (Hruschka et
+      // al.'s centroid form of Rousseeuw's silhouette, public method):
+      // per vector, a = cosine distance to the ASSIGNED centroid, b =
+      // distance to the runner-up centroid; s = (b−a)/b ∈ [0, 1] (with
+      // cosine distances and b the second-best, max(a,b) = b). The
+      // per-cell mean is the "is this clustering real" readout every
+      // embedding-curation pass checks before trusting cluster-level
+      // decisions (SemDeDup pruning, per-cluster sampling) — linear in
+      // |V|, unlike the full pairwise silhouette. Engine-exactness:
+      // scores live on the same rounded-1e-4 cosine grid as kmAssign
+      // (identical argmax tie rule), s scales to an exact e8 integer
+      // per vector, and the per-cell mean is ONE double division of
+      // exact integers. Same |V|·C broadcast-join shape as training;
+      // no window over anything bigger than the |V|-row top-2 rank.
+      val C = 8
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      var cents = kmInit(s, d, C)
+      for (_ <- 1 to 2) cents = scope.cut(kmUpdate(e, kmAssign(e, cents)))
+      val cwn = cents.withColumn("cnrm", norm(col("c_emb")))
+      val scores = e.crossJoin(broadcast(cwn))
+        .withColumn("kcos", round(
+          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("cnrm")), 4))
+        .select(col("vec_id"), col("cell"),
+          round(col("kcos") * 10000).cast("long").as("k4"))
+      val w = Window.partitionBy("vec_id").orderBy(col("k4").desc, col("cell"))
+      val top2 = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val own = top2.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell"), col("k4").as("a4"))
+      val nxt = top2.filter(col("rn") === 2)
+        .select(col("vec_id").as("v2"), col("k4").as("b4"))
+      val sil = own.join(nxt, col("vec_id") === col("v2"))
+        .withColumn("s8",
+          // degenerate b4 = 1.0000: runner-up coincides with the
+          // vector — silhouette 0 by convention (a = b there too)
+          when(col("b4") === 10000L, lit(0L)).otherwise(
+            round((col("a4") - col("b4")).cast("double")
+              / (lit(10000.0) - col("b4").cast("double")) * lit(1e8))
+              .cast("long")))
+      sil.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum("s8").cast("double") / (count(lit(1)) * lit(1e8)), 4)
+            .as("mean_sil"),
+          min("s8").as("min_s8"), max("s8").as("max_s8"))
+        .orderBy("cell")
+    }),
+
     // Binary-column plumbing for multimodal pipelines: text → bytes →
     // typed metadata. Real image/audio decode is stubbed (libs absent);
     // see graft.multimodal for the mapPartitions decode framework.
@@ -1754,6 +1886,95 @@ object LlmSim extends OpModule {
          |SELECT c2.cell, m.n, c2.pos, c2.c AS c
          |FROM c2 JOIN members m ON m.cell = c2.cell
          |ORDER BY c2.cell, c2.pos""".stripMargin,
+    // Same trained stage-1 chain as embed_kmeans; residuals join the
+    // pq helper CTEs (e/cb0/update/argmin) on the integer grid; every
+    // distortion is an exact BIGINT, the drop is one double division.
+    "embed_rq" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |norms AS ($NormsSql),
+         |c0k AS (SELECT vec_id AS cell, pos, v AS c FROM u WHERE vec_id < 8),
+         |a1k AS (${kmAssignSql("c0k")}),
+         |c1k AS (${kmUpdateSql("a1k")}),
+         |a2k AS (${kmAssignSql("c1k")}),
+         |c2k AS (${kmUpdateSql("a2k")}),
+         |af AS (${kmAssignSql("c2k")}),
+         |ui AS (SELECT vec_id, pos,
+         |         CAST(floor(v * 1000000.0) AS BIGINT) AS vi0 FROM u),
+         |cii AS (SELECT cell, pos,
+         |         CAST(floor(c * 1000000.0) AS BIGINT) AS cci FROM c2k),
+         |e AS (
+         |  SELECT ui.vec_id, af.cell, ui.pos, 0 AS m, ui.vi0 - cii.cci AS vi
+         |  FROM ui JOIN af ON af.vec_id = ui.vec_id
+         |  JOIN cii ON cii.cell = af.cell AND cii.pos = ui.pos),
+         |cb0 AS (SELECT vec_id AS k, pos AS cpos, vi AS ci
+         |        FROM e WHERE vec_id < 8),
+         |dq0 AS (${pqDistSql("cb0")}),
+         |ar1 AS (${pqArgminSql("dq0")}),
+         |cb1 AS (${pqUpdateSql("ar1")}),
+         |dqf AS (${pqDistSql("cb1")}),
+         |fin AS (SELECT vec_id, k AS rcode, dist AS d2 FROM (
+         |  SELECT vec_id, m, k, dist,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+         |  FROM dqf) WHERE rn = 1),
+         |dd1 AS (SELECT vec_id, cell, CAST(sum(vi * vi) AS BIGINT) AS d1
+         |        FROM e GROUP BY vec_id, cell)
+         |SELECT dd1.cell, fin.rcode, count(*) AS n_vecs,
+         |  CAST(sum(dd1.d1) AS BIGINT) AS sum_d1,
+         |  CAST(sum(fin.d2) AS BIGINT) AS sum_d2,
+         |  round(1.0 - CAST(sum(fin.d2) AS DOUBLE) / CAST(sum(dd1.d1) AS DOUBLE), 4)
+         |    AS distortion_drop
+         |FROM dd1 JOIN fin ON fin.vec_id = dd1.vec_id
+         |GROUP BY dd1.cell, fin.rcode
+         |ORDER BY dd1.cell, fin.rcode""".stripMargin,
+
+    // Same trained-c2 chain as embed_kmeans; top-2 scores on the
+    // rounded 1e-4 grid, silhouette as exact e8 integers, one double
+    // division per cell at output.
+    "embed_silhouette" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |norms AS ($NormsSql),
+         |c0 AS (SELECT vec_id AS cell, pos, v AS c FROM u WHERE vec_id < 8),
+         |a1 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmUpdateSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmUpdateSql("a2")}),
+         |sc2 AS (
+         |  SELECT sc.vec_id, sc.cell,
+         |    CAST(round(sc.cos * 10000) AS BIGINT) AS k4,
+         |    row_number() OVER (PARTITION BY sc.vec_id
+         |      ORDER BY sc.cos DESC, sc.cell) AS rn
+         |  FROM (
+         |    SELECT u.vec_id, c.cell,
+         |      round(sum(u.v * c.c) / (n.nrm * cn.cnrm), 4) AS cos
+         |    FROM u JOIN c2 c ON u.pos = c.pos
+         |    JOIN norms n ON n.vec_id = u.vec_id
+         |    JOIN (SELECT cell, sqrt(sum(c * c)) AS cnrm FROM c2 GROUP BY cell) cn
+         |      ON cn.cell = c.cell
+         |    GROUP BY u.vec_id, c.cell, n.nrm, cn.cnrm
+         |  ) sc),
+         |own AS (SELECT vec_id, cell, k4 AS a4 FROM sc2 WHERE rn = 1),
+         |nxt AS (SELECT vec_id, k4 AS b4 FROM sc2 WHERE rn = 2),
+         |sil AS (
+         |  SELECT own.vec_id, own.cell,
+         |    CASE WHEN b4 = 10000 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(round(CAST(a4 - b4 AS DOUBLE)
+         |           / (10000.0 - CAST(b4 AS DOUBLE)) * 100000000.0) AS BIGINT)
+         |    END AS s8
+         |  FROM own JOIN nxt USING (vec_id))
+         |SELECT cell, count(*) AS n_vecs,
+         |  round(CAST(sum(s8) AS DOUBLE) / (count(*) * 100000000.0), 4)
+         |    AS mean_sil,
+         |  CAST(min(s8) AS BIGINT) AS min_s8, CAST(max(s8) AS BIGINT) AS max_s8
+         |FROM sil GROUP BY cell ORDER BY cell""".stripMargin,
+
     "sim_threshold_sweep" ->
       s"""WITH ua AS (${unnested("a", "vec_id < 200")}),
          |ub AS (${unnested("b", "vec_id < 200")}),
@@ -2241,6 +2462,48 @@ object LlmSim extends OpModule {
         |      AS BIGINT) AS rk
         |  FROM scored) WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
+
+    // Exact-cosine truth (the sim_knn oracle) left-joined by the
+    // sign-bit Hamming top-5 (the sim_knn_hamming oracle).
+    "sim_recall_hamming" ->
+      s"""WITH uq AS (${unnested("q", "vec_id < 10")}),
+         |un AS (${unnested("n", "true")}),
+         |norms AS ($NormsSql),
+         |bscored AS (
+         |  SELECT q_id, n_id, round(sum(uq.v * un.v) / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM uq JOIN un ON uq.pos = un.pos AND uq.q_id <> un.n_id
+         |  JOIN norms nq ON nq.vec_id = uq.q_id
+         |  JOIN norms nn ON nn.vec_id = un.n_id
+         |  GROUP BY q_id, n_id, nq.nrm, nn.nrm),
+         |truth AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM bscored) WHERE rk <= 5),
+         |uall AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |hcodes AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN pos <= 32 AND v > 0
+         |      THEN (CAST(1 AS BIGINT) << (pos - 1)) ELSE 0 END) AS BIGINT) AS lo,
+         |    CAST(sum(CASE WHEN pos > 32 AND v > 0
+         |      THEN (CAST(1 AS BIGINT) << (pos - 33)) ELSE 0 END) AS BIGINT) AS hi
+         |  FROM uall GROUP BY vec_id),
+         |hscored AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |    CAST(bit_count(xor(q.lo, n.lo)) + bit_count(xor(q.hi, n.hi))
+         |      AS BIGINT) AS hdist
+         |  FROM hcodes q JOIN hcodes n
+         |    ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+         |ham AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY hdist, n_id) AS rk
+         |  FROM hscored) WHERE rk <= 5)
+         |SELECT t.q_id, count(*) AS n_truth, count(h.n_id) AS n_hits,
+         |  round(CAST(count(h.n_id) AS DOUBLE) / count(*), 4) AS recall
+         |FROM truth t LEFT JOIN ham h ON h.q_id = t.q_id AND h.n_id = t.n_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
 
     // Full-dim truth replicates the sim_knn oracle; truncated legs
     // score the integer-grid PREFIX (pos <= m) with the same ranks.
