@@ -38,6 +38,75 @@ object LlmText extends OpModule {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("token"))
 
+  /** DSIR-shaped importance resampling (Xie et al. 2023, public
+    * method): score every corpus doc by how target-like its unigram
+    * distribution is — log importance weight = Σ_tokens
+    * ln(p_target(w) / p_corpus(w)) with add-one-smoothed counts
+    * (target = the 'en' slice standing in for the high-quality
+    * target corpus) — then draw a deterministic weighted sample
+    * without replacement via Gumbel-top-k (key = logw + Gumbel
+    * noise from the same 31-bit Knuth scramble the sample_ family
+    * uses; top-K keys ARE a w-weighted sample — the standard
+    * Gumbel-max identity). Engine-exactness: both smoothed
+    * probabilities collapse to ONE double division of exact-integer
+    * products (< 2^53) before the single ln(); the per-doc weight
+    * folds in pos-order over the sorted term list (the
+    * evt_decay_score fixed-order discipline — a groupBy sum of
+    * doubles would be partition-order-dependent); the Gumbel u is
+    * an exact rational. Scale shape: one token-count shuffle builds
+    * the (broadcast-size) vocab LM ratio table, one doc_id shuffle
+    * folds weights — no self-join, and the data-sized per-doc
+    * frame is NEVER globally sorted (two-phase Gumbel-top-k below).
+    * The sampling staple the temperature/priority/stratified family
+    * lacked: selection BY DISTRIBUTION MATCH, not by size or hash.
+    * Body factored out (un-checkpointed) so PlansSpec can lock the
+    * no-window / TakeOrderedAndProject shape.
+    */
+  private[graft] def dsirBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val toks = scope.persist(tokens(s, d).join(docs, "doc_id"))
+    val voc = toks.groupBy("token")
+      .agg(count(lit(1)).as("cc"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+    val tot = voc.agg(sum("cc").as("nc"), sum("ct").as("nt"),
+      count(lit(1)).as("v"))
+    val lw = voc.crossJoin(broadcast(tot))
+      .select(col("token"),
+        log(((col("ct") + 1) * (col("nc") + col("v"))).cast("double")
+          / ((col("cc") + 1) * (col("nt") + col("v"))).cast("double"))
+          .as("lw"))
+    val per = toks.join(lw, "token")
+      .groupBy("doc_id")
+      .agg(min("lang").as("lang"), count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("lw")))),
+            e => e.getField("lw")),
+          lit(0.0), (a, x) => a + x).as("raw"))
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+      % lit(1000003L) + 1).cast("double") / lit(1000004.0)
+    // Two-phase Gumbel-top-k (r10, replaces the unpartitioned
+    // row_number window that single-partitioned the whole per-doc
+    // frame): orderBy().limit(64) compiles to TakeOrderedAndProject
+    // — per-partition top-64 heaps merged on the driver, never a
+    // full sort — and the 64-row winner set broadcast-joins back to
+    // flag `sampled`. doc_id is a unique total-order tiebreaker, so
+    // the selected set is bit-identical to the old rank <= 64.
+    val scored = scope.persist(per
+      .withColumn("gkey", round(col("raw") - log(-log(u)), 4)))
+    val top = scored
+      .select(col("doc_id").as("s_id"), col("gkey").as("s_gkey"))
+      .orderBy(col("s_gkey").desc, col("s_id").asc)
+      .limit(64)
+      .select(col("s_id"))
+    scored.join(broadcast(top), col("doc_id") === col("s_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("raw"), 4).as("log_weight"), col("gkey"),
+        col("s_id").isNotNull.as("sampled"))
+      .orderBy("doc_id")
+  }
+
   // MinHash params: 8 signatures, 4 bands of 2. Arithmetic-only hash.
   // Constants live in graft.functions.ShingleIds — the native Catalyst
   // expression and this module's oracle SQL must agree on them.
@@ -726,59 +795,9 @@ object LlmText extends OpModule {
         .orderBy("source", "rnk")
     }),
 
-    "sample_dsir" -> ((s, d) => scopedPersist { scope =>
-      // DSIR-shaped importance resampling (Xie et al. 2023, public
-      // method): score every corpus doc by how target-like its unigram
-      // distribution is — log importance weight = Σ_tokens
-      // ln(p_target(w) / p_corpus(w)) with add-one-smoothed counts
-      // (target = the 'en' slice standing in for the high-quality
-      // target corpus) — then draw a deterministic weighted sample
-      // without replacement via Gumbel-top-k (key = logw + Gumbel
-      // noise from the same 31-bit Knuth scramble the sample_ family
-      // uses; top-K keys ARE a w-weighted sample — the standard
-      // Gumbel-max identity). Engine-exactness: both smoothed
-      // probabilities collapse to ONE double division of exact-integer
-      // products (< 2^53) before the single ln(); the per-doc weight
-      // folds in pos-order over the sorted term list (the
-      // evt_decay_score fixed-order discipline — a groupBy sum of
-      // doubles would be partition-order-dependent); the Gumbel u is
-      // an exact rational. Scale shape: one token-count shuffle builds
-      // the (broadcast-size) vocab LM ratio table, one doc_id shuffle
-      // folds weights — no self-join, no global sort until the
-      // dimension-sized per-doc frame. The sampling staple the
-      // temperature/priority/stratified family lacked: selection BY
-      // DISTRIBUTION MATCH, not by size or hash.
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-      val toks = scope.persist(tokens(s, d).join(docs, "doc_id"))
-      val voc = toks.groupBy("token")
-        .agg(count(lit(1)).as("cc"),
-          count(when(col("lang") === "en", 1)).as("ct"))
-      val tot = voc.agg(sum("cc").as("nc"), sum("ct").as("nt"),
-        count(lit(1)).as("v"))
-      val lw = voc.crossJoin(broadcast(tot))
-        .select(col("token"),
-          log(((col("ct") + 1) * (col("nc") + col("v"))).cast("double")
-            / ((col("cc") + 1) * (col("nt") + col("v"))).cast("double"))
-            .as("lw"))
-      val per = toks.join(lw, "token")
-        .groupBy("doc_id")
-        .agg(min("lang").as("lang"), count(lit(1)).as("n_tokens"),
-          aggregate(
-            transform(
-              sort_array(collect_list(struct(col("pos"), col("lw")))),
-              e => e.getField("lw")),
-            lit(0.0), (a, x) => a + x).as("raw"))
-      val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
-        % lit(1000003L) + 1).cast("double") / lit(1000004.0)
-      val w = Window.orderBy(col("gkey").desc, col("doc_id"))
-      per
-        .withColumn("gkey", round(col("raw") - log(-log(u)), 4))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          round(col("raw"), 4).as("log_weight"), col("gkey"),
-          (col("rnk") <= 64).as("sampled"))
-        .orderBy("doc_id")
-    }),
+    // Persist-scoped; body factored out so PlansSpec can lock the
+    // un-checkpointed plan (two-phase top-k, no window).
+    "sample_dsir" -> ((s, d) => scopedPersist(dsirBody(s, d))),
 
     "sample_hash" -> ((s, d) =>
       // Content-hash sampling: keep docs whose arithmetic text fold

@@ -213,12 +213,37 @@ class MultimodalSpec extends SparkSpec {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     val png = bos.toByteArray
-    assert(png.length <= 512, s"slot overflow: ${png.length}")
-    val padded = png ++ new Array[Byte](512 - png.length)
+    assert(png.length <= 1024, s"slot overflow: ${png.length}")
+    val padded = png ++ new Array[Byte](1024 - png.length)
     val c = Multimodal.ImageIoCodec
     assert(c.format(padded) === c.format(png))
     assert(c.width(padded) === 9 && c.height(padded) === 7)
     assert(c.features(padded, 8).toSeq === c.features(png, 8).toSeq)
+  }
+
+  test("worst-case synthesized video frame fits the 1024-byte slot") {
+    // The r10 container drops the query-time slot require (r9 advice
+    // #3: an executor-side require would abort the whole query on a
+    // future JDK whose PNG encoder emits larger output); the bound
+    // moves HERE. The synthesized frame space is finite: dims cycle
+    // (w, h) ∈ {8..12}×{6..8} and pixel content depends only on the
+    // offset (id·7 + f·11) mod 256 — sweep ALL 256·15 combinations
+    // and pin the max encoded size with 2× headroom against the
+    // 1024-byte slot.
+    var maxLen = 0
+    for (off <- 0 until 256; w <- 8 to 12; h <- 6 to 8) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (off + x * 3 + y * 5) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      maxLen = math.max(maxLen, bos.size())
+    }
+    assert(maxLen * 2 <= 1024,
+      s"worst-case frame ${maxLen}B leaves <2x headroom in the 1024B slot")
   }
 
   test("multimodal_video_decode grades real pixels on every sampled frame") {

@@ -577,6 +577,53 @@ class PlansSpec extends SparkSpec {
       assert(l.contains("event_type"), s"global packing window: $l"))
   }
 
+  test("round-9/10 operators keep their scale shapes") {
+    // sample_dsir (r10 reshape): the Gumbel-top-k must ride
+    // TakeOrderedAndProject (per-partition top-64 heaps) + a
+    // broadcast winner join — NEVER a window, partitioned or not:
+    // the per-doc frame is data-sized and a global rank would
+    // single-partition it at 100 TB.
+    scopedPlan(graft.operators.LlmText.dsirBody(spark, sf)) { dsir =>
+      assert(dsir.contains("TakeOrderedAndProject"),
+        s"sample_dsir lost its two-phase top-k:\n$dsir")
+      assert(!dsir.contains("windowspecdefinition"),
+        s"sample_dsir regressed to a window rank:\n$dsir")
+      assert(dsir.contains("BroadcastHashJoin"),
+        s"sample_dsir winner set did not broadcast:\n$dsir")
+      assert(!dsir.contains("CartesianProduct"),
+        s"sample_dsir planned a data-sized cartesian:\n$dsir")
+    }
+    // embed_rq: codebook joins are broadcast (codebooks are
+    // dimension-sized), residual math stays equi-join shaped.
+    scopedPlan(graft.operators.LlmSim.rqBody(spark, sf)) { rq =>
+      assert(rq.contains("BroadcastHashJoin"),
+        s"embed_rq codebooks did not broadcast:\n$rq")
+      assert(!rq.contains("CartesianProduct"),
+        s"embed_rq planned a data-sized cartesian:\n$rq")
+    }
+    // embed_silhouette: every window is per-vector (vec_id) — the
+    // |V|·C score matrix must never rank through a global frame.
+    scopedPlan(graft.operators.LlmSim.silhouetteBody(spark, sf)) { sil =>
+      val wins = sil.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(wins.nonEmpty, s"silhouette top-2 rank window missing:\n$sil")
+      wins.foreach(l =>
+        assert(l.contains("vec_id"), s"unpartitioned silhouette window: $l"))
+    }
+    // sim_recall_hamming: recall joins are equi-joins on (q_id, n_id)
+    // — no cartesian fallback.
+    scopedPlan(graft.operators.LlmSim.recallHammingBody(spark, sf)) { rh =>
+      assert(!rh.contains("CartesianProduct"),
+        s"sim_recall_hamming planned a data-sized cartesian:\n$rh")
+    }
+    // multimodal_video_decode (unscoped): decoded frame stats meet
+    // container meta through a broadcast join; the decode itself is
+    // mapPartitions (no wide shuffle of frame bytes).
+    val vid = treeString(q("multimodal_video_decode"))
+    assert(vid.contains("BroadcastHashJoin"),
+      s"video decode meta join did not broadcast:\n$vid")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
