@@ -1585,7 +1585,7 @@ object LlmText extends OpModule {
   /** Near-dup pairs among docs < 1000 by bigram-set Jaccard ≥ 0.2 —
     * the declared brute-force correctness baseline (gated input), also
     * the edge source for `dedup_components`. */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 1000)
     val grams = docs.select(col("doc_id"),
       explode(array_distinct(bigramArr(col("text")))).as("bigram"))

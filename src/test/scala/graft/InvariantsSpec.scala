@@ -29,6 +29,73 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_components labels are a fixpoint — a 4th round changes nothing") {
+    // r9 advice #4: the pair universe widened 10x (doc_id < 1000) but
+    // the operator still runs exactly 3 unrolled min-label rounds. If
+    // a deeper chain (diameter > 3) ever appears in the graded data,
+    // labels would stop being true connected components — both engines
+    // would agree (both run 3 rounds) so grading would pass SILENTLY.
+    // This check runs one EXTRA round over the operator's own edge
+    // source and asserts idempotence at the graded SF.
+    import org.apache.spark.sql.functions._
+    val labels = q("dedup_components")
+      .select(col("doc_id"), col("canonical").as("label"))
+    val p = graft.operators.LlmText.ngramJaccardPairs(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 1000).select("doc_id")
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+    val next = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+      .groupBy(col("src")).agg(min(col("label")).as("label"))
+      .withColumnRenamed("src", "doc_id")
+    val drifted = next.join(
+        labels.withColumnRenamed("label", "prev"), "doc_id")
+      .filter(col("label") =!= col("prev")).count()
+    assert(drifted === 0L,
+      s"$drifted labels changed in a 4th propagation round — " +
+        "unconverged components at the widened gate")
+  }
+
+  test("sample_dsir scores keep headroom to every round-4 boundary") {
+    // r9 advice #1: log_weight/gkey sum per-token ln() values (JVM
+    // Math.log vs DuckDB libm log) and round to 4 decimals — a
+    // last-ulp cross-engine divergence only flips the hash if some
+    // doc's raw score sits within ~1e-11 of a .00005 boundary. This
+    // tripwire MEASURES the minimum boundary distance over the graded
+    // corpus and demands 5 orders of magnitude more headroom than the
+    // worst plausible libm disagreement (~1e-11 absolute over a
+    // ≤200-term sum), so a data or JDK change that erodes the margin
+    // fails HERE before it can flip a driver hash.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(docs, "doc_id")
+    val voc = toks.groupBy("token")
+      .agg(count(lit(1)).as("cc"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+    val tot = voc.agg(sum("cc").as("nc"), sum("ct").as("nt"),
+      count(lit(1)).as("v"))
+    val lw = voc.crossJoin(broadcast(tot))
+      .select(col("token"),
+        log(((col("ct") + 1) * (col("nc") + col("v"))).cast("double")
+          / ((col("cc") + 1) * (col("nt") + col("v"))).cast("double"))
+          .as("lw"))
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+      % lit(1000003L) + 1).cast("double") / lit(1000004.0)
+    val raw = toks.join(lw, "token").groupBy("doc_id")
+      .agg(sum("lw").as("raw"))
+      .withColumn("gkey_raw", col("raw") - log(-log(u)))
+    def headroom(c: String) =
+      raw.select(min(abs(abs(col(c)) * 1e4 - floor(abs(col(c)) * 1e4) - 0.5)))
+        .collect().head.getDouble(0)
+    val hRaw = headroom("raw")
+    val hKey = headroom("gkey_raw")
+    assert(hRaw > 1e-6, f"log_weight headroom $hRaw%.2e < 1e-6")
+    assert(hKey > 1e-6, f"gkey headroom $hKey%.2e < 1e-6")
+  }
+
   test("dedup_exact copy counts add up to the corpus size") {
     val total = Tables.documents(spark, sf).count()
     val summed = q("dedup_exact").agg(org.apache.spark.sql.functions.sum("n_copies"))
