@@ -96,6 +96,38 @@ class InvariantsSpec extends SparkSpec {
     assert(hKey > 1e-6, f"gkey headroom $hKey%.2e < 1e-6")
   }
 
+  test("dedup_incremental partitions the new batch and agrees with the batch pair graph") {
+    // (survivors ∪ dropped) must partition the new batch, and the
+    // drop decision must equal what the GRADED batch dedup would
+    // decide: a new doc (doc_id % 7 = 3) is dropped iff
+    // dedup_near_minhash (bucketPairs enumeration — a different
+    // physical path than the operator's new→old equi-join) links it
+    // to at least one old doc.
+    import org.apache.spark.sql.functions._
+    val out = q("dedup_incremental").collect()
+    val newDocs = Tables.documents(spark, sf).filter(col("doc_id") % 7 === 3)
+    val perLang = newDocs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (lang, nNew, nDup, nKept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nNew === perLang(lang), s"$lang: n_new drifted from the slice")
+      assert(nDup + nKept === nNew, s"$lang: dropped+kept must partition new")
+    }
+    assert(out.map(_.getLong(1)).sum === perLang.values.sum)
+    val pairs = q("dedup_near_minhash")
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dropTruth = pairs.flatMap { case (a, b) =>
+      Seq(a, b).filter(x => x % 7 == 3)
+        .filter(x => (if (x == a) b else a) % 7 != 3)
+    }.toSet
+    val nDupTotal = out.map(_.getLong(2)).sum
+    assert(nDupTotal === dropTruth.size.toLong,
+      s"equi-join dropped $nDupTotal but the graded pair graph links " +
+        s"${dropTruth.size} new docs to old ones")
+  }
+
   test("dedup_exact copy counts add up to the corpus size") {
     val total = Tables.documents(spark, sf).count()
     val summed = q("dedup_exact").agg(org.apache.spark.sql.functions.sum("n_copies"))
