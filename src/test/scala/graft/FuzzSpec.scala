@@ -403,6 +403,94 @@ class FuzzSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     (df, sql)
   }
 
+  /** Correlated-LATERAL mode (r10, r9 verdict #5): per outer row, the
+    * top-k correlated inner rows by a value expression — SQL renders
+    * the textbook `, LATERAL (SELECT ... WHERE inner.key = o.key
+    * ORDER BY val, <tiebreakers> LIMIT k)` (Spark's decorrelation
+    * must turn the per-row LIMIT into a partitioned rank), the DSL
+    * renders the window formulation (row_number over partitionBy(key)
+    * + filter + inner join). ORDER BY leads with the PROJECTED value,
+    * so even full-sort-key ties at the LIMIT boundary (lineitem has
+    * duplicate rows) leave the selected value multiset well-defined —
+    * exactly the discipline the graded top-k operators use. */
+  private def lateralCase(r: Random, seed: Int): (DataFrame, String) = {
+    val k = pick(r, Seq(1, 2, 3, 5))
+    val desc0 = r.nextBoolean()
+    val dir = if (desc0) "DESC" else "ASC"
+    val (innerT, innerKey, outerKey, tiebreak) =
+      if (r.nextBoolean())
+        (tables.head, "l_orderkey", "o_orderkey",
+          Seq("l_partkey", "l_suppkey", "l_extendedprice"))
+      else
+        (tables(2), "user_id", "o_custkey", Seq("event_id"))
+    val e = numExpr(r, innerT, 1)
+    val p = predicate(r, tables(1)) // outer = orders (unique key)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ik")
+      .orderBy((if (desc0) col("val").desc else col("val").asc) +:
+        tiebreak.map(col(_).asc): _*)
+    val top = spark.table(s"fz_${innerT.name}")
+      .select(col(innerKey).as("ik") +: e.dsl.as("val") +: tiebreak.map(col): _*)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("ik"), col("val"))
+    val df = spark.table("fz_orders").filter(p.dsl)
+      .join(top, col(outerKey) === col("ik"))
+      .select(col(outerKey), col("val"))
+      .orderBy(col(outerKey).asc, col("val").asc_nulls_first)
+    val sql = s"SELECT o.$outerKey, l.val " +
+      s"FROM (SELECT * FROM fz_orders WHERE ${p.sql}) o, " +
+      s"LATERAL (SELECT ${e.sql} AS val FROM fz_${innerT.name} " +
+      s"WHERE $innerKey = o.$outerKey " +
+      s"ORDER BY val $dir, ${tiebreak.mkString(", ")} LIMIT $k) l " +
+      s"ORDER BY o.$outerKey ASC, l.val ASC NULLS FIRST"
+    (df, sql)
+  }
+
+  /** Pivot mode (r10, r9 verdict #5): groupBy().pivot(values).agg vs
+    * SQL PIVOT over the same filtered projection — explicit value
+    * lists (the scale-stable form; inferring values is a full extra
+    * scan), aggregate routed through DECIMAL where it sums doubles.
+    * Targets the wide-column naming + missing-cell NULL semantics the
+    * fixed graded pivot queries exercise only at one shape. */
+  private val pivotSpecs = Seq(
+    ("lineitem", "l_linestatus", "l_returnflag", Seq("A", "N", "R"),
+      "l_quantity"),
+    ("lineitem", "l_returnflag", "l_linestatus", Seq("F", "O"),
+      "l_extendedprice"),
+    ("orders", "o_orderpriority", "o_orderstatus", Seq("F", "O", "P"),
+      "o_totalprice"),
+    ("documents", "source", "lang", Seq("de", "en", "es", "fr", "zh"),
+      "n_chars"))
+
+  private def pivotCase(r: Random): (DataFrame, String) = {
+    val (tn, gc, pc, values, ac) = pick(r, pivotSpecs)
+    val t = tables.find(_.name == tn).get
+    val p = predicate(r, t)
+    val agg = r.nextInt(3)
+    val base = spark.table(s"fz_$tn").filter(p.dsl)
+      .select(col(gc).as("g"), col(pc).as("pc"),
+        col(ac).cast("decimal(18,6)").as("val"))
+    val aggDsl = agg match {
+      case 0 => sum(col("val"))
+      case 1 => count(col("val"))
+      case _ => min(col("val"))
+    }
+    val aggSql = agg match {
+      case 0 => "sum(val)"
+      case 1 => "count(val)"
+      case _ => "min(val)"
+    }
+    val df = base.groupBy("g").pivot("pc", values).agg(aggDsl)
+      .orderBy(col("g").asc)
+    val inList = values.map(v => s"'$v' AS `$v`").mkString(", ")
+    val sql = s"SELECT * FROM (SELECT g, pc, val FROM " +
+      s"(SELECT $gc AS g, $pc AS pc, " +
+      s"CAST($ac AS DECIMAL(18,6)) AS val FROM fz_$tn WHERE ${p.sql})) " +
+      s"PIVOT ($aggSql FOR pc IN ($inList)) ORDER BY g ASC"
+    (df, sql)
+  }
+
   // ---- the differential check ---------------------------------------
 
   private def assertAgree(seed: Int, df: DataFrame, sql: String): Unit = {
@@ -453,6 +541,20 @@ class FuzzSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     test(s"relational fuzz: seeds ${200 + block * 30}..${200 + block * 30 + 29}") {
       (200 + block * 30 until 200 + (block + 1) * 30).foreach(checkRelational)
     }
+
+  private def checkLateralPivot(seed: Int): Unit = {
+    views
+    val r = new Random(seed)
+    val (df, sql) =
+      if (r.nextBoolean()) lateralCase(r, seed) else pivotCase(r)
+    assertAgree(seed, df, sql)
+  }
+
+  // 30 seeded correlated-LATERAL / PIVOT cases (r10, r9 verdict #5) —
+  // the last §2.7 corners outside the harness; disjoint seed range.
+  test("lateral/pivot fuzz: seeds 300..329") {
+    (300 until 330).foreach(checkLateralPivot)
+  }
 
   // ---- hazard-class fixtures (the classes that motivated the suite) --
 
