@@ -17,14 +17,23 @@ import org.apache.spark.sql.functions._
   * rotated by copy index so ANN/dedup geometry gets new points, not N
   * coincident ones. region/nation stay as-is (true dimensions).
   *
-  * Usage: runMain graft.StressGen [srcDir] [outDir] [copies]
+  * Usage: runMain graft.StressGen [srcDir] [outDir] [copies] [mode]
   * Defaults: /root/testdata/sf0.1 → /root/repo/tmp-sf1 × 10.
+  *
+  * mode=skew-events (r10, r9 verdict stretch #9): instead of scaling,
+  * read srcDir's ALREADY-SCALED events table and funnel every 5th
+  * event (event_id % 5 = 0 — deterministic, ~20% of all events) to
+  * ONE new hot user — the adversarial key distribution that breaks
+  * per-user hash partitioning if any per-user operator holds a
+  * group's data in task memory. Only events.parquet is written; copy
+  * the other tables from srcDir to build the full leg.
   */
 object StressGen {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/tmp-sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val mode = args.lift(3).getOrElse("full")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -56,6 +65,16 @@ object StressGen {
       df.drop("k").repartition(32).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
       println(s"[stressgen] wrote $name")
+    }
+
+    if (mode == "skew-events") {
+      val ev = Tables(spark, src, "events")
+      val hot = ev.agg(max("user_id")).head().getLong(0) + 1L
+      write("events", ev.withColumn("user_id",
+        when(col("event_id") % 5 === 0, lit(hot)).otherwise(col("user_id"))))
+      println(s"[stressgen] hot user_id = $hot owns ~20% of events")
+      spark.stop()
+      return
     }
 
     Seq("region", "nation").foreach(n => write(n, Tables(spark, src, n)))
