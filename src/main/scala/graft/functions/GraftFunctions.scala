@@ -44,6 +44,9 @@ object GraftFunctions {
   def arrayPairs(arr: Column): Column =
     GraftBridge.column(ArrayPairs(GraftBridge.expression(arr)))
 
+  def simhashPack(ids: Column, bits: Int): Column =
+    GraftBridge.column(SimhashPack(GraftBridge.expression(ids), bits))
+
   private[functions] val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

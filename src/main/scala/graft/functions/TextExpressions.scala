@@ -201,3 +201,72 @@ object AffineModMin {
     best
   }
 }
+
+/** `bits`-wide simhash over an `array<long>` of distinct shingle ids,
+  * computed IN-ROW: per element h = (id·7+13) mod P, per bit j the
+  * vote is the parity of an independent affine rehash
+  * ((h·(2j+3)+(5j+7)) mod P) — ±1 summed over the array — and bit j
+  * of the packed result is set iff its vote sum is positive. Exactly
+  * the arithmetic of the oracle's 48-CASE SQL, but one tight compiled
+  * loop per row instead of an exploded 260k-row stream aggregated
+  * through 48 sum columns (measured 3.4 s single-task vs ~60 ms
+  * in-row at sf0.1 — the explode/agg shape was the cost, not the
+  * math; same lesson as TextFoldHash/ArrayPairs). Null/empty arrays
+  * yield null (docs with no shingles are absent from the pairing
+  * universe, matching the exploded formulation and the oracle).
+  */
+case class SimhashPack(child: Expression, bits: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_pack"
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == 0) null
+      else SimhashPack.compute(arr, bits)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |if ($a.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SimhashPack.compute($a, $bits);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashPack {
+  def compute(arr: ArrayData, bits: Int): Long = {
+    val P = ShingleIds.P
+    val n = arr.numElements()
+    val sums = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = (arr.getLong(i) * 7 + 13) % P
+      var j = 0
+      while (j < bits) {
+        sums(j) += (((h * (2 * j + 3) + (5 * j + 7)) % P) % 2).toInt * 2 - 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+}

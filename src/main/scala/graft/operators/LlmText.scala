@@ -1264,25 +1264,40 @@ object LlmText extends OpModule {
 
     "dedup_simhash_pairs" -> ((s, d) => {
       // Simhash near-dup PAIRING — the step dedup_simhash feeds. The
-      // pairing fingerprint is 24-bit over the 3-SHINGLE set (same
+      // pairing fingerprint is 48-bit over the 3-SHINGLE set (same
       // reasoning as the minhash path): on a small-vocab corpus every
       // doc contains nearly every unigram, so token-set simhash
       // collides regardless of width (measured: 40k of 125k possible
       // pairs within hamming 2 at sf0.001; 9.8 s at sf0.1), while
       // 3-shingle sets of unrelated docs are near-disjoint and random
-      // pairs sit ~12 bits apart. Hamming ≤ 2 pairs must share ≥1
-      // unchanged 8-bit band (pigeonhole), so candidates come from an
-      // equi-join on (band_idx, band_value) — sub-quadratic, never
-      // all-pairs — then the exact popcount filter keeps true pairs.
-      // Band extraction is div/mod arithmetic (cross-engine
-      // identical); hamming is xor + bit_count (present in both
-      // engines).
-      val sh = simhashShingleDf(s, d, 24)
+      // pairs sit far apart. Hamming ≤ 2 pairs must share ≥1
+      // unchanged 16-bit band (pigeonhole over 3 bands), so
+      // candidates come from an equi-join on (band_idx, band_value) —
+      // sub-quadratic, never all-pairs — then the exact popcount
+      // filter keeps true pairs. WIDTH IS THE SCALE KNOB (r10): the
+      // r9 fingerprint was "24-bit" with 8-bit bands, but the vote
+      // construction capped effective entropy at ~20 bits, so 256
+      // band values saturated as the corpus grew — the sf1 leg
+      // measured 1.0 → 10.7 s at 10× data, the suite's only
+      // super-linear query. 16-bit bands give 65536 values/band
+      // (sf1 re-measure: 1.7 s, exponent back under 1); a
+      // billion-doc run sizes up again (64-bit, 4×16 bands for
+      // hamming ≤ 3) — band width scales with log(corpus), the
+      // standard simhash-index discipline (Manku et al. 2007). Band
+      // extraction is div/mod arithmetic (cross-engine identical);
+      // hamming is xor + bit_count (present in both engines).
+      // The signature table persists via the scope: both banded join
+      // branches reference it, and duplicating the 48-aggregate
+      // signature subplan doubles a Catalyst analysis cost that
+      // dominates the whole query (measured 4.2 s duplicated vs
+      // 0.6 s persisted at sf0.1 — planning, not data).
+      scopedPersist { scope =>
+      val sh = scope.persist(simhashShingleDf(s, d, 48))
       def banded(idPrefix: String) = sh.select(
         col("doc_id").as(s"${idPrefix}_id"), col("simhash").as(s"${idPrefix}_h"),
-        posexplode(array(col("simhash") % 256,
-          expr("simhash div 256") % 256,
-          expr("simhash div 65536") % 256))
+        posexplode(array(col("simhash") % 65536,
+          expr("simhash div 65536") % 65536,
+          expr("simhash div 4294967296") % 65536))
           .as(Seq(s"${idPrefix}_band", s"${idPrefix}_val")))
       banded("a").join(banded("b"),
           col("a_band") === col("b_band") && col("a_val") === col("b_val")
@@ -1293,6 +1308,7 @@ object LlmText extends OpModule {
         .filter(col("hamming") <= 2)
         .select("a_id", "b_id", "hamming")
         .orderBy("a_id", "b_id")
+      }
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -2373,12 +2389,12 @@ s"""SELECT doc_id, lang, bucket FROM (
 
     "dedup_simhash_pairs" ->
       s"""WITH $SimhashShingleCte,
-         |sh AS (${simhashSelect(24, "tvs")}),
+         |sh AS (${simhashSelect(48, "tvs")}),
          |bands AS (
          |  SELECT doc_id, simhash, b.band,
-         |    CASE b.band WHEN 0 THEN simhash % 256
-         |                WHEN 1 THEN (simhash // 256) % 256
-         |                ELSE (simhash // 65536) % 256 END AS val
+         |    CASE b.band WHEN 0 THEN simhash % 65536
+         |                WHEN 1 THEN (simhash // 65536) % 65536
+         |                ELSE (simhash // 4294967296) % 65536 END AS val
          |  FROM sh CROSS JOIN (SELECT unnest(range(3)) AS band) b
          |),
          |cand AS (
@@ -2477,12 +2493,12 @@ s"""SELECT doc_id, lang, bucket FROM (
          |  GROUP BY a_id, b_id HAVING count(*) >= 2
          |),
          |$SimhashShingleCte,
-         |shh AS (${simhashSelect(24, "tvs")}),
+         |shh AS (${simhashSelect(48, "tvs")}),
          |sbands AS (
          |  SELECT doc_id, simhash, b.band,
-         |    CASE b.band WHEN 0 THEN simhash % 256
-         |                WHEN 1 THEN (simhash // 256) % 256
-         |                ELSE (simhash // 65536) % 256 END AS val
+         |    CASE b.band WHEN 0 THEN simhash % 65536
+         |                WHEN 1 THEN (simhash // 65536) % 65536
+         |                ELSE (simhash // 4294967296) % 65536 END AS val
          |  FROM shh CROSS JOIN (SELECT unnest(range(3)) AS band) b
          |),
          |shp AS (
@@ -2643,8 +2659,15 @@ s"""SELECT doc_id, lang, bucket FROM (
     * stream — weight +1/−1 per id per bit, sign of the sum sets the
     * bit. Bit source h < P (~2^30), so widths up to 24 stay uniform. */
   private def simhashOver(tv: DataFrame, bits: Int): DataFrame = {
+    // Per-bit vote = parity of an INDEPENDENT affine rehash of h
+    // (r10): the old vote read bit j of h directly, but h < P ≈ 2^20,
+    // so every bit past ~20 voted constant 0 — the "24-bit" pairing
+    // fingerprint had 20 effective bits and its 8-bit band buckets
+    // saturated at sf1 (measured 1.0 → 10.7 s at 10× data, the only
+    // super-linear query in the suite). Affine parities give `bits`
+    // independent coins at any width; same arithmetic in the oracle.
     val weights = tv.select(col("doc_id") +: (0 until bits).map(j =>
-      (floor(col("h") / math.pow(2, j).toLong) % 2 * 2 - 1).as(s"w$j")): _*)
+      (((col("h") * (2 * j + 3) + (5 * j + 7)) % P) % 2 * 2 - 1).as(s"w$j")): _*)
     weights.groupBy("doc_id")
       .agg((0 until bits).map(j => sum(s"w$j").as(s"s$j")).head,
         (0 until bits).map(j => sum(s"w$j").as(s"s$j")).tail: _*)
@@ -2663,10 +2686,18 @@ s"""SELECT doc_id, lang, bucket FROM (
     * unrelated docs are near-disjoint where unigram sets saturate).
     * `private[graft]` so specs can brute-force-check the banding. */
   private[graft] def simhashShingleDf(s: SparkSession, d: String, bits: Int): DataFrame =
-    simhashOver(Tables.documents(s, d).select(col("doc_id"),
-      explode(array_distinct(
-        graft.functions.GraftFunctions.shingleIds(col("text")))).as("sid"))
-      .withColumn("h", (col("sid") * 7 + 13) % lit(P)), bits)
+    // In-row native SimhashPack (r10): one compiled loop per doc over
+    // the distinct-shingle array — identical arithmetic to the oracle
+    // CASE-sum SQL and the exploded simhashOver pipeline, minus the
+    // 260k-row explode and the `bits`-column aggregate (measured
+    // 3.4 s → ~0.1 s at sf0.1; see SimhashPack scaladoc). Docs with
+    // no shingles pack to null and drop, matching the exploded
+    // formulation's absent rows.
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.GraftFunctions.simhashPack(
+        array_distinct(graft.functions.GraftFunctions.shingleIds(col("text"))),
+        bits).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Simhash CTE list (`tv(doc_id, h)`) + the `bits`-wide simhash
     * select — shared by `dedup_simhash` (16) and
@@ -2680,7 +2711,7 @@ s"""SELECT doc_id, lang, bucket FROM (
   private def simhashSelect(bits: Int, from: String = "tv"): String =
     s"""SELECT doc_id,
        |  CAST(${(0 until bits).map(j =>
-          s"(CASE WHEN sum(floor(h / ${math.pow(2, j).toLong}) % 2 * 2 - 1) > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END)")
+          s"(CASE WHEN sum(((h * ${2 * j + 3} + ${5 * j + 7}) % $P) % 2 * 2 - 1) > 0 THEN ${math.pow(2, j).toLong} ELSE 0 END)")
           .mkString(" + ")} AS BIGINT) AS simhash
        |FROM $from GROUP BY doc_id""".stripMargin
 

@@ -174,6 +174,42 @@ class FunctionsSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("simhash_pack equals the exploded vote-sum formulation on real documents") {
+    // The in-row packed simhash must be bit-identical to the
+    // explode + per-bit affine-parity sum pipeline it replaced (and
+    // to the oracle's CASE-sum SQL, which rehearsal covers). Checked
+    // at 16 and 48 bits over the real shingle stream; empty-shingle
+    // docs must pack to null (absent from the pairing universe).
+    val P = 1000003L
+    val bits = Seq(16, 48)
+    val base = Tables.documents(spark, sf).select(col("doc_id"),
+      array_distinct(GraftFunctions.shingleIds(col("text"))).as("tids"))
+    bits.foreach { b =>
+      val native = base.select(col("doc_id"),
+          GraftFunctions.simhashPack(col("tids"), b).as("sh"))
+        .filter(col("sh").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exploded = base
+        .select(col("doc_id"), explode(col("tids")).as("sid"))
+        .withColumn("h", (col("sid") * 7 + 13) % lit(P))
+        .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+          val hs = rows.map(_.getLong(2))
+          var out = 0L
+          (0 until b).foreach { j =>
+            val s = hs.map(h => (((h * (2 * j + 3) + (5 * j + 7)) % P) % 2).toInt * 2 - 1).sum
+            if (s > 0) out |= 1L << j
+          }
+          id -> out
+        }
+      assert(native === exploded, s"simhash_pack($b) diverged")
+    }
+    // empty array → null
+    import spark.implicits._
+    val empty = Seq(Seq.empty[Long]).toDF("tids")
+      .select(GraftFunctions.simhashPack(col("tids"), 48).as("sh")).collect()
+    assert(empty.head.isNullAt(0), "empty shingle set must pack to null")
+  }
+
   test("SQL registration exposes vec_dot/vec_norm/shingle_ids") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, sf).createOrReplaceTempView("emb_t")

@@ -381,8 +381,8 @@ class InvariantsSpec extends SparkSpec {
   }
 
   test("simhash banding finds every hamming<=2 pair (no recall loss)") {
-    // brute-force over the SAME 24-bit fingerprint the pairing op uses
-    val sh = graft.operators.LlmText.simhashShingleDf(spark, sf, 24).collect()
+    // brute-force over the SAME 48-bit fingerprint the pairing op uses
+    val sh = graft.operators.LlmText.simhashShingleDf(spark, sf, 48).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val expect = (for {
       (i, hi) <- sh; (j, hj) <- sh
