@@ -765,6 +765,56 @@ object LlmSim extends OpModule {
         .orderBy("cell")
     }),
 
+    "dedup_incremental_embedding" -> ((s, d) => scopedPersist { scope =>
+      // Incremental SEMANTIC dedup (r10) — the embedding twin of
+      // dedup_incremental, completing the nightly-ingest story across
+      // both dedup families: new-batch vectors (the vec_id % 7 = 3
+      // hash slice) dedup against the EXISTING corpus through a
+      // coarse quantizer TRAINED ON THE OLD SIDE ONLY (init = the 8
+      // lowest old ids, 2 Lloyd rounds over old vectors — the stored
+      // index a deployment owns; today's arrivals must not move
+      // yesterday's centroids before they are screened). Both sides
+      // assign to the trained cells; candidates are new×old pairs
+      // WITHIN a cell only (the SemDeDup argument — Σ|cell|new·|cell|old,
+      // never batch×corpus), scored at rounded integer-grid cosine
+      // ≥ 0.45 (the dedup_semdedup threshold). Output is the per-label
+      // ingest ledger. Scale shape: the old side's assignment is the
+      // persisted index; nightly cost is the batch's cell footprint.
+      val C = 8
+      val isNew = col("vec_id") % 7 === 3
+      val full = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"), norm(col("embedding")).as("nrm"))
+      val old = full.filter(!isNew)
+      var cents = Tables.embeddings(s, d)
+        .filter(!(col("vec_id") % 7 === 3) && col("vec_id") < C + 1)
+        .select(col("vec_id").as("cell"),
+          transform(col("embedding"), _.cast("double")).as("c_emb"))
+      for (_ <- 1 to 2) cents = scope.cut(kmUpdate(old, kmAssign(old, cents)))
+      val assign = scope.cut(kmAssign(full, cents)
+        .join(full.select("vec_id", "embedding"), "vec_id"))
+      val ie = assign.select(col("vec_id"), col("cell"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
+        .withColumn("inrm", sqrt(dot(col("iv"), col("iv"))))
+      val nw = ie.filter(isNew).select(col("cell"),
+        col("vec_id").as("n_id"), col("iv").as("n_iv"), col("inrm").as("n_nrm"))
+      val od = ie.filter(!isNew).select(col("cell"),
+        col("vec_id").as("o_id"), col("iv").as("o_iv"), col("inrm").as("o_nrm"))
+      val dup = nw.join(od, Seq("cell"))
+        .withColumn("cos", round(
+          dot(col("n_iv"), col("o_iv")) / (col("n_nrm") * col("o_nrm")), 4))
+        .filter(col("cos") >= 0.45)
+        .select(col("n_id").as("vec_id")).distinct()
+      Tables.embeddings(s, d).filter(isNew)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .join(dup.withColumn("dupf", lit(1)), Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_new"),
+          count(col("dupf")).as("n_dup_old"),
+          (count(lit(1)) - count(col("dupf"))).as("n_kept"))
+        .orderBy("label")
+    }),
+
     "sim_knn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -2698,6 +2748,48 @@ object LlmSim extends OpModule {
          |FROM mem m LEFT JOIN pc ON pc.cell = m.cell
          |LEFT JOIN dc ON dc.cell = m.cell
          |ORDER BY m.cell""".stripMargin,
+
+    // Old-side-trained Lloyd chain (init = 8 lowest old ids, updates
+    // over old vectors only), both sides assigned, new×old within-cell
+    // pairs on the integer grid, per-label ingest ledger.
+    "dedup_incremental_embedding" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |norms AS ($NormsSql),
+         |uo AS (SELECT * FROM u WHERE vec_id % 7 <> 3),
+         |c0 AS (SELECT vec_id AS cell, pos, v AS c FROM u
+         |       WHERE vec_id < 9 AND vec_id % 7 <> 3),
+         |a1 AS (${kmAssignSql("c0", u = "uo")}),
+         |c1 AS (${kmUpdateSql("a1", u = "uo")}),
+         |a2 AS (${kmAssignSql("c1", u = "uo")}),
+         |c2 AS (${kmUpdateSql("a2", u = "uo")}),
+         |assign AS (${kmAssignSql("c2")}),
+         |iu AS (SELECT vec_id, pos,
+         |  CAST(floor(v * 1000000.0) AS DOUBLE) AS w FROM u),
+         |inorm AS (SELECT vec_id, sqrt(sum(w * w)) AS inrm FROM iu GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT n.vec_id AS n_id, o.vec_id AS o_id
+         |  FROM assign n JOIN assign o ON n.cell = o.cell
+         |  WHERE n.vec_id % 7 = 3 AND o.vec_id % 7 <> 3),
+         |dots AS (
+         |  SELECT p.n_id, p.o_id, sum(x.w * y.w) AS dp
+         |  FROM pairs p JOIN iu x ON x.vec_id = p.n_id
+         |  JOIN iu y ON y.vec_id = p.o_id AND y.pos = x.pos
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT DISTINCT d.n_id FROM dots d
+         |  JOIN inorm na ON na.vec_id = d.n_id
+         |  JOIN inorm nb ON nb.vec_id = d.o_id
+         |  WHERE round(d.dp / (na.inrm * nb.inrm), 4) >= 0.45)
+         |SELECT CAST(e.label AS BIGINT) AS label, count(*) AS n_new,
+         |  count(dup.n_id) AS n_dup_old,
+         |  count(*) - count(dup.n_id) AS n_kept
+         |FROM embeddings e LEFT JOIN dup ON dup.n_id = e.vec_id
+         |WHERE e.vec_id % 7 = 3
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_knn_ivf" ->
       s"""WITH u AS (

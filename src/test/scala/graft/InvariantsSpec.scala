@@ -128,6 +128,23 @@ class InvariantsSpec extends SparkSpec {
         s"${dropTruth.size} new docs to old ones")
   }
 
+  test("dedup_incremental_embedding partitions the new slice per label") {
+    // (survivors ∪ dropped) must partition the new vector batch, and
+    // per-label arrival counts must equal the slice's true label
+    // histogram — the ledger cannot invent or lose vectors.
+    import org.apache.spark.sql.functions._
+    val out = q("dedup_incremental_embedding").collect()
+    val truth = Tables.embeddings(spark, sf).filter(col("vec_id") % 7 === 3)
+      .groupBy(col("label").cast("long")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getLong(0)).toSet === truth.keySet)
+    out.foreach { r =>
+      assert(r.getLong(1) === truth(r.getLong(0)), s"label ${r.getLong(0)}: n_new drifted")
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1),
+        s"label ${r.getLong(0)}: dropped+kept must partition the batch")
+    }
+  }
+
   test("dedup_exact copy counts add up to the corpus size") {
     val total = Tables.documents(spark, sf).count()
     val summed = q("dedup_exact").agg(org.apache.spark.sql.functions.sum("n_copies"))
