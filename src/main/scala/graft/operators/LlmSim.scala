@@ -815,6 +815,57 @@ object LlmSim extends OpModule {
         .orderBy("label")
     }),
 
+    "sample_kcenter" -> ((s, d) => scopedPersist { scope =>
+      // Greedy k-center coreset selection (farthest-point traversal —
+      // Gonzalez 1985, the classic 2-approximation; the geometric
+      // data-selection staple the sampling family lacked: pick the K
+      // vectors that COVER the embedding space, the shape coreset /
+      // diverse-probe selection uses where temperature/stratified
+      // sampling picks by mass). Deterministic: seed = vec_id 0, each
+      // round adds the vector maximizing its distance to the selected
+      // set (ties → lowest vec_id) and emits the covering radius² at
+      // selection time — the K-row (pick, vec_id, d2) trace an
+      // auditor replays. Engine-exactness: all distances live on the
+      // ⌊v·1e6⌋ integer grid via d² = |a|² + |c|² − 2a·c (Σ ≤ 64·4e12
+      // ≈ 2.6e14 < 2^53 — exact in doubles, exact in the final BIGINT
+      // cast). Scale shape: the frontier (per-vector min-distance)
+      // updates by ONE broadcast-center pass per round — K·|V| work
+      // total, the standard coreset build; argmax rides
+      // TakeOrderedAndProject (never a global sort), rounds cut via
+      // localCheckpoint like every unrolled chain in the module.
+      val K = 8
+      val e = scope.persist(Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
+        .withColumn("selfdot", dot(col("iv"), col("iv"))))
+      def d2To(center: DataFrame): DataFrame =
+        e.crossJoin(broadcast(center))
+          .select(col("vec_id"),
+            (col("selfdot") + col("c_self")
+              - lit(2.0) * dot(col("iv"), col("c_iv"))).as("nd"))
+      val seed = e.filter(col("vec_id") === 0)
+      var picks = seed.select(lit(1L).as("pick"), col("vec_id"),
+        lit(0L).as("d2"))
+      var dmin = scope.cut(d2To(
+        seed.select(col("iv").as("c_iv"), col("selfdot").as("c_self"))))
+      for (t <- 2 to K) {
+        val nxt = dmin.orderBy(col("nd").desc, col("vec_id").asc).limit(1)
+        val nxtC = scope.cut(nxt.join(e, "vec_id")
+          .select(col("vec_id").as("c_id"), col("nd").as("c_d"),
+            col("iv").as("c_iv"), col("selfdot").as("c_self")))
+        picks = picks.unionByName(nxtC.select(lit(t.toLong).as("pick"),
+          col("c_id").as("vec_id"), col("c_d").cast("long").as("d2")))
+        if (t < K) {
+          val dn = d2To(nxtC.select("c_iv", "c_self"))
+            .withColumnRenamed("nd", "nd2")
+          dmin = scope.cut(dmin.join(dn, "vec_id")
+            .select(col("vec_id"), least(col("nd"), col("nd2")).as("nd")))
+        }
+      }
+      picks.orderBy("pick")
+    }),
+
     "sim_knn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10)
@@ -1814,6 +1865,24 @@ object LlmSim extends OpModule {
        |FROM $assign a JOIN $u ON $u.vec_id = a.vec_id
        |GROUP BY a.cell, $u.pos""".stripMargin
 
+  /** One greedy-k-center round in SQL (r10, sample_kcenter): e$t =
+    * every vector's integer-grid d² to round t's pick, m$t = frontier
+    * update (least of previous frontier and e$t), p${t+1} = next pick
+    * (frontier argmax, ties → lowest vec_id). Chained unrolled like
+    * the Lloyd/PQ trains. */
+  private def kcenterRoundSql(t: Int): String =
+    s"""e$t AS (
+       |  SELECT x.vec_id, sx.sdot + sc.sdot - 2 * sum(x.w * y.w) AS nd
+       |  FROM iu x
+       |  CROSS JOIN p$t pp
+       |  JOIN iu y ON y.vec_id = pp.vec_id AND y.pos = x.pos
+       |  JOIN sdot sx ON sx.vec_id = x.vec_id
+       |  JOIN sdot sc ON sc.vec_id = pp.vec_id
+       |  GROUP BY x.vec_id, sx.sdot, sc.sdot),
+       |m$t AS (SELECT m.vec_id, least(m.nd, e$t.nd) AS nd
+       |  FROM m${t - 1} m JOIN e$t ON e$t.vec_id = m.vec_id),
+       |p${t + 1} AS (SELECT vec_id, nd FROM m$t ORDER BY nd DESC, vec_id LIMIT 1)""".stripMargin
+
   /** One PQ distance pass in SQL: per-(vector, subspace, code)
     * integer L2 vs codebook `cb(k, cpos, ci)`. */
   private def pqDistSql(cb: String): String =
@@ -2748,6 +2817,33 @@ object LlmSim extends OpModule {
          |FROM mem m LEFT JOIN pc ON pc.cell = m.cell
          |LEFT JOIN dc ON dc.cell = m.cell
          |ORDER BY m.cell""".stripMargin,
+
+    // Unrolled greedy farthest-point chain on the integer grid; seed
+    // vec_id 0; pick t = frontier argmax after t-1 updates.
+    "sample_kcenter" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |iu AS (SELECT vec_id, pos,
+         |  CAST(floor(v * 1000000.0) AS DOUBLE) AS w FROM u),
+         |sdot AS (SELECT vec_id, sum(w * w) AS sdot FROM iu GROUP BY vec_id),
+         |m1 AS (
+         |  SELECT x.vec_id, sx.sdot + sc.sdot - 2 * sum(x.w * y.w) AS nd
+         |  FROM iu x
+         |  JOIN iu y ON y.vec_id = 0 AND y.pos = x.pos
+         |  JOIN sdot sx ON sx.vec_id = x.vec_id
+         |  JOIN sdot sc ON sc.vec_id = 0
+         |  GROUP BY x.vec_id, sx.sdot, sc.sdot),
+         |p2 AS (SELECT vec_id, nd FROM m1 ORDER BY nd DESC, vec_id LIMIT 1),
+         |${(2 to 7).map(kcenterRoundSql).mkString(",\n")}
+         |SELECT CAST(1 AS BIGINT) AS pick, CAST(0 AS BIGINT) AS vec_id,
+         |  CAST(0 AS BIGINT) AS d2
+         |${(2 to 8).map(t =>
+            s"UNION ALL SELECT CAST($t AS BIGINT), vec_id, CAST(nd AS BIGINT) FROM p$t")
+            .mkString("\n")}
+         |ORDER BY pick""".stripMargin,
 
     // Old-side-trained Lloyd chain (init = 8 lowest old ids, updates
     // over old vectors only), both sides assigned, new×old within-cell

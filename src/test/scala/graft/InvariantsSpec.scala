@@ -145,6 +145,31 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sample_kcenter trace obeys the greedy farthest-point contract") {
+    // The covering radius at selection must be monotonically
+    // non-increasing (each pick shrinks the frontier maximum — the
+    // Gonzalez guarantee), picks must be distinct, and pick 2's d2
+    // must equal the true max integer-grid distance² to the seed —
+    // an independently computed fact.
+    import org.apache.spark.sql.functions._
+    val rows = q("sample_kcenter").collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 8L))
+    assert(rows.map(_.getLong(1)).distinct.length === 8, "picks must be distinct")
+    val d2s = rows.drop(1).map(_.getLong(2))
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => b <= a },
+      s"radius must not increase: ${d2s.toSeq}")
+    val iv = Tables.embeddings(spark, sf).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
+    val seed = iv.filter(col("vec_id") === 0).collect().head.getSeq[Double](1)
+    val trueMax = iv.collect().map { r =>
+      val v = r.getSeq[Double](1)
+      (v.zip(seed).map { case (a, b) => (a - b) * (a - b) }.sum, r.getLong(0))
+    }.max
+    assert(rows(1).getLong(2) === trueMax._1.toLong,
+      "pick 2 must be the true farthest vector from the seed")
+  }
+
   test("dedup_exact copy counts add up to the corpus size") {
     val total = Tables.documents(spark, sf).count()
     val summed = q("dedup_exact").agg(org.apache.spark.sql.functions.sum("n_copies"))
