@@ -248,6 +248,117 @@ object LlmSim extends OpModule {
       .orderBy("q_id")
   }
 
+  private[graft] def incEmbBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+      // Incremental SEMANTIC dedup (r10) — the embedding twin of
+      // dedup_incremental, completing the nightly-ingest story across
+      // both dedup families: new-batch vectors (the vec_id % 7 = 3
+      // hash slice) dedup against the EXISTING corpus through a
+      // coarse quantizer TRAINED ON THE OLD SIDE ONLY (init = the 8
+      // lowest old ids, 2 Lloyd rounds over old vectors — the stored
+      // index a deployment owns; today's arrivals must not move
+      // yesterday's centroids before they are screened). Both sides
+      // assign to the trained cells; candidates are new×old pairs
+      // WITHIN a cell only (the SemDeDup argument — Σ|cell|new·|cell|old,
+      // never batch×corpus), scored at rounded integer-grid cosine
+      // ≥ 0.45 (the dedup_semdedup threshold). Output is the per-label
+      // ingest ledger. Scale shape: the old side's assignment is the
+      // persisted index; nightly cost is the batch's cell footprint.
+      val C = 8
+      val isNew = col("vec_id") % 7 === 3
+      val full = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding"), norm(col("embedding")).as("nrm"))
+      val old = full.filter(!isNew)
+      var cents = Tables.embeddings(s, d)
+        .filter(!(col("vec_id") % 7 === 3) && col("vec_id") < C + 1)
+        .select(col("vec_id").as("cell"),
+          transform(col("embedding"), _.cast("double")).as("c_emb"))
+      for (_ <- 1 to 2) cents = scope.cut(kmUpdate(old, kmAssign(old, cents)))
+      val assign = scope.cut(kmAssign(full, cents)
+        .join(full.select("vec_id", "embedding"), "vec_id"))
+      val ie = assign.select(col("vec_id"), col("cell"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
+        .withColumn("inrm", sqrt(dot(col("iv"), col("iv"))))
+      val nw = ie.filter(isNew).select(col("cell"),
+        col("vec_id").as("n_id"), col("iv").as("n_iv"), col("inrm").as("n_nrm"))
+      val od = ie.filter(!isNew).select(col("cell"),
+        col("vec_id").as("o_id"), col("iv").as("o_iv"), col("inrm").as("o_nrm"))
+      val dup = nw.join(od, Seq("cell"))
+        .withColumn("cos", round(
+          dot(col("n_iv"), col("o_iv")) / (col("n_nrm") * col("o_nrm")), 4))
+        .filter(col("cos") >= 0.45)
+        .select(col("n_id").as("vec_id")).distinct()
+      Tables.embeddings(s, d).filter(isNew)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .join(dup.withColumn("dupf", lit(1)), Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_new"),
+          count(col("dupf")).as("n_dup_old"),
+          (count(lit(1)) - count(col("dupf"))).as("n_kept"))
+        .orderBy("label")
+  }
+
+  /** Frontier argmax of one greedy round: orderBy().limit(1) ⇒
+    * TakeOrderedAndProject (per-partition top-1 heaps) — shared by
+    * every kcenterBody round and locked in PlansSpec (the rounds
+    * themselves are lineage-cut, so the terminal plan cannot show
+    * the shape). */
+  private[graft] def kcenterNext(dmin: DataFrame): DataFrame =
+    dmin.orderBy(col("nd").desc, col("vec_id").asc).limit(1)
+
+  private[graft] def kcenterBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+      // Greedy k-center coreset selection (farthest-point traversal —
+      // Gonzalez 1985, the classic 2-approximation; the geometric
+      // data-selection staple the sampling family lacked: pick the K
+      // vectors that COVER the embedding space, the shape coreset /
+      // diverse-probe selection uses where temperature/stratified
+      // sampling picks by mass). Deterministic: seed = vec_id 0, each
+      // round adds the vector maximizing its distance to the selected
+      // set (ties → lowest vec_id) and emits the covering radius² at
+      // selection time — the K-row (pick, vec_id, d2) trace an
+      // auditor replays. Engine-exactness: all distances live on the
+      // ⌊v·1e6⌋ integer grid via d² = |a|² + |c|² − 2a·c (Σ ≤ 64·4e12
+      // ≈ 2.6e14 < 2^53 — exact in doubles, exact in the final BIGINT
+      // cast). Scale shape: the frontier (per-vector min-distance)
+      // updates by ONE broadcast-center pass per round — K·|V| work
+      // total, the standard coreset build; argmax rides
+      // TakeOrderedAndProject (never a global sort), rounds cut via
+      // localCheckpoint like every unrolled chain in the module.
+      val K = 8
+      val e = scope.persist(Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
+        .withColumn("selfdot", dot(col("iv"), col("iv"))))
+      def d2To(center: DataFrame): DataFrame =
+        e.crossJoin(broadcast(center))
+          .select(col("vec_id"),
+            (col("selfdot") + col("c_self")
+              - lit(2.0) * dot(col("iv"), col("c_iv"))).as("nd"))
+      val seed = e.filter(col("vec_id") === 0)
+      var picks = seed.select(lit(1L).as("pick"), col("vec_id"),
+        lit(0L).as("d2"))
+      var dmin = scope.cut(d2To(
+        seed.select(col("iv").as("c_iv"), col("selfdot").as("c_self"))))
+      for (t <- 2 to K) {
+        val nxt = kcenterNext(dmin)
+        val nxtC = scope.cut(nxt.join(e, "vec_id")
+          .select(col("vec_id").as("c_id"), col("nd").as("c_d"),
+            col("iv").as("c_iv"), col("selfdot").as("c_self")))
+        picks = picks.unionByName(nxtC.select(lit(t.toLong).as("pick"),
+          col("c_id").as("vec_id"), col("c_d").cast("long").as("d2")))
+        if (t < K) {
+          val dn = d2To(nxtC.select("c_iv", "c_self"))
+            .withColumnRenamed("nd", "nd2")
+          dmin = scope.cut(dmin.join(dn, "vec_id")
+            .select(col("vec_id"), least(col("nd"), col("nd2")).as("nd")))
+        }
+      }
+      picks.orderBy("pick")
+  }
+
   /** Residual quantization eval (r9) — the second-stage encoding
     * FAISS-style IVF indexes apply after coarse assignment: stage 1
     * is the trained C=8 k-means (the embed_kmeans chain), stage 2
@@ -765,106 +876,10 @@ object LlmSim extends OpModule {
         .orderBy("cell")
     }),
 
-    "dedup_incremental_embedding" -> ((s, d) => scopedPersist { scope =>
-      // Incremental SEMANTIC dedup (r10) — the embedding twin of
-      // dedup_incremental, completing the nightly-ingest story across
-      // both dedup families: new-batch vectors (the vec_id % 7 = 3
-      // hash slice) dedup against the EXISTING corpus through a
-      // coarse quantizer TRAINED ON THE OLD SIDE ONLY (init = the 8
-      // lowest old ids, 2 Lloyd rounds over old vectors — the stored
-      // index a deployment owns; today's arrivals must not move
-      // yesterday's centroids before they are screened). Both sides
-      // assign to the trained cells; candidates are new×old pairs
-      // WITHIN a cell only (the SemDeDup argument — Σ|cell|new·|cell|old,
-      // never batch×corpus), scored at rounded integer-grid cosine
-      // ≥ 0.45 (the dedup_semdedup threshold). Output is the per-label
-      // ingest ledger. Scale shape: the old side's assignment is the
-      // persisted index; nightly cost is the batch's cell footprint.
-      val C = 8
-      val isNew = col("vec_id") % 7 === 3
-      val full = Tables.embeddings(s, d).select(col("vec_id"),
-        col("embedding"), norm(col("embedding")).as("nrm"))
-      val old = full.filter(!isNew)
-      var cents = Tables.embeddings(s, d)
-        .filter(!(col("vec_id") % 7 === 3) && col("vec_id") < C + 1)
-        .select(col("vec_id").as("cell"),
-          transform(col("embedding"), _.cast("double")).as("c_emb"))
-      for (_ <- 1 to 2) cents = scope.cut(kmUpdate(old, kmAssign(old, cents)))
-      val assign = scope.cut(kmAssign(full, cents)
-        .join(full.select("vec_id", "embedding"), "vec_id"))
-      val ie = assign.select(col("vec_id"), col("cell"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
-        .withColumn("inrm", sqrt(dot(col("iv"), col("iv"))))
-      val nw = ie.filter(isNew).select(col("cell"),
-        col("vec_id").as("n_id"), col("iv").as("n_iv"), col("inrm").as("n_nrm"))
-      val od = ie.filter(!isNew).select(col("cell"),
-        col("vec_id").as("o_id"), col("iv").as("o_iv"), col("inrm").as("o_nrm"))
-      val dup = nw.join(od, Seq("cell"))
-        .withColumn("cos", round(
-          dot(col("n_iv"), col("o_iv")) / (col("n_nrm") * col("o_nrm")), 4))
-        .filter(col("cos") >= 0.45)
-        .select(col("n_id").as("vec_id")).distinct()
-      Tables.embeddings(s, d).filter(isNew)
-        .select(col("vec_id"), col("label").cast("long").as("label"))
-        .join(dup.withColumn("dupf", lit(1)), Seq("vec_id"), "left")
-        .groupBy("label")
-        .agg(count(lit(1)).as("n_new"),
-          count(col("dupf")).as("n_dup_old"),
-          (count(lit(1)) - count(col("dupf"))).as("n_kept"))
-        .orderBy("label")
-    }),
+    // Persist-scoped; bodies factored out for PlansSpec plan locks.
+    "dedup_incremental_embedding" -> ((s, d) => scopedPersist(incEmbBody(s, d))),
 
-    "sample_kcenter" -> ((s, d) => scopedPersist { scope =>
-      // Greedy k-center coreset selection (farthest-point traversal —
-      // Gonzalez 1985, the classic 2-approximation; the geometric
-      // data-selection staple the sampling family lacked: pick the K
-      // vectors that COVER the embedding space, the shape coreset /
-      // diverse-probe selection uses where temperature/stratified
-      // sampling picks by mass). Deterministic: seed = vec_id 0, each
-      // round adds the vector maximizing its distance to the selected
-      // set (ties → lowest vec_id) and emits the covering radius² at
-      // selection time — the K-row (pick, vec_id, d2) trace an
-      // auditor replays. Engine-exactness: all distances live on the
-      // ⌊v·1e6⌋ integer grid via d² = |a|² + |c|² − 2a·c (Σ ≤ 64·4e12
-      // ≈ 2.6e14 < 2^53 — exact in doubles, exact in the final BIGINT
-      // cast). Scale shape: the frontier (per-vector min-distance)
-      // updates by ONE broadcast-center pass per round — K·|V| work
-      // total, the standard coreset build; argmax rides
-      // TakeOrderedAndProject (never a global sort), rounds cut via
-      // localCheckpoint like every unrolled chain in the module.
-      val K = 8
-      val e = scope.persist(Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
-        .withColumn("selfdot", dot(col("iv"), col("iv"))))
-      def d2To(center: DataFrame): DataFrame =
-        e.crossJoin(broadcast(center))
-          .select(col("vec_id"),
-            (col("selfdot") + col("c_self")
-              - lit(2.0) * dot(col("iv"), col("c_iv"))).as("nd"))
-      val seed = e.filter(col("vec_id") === 0)
-      var picks = seed.select(lit(1L).as("pick"), col("vec_id"),
-        lit(0L).as("d2"))
-      var dmin = scope.cut(d2To(
-        seed.select(col("iv").as("c_iv"), col("selfdot").as("c_self"))))
-      for (t <- 2 to K) {
-        val nxt = dmin.orderBy(col("nd").desc, col("vec_id").asc).limit(1)
-        val nxtC = scope.cut(nxt.join(e, "vec_id")
-          .select(col("vec_id").as("c_id"), col("nd").as("c_d"),
-            col("iv").as("c_iv"), col("selfdot").as("c_self")))
-        picks = picks.unionByName(nxtC.select(lit(t.toLong).as("pick"),
-          col("c_id").as("vec_id"), col("c_d").cast("long").as("d2")))
-        if (t < K) {
-          val dn = d2To(nxtC.select("c_iv", "c_self"))
-            .withColumnRenamed("nd", "nd2")
-          dmin = scope.cut(dmin.join(dn, "vec_id")
-            .select(col("vec_id"), least(col("nd"), col("nd2")).as("nd")))
-        }
-      }
-      picks.orderBy("pick")
-    }),
+    "sample_kcenter" -> ((s, d) => scopedPersist(kcenterBody(s, d))),
 
     "sim_knn" -> ((s, d) => {
       val e = Tables.embeddings(s, d)

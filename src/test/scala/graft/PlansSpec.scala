@@ -624,6 +624,52 @@ class PlansSpec extends SparkSpec {
       s"video decode meta join did not broadcast:\n$vid")
   }
 
+  test("round-10 operators keep their scale shapes") {
+    // dedup_incremental: the new→old match is a (band, bsig) bucket
+    // equi-join — never a cartesian (batch × corpus would be the
+    // scale-killer this operator exists to avoid).
+    val inc = treeString(q("dedup_incremental"))
+    assert(!inc.contains("CartesianProduct") &&
+      !inc.contains("BroadcastNestedLoopJoin"),
+      s"dedup_incremental lost its bucket equi-join shape:\n$inc")
+    // dedup_incremental_exact: the bloom word table BROADCASTS (the
+    // nightly batch must never shuffle against the corpus), candidates
+    // stay equi-join shaped.
+    val ix = treeString(q("dedup_incremental_exact"))
+    assert(ix.contains("BroadcastHashJoin"),
+      s"bloom word table did not broadcast:\n$ix")
+    assert(!ix.contains("CartesianProduct"),
+      s"dedup_incremental_exact planned a cartesian:\n$ix")
+    // dedup_incremental_embedding: candidates are within-cell pairs —
+    // an equi-join on cell, never batch × corpus.
+    scopedPlan(graft.operators.LlmSim.incEmbBody(spark, sf)) { ie =>
+      assert(!ie.contains("CartesianProduct"),
+        s"dedup_incremental_embedding paired batch × corpus:\n$ie")
+      assert(ie.contains("BroadcastHashJoin") || ie.contains("SortMergeJoin"),
+        s"within-cell pairing lost its equi-join:\n$ie")
+    }
+    // sample_kcenter: every greedy round picks via kcenterNext — the
+    // frontier argmax must be TakeOrderedAndProject (per-partition
+    // top-1), never a global sort or window. The rounds are
+    // lineage-cut inside the body, so the lock targets the shared
+    // helper the body calls, on a frontier-shaped frame.
+    locally {
+      import org.apache.spark.sql.functions.col
+      val frontier = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("label").cast("double").as("nd"))
+      val kc = treeString(graft.operators.LlmSim.kcenterNext(frontier))
+      assert(kc.contains("TakeOrderedAndProject"),
+        s"kcenter frontier argmax lost its two-phase shape:\n$kc")
+      assert(!kc.contains("windowspecdefinition"),
+        s"kcenter argmax regressed to a window rank:\n$kc")
+    }
+    // ...and the terminal trace must never rank through a window.
+    scopedPlan(graft.operators.LlmSim.kcenterBody(spark, sf)) { kc =>
+      assert(!kc.contains("windowspecdefinition"),
+        s"sample_kcenter regressed to a window rank:\n$kc")
+    }
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
