@@ -142,6 +142,26 @@ object Streams {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       events(eventKey) === dim(dimKey), "left")
 
+  /** Continuous ingest screen — the streaming twin of
+    * `dedup_incremental_exact`: arriving documents LEFT-ANTI join the
+    * STATIC corpus key set on `keyCol`, so only never-seen content
+    * flows downstream. Stream-static anti joins are STATELESS per
+    * micro-batch (the static side loads/broadcasts; no streaming
+    * state grows with the corpus), which is what makes this the
+    * always-on form of the nightly batch screen — the batch query's
+    * Bloom front-end is exactly the physical accelerator a deployment
+    * puts IN FRONT of this join when the static side outgrows a
+    * broadcast. Within-batch duplicate arrivals both survive, same as
+    * the batch ledger (in-stream self-dedup is a separate concern:
+    * `dedupEvents` / dropDuplicatesWithinWatermark, keyed state).
+    * StreamBatchParitySpec replays the real corpus slice and asserts
+    * the surviving doc set equals the graded batch decision.
+    */
+  def screenIngest(docs: DataFrame, corpusKeys: DataFrame,
+                   keyCol: String): DataFrame =
+    docs.join(org.apache.spark.sql.functions.broadcast(corpusKeys),
+      Seq(keyCol), "left_anti")
+
   /** Cross-event view→click→purchase funnel as a per-user state
     * machine — twin of `evt_funnel`'s strict-ordering semantics. Emits
     * one FunnelHit the first time a user completes the chain. State is

@@ -336,4 +336,43 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(math.abs(last.getDouble(2) - 25.0) < 1e-9,
       s"late-event clamp broken: score=${last.getDouble(2)}")
   }
+
+  test("streaming ingest screen equals the graded dedup_incremental_exact decision") {
+    // Replay the real new-batch slice (doc_id % 7 = 3) as a stream of
+    // (doc_id, lang, 64-char-prefix key) rows against the static old
+    // corpus key set; the survivors must be EXACTLY the docs the
+    // graded batch ledger keeps (n_kept per lang + the doc set — the
+    // batch ledger is hash-graded against DuckDB, making it ground
+    // truth here).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 64).as("k")).collect()
+    val newDocs = docs.filter(_.getLong(0) % 7 == 3)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val oldKeys = docs.filter(_.getLong(0) % 7 != 3)
+      .map(_.getString(2)).distinct.toSeq
+    val in = MemoryStream[(Long, String, String)]
+    in.addData(newDocs)
+    val static = oldKeys.toDF("k")
+    runToTable("par_ingest",
+      Streams.screenIngest(in.toDF().toDF("doc_id", "lang", "k"), static, "k"),
+      "append")
+    val survivors = spark.table("par_ingest").select("doc_id").collect()
+      .map(r => r.getLong(0)).toSet
+    val expectKept = newDocs.filter(d => !oldKeys.contains(d._3)).map(_._1).toSet
+    assert(survivors === expectKept,
+      s"screen drift: stream-only=${survivors -- expectKept}, " +
+        s"missing=${expectKept -- survivors}")
+    val ledger = SparkEntry.queries("dedup_incremental_exact")(spark, sf)
+      .select(col("lang"), col("n_kept")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamKept = spark.table("par_ingest").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ledger.foreach { case (lang, k) =>
+      assert(streamKept.getOrElse(lang, 0L) === k,
+        s"$lang: stream kept ${streamKept.getOrElse(lang, 0L)}, ledger says $k")
+    }
+  }
 }
