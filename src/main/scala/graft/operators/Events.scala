@@ -973,6 +973,46 @@ object Events extends OpModule {
           (sea * sea / (na - 1) + seb * seb / (nb - 1)), 4).as("df"))
     }),
 
+    "evt_did" -> ((s, d) => {
+      // Difference-in-differences readout (r10): the quasi-experiment
+      // shape BEHIND evt_abtest_welch — treatment assignment by user
+      // parity (grp 0 = treatment), a fixed intervention instant
+      // (2024-01-16) splitting pre/post, and the DiD estimate
+      // (Δtreat − Δcontrol of per-cell mean event value) PER
+      // event_type. All four cell moments are EXACT integer cents
+      // (the Welch discipline: Dec2 → ×100 → BIGINT), so the
+      // estimate is one fixed-order double expression from exact
+      // integers — engine-identical. One partial-agged shuffle to
+      // the 2×2×|types| cell frame; everything after is dimension-
+      // sized. At 100 TB the same single aggregation carries it.
+      val cells = Tables.events(s, d)
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+        .withColumn("post",
+          (col("ts") >= lit("2024-01-16").cast("timestamp")).cast("int"))
+        .groupBy("event_type", "grp", "post")
+        .agg(count(lit(1)).as("n"),
+          (sum(Dec2(col("value"))) * 100).cast("long").as("sx"))
+      def cell(g: Int, p: Int, c: String) =
+        max(when(col("grp") === g && col("post") === p, col(c)))
+      val wide = cells.groupBy("event_type").agg(
+        cell(0, 0, "n").as("n_t_pre"), cell(0, 0, "sx").as("s_t_pre"),
+        cell(0, 1, "n").as("n_t_post"), cell(0, 1, "sx").as("s_t_post"),
+        cell(1, 0, "n").as("n_c_pre"), cell(1, 0, "sx").as("s_c_pre"),
+        cell(1, 1, "n").as("n_c_post"), cell(1, 1, "sx").as("s_c_post"))
+      def mean(sc: String, nc: String) =
+        col(sc).cast("double") / col(nc).cast("double") / 100
+      wide.select(col("event_type"),
+        col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        round(mean("s_t_pre", "n_t_pre"), 4).as("mean_t_pre"),
+        round(mean("s_t_post", "n_t_post"), 4).as("mean_t_post"),
+        round(mean("s_c_pre", "n_c_pre"), 4).as("mean_c_pre"),
+        round(mean("s_c_post", "n_c_post"), 4).as("mean_c_post"),
+        round((mean("s_t_post", "n_t_post") - mean("s_t_pre", "n_t_pre"))
+          - (mean("s_c_post", "n_c_post") - mean("s_c_pre", "n_c_pre")), 4)
+          .as("did"))
+        .orderBy("event_type")
+    }),
+
     "evt_pit_features" -> ((s, d) => {
       // Point-in-time (leakage-free) feature snapshot (r8) — THE
       // training-data join: for every label event (purchase), gather
@@ -1998,6 +2038,42 @@ object Events extends OpModule {
         |        * ((sxxb - sxb * sxb / nb) / (nb - 1) / nb) / (nb - 1)), 4)
         |    AS df
         |FROM dbl""".stripMargin,
+
+    "evt_did" ->
+      """WITH cells AS (
+        |  SELECT event_type,
+        |    CAST(user_id % 2 AS BIGINT) AS grp,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS sx
+        |  FROM events GROUP BY 1, 2, 3
+        |), wide AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN grp = 0 AND post = 0 THEN n END) AS n_t_pre,
+        |    max(CASE WHEN grp = 0 AND post = 0 THEN sx END) AS s_t_pre,
+        |    max(CASE WHEN grp = 0 AND post = 1 THEN n END) AS n_t_post,
+        |    max(CASE WHEN grp = 0 AND post = 1 THEN sx END) AS s_t_post,
+        |    max(CASE WHEN grp = 1 AND post = 0 THEN n END) AS n_c_pre,
+        |    max(CASE WHEN grp = 1 AND post = 0 THEN sx END) AS s_c_pre,
+        |    max(CASE WHEN grp = 1 AND post = 1 THEN n END) AS n_c_post,
+        |    max(CASE WHEN grp = 1 AND post = 1 THEN sx END) AS s_c_post
+        |  FROM cells GROUP BY event_type
+        |)
+        |SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  round(CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) / 100, 4)
+        |    AS mean_t_pre,
+        |  round(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) / 100, 4)
+        |    AS mean_t_post,
+        |  round(CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) / 100, 4)
+        |    AS mean_c_pre,
+        |  round(CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) / 100, 4)
+        |    AS mean_c_post,
+        |  round((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE) / 100
+        |       - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE) / 100)
+        |      - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE) / 100
+        |       - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) / 100), 4)
+        |    AS did
+        |FROM wide ORDER BY event_type""".stripMargin,
 
     // Identical value-range window formulation; strictly-before upper
     // bound = 1 PRECEDING on the µs axis; spend through DECIMAL.

@@ -1822,6 +1822,48 @@ object LlmSim extends OpModule {
             / col("n_pairs").cast("double"), 4).as("homophily"))
         .orderBy("label")
     }),
+
+    "sim_knn_graph_stats" -> ((s, d) => {
+      // Mutual-kNN-graph census (r10): the symmetrization step every
+      // graph-based clustering / dedup pipeline runs after ANN
+      // retrieval (mutual-kNN edges are the standard noise filter
+      // before community detection). Directed edges = per-vector
+      // top-3 by rounded cosine among LSH-bucket co-residents (the
+      // sim_knn_lsh candidate discipline — Σ|bucket|² candidate
+      // pairs, never all-pairs); an edge is MUTUAL iff its reverse
+      // was also retrieved. Ranks ride the ROUNDED cosine with ties
+      // to the lower neighbor id so both engines rank identically;
+      // the per-label ledger (edges / mutual / reciprocity) is what
+      // a pipeline reads to size its symmetrization loss.
+      // Reciprocity is an exact scaled integer (×10⁴ div) — a double
+      // ratio would tie at .00005. The rank window partitions by
+      // a_id, so top-3 selection parallelizes per vector; at 100 TB
+      // the bucket join and the self-join on directed edges (≤ 3|V|
+      // rows) are the only shuffles.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          norm(col("embedding")).as("nrm"),
+          lshBucket(col("embedding")).as("bucket"))
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("label").as("a_label"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"))
+      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      val edges = a.join(b, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos", round(
+          dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("a_id"), col("a_label"), col("b_id"))
+      val rev = edges.select(col("a_id").as("r_b"), col("b_id").as("r_a"))
+      edges.join(rev,
+          col("a_id") === col("r_a") && col("b_id") === col("r_b"), "left")
+        .groupBy(col("a_label").as("label"))
+        .agg(count(lit(1)).as("n_edges"), count(col("r_a")).as("n_mutual"))
+        .withColumn("recip_e4", expr("n_mutual * 10000 div n_edges"))
+        .orderBy("label")
+    }),
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -2251,6 +2293,38 @@ object LlmSim extends OpModule {
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rk
          |  FROM scored
          |) WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
+    "sim_knn_graph_stats" ->
+      s"""WITH buckets AS ($BucketsSql),
+         |ua AS (${unnested("a", "true")}),
+         |ub AS (${unnested("b", "true")}),
+         |norms AS ($NormsSql),
+         |scored AS (
+         |  SELECT a_id, b_id,
+         |    round(sum(ua.v * ub.v) / (na.nrm * nb.nrm), 4) AS cos
+         |  FROM ua JOIN ub ON ua.pos = ub.pos AND ua.a_id <> ub.b_id
+         |  JOIN buckets ba ON ba.vec_id = ua.a_id
+         |  JOIN buckets bb ON bb.vec_id = ub.b_id AND bb.bucket = ba.bucket
+         |  JOIN norms na ON na.vec_id = ua.a_id
+         |  JOIN norms nb ON nb.vec_id = ub.b_id
+         |  GROUP BY a_id, b_id, na.nrm, nb.nrm
+         |),
+         |edges AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id,
+         |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+         |    FROM scored
+         |  ) WHERE rk <= 3
+         |)
+         |SELECT l.label, count(*) AS n_edges,
+         |  CAST(sum(CASE WHEN r.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_mutual,
+         |  CAST(sum(CASE WHEN r.a_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 10000 // count(*) AS recip_e4
+         |FROM edges e
+         |JOIN embeddings l ON l.vec_id = e.a_id
+         |LEFT JOIN edges r ON r.a_id = e.b_id AND r.b_id = e.a_id
+         |GROUP BY l.label ORDER BY l.label""".stripMargin,
 
     "sim_recall_eval" ->
       s"""WITH uq AS (${unnested("q", "vec_id < 10")}),

@@ -855,6 +855,131 @@ object LlmText extends OpModule {
         .orderBy("lang")
     }),
 
+    "text_gopher_rules" -> ((s, d) => {
+      // Gopher-style per-rule quality audit (public rule set: Rae et
+      // al. 2021 "Scaling Language Models: Gopher", Table A1 —
+      // thresholds re-centered on this corpus: word count 20..80,
+      // mean word length 4.3..4.7, symbol-to-word ≤ 0.01,
+      // duplicate-token mass ≤ 50%, ≥ 2 distinct stopwords).
+      // text_quality_filter is the composed keep/drop GATE; this is
+      // the per-rule ledger that says WHICH rule does the cutting —
+      // the diagnostic a filtering stage publishes before anyone
+      // trusts the gate. Every rule is an exact INTEGER comparison:
+      // ratio thresholds multiply through the denominator (sym·100 ≤
+      // tok, not sym/tok ≤ 0.01), so no double ever decides a rule
+      // and the ledger is engine-identical by construction. One
+      // partial-agged pass over documents; the output is |lang|-
+      // sized. At 100 TB: the same single map+combine aggregation.
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("long")
+      val sumW = col("n_chars") - (nTok - lit(1L)) // Σ word lengths, exact
+      val nSym =
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("long")
+      val nDist = size(array_distinct(toks)).cast("long")
+      val stops = array(Seq("the", "a", "is", "of", "and", "to", "in").map(lit): _*)
+      val nStop = size(filter(stops, w => array_contains(toks, w))).cast("long")
+      val flags = Tables.documents(s, d)
+        .withColumn("r_wc", nTok >= 20L && nTok <= 80L)
+        .withColumn("r_mwl", sumW * 10L >= nTok * 43L && sumW * 10L <= nTok * 47L)
+        .withColumn("r_sym", nSym * 100L <= nTok)
+        .withColumn("r_dup", nDist * 2L >= nTok)
+        .withColumn("r_stop", nStop >= 2L)
+      def passed(c: String) =
+        sum(when(col(c), 1L).otherwise(0L)).as("n_" + c.drop(2))
+      flags.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          passed("r_wc"), passed("r_mwl"), passed("r_sym"),
+          passed("r_dup"), passed("r_stop"),
+          sum(when(col("r_wc") && col("r_mwl") && col("r_sym") &&
+            col("r_dup") && col("r_stop"), 1L).otherwise(0L)).as("n_allpass"))
+        .withColumn("allpass_e4", expr("n_allpass * 10000 div n_docs"))
+        .orderBy("lang")
+    }),
+
+    "sample_quality_topp" -> ((s, d) => {
+      // Per-source top-p quality selection (r10): rank docs INSIDE
+      // each source by an exact lexical-diversity score (distinct-
+      // token mass on the ×1e6 integer grid — the rank-stable
+      // stand-in for a model quality score; a double score would
+      // rank on last-ulp ties) and keep the top 25% BY RANK.
+      // Percentile-by-rank is the scale-stable form: a fixed score
+      // threshold drifts as the corpus grows, rank quotas don't (the
+      // agg_freq_items lesson). The window partitions by source, so
+      // each source's rank sort parallelizes independently — never a
+      // global sort. Ties break to the lower doc_id; the quota is
+      // ceil(n/4) exactly on integers (rn·4 ≤ n+3).
+      val base = Tables.documents(s, d)
+        .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+        .withColumn("ndist",
+          size(array_distinct(split(col("text"), " "))).cast("long"))
+        .withColumn("score", expr("ndist * 1000000 div nt"))
+      val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id"))
+      base.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy("source")))
+        .filter(col("rn") * 4L <= col("n_src") + 3L)
+        .select(col("source"), col("doc_id"), col("score"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
+    "mix_epoch_schedule" -> ((s, d) => {
+      // Token-budget epoch scheduler (r10): mix_source_weights says
+      // WHAT fraction of the budget each source earns; this turns
+      // the weights into the repeat schedule a dataloader actually
+      // runs — budget B = 2× corpus tokens, per-source allocation
+      // B·z/Σz on sqrt-tempered weights, an epoch CAP at 2.0 (the
+      // public over-repetition guidance: repeating data beyond a few
+      // epochs stops helping — Muennighoff 2023), and ONE pro-rata
+      // redistribution of the capped surplus over uncapped sources
+      // (a documented single round; epochs_final makes any source the
+      // redistribution pushes past the cap visible). Arithmetic
+      // discipline: token masses are exact integers; √ is IEEE-
+      // correctly-rounded on both engines (the mix_source_weights
+      // lesson — pow is not); every fold over sources runs IN-ROW in
+      // source order, never a partition-ordered double sum; the
+      // double expressions are written with identical association on
+      // both sides. One documents pass; the schedule after it is
+      // |sources|-sized.
+      val per = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("z", sqrt(col("n_tokens").cast("double")))
+      val tot = per
+        .agg(sort_array(collect_list(struct(col("source"), col("z"),
+          col("n_tokens")))).as("xs"))
+        .select(
+          aggregate(col("xs"), lit(0.0),
+            (a, e) => a + e.getField("z")).as("ztot"),
+          aggregate(col("xs"), lit(0L),
+            (a, e) => a + e.getField("n_tokens")).as("ttot"))
+      val alloc = per.crossJoin(broadcast(tot))
+        .withColumn("alloc",
+          lit(2.0) * col("ttot").cast("double") * col("z") / col("ztot"))
+        .withColumn("epochs0", col("alloc") / col("n_tokens").cast("double"))
+        .withColumn("capped", col("epochs0") > lit(2.0))
+      val redo = alloc
+        .agg(sort_array(collect_list(struct(col("source"), col("capped"),
+          col("alloc"), col("n_tokens"), col("z")))).as("xs"))
+        .select(
+          aggregate(col("xs"), lit(0.0), (a, e) =>
+            a + when(e.getField("capped"),
+              e.getField("alloc") -
+                lit(2.0) * e.getField("n_tokens").cast("double"))
+              .otherwise(lit(0.0))).as("surplus"),
+          aggregate(col("xs"), lit(0.0), (a, e) =>
+            a + when(e.getField("capped"), lit(0.0))
+              .otherwise(e.getField("z"))).as("zu"))
+      alloc.crossJoin(broadcast(redo))
+        .select(col("source"), col("n_tokens"),
+          round(col("z") / col("ztot"), 4).as("weight"),
+          round(col("epochs0"), 4).as("epochs_raw"),
+          col("capped"),
+          round(when(col("capped"), lit(2.0))
+            .when(col("zu") === 0.0, lit(2.0))
+            .otherwise((col("alloc") + col("surplus") * col("z") / col("zu"))
+              / col("n_tokens").cast("double")), 4).as("epochs_final"))
+        .orderBy("source")
+    }),
+
     "text_perplexity_proxy" -> ((s, d) => {
       // Language-model-free quality score: mean negative log unigram
       // probability of each doc's tokens under the corpus distribution
@@ -2212,6 +2337,84 @@ s"""SELECT doc_id, lang, bucket FROM (
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  round(avg(CASE WHEN keep THEN n_chars END), 4) AS kept_avg_chars
         |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_gopher_rules" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(n_chars AS BIGINT)
+        |      - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1) AS sumw,
+        |    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS nsym,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndist,
+        |    CAST(len(list_filter(['the','a','is','of','and','to','in'],
+        |      w -> list_contains(string_split(text, ' '), w))) AS BIGINT) AS nstop
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang,
+        |    (nt >= 20 AND nt <= 80) AS r_wc,
+        |    (sumw * 10 >= nt * 43 AND sumw * 10 <= nt * 47) AS r_mwl,
+        |    (nsym * 100 <= nt) AS r_sym,
+        |    (ndist * 2 >= nt) AS r_dup,
+        |    (nstop >= 2) AS r_stop
+        |  FROM f)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
+        |  CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+        |  CAST(sum(CASE WHEN r_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_sym,
+        |  CAST(sum(CASE WHEN r_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_dup AND r_stop
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_allpass,
+        |  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_dup AND r_stop
+        |    THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS allpass_e4
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sample_quality_topp" ->
+      """WITH s AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, score,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM s)
+        |SELECT source, doc_id, score, rn FROM r
+        |WHERE rn * 4 <= n_src + 3 ORDER BY source, rn""".stripMargin,
+
+    "mix_epoch_schedule" ->
+      """WITH per AS (
+        |  SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |      sqrt(CAST(n_tokens AS DOUBLE)) AS z FROM per),
+        |tot AS (SELECT
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(z ORDER BY source)), (a, b) -> a + b) AS ztot,
+        |  CAST(sum(n_tokens) AS BIGINT) AS ttot FROM z),
+        |a2 AS (SELECT source, n_tokens, z, ztot,
+        |  2.0 * CAST(ttot AS DOUBLE) * z / ztot AS alloc,
+        |  2.0 * CAST(ttot AS DOUBLE) * z / ztot
+        |    / CAST(n_tokens AS DOUBLE) AS epochs0,
+        |  (2.0 * CAST(ttot AS DOUBLE) * z / ztot
+        |    / CAST(n_tokens AS DOUBLE)) > 2.0 AS capped
+        |  FROM z, tot),
+        |r AS (SELECT
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CASE WHEN capped THEN alloc - 2.0 * CAST(n_tokens AS DOUBLE)
+        |      ELSE 0.0 END ORDER BY source)), (a, b) -> a + b) AS surplus,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CASE WHEN capped THEN 0.0 ELSE z END ORDER BY source)),
+        |    (a, b) -> a + b) AS zu
+        |  FROM a2)
+        |SELECT source, n_tokens, round(z / ztot, 4) AS weight,
+        |  round(epochs0, 4) AS epochs_raw, capped,
+        |  round(CASE WHEN capped THEN 2.0 WHEN zu = 0.0 THEN 2.0
+        |    ELSE (alloc + surplus * z / zu) / CAST(n_tokens AS DOUBLE)
+        |    END, 4) AS epochs_final
+        |FROM a2, r ORDER BY source""".stripMargin,
 
     "text_perplexity_proxy" ->
       s"""WITH toks AS (

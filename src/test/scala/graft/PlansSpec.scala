@@ -670,6 +670,48 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("round-10 continuation operators keep their scale shapes") {
+    // text_gopher_rules / evt_did: one partial-agged pass, no
+    // window, no cartesian — the rule ledger and the DiD cell frame
+    // must stay map+combine shaped.
+    Seq("text_gopher_rules", "evt_did").foreach { name =>
+      val plan = treeString(q(name))
+      assert(plan.contains("partial_"),
+        s"$name lost its partial aggregation:\n$plan")
+      assert(!plan.contains("windowspecdefinition"),
+        s"$name grew a window:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian:\n$plan")
+    }
+    // sample_quality_topp: every window (rank + quota count) is
+    // partitioned by source — a global rank would single-partition
+    // the doc frame at scale.
+    val topp = treeString(q("sample_quality_topp"))
+    val tw = topp.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(tw.nonEmpty, s"quality_topp rank window missing:\n$topp")
+    tw.foreach(l =>
+      assert(l.contains("source"), s"unpartitioned quality_topp window: $l"))
+    // mix_epoch_schedule: the schedule math rides |sources|-sized
+    // broadcast frames — no cartesian of data-sized inputs, no window.
+    val mes = treeString(q("mix_epoch_schedule"))
+    assert(!mes.contains("CartesianProduct"),
+      s"mix_epoch_schedule planned a cartesian:\n$mes")
+    assert(!mes.contains("windowspecdefinition"),
+      s"mix_epoch_schedule grew a window:\n$mes")
+    // sim_knn_graph_stats: top-3 rank windows are per-vector (a_id),
+    // candidate generation and the mutual-edge self-join stay
+    // equi-join shaped — never all-pairs.
+    val kg = treeString(q("sim_knn_graph_stats"))
+    val kw = kg.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(kw.nonEmpty, s"knn_graph rank window missing:\n$kg")
+    kw.foreach(l =>
+      assert(l.contains("a_id"), s"unpartitioned knn_graph window: $l"))
+    assert(!kg.contains("CartesianProduct"),
+      s"sim_knn_graph_stats planned a cartesian:\n$kg")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
