@@ -15,6 +15,9 @@ case class MediaFeatures(media_id: Long, dim: Int, features: Array[Float])
 
 case class VideoFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
 
+case class ImageAHash(media_id: Long, width: Int, height: Int,
+                      mean_lum: Long, h0: Long, h1: Long)
+
 /** Per-window PCM stats from a decoded audio blob — all-integer so the
   * decode is exactly predictable by arithmetic (hash-gradable). */
 case class AudioWindowStats(media_id: Long, sample_rate: Long,
@@ -266,6 +269,60 @@ object Multimodal {
         // context here, once per batch, never per row.
         batch.iterator.map(r =>
           MediaFeatures(r.media_id, dim, codec.features(r.content, dim)))
+      }
+    }
+  }
+
+  /** Batched perceptual average-hash: ImageIO-decode each blob ONCE in
+    * the mapPartitions stage (the [[imageFeatures]] amortization
+    * shape) and fold the integer gray channel to an aHash — threshold
+    * each of the first 64 row-major pixels against the INTEGER-
+    * truncated mean luminance, packed into two 32-bit words (packing
+    * bit 63 of one long trips signed-overflow edges differently per
+    * engine — the sim_knn_hamming lesson). All-integer outputs:
+    * grayscale pixels come from the blue channel (`rgb & 0xff`,
+    * exact — no BT.601 float fold), the mean is an integer division,
+    * so the hash is oracle-predictable by pure arithmetic. */
+  def imageAHash(ds: Dataset[MediaRow], batchSize: Int = 64,
+                 parallelism: Int = 0): Dataset[ImageAHash] = {
+    import ds.sparkSession.implicits._
+    val in = if (parallelism > 0) ds.repartition(parallelism) else ds
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // Per-batch init point (codec context), never per row.
+        batch.iterator.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.content))
+          if (img == null) ImageAHash(r.media_id, 0, 0, 0L, 0L, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val n = w * h
+            val px = new Array[Int](n)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = img.getRGB(x, y) & 0xff
+                px(y * w + x) = g
+                sum += g
+                x += 1
+              }
+              y += 1
+            }
+            val mean = sum / n
+            var h0 = 0L
+            var h1 = 0L
+            var k = 0
+            while (k < math.min(64, n)) {
+              if (px(k) > mean) {
+                if (k < 32) h0 |= 1L << k else h1 |= 1L << (k - 32)
+              }
+              k += 1
+            }
+            ImageAHash(r.media_id, w, h, mean, h0, h1)
+          }
+        }
       }
     }
   }

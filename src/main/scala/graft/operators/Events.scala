@@ -123,6 +123,53 @@ object Events extends OpModule {
         .withColumn("funnel_done", coalesce(col("funnel_done"), lit(false)))
         .orderBy("user_id")),
 
+    "evt_funnel_wilson" -> ((s, d) => {
+      // Funnel conversion with Wilson 95% intervals (r10): the
+      // uncertainty readout evt_funnel lacks — per step, converted/
+      // eligible with the Wilson score interval (the standard small-n
+      // binomial CI; a plain normal interval collapses at k≈0/k≈n).
+      // Step semantics are evt_funnel's ordered-first-time contract:
+      // eligible(step 2) = converted(step 1). z is the PINNED Z975
+      // literal rendered into both engines; counts are exact integers
+      // from ONE partial-agged user rollup + a 1-row frame, so every
+      // interval is a fixed-order double expression. At 100 TB the
+      // user rollup is the only data-sized pass (welch's cost).
+      val us = unix_micros(col("ts"))
+      val f = Tables.events(s, d).groupBy("user_id").agg(
+        min(when(col("event_type") === "view", us)).as("fv"),
+        min(when(col("event_type") === "click", us)).as("fc"),
+        min(when(col("event_type") === "purchase", us)).as("fp"))
+      val flags = f.select(
+        coalesce(col("fv").isNotNull, lit(false)).cast("long").as("s1"),
+        coalesce(col("fv").isNotNull && col("fc") > col("fv"), lit(false))
+          .cast("long").as("s2"),
+        coalesce(col("fv").isNotNull && col("fc") > col("fv")
+          && col("fp") > col("fc"), lit(false)).cast("long").as("s3"))
+      val m = flags.agg(count(lit(1)).as("n0"), sum("s1").as("k1"),
+        sum("s2").as("k2"), sum("s3").as("k3"))
+      def wilson(kC: Column, nC: Column) = {
+        val k = kC.cast("double")
+        val n = nC.cast("double")
+        val z = lit(Z975)
+        val ph = k / n
+        val den = lit(1.0) + z * z / n
+        val ctr = (ph + z * z / (n * 2)) / den
+        val half = z * sqrt(ph * (lit(1.0) - ph) / n
+          + z * z / (n * n * 4)) / den
+        (round(ph, 4), round(ctr - half, 4), round(ctr + half, 4))
+      }
+      def step(name: String, kC: Column, nC: Column) = {
+        val (r, lo, hi) = wilson(kC, nC)
+        m.select(lit(name).as("step"), nC.as("n_eligible"),
+          kC.as("n_converted"), r.as("rate"),
+          lo.as("wilson_lo"), hi.as("wilson_hi"))
+      }
+      step("1_view", col("k1"), col("n0"))
+        .unionAll(step("2_click", col("k2"), col("k1")))
+        .unionAll(step("3_purchase", col("k3"), col("k2")))
+        .orderBy("step")
+    }),
+
     "evt_retention" -> ((s, d) => {
       val e = Tables.events(s, d)
       val cohorts = e.filter(col("event_type") === "signup")
@@ -1013,6 +1060,154 @@ object Events extends OpModule {
         .orderBy("event_type")
     }),
 
+    "evt_power_mde" -> ((s, d) => {
+      // Experiment power readout (r10): the minimal detectable effect
+      // at the standard 5% two-sided α / 80% power operating point,
+      // from the SAME exact integer-cent moments as evt_abtest_welch
+      // (normal-approximation MDE = (z_{.975}+z_{.80})·√(σ²_a/n_a +
+      // σ²_b/n_b) — the public formula every experiment platform
+      // prints next to a readout), plus the required per-arm n to
+      // detect a 5% lift over the control mean. The z quantiles are
+      // PINNED double literals rendered into both engines from the
+      // same Scala constants (the evt_decay_score discipline — libm
+      // erfinv differs per engine; a literal cannot). Everything
+      // downstream of the two partial-agged rollups is a 1-row frame
+      // of fixed-order double arithmetic on exact integers.
+      val per = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg((sum(Dec2(col("value"))) * 100).cast("long").as("xc"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      val m = per.groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("xc").as("sx"),
+          sum(col("xc").cast("decimal(18,0)") * col("xc").cast("decimal(18,0)"))
+            .as("sxx"))
+      def side(g: Int, c: String) = max(when(col("grp") === g, col(c)))
+      val wide = m.agg(
+        side(0, "n").as("na"), side(0, "sx").as("sxa"), side(0, "sxx").as("sxxa"),
+        side(1, "n").as("nb"), side(1, "sx").as("sxb"), side(1, "sxx").as("sxxb"))
+      val (na, nb) = (col("na").cast("double"), col("nb").cast("double"))
+      val (sxa, sxb) = (col("sxa").cast("double"), col("sxb").cast("double"))
+      val (sxxa, sxxb) = (col("sxxa").cast("double"), col("sxxb").cast("double"))
+      val va = (sxxa - sxa * sxa / na) / (na - 1)
+      val vb = (sxxb - sxb * sxb / nb) / (nb - 1)
+      val z = lit(ZSum)
+      val mdeC = z * sqrt(va / na + vb / nb)
+      val deltaC = sxb / nb * 0.05
+      wide.select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(sxa / na / 100, 4).as("mean_a"),
+        round(sxb / nb / 100, 4).as("mean_b"),
+        round(mdeC / 100, 4).as("mde_abs"),
+        round(mdeC / (sxb / nb), 4).as("mde_rel"),
+        ceil(z * z * (va + vb) / (deltaC * deltaC)).cast("long")
+          .as("n_per_arm_5pct"))
+    }),
+
+    "evt_abtest_hl" -> ((s, d) => {
+      // Robust A/B effect size (r10): the Hodges–Lehmann shift
+      // estimator — the median of ALL treatment-minus-control
+      // differences — the standard robust companion to a Wilcoxon
+      // test (a single whale purchase moves a mean readout; it moves
+      // HL by at most one rank). Pairwise differences are quadratic,
+      // so the estimate runs on a GATED user truth set (user_id <
+      // 100, the dedup-pair-band discipline: the gate bounds the
+      // frame at ≤ 50×50 pairs at EVERY scale factor — the global
+      // median window below is gate-bounded, never data-sized).
+      // Differences stay exact integer cents; the median of the
+      // sorted diff frame picks ranks ⌈N/2⌉ and ⌊N/2⌋+1 explicitly
+      // (median() semantics drift between engines on even counts),
+      // and the final shift is ONE division from exact integers.
+      val per = Tables.events(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id") < 100)
+        .groupBy(col("user_id"))
+        .agg((sum(Dec2(col("value"))) * 100).cast("long").as("xc"))
+      val a = per.filter(pmod(col("user_id"), lit(2)) === 0)
+        .select(col("user_id").as("a_id"), col("xc").as("xa"))
+      val b = per.filter(pmod(col("user_id"), lit(2)) === 1)
+        .select(col("user_id").as("b_id"), col("xc").as("xb"))
+      val diffs = a.crossJoin(broadcast(b))
+        .select(col("a_id"), col("b_id"), (col("xa") - col("xb")).as("dc"))
+      val w = Window.orderBy(col("dc"), col("a_id"), col("b_id"))
+      val ranked = diffs.withColumn("rk", row_number().over(w))
+      val ncnt = diffs.agg(count(lit(1)).as("n_pairs"))
+      val picked = ranked.crossJoin(broadcast(ncnt))
+        .withColumn("lo_rk", expr("(n_pairs + 1) div 2"))
+        .withColumn("hi_rk", expr("n_pairs div 2 + 1"))
+        .filter(col("rk") === col("lo_rk") || col("rk") === col("hi_rk"))
+        .agg(max("n_pairs").as("n_pairs"),
+          max(when(col("rk") === col("lo_rk"), col("dc"))).as("d_lo"),
+          max(when(col("rk") === col("hi_rk"), col("dc"))).as("d_hi"))
+      val counts = per
+        .groupBy(pmod(col("user_id"), lit(2)).as("grp"))
+        .agg(count(lit(1)).as("n"))
+      val wide = counts.agg(
+        max(when(col("grp") === 0, col("n"))).as("n_a"),
+        max(when(col("grp") === 1, col("n"))).as("n_b"))
+      wide.crossJoin(picked)
+        .select(col("n_a"), col("n_b"), col("n_pairs"),
+          round((col("d_lo") + col("d_hi")).cast("double") / 200, 4)
+            .as("hl_shift"))
+    }),
+
+    "evt_cuped" -> ((s, d) => {
+      // CUPED variance-reduced A/B readout (r10; Deng et al. 2013,
+      // the public pre-period covariate adjustment every experiment
+      // platform ships): X = per-user PRE-period purchase spend, Y =
+      // POST-period spend (split at the evt_did intervention instant,
+      // 2024-01-16), variant by user parity. The adjusted metric
+      // Y − θ(X − E[X]) removes the between-user variance X predicts;
+      // θ = cov(X,Y)/var(X) is pooled across variants (standard
+      // practice — assignment-independent, no peeking bias). All
+      // moments are EXACT integer cents (the Welch discipline: Dec2 →
+      // ×100 → BIGINT; cross-products through DECIMAL(18,0)² →
+      // DECIMAL(38,0) — per-user cent totals squared would wrap a
+      // long); θ, ρ² and the adjusted means are fixed-order double
+      // expressions from those exact integers, so both engines emit
+      // identical doubles. One partial-agged user rollup, a 2-row
+      // variant rollup, and a 1-row pooled-moment frame broadcast
+      // back — at 100 TB the user rollup is the only data-sized
+      // shuffle, exactly evt_abtest_welch's cost.
+      val cut = lit("2024-01-16").cast("timestamp")
+      val zero = lit(0).cast("decimal(12,2)")
+      val per = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(
+          (coalesce(sum(when(col("ts") < cut, Dec2(col("value")))), zero)
+            * 100).cast("long").as("xc"),
+          (coalesce(sum(when(col("ts") >= cut, Dec2(col("value")))), zero)
+            * 100).cast("long").as("yc"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      def dprod(a: String, b: String) =
+        sum(col(a).cast("decimal(18,0)") * col(b).cast("decimal(18,0)"))
+      val pool = per.agg(count(lit(1)).as("n"),
+        sum("xc").as("sx"), sum("yc").as("sy"),
+        dprod("xc", "xc").as("sxx"), dprod("xc", "yc").as("sxy"),
+        dprod("yc", "yc").as("syy"))
+      val m = per.groupBy("grp").agg(count(lit(1)).as("ng"),
+        sum("xc").as("sxg"), sum("yc").as("syg"))
+      val n = col("n").cast("double")
+      val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+      val (sxx, sxy, syy) = (col("sxx").cast("double"),
+        col("sxy").cast("double"), col("syy").cast("double"))
+      val covn = n * sxy - sx * sy
+      val varxn = n * sxx - sx * sx
+      val varyn = n * syy - sy * sy
+      val ng = col("ng").cast("double")
+      val mxg = col("sxg").cast("double") / ng / 100
+      val myg = col("syg").cast("double") / ng / 100
+      m.crossJoin(broadcast(pool))
+        .select(col("grp"), col("ng").as("n_users"),
+          round(mxg, 4).as("mean_x"),
+          round(myg, 4).as("mean_y"),
+          round(myg - covn / varxn * (mxg - sx / n / 100), 4)
+            .as("mean_y_adj"),
+          round(covn / varxn, 4).as("theta"),
+          round(covn * covn / (varxn * varyn), 4).as("rho2"))
+        .orderBy("grp")
+    }),
+
     "evt_pit_features" -> ((s, d) => {
       // Point-in-time (leakage-free) feature snapshot (r8) — THE
       // training-data join: for every label event (purchase), gather
@@ -1298,6 +1493,17 @@ object Events extends OpModule {
     Array.iterate(1.0, 7)(_ * 0.9057236642639067)
 
   private val EventWin = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  /** z_{0.975} + z_{0.80} = 1.959963984540054 + 0.8416212335729143,
+    * pinned as ONE double literal (the DecayR discipline): the normal
+    * quantiles behind the 5%-α / 80%-power MDE operating point come
+    * from erfinv, which neither engine computes correctly-rounded —
+    * a literal is engine-identical by construction. evt_power_mde
+    * renders its oracle SQL from THIS constant. */
+  private val ZSum: Double = 2.8015852181129683
+
+  /** z_{0.975} pinned (same rationale): evt_funnel_wilson's interval. */
+  private val Z975: Double = 1.959963984540054
 
   val oracles: Map[String, String] = Map(
     "evt_mad_outliers" ->
@@ -2074,6 +2280,173 @@ object Events extends OpModule {
         |       - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE) / 100), 4)
         |    AS did
         |FROM wide ORDER BY event_type""".stripMargin,
+
+    // Same exact-integer-moment discipline as evt_abtest_welch;
+    // DECIMAL(18,0) products carry the cross-moments, the doubles
+    // associate exactly as the Spark expression tree does.
+    "evt_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |        THEN CAST(value AS DECIMAL(12,2)) END),
+        |      CAST(0 AS DECIMAL(12,2))) * 100 AS BIGINT) AS xc,
+        |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(value AS DECIMAL(12,2)) END),
+        |      CAST(0 AS DECIMAL(12,2))) * 100 AS BIGINT) AS yc,
+        |    CAST(user_id % 2 AS BIGINT) AS grp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), pool AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(xc) AS DOUBLE) AS sx, CAST(sum(yc) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(xc AS DECIMAL(18,0)) * CAST(xc AS DECIMAL(18,0)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(xc AS DECIMAL(18,0)) * CAST(yc AS DECIMAL(18,0)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(yc AS DECIMAL(18,0)) * CAST(yc AS DECIMAL(18,0)))
+        |      AS DOUBLE) AS syy
+        |  FROM per
+        |), m AS (
+        |  SELECT grp, count(*) AS ng,
+        |    CAST(sum(xc) AS BIGINT) AS sxg, CAST(sum(yc) AS BIGINT) AS syg
+        |  FROM per GROUP BY grp
+        |)
+        |SELECT grp, ng AS n_users,
+        |  round(CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE) / 100, 4) AS mean_x,
+        |  round(CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE) / 100, 4) AS mean_y,
+        |  round(CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE) / 100
+        |    - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |      * (CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE) / 100 - sx / n / 100),
+        |    4) AS mean_y_adj,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS theta,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS rho2
+        |FROM m CROSS JOIN pool ORDER BY grp""".stripMargin,
+
+    // z literal rendered from the SAME Scala constant as the Spark
+    // side (ZSum); identical integer-moment CTEs as evt_abtest_welch.
+    "evt_power_mde" ->
+      s"""WITH per AS (
+         |  SELECT user_id,
+         |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS xc,
+         |    user_id % 2 AS grp
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+         |), m AS (
+         |  SELECT grp, count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
+         |    sum(CAST(xc AS DECIMAL(18,0)) * CAST(xc AS DECIMAL(18,0))) AS sxx
+         |  FROM per GROUP BY grp
+         |), wide AS (
+         |  SELECT
+         |    max(CASE WHEN grp = 0 THEN n END) AS na0,
+         |    max(CASE WHEN grp = 0 THEN sx END) AS sxa,
+         |    max(CASE WHEN grp = 0 THEN sxx END) AS sxxa,
+         |    max(CASE WHEN grp = 1 THEN n END) AS nb0,
+         |    max(CASE WHEN grp = 1 THEN sx END) AS sxb,
+         |    max(CASE WHEN grp = 1 THEN sxx END) AS sxxb
+         |  FROM m
+         |), dbl AS (
+         |  SELECT na0, nb0,
+         |    CAST(na0 AS DOUBLE) AS na, CAST(nb0 AS DOUBLE) AS nb,
+         |    CAST(sxa AS DOUBLE) AS sxa, CAST(sxxa AS DOUBLE) AS sxxa,
+         |    CAST(sxb AS DOUBLE) AS sxb, CAST(sxxb AS DOUBLE) AS sxxb
+         |  FROM wide
+         |), v AS (
+         |  SELECT na0, nb0, na, nb, sxa, sxb,
+         |    (sxxa - sxa * sxa / na) / (na - 1) AS va,
+         |    (sxxb - sxb * sxb / nb) / (nb - 1) AS vb
+         |  FROM dbl
+         |)
+         |SELECT na0 AS n_a, nb0 AS n_b,
+         |  round(sxa / na / 100, 4) AS mean_a,
+         |  round(sxb / nb / 100, 4) AS mean_b,
+         |  round($ZSum * sqrt(va / na + vb / nb) / 100, 4) AS mde_abs,
+         |  round($ZSum * sqrt(va / na + vb / nb) / (sxb / nb), 4) AS mde_rel,
+         |  CAST(ceil($ZSum * $ZSum * (va + vb)
+         |    / ((sxb / nb * 0.05) * (sxb / nb * 0.05))) AS BIGINT)
+         |    AS n_per_arm_5pct
+         |FROM v""".stripMargin,
+
+    "evt_abtest_hl" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS xc
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND user_id < 100
+        |  GROUP BY user_id
+        |), diffs AS (
+        |  SELECT a.user_id AS a_id, b.user_id AS b_id, a.xc - b.xc AS dc
+        |  FROM per a CROSS JOIN per b
+        |  WHERE a.user_id % 2 = 0 AND b.user_id % 2 = 1
+        |), ranked AS (
+        |  SELECT dc, row_number() OVER (ORDER BY dc, a_id, b_id) AS rk
+        |  FROM diffs
+        |), ncnt AS (SELECT count(*) AS n_pairs FROM diffs),
+        |picked AS (
+        |  SELECT max(n_pairs) AS n_pairs,
+        |    max(CASE WHEN rk = (n_pairs + 1) // 2 THEN dc END) AS d_lo,
+        |    max(CASE WHEN rk = n_pairs // 2 + 1 THEN dc END) AS d_hi
+        |  FROM ranked CROSS JOIN ncnt
+        |  WHERE rk = (n_pairs + 1) // 2 OR rk = n_pairs // 2 + 1
+        |), counts AS (
+        |  SELECT
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+        |  FROM per
+        |)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  n_pairs, round(CAST(d_lo + d_hi AS DOUBLE) / 200, 4) AS hl_shift
+        |FROM counts CROSS JOIN picked""".stripMargin,
+
+    // Wilson z rendered from the same Scala Z975 constant; step
+    // semantics identical to evt_funnel's ordered-first-time CTE.
+    "evt_funnel_wilson" -> {
+      def w(k: String, n: String) =
+        s"""round(CAST($k AS DOUBLE) / CAST($n AS DOUBLE), 4),
+           |  round((CAST($k AS DOUBLE) / CAST($n AS DOUBLE)
+           |      + $Z975 * $Z975 / (CAST($n AS DOUBLE) * 2))
+           |    / (1.0 + $Z975 * $Z975 / CAST($n AS DOUBLE))
+           |   - $Z975 * sqrt(CAST($k AS DOUBLE) / CAST($n AS DOUBLE)
+           |        * (1.0 - CAST($k AS DOUBLE) / CAST($n AS DOUBLE))
+           |        / CAST($n AS DOUBLE)
+           |      + $Z975 * $Z975
+           |        / (CAST($n AS DOUBLE) * CAST($n AS DOUBLE) * 4))
+           |     / (1.0 + $Z975 * $Z975 / CAST($n AS DOUBLE)), 4),
+           |  round((CAST($k AS DOUBLE) / CAST($n AS DOUBLE)
+           |      + $Z975 * $Z975 / (CAST($n AS DOUBLE) * 2))
+           |    / (1.0 + $Z975 * $Z975 / CAST($n AS DOUBLE))
+           |   + $Z975 * sqrt(CAST($k AS DOUBLE) / CAST($n AS DOUBLE)
+           |        * (1.0 - CAST($k AS DOUBLE) / CAST($n AS DOUBLE))
+           |        / CAST($n AS DOUBLE)
+           |      + $Z975 * $Z975
+           |        / (CAST($n AS DOUBLE) * CAST($n AS DOUBLE) * 4))
+           |     / (1.0 + $Z975 * $Z975 / CAST($n AS DOUBLE)), 4)""".stripMargin
+      s"""WITH f AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+         |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS fc,
+         |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+         |  FROM events GROUP BY user_id
+         |), m AS (
+         |  SELECT count(*) AS n0,
+         |    sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS k1,
+         |    sum(CASE WHEN coalesce(fv IS NOT NULL AND fc > fv, false)
+         |      THEN 1 ELSE 0 END) AS k2,
+         |    sum(CASE WHEN coalesce(fv IS NOT NULL AND fc > fv AND fp > fc,
+         |      false) THEN 1 ELSE 0 END) AS k3
+         |  FROM f
+         |)
+         |SELECT * FROM (
+         |  SELECT '1_view' AS step, CAST(n0 AS BIGINT) AS n_eligible,
+         |    CAST(k1 AS BIGINT) AS n_converted, ${w("k1", "n0")}
+         |  FROM m
+         |  UNION ALL
+         |  SELECT '2_click', CAST(k1 AS BIGINT), CAST(k2 AS BIGINT),
+         |    ${w("k2", "k1")} FROM m
+         |  UNION ALL
+         |  SELECT '3_purchase', CAST(k2 AS BIGINT), CAST(k3 AS BIGINT),
+         |    ${w("k3", "k2")} FROM m
+         |) t(step, n_eligible, n_converted, rate, wilson_lo, wilson_hi)
+         |ORDER BY step""".stripMargin
+    },
 
     // Identical value-range window formulation; strictly-before upper
     // bound = 1 PRECEDING on the µs axis; spend through DECIMAL.

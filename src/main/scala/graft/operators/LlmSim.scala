@@ -45,6 +45,42 @@ object LlmSim extends OpModule {
   private def lshBucket(v: Column): Column =
     graft.functions.GraftFunctions.lshBucket(v, 8)
 
+  // ---- Shared power-iteration machinery (embed_top_pc, embed_abtt) --
+  // In-row mat-vec and normalization over a D²-array Gram row with
+  // fixed-order HOF folds — every add happens in index order on BOTH
+  // engines, so the doubles are bit-identical (a groupBy mat-vec would
+  // sum in partition order and hash-diverge).
+
+  private val PcD = 64
+
+  private def pcMatvec(mf: Column, x: Column): Column =
+    transform(sequence(lit(0), lit(PcD - 1)), i =>
+      aggregate(sequence(lit(0), lit(PcD - 1)), lit(0.0),
+        (acc, j2) => acc + element_at(mf, i * PcD + j2 + 1) * element_at(x, j2 + 1)))
+
+  private def pcNormalize(y: Column): Column =
+    transform(y, e => e / sqrt(aggregate(y, lit(0.0), (a, v) => a + v * v)))
+
+  /** Three normalized power steps from the all-ones vector over the
+    * Gram row in `mcol`, with per-step lineage cuts (the top_pc
+    * discipline — each step references its input 64² times). Returns
+    * the frame with `xcol` = the unit eigenvector estimate. */
+  private def pcIterate(scope: PersistScope, frame: DataFrame,
+                        mcol: String, xcol: String): DataFrame = {
+    val i1 = scope.cut(frame.withColumn(s"${xcol}_1",
+      pcNormalize(pcMatvec(col(mcol), array_repeat(lit(1.0), PcD)))))
+    val i2 = scope.cut(i1.withColumn(s"${xcol}_2",
+      pcNormalize(pcMatvec(col(mcol), col(s"${xcol}_1")))))
+    scope.cut(i2.withColumn(xcol,
+      pcNormalize(pcMatvec(col(mcol), col(s"${xcol}_2")))))
+      .drop(s"${xcol}_1", s"${xcol}_2")
+  }
+
+  /** Rayleigh quotient xᵀMx for a unit x — the eigenvalue estimate. */
+  private def pcRayleigh(mcol: String, xcol: String): Column =
+    aggregate(zip_with(col(xcol), pcMatvec(col(mcol), col(xcol)),
+      (a, b) => a * b), lit(0.0), (a, v) => a + v)
+
   // ---- Shared k-means machinery (embed_kmeans, sim_knn_ivf) ----------
   // One Lloyd assignment/update pair over cosine similarity. Centroids
   // live as (cell, array<double>) rows — C rows at ANY corpus size,
@@ -574,6 +610,121 @@ object LlmSim extends OpModule {
     val c1 = scope.cut(pqUpdate(e, a1))
     val a2 = scope.cut(pqArgmin(pqDists(e, c1)).drop("dist_sq"))
     scope.cut(pqUpdate(e, a2))
+  }
+
+  /** All-but-the-top spectral readout body - see the embed_abtt
+    * queries entry; factored so PlansSpec can lock the un-checkpointed
+    * plan (the scopedPersist terminal collapses to an RDD scan). */
+  private[graft] def abttBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+      // All-but-the-top spectral readout (r10; Mu & Viswanath 2018,
+      // the public post-processing that subtracts the mean and top
+      // principal components to restore isotropy): the DECISION INPUT
+      // for that transform — how much variance the top PC of the
+      // CENTERED cloud carries, and what the next PC would still
+      // carry after removing it (share1 >> share2 ⇒ ABTT buys real
+      // isotropy; share1 ≈ share2 ⇒ it just rotates noise). The
+      // centered Gram never materializes centered vectors: Gc[i,j] =
+      // n²·M[i,j] − n·S_i·S_j from the SAME ⌊v·1e3⌋ integer Gram M
+      // as embed_top_pc plus per-dim integer sums — all exact longs
+      // (n²·M ~ n³·10⁶: fine to ~10⁶ vectors, DECIMAL(38) lift
+      // documented past that). λ₁ via 3 power steps on the d²-row
+      // (the top_pc in-row fixed-order fold discipline), then a
+      // Hotelling deflation Gc − λ₁·u₁u₁ᵀ IN-ROW and a second
+      // 3-step iteration for λ₂ — both engines run identical double
+      // chains. The d²-fanout self-join is the only data-sized pass;
+      // everything after is one 4096-element row.
+      val D = PcD
+      val u = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "vf")))
+        .select(col("vec_id"), col("j"),
+          floor(col("vf").cast("double") * 1e3).cast("long").as("q"))
+      val m = u.as("a").join(u.as("b"), "vec_id")
+        .groupBy(col("a.j").as("i"), col("b.j").as("jj"))
+        .agg(sum(col("a.q") * col("b.q")).as("m"))
+      val sums = u.groupBy("j").agg(sum("q").as("sq"))
+      val si = sums.select(col("j").as("i"), col("sq").as("si"))
+      val sj = sums.select(col("j").as("jj"), col("sq").as("sj"))
+      val ncnt = Tables.embeddings(s, d).agg(count(lit(1)).as("nv"))
+      val gc = m.join(broadcast(si), Seq("i"))
+        .join(broadcast(sj), Seq("jj"))
+        .crossJoin(broadcast(ncnt))
+        .select(col("i"), col("jj"),
+          (col("nv") * col("nv") * col("m")
+            - col("nv") * col("si") * col("sj")).as("g"))
+      val grow = gc
+        .select(struct((col("i") * D + col("jj")).as("k"), col("g")).as("e"))
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(transform(col("es"), x => x.getField("g").cast("double")).as("mf"))
+      val p1 = pcIterate(scope, grow, "mf", "x1")
+        .withColumn("lam1", pcRayleigh("mf", "x1"))
+        .withColumn("tr",
+          aggregate(sequence(lit(0), lit(D - 1)), lit(0.0),
+            (acc, i) => acc + element_at(col("mf"), i * D + i + 1)))
+      // Hotelling deflation in-row: mf2[k] = mf[k] − λ₁·u₁[k/D]·u₁[k%D].
+      val defl = scope.cut(p1.withColumn("mf2",
+        transform(sequence(lit(0), lit(D * D - 1)), k =>
+          element_at(col("mf"), k + 1)
+            - col("lam1")
+              * element_at(col("x1"), (k / lit(D)).cast("int") + 1)
+              * element_at(col("x1"), pmod(k, lit(D)) + 1))))
+      val p2 = pcIterate(scope, defl, "mf2", "x2")
+        .withColumn("lam2", pcRayleigh("mf2", "x2"))
+      val one = p2.crossJoin(broadcast(ncnt.select(col("nv").as("n"))))
+      one.select(
+          lit(1L).as("pc"),
+          col("n").as("n_vecs"),
+          round(col("lam1") / (col("n") * col("n")).cast("double") / 1e6, 4)
+            .as("lam_v2"),
+          round(col("lam1") / col("tr"), 4).as("share"))
+        .unionAll(one.select(
+          lit(2L).as("pc"),
+          col("n").as("n_vecs"),
+          round(col("lam2") / (col("n") * col("n")).cast("double") / 1e6, 4)
+            .as("lam_v2"),
+          round(col("lam2") / (col("tr") - col("lam1")), 4).as("share")))
+        .orderBy("pc")
+  }
+
+  /** IVF routing-depth body - see the sim_ivf_routing_depth queries
+    * entry; factored so PlansSpec can lock the un-checkpointed plan. */
+  private[graft] def routingDepthBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+      // IVF routing-depth census (r10): for each gated query, the
+      // RANK of the cell holding its true nearest neighbor in the
+      // query→centroid similarity order — i.e. the nprobe a probe
+      // would need to even SEE the true NN. This is the tuning
+      // measurement behind sim_recall_ivf's nprobe sweep: recall@k
+      // tells you what a depth buys, routing depth tells you WHY
+      // (boundary queries whose NN lives in cell rank 3 explain the
+      // nprobe=4 recall jump). Composes the trained quantizer
+      // (ivfTrain, persisted once) with the graded brute truth;
+      // ranks ride rounded cosines with ties → lower cell, the
+      // kmAssign convention. Gated |Q|=10 — eval cost, not index
+      // cost; the only data-sized passes are the train and the one
+      // assignment it already persists.
+      val (cents, assign) = ivfTrain(s, d, scope)
+      val truth = queries("sim_knn")(s, d).filter(col("rk") === 1)
+        .select(col("q_id"), col("n_id").as("true_nn"))
+      val nnCell = assign
+        .join(broadcast(truth), col("vec_id") === col("true_nn"))
+        .select(col("q_id"), col("true_nn"), col("cell").as("nn_cell"))
+      val qv = assign.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+      val cwn = cents.withColumn("cnrm", norm(col("c_emb")))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("kcos").desc, col("cell"))
+      val ranks = qv.crossJoin(broadcast(cwn))
+        .withColumn("kcos", round(
+          dot(col("embedding"), col("c_emb")) / (col("nrm") * col("cnrm")), 4))
+        .withColumn("prk", row_number().over(w).cast("long"))
+        .select(col("vec_id").as("q_id"), col("cell"), col("prk"))
+      nnCell.join(ranks, nnCell("q_id") === ranks("q_id")
+          && col("nn_cell") === col("cell"))
+        .select(nnCell("q_id"), col("true_nn"),
+          col("nn_cell").cast("long").as("nn_cell"),
+          col("prk").as("depth"))
+        .orderBy("q_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -1440,7 +1591,7 @@ object LlmSim extends OpModule {
       // partition order and hash-diverge). Emits the unit loading per
       // dimension, the Rayleigh eigenvalue (in v² units), and its
       // explained share of the total second moment tr(M).
-      val D = 64
+      val D = PcD
       val u = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "vf")))
         .select(col("vec_id"), col("j"),
@@ -1452,12 +1603,8 @@ object LlmSim extends OpModule {
         .select(struct((col("i") * D + col("jj")).as("k"), col("m")).as("e"))
         .agg(sort_array(collect_list(col("e"))).as("es"))
         .select(transform(col("es"), x => x.getField("m").cast("double")).as("mf"))
-      def matvec(mf: Column, x: Column): Column =
-        transform(sequence(lit(0), lit(D - 1)), i =>
-          aggregate(sequence(lit(0), lit(D - 1)), lit(0.0),
-            (acc, j2) => acc + element_at(mf, i * D + j2 + 1) * element_at(x, j2 + 1)))
-      def normalize(y: Column): Column =
-        transform(y, e => e / sqrt(aggregate(y, lit(0.0), (a, v) => a + v * v)))
+      def matvec(mf: Column, x: Column): Column = pcMatvec(mf, x)
+      def normalize(y: Column): Column = pcNormalize(y)
       // Per-iteration lineage cuts (the PersistScope.cut discipline):
       // each power step's expression references its input vector 64²
       // times, so an uncut chain hands the optimizer a tree that
@@ -1485,6 +1632,9 @@ object LlmSim extends OpModule {
           round(col("lam") / col("tr"), 4).as("explained"))
         .orderBy("pos")
     }),
+
+    // Persist-scoped; body factored out for PlansSpec plan locks.
+    "embed_abtt" -> ((s, d) => scopedPersist(abttBody(s, d))),
 
     "embed_quantize" -> ((s, d) => {
       // Int8 scalar quantization (the storage/ANN compression staple):
@@ -1864,6 +2014,155 @@ object LlmSim extends OpModule {
         .withColumn("recip_e4", expr("n_mutual * 10000 div n_edges"))
         .orderBy("label")
     }),
+
+    "sim_hard_negatives" -> ((s, d) => {
+      // Hard-negative mining (r10) — the contrastive-training staple
+      // (DPR/SimCSE shape): for every vector, the top-3 most similar
+      // neighbors with a DIFFERENT label. Those are the negatives a
+      // contrastive loss learns the most from (random negatives are
+      // trivially separable; the hard ones sit just across the class
+      // boundary). Candidates are LSH-bucket co-residents only (the
+      // sim_knn_lsh discipline — Σ|bucket|² candidate pairs, never
+      // all-pairs); the label filter applies BEFORE the rank so the
+      // top-3 are the hardest negatives retrieved, and the rank
+      // window partitions by a_id so mining parallelizes per vector.
+      // Rounded cosines with ties to the lower neighbor id keep both
+      // engines ranking identically. At 100 TB: one bucket equi-join
+      // + a per-vector top-k — the mutual-kNN census's exact cost.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          norm(col("embedding")).as("nrm"),
+          lshBucket(col("embedding")).as("bucket"))
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("label").as("a_label"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"))
+      val b = e.select(col("bucket"), col("vec_id").as("n_id"),
+        col("label").as("n_label"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("n_id"))
+      a.join(b, Seq("bucket")).filter(col("a_label") =!= col("n_label"))
+        .withColumn("cos", round(
+          dot(col("a_emb"), col("n_emb")) / (col("a_nrm") * col("n_nrm")), 4))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("a_id", "a_label", "n_id", "n_label", "cos", "rk")
+        .orderBy("a_id", "rk")
+    }),
+
+    "embed_isotropy" -> ((s, d) => {
+      // Embedding-space isotropy audit (r10; the anisotropy measure
+      // of Mu & Viswanath 2018 / Ethayarajh 2019, public methods):
+      // per label, (a) the mean cosine of members to their label
+      // centroid (cohesion — near 1 means the label collapses to a
+      // ray) and (b) the resultant-norm ratio ‖Σv‖ / Σ‖v‖ (alignment
+      // — 1 iff all members point the same way, → 0 for isotropic
+      // spread). The health check run before trusting cosine
+      // retrieval: anisotropic spaces inflate all similarities.
+      // Exactness: vectors ride the ⌊v·1e6⌋ integer grid; per-dim
+      // label sums are exact; dot(v, S) lifts through DECIMAL(38,0)
+      // (member·sum products at corpus scale outgrow a long — the
+      // embed_centroid_drift lesson); each per-vector cosine floors
+      // onto a ×10⁴ integer from ONE fixed-order double expression,
+      // and per-vector norms floor to integers, so every SUM is an
+      // order-free integer sum — no double accumulates across rows.
+      // Scale shape: one posexplode partial agg to the |labels|·64
+      // sum frame (broadcasts back), one vec_id rollup, a |labels|
+      // ledger — the drift monitor's cost.
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          floor(col("v").cast("double") * 1e6).cast("long").as("iv"))
+      val ls = base.groupBy("label", "pos").agg(sum("iv").as("sv"))
+      val s2 = ls.groupBy("label")
+        .agg(sum(col("sv").cast("decimal(38,0)") * col("sv")).as("s2"))
+      val dv = base.join(broadcast(ls), Seq("label", "pos"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("iv") * col("iv")).as("d2v"),
+          sum(col("iv").cast("decimal(38,0)") * col("sv")).as("dvs"))
+      val per = dv.join(broadcast(s2), Seq("label"))
+        .select(col("label"),
+          when(col("d2v") === 0, lit(0L)).otherwise(
+            floor(col("dvs").cast("double")
+              / (sqrt(col("d2v").cast("double"))
+                * sqrt(col("s2").cast("double"))) * 1e4).cast("long"))
+            .as("ci"),
+          floor(sqrt(col("d2v").cast("double"))).cast("long").as("nv"))
+      per.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"), sum("ci").as("sum_cos_c_e4"),
+          sum("nv").as("snv"))
+        .join(broadcast(s2), Seq("label"))
+        .withColumn("sn", floor(sqrt(col("s2").cast("double"))).cast("long"))
+        .select(col("label"), col("n_vecs"), col("sum_cos_c_e4"),
+          expr("sn * 10000 div snv").as("norm_ratio_e4"))
+        .orderBy("label")
+    }),
+
+    // Persist-scoped; body factored out for PlansSpec plan locks.
+    "sim_ivf_routing_depth" -> ((s, d) => scopedPersist(routingDepthBody(s, d))),
+
+    "multimodal_ahash_dedup" -> ((s, d) => {
+      // Perceptual-hash image dedup (r10): the average-hash (aHash)
+      // near-duplicate screen every multimodal curation pipeline runs
+      // before training on crawled images — REAL ImageIO decode
+      // (the multimodal_decode_hist contract: same synthesized PNGs,
+      // pixel g = (doc·7 + x·3 + y·5) mod 256, dims keyed off doc_id,
+      // gated doc_id < 64), batched mapPartitions, and an ALL-INTEGER
+      // hash: threshold the first 64 row-major gray pixels against
+      // the integer-truncated mean, packed into two 32-bit words (the
+      // sim_knn_hamming packing — bit 63 of one long trips engines
+      // differently). The census self-joins the gate-bounded hash
+      // frame (≤ 64² pairs at EVERY sf) for exact-hash duplicate
+      // groups and Hamming ≤ 8 near-duplicates — measured on this
+      // corpus: exact groups of 3-4 (ids congruent mod 15 share dims
+      // and threshold pattern), 350 near-pairs. DuckDB cannot decode
+      // PNGs but predicts every hash by pure arithmetic (integer gray
+      // channel, integer mean — no float ever crosses the compare).
+      // At 100 TB: decode parallelism is the partition count; the
+      // hash frame (16 B/image) is what shuffles, never pixels —
+      // banding h0/h1 as LSH keys replaces the gated self-join.
+      import s.implicits._
+      import graft.multimodal.{MediaRow, Multimodal}
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).filter(col("doc_id") < 64)
+        .as[Long].map { id =>
+          val wpx = 8 + (id % 5).toInt
+          val hpx = 6 + (id % 3).toInt
+          val img = new java.awt.image.BufferedImage(
+            wpx, hpx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < hpx) {
+            var x = 0
+            while (x < wpx) {
+              val g = ((id * 7 + x * 3 + y * 5) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(id, "image", bos.toByteArray)
+        }
+      val hashes = Multimodal.imageAHash(media).toDF()
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_lum"), col("h0"), col("h1"))
+      val other = hashes.select(col("doc_id").as("o_id"),
+        col("h0").as("o_h0"), col("h1").as("o_h1"))
+      hashes.join(broadcast(other), col("doc_id") =!= col("o_id"))
+        .withColumn("hd",
+          expr("bit_count(h0 ^ o_h0) + bit_count(h1 ^ o_h1)"))
+        .groupBy("doc_id")
+        .agg(any_value(col("width")).as("width"),
+          any_value(col("height")).as("height"),
+          any_value(col("mean_lum")).as("mean_lum"),
+          any_value(col("h0")).as("h0"), any_value(col("h1")).as("h1"),
+          sum(when(col("hd") === 0, 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("hd") <= 8, 1L).otherwise(0L)).as("n_near"))
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- oracle SQL -------------------------------------------------------
@@ -1878,6 +2177,37 @@ object LlmSim extends OpModule {
     """SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
       |) GROUP BY vec_id""".stripMargin
+
+  /** In-row mat-vec fold over a 64²-list column — the SQL twin of
+    * [[pcMatvec]] (same index-order adds ⇒ identical doubles). */
+  private def pcMvSql(mcol: String, xexpr: String): String =
+    s"""list_transform(range(0, 64), i ->
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(0, 64), j2 -> $mcol[i*64+j2+1] * $xexpr)),
+       |      (a, b) -> a + b))""".stripMargin
+
+  private def pcNrmSql(y: String): String =
+    s"""list_transform($y, e -> e / sqrt(
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $y),
+       |      (a, b) -> a + b * b)))""".stripMargin
+
+  /** CTE chain: 3 normalized power steps from all-ones on `mcol` in
+    * `src`, emitting CTE `${pfx}n3` with unit vector `xcol` — the SQL
+    * twin of [[pcIterate]]. */
+  private def pcIterSql(src: String, mcol: String, xcol: String,
+                        pfx: String): String =
+    s"""${pfx}s1 AS (SELECT *, ${pcMvSql(mcol, "1.0")} AS ${pfx}y1 FROM $src),
+       |${pfx}n1 AS (SELECT *, ${pcNrmSql(s"${pfx}y1")} AS ${pfx}x1 FROM ${pfx}s1),
+       |${pfx}s2 AS (SELECT *, ${pcMvSql(mcol, s"${pfx}x1[j2+1]")} AS ${pfx}y2 FROM ${pfx}n1),
+       |${pfx}n2 AS (SELECT *, ${pcNrmSql(s"${pfx}y2")} AS ${pfx}x2 FROM ${pfx}s2),
+       |${pfx}s3 AS (SELECT *, ${pcMvSql(mcol, s"${pfx}x2[j2+1]")} AS ${pfx}y3 FROM ${pfx}n2),
+       |${pfx}n3 AS (SELECT *, ${pcNrmSql(s"${pfx}y3")} AS $xcol FROM ${pfx}s3)""".stripMargin
+
+  /** Rayleigh fold Σ x[k]·y[k] in index order ([[pcRayleigh]] twin). */
+  private def pcRaySql(xcol: String, ycol: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(0, 64), k2 -> $xcol[k2+1] * $ycol[k2+1])),
+       |    (a, b) -> a + b)""".stripMargin
 
   private val BucketsSql =
     """SELECT vec_id, CAST(sum(CASE WHEN bproj > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
@@ -2067,6 +2397,44 @@ object LlmSim extends OpModule {
         |  round(lam / tr, 4) AS explained
         |FROM lamt, unnest(range(0, 64)) AS t(pos0)
         |ORDER BY pos""".stripMargin,
+
+    "embed_abtt" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(0, len(embedding))) AS j,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e3) AS BIGINT) AS q
+         |  FROM embeddings),
+         |m AS (SELECT a.j AS i, b.j AS jj, sum(a.q * b.q) AS m
+         |      FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2),
+         |sums AS (SELECT j, CAST(sum(q) AS BIGINT) AS sq FROM u GROUP BY j),
+         |nv AS (SELECT count(*) AS n FROM embeddings),
+         |gc AS (SELECT i, jj, n * n * m.m - n * si.sq * sj.sq AS g
+         |       FROM m CROSS JOIN nv
+         |       JOIN sums si ON si.j = m.i
+         |       JOIN sums sj ON sj.j = m.jj),
+         |mfrow AS (SELECT list_transform(list(g ORDER BY i * 64 + jj),
+         |                 e -> CAST(e AS DOUBLE)) AS mf FROM gc),
+         |${pcIterSql("mfrow", "mf", "x1", "a")},
+         |aray AS (SELECT *, ${pcMvSql("mf", "x1[j2+1]")} AS ayr FROM an3),
+         |lam1t AS (SELECT *, ${pcRaySql("x1", "ayr")} AS lam1,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(0, 64), i -> mf[i*64+i+1])),
+         |    (a, b) -> a + b) AS tr FROM aray),
+         |defl AS (SELECT *, list_transform(range(0, 4096), k ->
+         |  mf[k+1] - lam1 * x1[k//64+1] * x1[k%64+1]) AS mf2 FROM lam1t),
+         |${pcIterSql("defl", "mf2", "x2", "b")},
+         |bray AS (SELECT *, ${pcMvSql("mf2", "x2[j2+1]")} AS byr FROM bn3),
+         |lam2t AS (SELECT *, ${pcRaySql("x2", "byr")} AS lam2 FROM bray)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS pc, CAST(n AS BIGINT) AS n_vecs,
+         |    round(lam1 / CAST(n * n AS DOUBLE) / 1e6, 4) AS lam_v2,
+         |    round(lam1 / tr, 4) AS share
+         |  FROM lam2t CROSS JOIN nv
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT) AS pc, CAST(n AS BIGINT) AS n_vecs,
+         |    round(lam2 / CAST(n * n AS DOUBLE) / 1e6, 4) AS lam_v2,
+         |    round(lam2 / (tr - lam1), 4) AS share
+         |  FROM lam2t CROSS JOIN nv
+         |) ORDER BY pc""".stripMargin,
 
     "embed_quantize" ->
       """WITH u AS (
@@ -2325,6 +2693,185 @@ object LlmSim extends OpModule {
          |JOIN embeddings l ON l.vec_id = e.a_id
          |LEFT JOIN edges r ON r.a_id = e.b_id AND r.b_id = e.a_id
          |GROUP BY l.label ORDER BY l.label""".stripMargin,
+
+    // Candidate pairs materialize FIRST (bucket equi-join + label
+    // filter), then the per-pair dot joins the unnested vectors — the
+    // sim_recall_ivf idots shape. The single-CTE form let DuckDB pick
+    // a pos-first join order at sf0.1 (|V|²·64 intermediate rows,
+    // ~80 GB of spill → ENOSPC); pair-first bounds the dot join at
+    // Σ|bucket|²·64 rows.
+    "sim_hard_negatives" ->
+      s"""WITH buckets AS ($BucketsSql),
+         |ua AS (${unnested("a", "true")}),
+         |ub AS (${unnested("b", "true")}),
+         |norms AS ($NormsSql),
+         |cand AS (
+         |  SELECT ba.vec_id AS a_id, la.label AS a_label,
+         |    bb.vec_id AS b_id, lb.label AS n_label
+         |  FROM buckets ba
+         |  JOIN buckets bb ON bb.bucket = ba.bucket AND bb.vec_id <> ba.vec_id
+         |  JOIN embeddings la ON la.vec_id = ba.vec_id
+         |  JOIN embeddings lb ON lb.vec_id = bb.vec_id
+         |  WHERE la.label <> lb.label
+         |),
+         |dots AS (
+         |  SELECT c.a_id, c.a_label, c.b_id, c.n_label,
+         |    sum(ua.v * ub.v) AS dp
+         |  FROM cand c
+         |  JOIN ua ON ua.a_id = c.a_id
+         |  JOIN ub ON ub.b_id = c.b_id AND ub.pos = ua.pos
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |scored AS (
+         |  SELECT a_id, a_label, b_id, n_label,
+         |    round(dp / (na.nrm * nb.nrm), 4) AS cos
+         |  FROM dots
+         |  JOIN norms na ON na.vec_id = a_id
+         |  JOIN norms nb ON nb.vec_id = b_id
+         |)
+         |SELECT a_id, a_label, b_id AS n_id, n_label, cos, rk FROM (
+         |  SELECT a_id, a_label, b_id, n_label, cos,
+         |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id)
+         |      AS BIGINT) AS rk
+         |  FROM scored
+         |) WHERE rk <= 3 ORDER BY a_id, rk""".stripMargin,
+
+    // HUGEINT carries the member·sum cross products (the Spark side
+    // lifts through DECIMAL(38,0)); every cross-row sum is an integer
+    // sum, the only doubles are one fixed-order floor expression.
+    "embed_isotropy" ->
+      """WITH u AS (
+        |  SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS iv
+        |  FROM embeddings
+        |), ls AS (
+        |  SELECT label, pos, CAST(sum(iv) AS BIGINT) AS sv
+        |  FROM u GROUP BY 1, 2
+        |), s2 AS (
+        |  SELECT label, sum(CAST(sv AS HUGEINT) * sv) AS s2 FROM ls GROUP BY 1
+        |), dv AS (
+        |  SELECT u.vec_id, u.label,
+        |    CAST(sum(u.iv * u.iv) AS BIGINT) AS d2v,
+        |    sum(CAST(u.iv AS HUGEINT) * ls.sv) AS dvs
+        |  FROM u JOIN ls ON u.label = ls.label AND u.pos = ls.pos
+        |  GROUP BY 1, 2
+        |), per AS (
+        |  SELECT dv.label,
+        |    CASE WHEN d2v = 0 THEN 0
+        |         ELSE CAST(floor(CAST(dvs AS DOUBLE)
+        |           / (sqrt(CAST(d2v AS DOUBLE)) * sqrt(CAST(s2.s2 AS DOUBLE)))
+        |           * 1e4) AS BIGINT) END AS ci,
+        |    CAST(floor(sqrt(CAST(d2v AS DOUBLE))) AS BIGINT) AS nv
+        |  FROM dv JOIN s2 ON dv.label = s2.label
+        |)
+        |SELECT p.label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(ci) AS BIGINT) AS sum_cos_c_e4,
+        |  CAST(floor(sqrt(CAST(s2.s2 AS DOUBLE))) AS BIGINT) * 10000
+        |    // CAST(sum(nv) AS BIGINT) AS norm_ratio_e4
+        |FROM per p JOIN s2 ON p.label = s2.label
+        |GROUP BY p.label, s2.s2 ORDER BY p.label""".stripMargin,
+
+    // Same trained-centroid chain as sim_recall_ivf; the rank CTE is
+    // kmAssignSql's inner shape with rn exposed.
+    "sim_ivf_routing_depth" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings
+         |),
+         |norms AS ($NormsSql),
+         |c0 AS (SELECT vec_id AS cell, pos, v AS c FROM u WHERE vec_id < 16),
+         |a1 AS (${kmAssignSql("c0")}),
+         |c1 AS (${kmUpdateSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmUpdateSql("a2")}),
+         |assign AS (${kmAssignSql("c2")}),
+         |bdots AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.v * b.v) AS dp
+         |  FROM u a JOIN u b ON a.pos = b.pos
+         |    AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2
+         |),
+         |bscored AS (
+         |  SELECT q_id, n_id, round(dp / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM bdots JOIN norms nq ON nq.vec_id = q_id
+         |  JOIN norms nn ON nn.vec_id = n_id
+         |),
+         |truth AS (
+         |  SELECT q_id, n_id AS true_nn FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |    FROM bscored
+         |  ) WHERE rk = 1
+         |),
+         |qranks AS (
+         |  SELECT sc.vec_id AS q_id, sc.cell,
+         |    CAST(row_number() OVER (PARTITION BY sc.vec_id
+         |      ORDER BY sc.cos DESC, sc.cell) AS BIGINT) AS prk
+         |  FROM (
+         |    SELECT u.vec_id, c.cell,
+         |      round(sum(u.v * c.c) / (n.nrm * cn.cnrm), 4) AS cos
+         |    FROM u JOIN c2 c ON u.pos = c.pos
+         |    JOIN norms n ON n.vec_id = u.vec_id
+         |    JOIN (SELECT cell, sqrt(sum(c * c)) AS cnrm FROM c2 GROUP BY cell) cn
+         |      ON cn.cell = c.cell
+         |    WHERE u.vec_id < 10
+         |    GROUP BY u.vec_id, c.cell, n.nrm, cn.cnrm
+         |  ) sc
+         |)
+         |SELECT t.q_id, t.true_nn, CAST(a.cell AS BIGINT) AS nn_cell,
+         |  r.prk AS depth
+         |FROM truth t
+         |JOIN assign a ON a.vec_id = t.true_nn
+         |JOIN qranks r ON r.q_id = t.q_id AND r.cell = a.cell
+         |ORDER BY t.q_id""".stripMargin,
+
+    // Pure-arithmetic prediction of the ImageIO decode (the
+    // decode_hist contract): integer gray pixels, integer mean,
+    // bit-shift packing — no float ever crosses the compare. Pixel
+    // index k enumerates a constant 0..96 range filtered to w·h
+    // (max dims 12×8), with x = k % w, y = k // w row-major.
+    "multimodal_ahash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 64
+        |), px AS (
+        |  SELECT id, w, h, k,
+        |    (id * 7 + (k % w) * 3 + (k // w) * 5) % 256 AS g
+        |  FROM ids, unnest(range(0, 96)) t(k)
+        |  WHERE k < w * h
+        |), m AS (
+        |  SELECT id, max(w) AS w, max(h) AS h,
+        |    CAST(sum(g) // count(*) AS BIGINT) AS mean_lum
+        |  FROM px GROUP BY id
+        |), bits AS (
+        |  SELECT p.id,
+        |    CAST(sum(CASE WHEN p.k < 32 AND p.g > m.mean_lum
+        |      THEN CAST(1 AS BIGINT) << CAST(p.k AS INTEGER) ELSE 0 END)
+        |      AS BIGINT) AS h0,
+        |    CAST(sum(CASE WHEN p.k >= 32 AND p.k < 64 AND p.g > m.mean_lum
+        |      THEN CAST(1 AS BIGINT) << CAST(p.k - 32 AS INTEGER) ELSE 0 END)
+        |      AS BIGINT) AS h1
+        |  FROM px p JOIN m USING (id) GROUP BY p.id
+        |), hs AS (
+        |  SELECT m.id, m.w, m.h, m.mean_lum, b.h0, b.h1
+        |  FROM m JOIN bits b ON m.id = b.id
+        |), pairs AS (
+        |  SELECT a.id,
+        |    sum(CASE WHEN bit_count(xor(a.h0, b.h0))
+        |      + bit_count(xor(a.h1, b.h1)) = 0 THEN 1 ELSE 0 END)
+        |      AS n_exact_dup,
+        |    sum(CASE WHEN bit_count(xor(a.h0, b.h0))
+        |      + bit_count(xor(a.h1, b.h1)) <= 8 THEN 1 ELSE 0 END)
+        |      AS n_near
+        |  FROM hs a JOIN hs b ON a.id <> b.id GROUP BY a.id
+        |)
+        |SELECT a.id AS doc_id, CAST(a.w AS BIGINT) AS width,
+        |  CAST(a.h AS BIGINT) AS height, a.mean_lum, a.h0, a.h1,
+        |  CAST(p.n_exact_dup AS BIGINT) AS n_exact_dup,
+        |  CAST(p.n_near AS BIGINT) AS n_near
+        |FROM hs a JOIN pairs p ON a.id = p.id
+        |ORDER BY doc_id""".stripMargin,
 
     "sim_recall_eval" ->
       s"""WITH uq AS (${unnested("q", "vec_id < 10")}),

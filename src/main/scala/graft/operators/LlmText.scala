@@ -648,6 +648,54 @@ object LlmText extends OpModule {
         .orderBy("source")
     }),
 
+    "mix_post_dedup_shift" -> ((s, d) => {
+      // Post-dedup mixture shift (r10): exact dedup changes the
+      // source mix a training run actually samples — sources full of
+      // duplicates lose sqrt-tempered weight to clean ones. This is
+      // the before/after ledger a mixing stage reads after a dedup
+      // pass: per source, token mass and normalized √-mass weight
+      // over the FULL corpus vs the exact-dedup SURVIVOR set
+      // (dedup_exact's keep-min-doc_id convention), plus the weight
+      // shift. Same determinism discipline as mix_source_weights:
+      // exact integer token counts, IEEE-√, and BOTH normalizers fold
+      // the |sources|-sized list IN-ROW in source order — never a
+      // partition-ordered double sum. Two partial-agged passes (one
+      // per universe — the dedup groupBy(text) is dedup_exact's
+      // graded shape); everything after is dimension-sized.
+      val docs = Tables.documents(s, d)
+      val toks = sum(size(split(col("text"), " ")).cast("long"))
+      val pre = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), toks.as("tok_pre"))
+      val keep = docs.groupBy("text").agg(min("doc_id").as("kid"))
+        .withColumnRenamed("text", "ktext")
+      val post = docs.join(keep,
+          col("text") === col("ktext") && col("doc_id") === col("kid"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), toks.as("tok_post"))
+      val j = pre.join(post, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          col("tok_pre"), coalesce(col("tok_post"), lit(0L)).as("tok_post"))
+        .withColumn("zp", sqrt(col("tok_pre").cast("double")))
+        .withColumn("zq", sqrt(col("tok_post").cast("double")))
+      val tot = j
+        .agg(sort_array(collect_list(
+          struct(col("source"), col("zp"), col("zq")))).as("zs"))
+        .select(
+          aggregate(col("zs"), lit(0.0), (a, e) => a + e.getField("zp"))
+            .as("ztp"),
+          aggregate(col("zs"), lit(0.0), (a, e) => a + e.getField("zq"))
+            .as("ztq"))
+      j.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("tok_pre"), col("tok_post"),
+          round(col("zp") / col("ztp"), 4).as("w_pre"),
+          round(col("zq") / col("ztq"), 4).as("w_post"),
+          round(col("zq") / col("ztq") - col("zp") / col("ztp"), 4)
+            .as("shift"))
+        .orderBy("source")
+    }),
+
     "text_lang_stats" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang", "source")
@@ -999,6 +1047,54 @@ object LlmText extends OpModule {
         .orderBy("doc_id")
     }),
 
+    "text_crossval_ppl" -> ((s, d) => {
+      // Held-out unigram perplexity per language (r10): train an
+      // add-one-smoothed unigram LM on the EVEN-doc_id half, score
+      // the ODD half — the cross-validated form of
+      // text_perplexity_proxy (self-corpus scores systematically
+      // understate NLL because every token has seen itself; held-out
+      // scoring is what a CCNet-style quality gate actually runs),
+      // plus the OOV rate the split exposes. Determinism: each token
+      // cost is ONE ln of an exact integer ratio (T+V)/(cnt+1) (the
+      // sample_dsir discipline — both engines divide the same exact
+      // integers, then one libm ln of the same double); the per-doc
+      // total folds IN-ROW in position order (never a partition-
+      // ordered double sum); per-lang means ride DECIMAL sums of the
+      // rounded per-doc scores (the ccnet discipline). One token
+      // explode + one broadcast freq join is the only data-sized
+      // pass; OOV/token counts are exact integers.
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val evToks = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      val freq = train
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val tv = train
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("t"))
+        .crossJoin(broadcast(freq.agg(count(lit(1)).as("v"))))
+      val tok = evToks.join(broadcast(freq), Seq("token"), "left")
+        .crossJoin(broadcast(tv))
+        .select(col("doc_id"), col("lang"), col("pos"),
+          col("cnt").isNull.cast("long").as("oov"),
+          log((col("t") + col("v")).cast("double")
+            / (coalesce(col("cnt"), lit(0L)) + 1).cast("double")).as("lnv"))
+      val per = tok.groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"), sum("oov").as("n_oov"),
+          sort_array(collect_list(struct(col("pos"), col("lnv")))).as("ls"))
+        .withColumn("nll", round(
+          aggregate(col("ls"), lit(0.0), (a, e) => a + e.getField("lnv"))
+            / col("n_tokens").cast("double"), 4))
+      per.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"), sum("n_oov").as("n_oov"),
+          round(sum(col("nll").cast("decimal(12,4)")).cast("double")
+            / count(lit(1)).cast("double"), 4).as("mean_nll"))
+        .withColumn("oov_e4", expr("n_oov * 10000 div n_tokens"))
+        .orderBy("lang")
+    }),
+
     "text_docfreq_prune" -> ((s, d) => {
       // Vocabulary pruning plan (r7): the document-frequency census
       // behind every tf-idf/embedding vocabulary cut — how much of
@@ -1108,6 +1204,44 @@ object LlmText extends OpModule {
           sum(when(col("n_dup") * 2 >= col("n_sh"), 1L).otherwise(0L))
             .as("n_heavy_docs"))
         .orderBy("lang")
+    }),
+
+    "text_boilerplate" -> ((s, d) => {
+      // Per-source boilerplate census (r10) — the CCNet/jusText-shaped
+      // audit that finds template text REPEATED ACROSS documents of
+      // the same source (nav bars, footers, license blurbs): rank
+      // each source's bigrams by within-source document frequency and
+      // measure how much of the source's gram mass its top-20
+      // candidates carry. Rank-based, not threshold-based — a fixed
+      // df-share cutoff degenerates as the corpus grows (measured: a
+      // 20% gate matches 220 grams at sf0.01 and ZERO at sf0.1; the
+      // sample_quality_topp lesson), while the top-k candidate list
+      // is what a boilerplate-removal reviewer actually reads. Ties
+      // rank lexicographically so both engines agree. One bigram
+      // explode (in-row native shingles, per-doc distinct so a
+      // within-doc repeat counts once), one (source, gram) rollup, a
+      // source-partitioned rank window over the |grams/source| frame,
+      // and a |sources|-row ledger; at 100 TB the rollup is the only
+      // data-sized shuffle and the rank parallelizes per source.
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(bigramArr(col("text")))).as("sg"))
+      val df = pairs.groupBy("source", "sg").agg(count(lit(1)).as("nd"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("nd").desc, col("sg"))
+      val ranked = df.withColumn("rk", row_number().over(w))
+      val nsrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      ranked.groupBy("source")
+        .agg(count(lit(1)).as("n_grams_distinct"),
+          sum("nd").as("n_occ"),
+          sum(when(col("rk") <= 20, col("nd")).otherwise(0L))
+            .as("top20_occ"),
+          max("nd").as("max_df"))
+        .join(broadcast(nsrc), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_grams_distinct"),
+          col("n_occ"), col("top20_occ"), col("max_df"),
+          expr("top20_occ * 10000 div n_occ").as("top20_mass_e4"))
+        .orderBy("source")
     }),
 
     "dedup_span_extend" -> ((s, d) => {
@@ -2169,6 +2303,37 @@ object LlmText extends OpModule {
         |  round(1e6 * (z / ztot) / n_tokens, 4) AS eff_epochs
         |FROM z, tot ORDER BY source""".stripMargin,
 
+    "mix_post_dedup_shift" ->
+      """WITH pre AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_pre
+        |  FROM documents GROUP BY source),
+        |keep AS (SELECT text, min(doc_id) AS kid FROM documents GROUP BY text),
+        |post AS (
+        |  SELECT source, count(*) AS n_kept,
+        |    CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tok_post
+        |  FROM documents d JOIN keep k ON d.text = k.text AND d.doc_id = k.kid
+        |  GROUP BY source),
+        |j AS (
+        |  SELECT pre.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |    CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |    tok_pre, CAST(coalesce(tok_post, 0) AS BIGINT) AS tok_post,
+        |    sqrt(CAST(tok_pre AS DOUBLE)) AS zp,
+        |    sqrt(CAST(coalesce(tok_post, 0) AS DOUBLE)) AS zq
+        |  FROM pre LEFT JOIN post ON pre.source = post.source),
+        |tot AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(zp ORDER BY source)), (a, b) -> a + b) AS ztp,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(zq ORDER BY source)), (a, b) -> a + b) AS ztq
+        |  FROM j)
+        |SELECT source, n_docs, n_kept, tok_pre, tok_post,
+        |  round(zp / ztp, 4) AS w_pre,
+        |  round(zq / ztq, 4) AS w_post,
+        |  round(zq / ztq - zp / ztp, 4) AS shift
+        |FROM j, tot ORDER BY source""".stripMargin,
+
     "text_lang_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  round(avg(n_chars), 4) AS avg_chars,
@@ -2431,6 +2596,45 @@ s"""SELECT doc_id, lang, bucket FROM (
          |FROM toks JOIN cnts USING (token) CROSS JOIN total
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Same one-ln-of-exact-ratio + pos-ordered-fold discipline as
+    // sample_dsir; per-lang means through DECIMAL (ccnet discipline).
+    "text_crossval_ppl" ->
+      s"""WITH ev AS (
+         |  SELECT t.doc_id, d.lang, t.pos, t.token
+         |  FROM ($TokensSql) t JOIN documents d USING (doc_id)
+         |  WHERE t.doc_id % 2 = 1),
+         |freq AS (
+         |  SELECT token, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token
+         |    FROM documents WHERE doc_id % 2 = 0)
+         |  GROUP BY token),
+         |tv AS (
+         |  SELECT (SELECT sum(len(string_split(text, ' ')))
+         |          FROM documents WHERE doc_id % 2 = 0) AS t,
+         |    count(*) AS v
+         |  FROM freq),
+         |tok AS (
+         |  SELECT e.doc_id, e.lang, e.pos,
+         |    CASE WHEN f.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+         |    ln(CAST(t + v AS DOUBLE)
+         |      / CAST(coalesce(f.cnt, 0) + 1 AS DOUBLE)) AS lnv
+         |  FROM ev e LEFT JOIN freq f USING (token) CROSS JOIN tv),
+         |per AS (
+         |  SELECT doc_id, min(lang) AS lang, count(*) AS n_tokens,
+         |    sum(oov) AS n_oov,
+         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(lnv ORDER BY pos)), (a, x) -> a + x)
+         |      / CAST(count(*) AS DOUBLE), 4) AS nll
+         |  FROM tok GROUP BY doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_oov) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(CAST(nll AS DECIMAL(12,4))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) AS mean_nll,
+         |  CAST(sum(n_oov) AS BIGINT) * 10000
+         |    // CAST(sum(n_tokens) AS BIGINT) AS oov_e4
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
     "text_docfreq_prune" ->
       """WITH nd AS (
         |  SELECT count(*) AS n_docs,
@@ -2504,6 +2708,35 @@ s"""SELECT doc_id, lang, bucket FROM (
          |  CAST(sum(CASE WHEN n_dup * 2 >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_docs
          |FROM per_doc pd JOIN documents d USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT doc_id, source, unnest(list_distinct(
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS sg
+        |  FROM docs
+        |), df AS (
+        |  SELECT source, sg, count(*) AS nd FROM pairs GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT source, sg, nd,
+        |    row_number() OVER (PARTITION BY source ORDER BY nd DESC, sg) AS rk
+        |  FROM df
+        |), nsrc AS (
+        |  SELECT source, count(*) AS n_docs FROM docs GROUP BY 1
+        |)
+        |SELECT r.source, CAST(n.n_docs AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_grams_distinct,
+        |  CAST(sum(nd) AS BIGINT) AS n_occ,
+        |  CAST(sum(CASE WHEN rk <= 20 THEN nd ELSE 0 END) AS BIGINT)
+        |    AS top20_occ,
+        |  CAST(max(nd) AS BIGINT) AS max_df,
+        |  CAST(sum(CASE WHEN rk <= 20 THEN nd ELSE 0 END) AS BIGINT)
+        |    * 10000 // CAST(sum(nd) AS BIGINT) AS top20_mass_e4
+        |FROM ranked r JOIN nsrc n USING (source)
+        |GROUP BY r.source, n.n_docs ORDER BY r.source""".stripMargin,
 
     "dedup_span_extend" ->
       s"""WITH tids AS ($TidsSql),

@@ -1316,4 +1316,143 @@ class InvariantsSpec extends SparkSpec {
       .take(64).map(_.getLong(0)).toSet
     rows.foreach(r => assert(r.getBoolean(5) === top.contains(r.getLong(0))))
   }
+
+  test("CUPED adjustment preserves the pooled mean and shrinks spread") {
+    // Sum over variants of n·mean_y_adj must equal sum of n·mean_y
+    // (the theta correction is mean-zero by construction: it rides
+    // X − E[X] under the pooled mean), and rho2 must sit in [0, 1].
+    val rows = q("evt_cuped").collect()
+    assert(rows.length === 2)
+    def wsum(f: org.apache.spark.sql.Row => Double) =
+      rows.map(r => r.getLong(1).toDouble * f(r)).sum
+    val raw = wsum(_.getDouble(3))
+    val adj = wsum(_.getDouble(4))
+    assert(math.abs(raw - adj) <= 1e-6 * math.abs(raw) + 1e-4,
+      s"adjusted pooled mass $adj drifted from raw $raw")
+    rows.foreach { r =>
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0,
+        s"rho2 ${r.getDouble(6)} outside [0, 1]")
+    }
+  }
+
+  test("Wilson intervals bracket the rate and funnel counts telescope") {
+    val rows = q("evt_funnel_wilson").collect().sortBy(_.getString(0))
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (rate, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo <= rate && rate <= hi, s"$r interval must bracket the rate")
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9, s"$r interval outside [0,1]")
+    }
+    // eligible(step k+1) = converted(step k), and counts only shrink.
+    assert(rows(1).getLong(1) === rows(0).getLong(2))
+    assert(rows(2).getLong(1) === rows(1).getLong(2))
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("Hodges-Lehmann shift sits inside the pairwise diff envelope") {
+    import org.apache.spark.sql.functions._
+    val r = q("evt_abtest_hl").collect().head
+    val per = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase" && col("user_id") < 100)
+      .groupBy("user_id")
+      .agg((sum(col("value").cast("decimal(12,2)")) * 100)
+        .cast("long").as("xc"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1))
+    val a = per.filter(_._1 % 2 == 0).map(_._2)
+    val b = per.filter(_._1 % 2 == 1).map(_._2)
+    assert(r.getLong(0) === a.length.toLong)
+    assert(r.getLong(1) === b.length.toLong)
+    assert(r.getLong(2) === a.length.toLong * b.length)
+    val dmin = (a.min - b.max) / 100.0
+    val dmax = (a.max - b.min) / 100.0
+    assert(r.getDouble(3) >= dmin - 1e-9 && r.getDouble(3) <= dmax + 1e-9,
+      s"HL shift ${r.getDouble(3)} outside [$dmin, $dmax]")
+  }
+
+  test("isotropy ledger is bounded: cosines within grid, ratio within [0,1]") {
+    val rows = q("embed_isotropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(math.abs(r.getLong(2)) <= 10000L * n,
+        "mean |cos| to centroid cannot exceed 1 on the e4 grid")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 10000L,
+        s"resultant-norm ratio ${r.getLong(3)} outside [0, 10000]")
+    }
+  }
+
+  test("ABTT spectral shares are positive and lam1 dominates lam2") {
+    val rows = q("embed_abtt").collect().sortBy(_.getLong(0))
+    assert(rows.length === 2)
+    val (l1, s1) = (rows(0).getDouble(2), rows(0).getDouble(3))
+    val (l2, s2) = (rows(1).getDouble(2), rows(1).getDouble(3))
+    assert(l1 > 0.0 && l2 >= 0.0 && l1 >= l2,
+      s"power-iteration eigenvalues must order: $l1 >= $l2")
+    assert(s1 > 0.0 && s1 <= 1.0 && s2 >= 0.0 && s2 <= 1.0)
+  }
+
+  test("aHash census is symmetric and exact groups nest inside near groups") {
+    val rows = q("multimodal_ahash_dedup").collect()
+    assert(rows.nonEmpty)
+    // n_exact_dup <= n_near per image (hamming 0 implies <= 8), and
+    // total near-pair mass is even (each unordered pair counted twice).
+    rows.foreach(r => assert(r.getLong(6) <= r.getLong(7)))
+    assert(rows.map(_.getLong(7)).sum % 2 === 0L)
+    assert(rows.map(_.getLong(6)).sum % 2 === 0L)
+  }
+
+  test("hard negatives never share the query label and ranks are dense") {
+    val rows = q("sim_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.get(1) !== r.get(3),
+      "a hard negative must carry a different label"))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val rks = g.map(_.getLong(5)).sorted.toSeq
+      assert(rks === (1L to rks.length).toSeq, s"ranks not dense: $rks")
+    }
+  }
+
+  test("routing depth is within the cell count and depth-1 mass matches recall") {
+    val rows = q("sim_ivf_routing_depth").collect()
+    assert(rows.length === 10, "every gated query routes")
+    rows.foreach(r => assert(r.getLong(3) >= 1L && r.getLong(3) <= 16L))
+  }
+
+  test("post-dedup shift conserves weight mass on both sides") {
+    val rows = q("mix_post_dedup_shift").collect()
+    val wPre = rows.map(_.getDouble(5)).sum
+    val wPost = rows.map(_.getDouble(6)).sum
+    assert(math.abs(wPre - 1.0) < 1e-2 && math.abs(wPost - 1.0) < 1e-2,
+      s"normalized weights must sum to ~1: $wPre / $wPost")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "kept docs cannot exceed docs")
+      assert(r.getLong(4) <= r.getLong(3), "kept tokens cannot exceed tokens")
+    }
+  }
+
+  test("held-out perplexity scores every odd doc with exact token partition") {
+    import org.apache.spark.sql.functions._
+    val rows = q("text_crossval_ppl").collect()
+    val ev = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 1)
+    val nDocs = ev.count()
+    val nTok = ev.agg(sum(size(split(col("text"), " "))).cast("long"))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    assert(rows.map(_.getLong(2)).sum === nTok)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "OOV count bounded by tokens")
+      assert(r.getDouble(4) > 0.0, "NLL must be positive")
+    }
+  }
+
+  test("boilerplate top-20 mass nests inside total occurrence mass") {
+    val rows = q("text_boilerplate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "top-20 occ bounded by total occ")
+      assert(r.getLong(5) <= r.getLong(3), "max df bounded by total occ")
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= 10000L)
+    }
+  }
+
 }

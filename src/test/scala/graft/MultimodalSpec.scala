@@ -246,6 +246,32 @@ class MultimodalSpec extends SparkSpec {
       s"worst-case frame ${maxLen}B leaves <2x headroom in the 1024B slot")
   }
 
+  test("imageAHash matches the hand-computed hash on real decoded PNGs") {
+    import spark.implicits._
+    // Same synthesis as multimodal_ahash_dedup; pins computed by hand
+    // from the pixel formula (g = (id·7 + x·3 + y·5) mod 256, integer
+    // mean, first-64 row-major threshold bits, two 32-bit words).
+    val media = spark.createDataset(Seq(0L, 7L)).map { id =>
+      val wpx = 8 + (id % 5).toInt
+      val hpx = 6 + (id % 3).toInt
+      val img = new java.awt.image.BufferedImage(
+        wpx, hpx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until hpx; x <- 0 until wpx) {
+        val g = ((id * 7 + x * 3 + y * 5) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, "image", bos.toByteArray)
+    }
+    val got = Multimodal.imageAHash(media).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(got(0L) === graft.multimodal.ImageAHash(0L, 8, 6, 23L,
+      4175462400L, 65532L))
+    assert(got(7L) === graft.multimodal.ImageAHash(7L, 10, 7, 77L,
+      940310528L, 4294179064L))
+  }
+
   test("multimodal_video_decode grades real pixels on every sampled frame") {
     // End-to-end on the graded query at the smoke SF: row spine =
     // every-2nd frame × 8 buckets for each doc < 32, per-frame pixel

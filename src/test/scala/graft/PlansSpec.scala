@@ -712,6 +712,132 @@ class PlansSpec extends SparkSpec {
       s"sim_knn_graph_stats planned a cartesian:\n$kg")
   }
 
+  test("round-10 second-batch operators keep their scale shapes") {
+    // evt_cuped: one partial-agged user rollup; the pooled-moment
+    // scalar rides a broadcast join (BroadcastNestedLoopJoin for the
+    // 1-row cross), never a shuffled cartesian of data-sized inputs.
+    val cuped = treeString(q("evt_cuped"))
+    assert(cuped.contains("partial_"),
+      s"evt_cuped lost its partial aggregation:\n$cuped")
+    assert(!cuped.contains("CartesianProduct"),
+      s"evt_cuped planned a shuffled cartesian:\n$cuped")
+    assert(!cuped.contains("windowspecdefinition"),
+      s"evt_cuped grew a window:\n$cuped")
+    // text_boilerplate: the df rank window partitions by source — a
+    // global rank would single-partition the gram frame at scale.
+    val boiler = treeString(q("text_boilerplate"))
+    val bw = boiler.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(bw.nonEmpty, s"boilerplate rank window missing:\n$boiler")
+    bw.foreach(l =>
+      assert(l.contains("source"), s"unpartitioned boilerplate window: $l"))
+    // sim_hard_negatives: candidates come from the bucket equi-join
+    // (never all-pairs) and the rank window is per-vector (a_id).
+    val hn = treeString(q("sim_hard_negatives"))
+    val hw = hn.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(hw.nonEmpty, s"hard-negative rank window missing:\n$hn")
+    hw.foreach(l =>
+      assert(l.contains("a_id"), s"unpartitioned hard-negative window: $l"))
+    assert(!hn.contains("CartesianProduct"),
+      s"sim_hard_negatives planned a cartesian:\n$hn")
+    // embed_isotropy: the |labels|·64 sum frame and the |labels| s2
+    // frame broadcast back to the data-sized sides; no window, no
+    // cartesian, partial aggs survive.
+    val iso = treeString(q("embed_isotropy"))
+    assert(iso.contains("partial_"),
+      s"embed_isotropy lost its partial aggregation:\n$iso")
+    assert(iso.toLowerCase.contains("broadcast"),
+      s"embed_isotropy lost its broadcast joins:\n$iso")
+    assert(!iso.contains("windowspecdefinition"),
+      s"embed_isotropy grew a window:\n$iso")
+    assert(!iso.contains("CartesianProduct"),
+      s"embed_isotropy planned a cartesian:\n$iso")
+  }
+
+  test("round-10 third-batch operators keep their scale shapes") {
+    // evt_power_mde: the welch rollup discipline — partial aggs, no
+    // window, no cartesian (the 1-row stat frame needs none).
+    val mde = treeString(q("evt_power_mde"))
+    assert(mde.contains("partial_"),
+      s"evt_power_mde lost its partial aggregation:\n$mde")
+    assert(!mde.contains("windowspecdefinition"),
+      s"evt_power_mde grew a window:\n$mde")
+    assert(!mde.contains("CartesianProduct"),
+      s"evt_power_mde planned a cartesian:\n$mde")
+    // evt_abtest_hl: the pair frame must be built AFTER the user_id
+    // gate (a pushed filter on the scan) — the global median window
+    // is legal only because the frame is gate-bounded.
+    val hl = treeString(q("evt_abtest_hl"))
+    assert(hl.contains("user_id#") || hl.contains("user_id <"),
+      s"evt_abtest_hl lost its user gate:\n$hl")
+    assert(!hl.contains("CartesianProduct"),
+      s"evt_abtest_hl planned a shuffled cartesian (gated sides must broadcast):\n$hl")
+    // embed_abtt: the Gram self-join partial-aggs to d² rows; the
+    // per-dim sums and count broadcast; no window anywhere. Locked on
+    // the un-checkpointed body (the scopedPersist terminal collapses
+    // to an RDD scan).
+    scopedPlan(graft.operators.LlmSim.abttBody(spark, sf)) { abtt =>
+      assert(abtt.contains("partial_"),
+        s"embed_abtt lost its partial aggregation:\n$abtt")
+      assert(abtt.toLowerCase.contains("broadcast"),
+        s"embed_abtt lost its broadcast joins:\n$abtt")
+      assert(!abtt.contains("windowspecdefinition"),
+        s"embed_abtt grew a window:\n$abtt")
+    }
+    // multimodal_ahash_dedup: the hash self-join rides a broadcast
+    // (gate-bounded frame), never a shuffled cartesian; no window.
+    val ah = treeString(q("multimodal_ahash_dedup"))
+    assert(ah.toLowerCase.contains("broadcast"),
+      s"ahash_dedup lost its broadcast self-join:\n$ah")
+    assert(!ah.contains("CartesianProduct"),
+      s"ahash_dedup planned a shuffled cartesian:\n$ah")
+    assert(!ah.contains("windowspecdefinition"),
+      s"ahash_dedup grew a window:\n$ah")
+  }
+
+  test("round-10 fourth-batch operators keep their scale shapes") {
+    // evt_funnel_wilson: one partial-agged user rollup feeds a 1-row
+    // stat frame — no window, no cartesian.
+    val fw = treeString(q("evt_funnel_wilson"))
+    assert(fw.contains("partial_"),
+      s"evt_funnel_wilson lost its partial aggregation:\n$fw")
+    assert(!fw.contains("windowspecdefinition"),
+      s"evt_funnel_wilson grew a window:\n$fw")
+    assert(!fw.contains("CartesianProduct"),
+      s"evt_funnel_wilson planned a cartesian:\n$fw")
+    // mix_post_dedup_shift: both universes partial-agg; the
+    // |sources|-sized totals broadcast back (no shuffled cartesian).
+    val mps = treeString(q("mix_post_dedup_shift"))
+    assert(mps.contains("partial_"),
+      s"mix_post_dedup_shift lost its partial aggregation:\n$mps")
+    assert(!mps.contains("CartesianProduct"),
+      s"mix_post_dedup_shift planned a shuffled cartesian:\n$mps")
+    assert(!mps.contains("windowspecdefinition"),
+      s"mix_post_dedup_shift grew a window:\n$mps")
+    // text_crossval_ppl: the freq table and T+V scalars broadcast;
+    // the per-doc fold is in-row (no window).
+    val cv = treeString(q("text_crossval_ppl"))
+    assert(cv.contains("partial_"),
+      s"text_crossval_ppl lost its partial aggregation:\n$cv")
+    assert(cv.toLowerCase.contains("broadcast"),
+      s"text_crossval_ppl lost its broadcast freq join:\n$cv")
+    assert(!cv.contains("windowspecdefinition"),
+      s"text_crossval_ppl grew a window:\n$cv")
+    // sim_ivf_routing_depth: the centroid rank window is per-query
+    // (vec_id) and the truth set broadcasts; locked on the
+    // un-checkpointed body.
+    scopedPlan(graft.operators.LlmSim.routingDepthBody(spark, sf)) { rd =>
+      val rw = rd.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(rw.nonEmpty, s"routing-depth rank window missing:\n$rd")
+      assert(rw.exists(_.contains("vec_id")),
+        s"routing-depth centroid rank must partition by vec_id:\n$rd")
+      assert(!rd.contains("CartesianProduct"),
+        s"sim_ivf_routing_depth planned a shuffled cartesian:\n$rd")
+    }
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
