@@ -123,6 +123,31 @@ object Events extends OpModule {
         .withColumn("funnel_done", coalesce(col("funnel_done"), lit(false)))
         .orderBy("user_id")),
 
+    "evt_ab_srm" -> ((s, d) => {
+      // Sample-ratio-mismatch check (r10): THE first experiment
+      // health gate — a 50/50 assignment whose observed variant sizes
+      // fail a χ² test means the assignment or logging pipeline is
+      // broken and every downstream readout (welch/DiD/CUPED/MDE in
+      // this family) is invalid. χ² = (n_a − n_b)²/(n_a + n_b) for
+      // the two-cell 50/50 design, computed from exact integer user
+      // counts (the numerator squares exactly in a long — user counts
+      // < 3e9 — and ONE division makes the statistic); the flag
+      // compares the unrounded double against the pinned χ²₁ 95%
+      // critical literal rendered into both engines. One distinct +
+      // one partial-agged rollup; dimension-sized after.
+      val m = Tables.events(s, d).select("user_id").distinct()
+        .groupBy(pmod(col("user_id"), lit(2)).as("grp"))
+        .agg(count(lit(1)).as("n"))
+      val wide = m.agg(
+        max(when(col("grp") === 0, col("n"))).as("na"),
+        max(when(col("grp") === 1, col("n"))).as("nb"))
+      val chi2 = ((col("na") - col("nb")) * (col("na") - col("nb")))
+        .cast("double") / (col("na") + col("nb")).cast("double")
+      wide.select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(chi2, 4).as("chi2"),
+        (chi2 > lit(Chi2Crit95)).as("srm_flag"))
+    }),
+
     "evt_funnel_wilson" -> ((s, d) => {
       // Funnel conversion with Wilson 95% intervals (r10): the
       // uncertainty readout evt_funnel lacks — per step, converted/
@@ -1505,6 +1530,10 @@ object Events extends OpModule {
   /** z_{0.975} pinned (same rationale): evt_funnel_wilson's interval. */
   private val Z975: Double = 1.959963984540054
 
+  /** χ²₁ 95% critical value pinned (same rationale): evt_ab_srm's
+    * sample-ratio-mismatch gate. */
+  private val Chi2Crit95: Double = 3.841458820694124
+
   val oracles: Map[String, String] = Map(
     "evt_mad_outliers" ->
       """WITH med AS (SELECT event_type,
@@ -2395,6 +2424,23 @@ object Events extends OpModule {
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  n_pairs, round(CAST(d_lo + d_hi AS DOUBLE) / 200, 4) AS hl_shift
         |FROM counts CROSS JOIN picked""".stripMargin,
+
+    // χ² critical literal rendered from the same Scala constant.
+    "evt_ab_srm" ->
+      s"""WITH m AS (
+         |  SELECT CAST(user_id % 2 AS BIGINT) AS grp, count(*) AS n
+         |  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
+         |), wide AS (
+         |  SELECT max(CASE WHEN grp = 0 THEN n END) AS na,
+         |    max(CASE WHEN grp = 1 THEN n END) AS nb
+         |  FROM m
+         |)
+         |SELECT na AS n_a, nb AS n_b,
+         |  round(CAST((na - nb) * (na - nb) AS DOUBLE)
+         |    / CAST(na + nb AS DOUBLE), 4) AS chi2,
+         |  CAST((na - nb) * (na - nb) AS DOUBLE) / CAST(na + nb AS DOUBLE)
+         |    > $Chi2Crit95 AS srm_flag
+         |FROM wide""".stripMargin,
 
     // Wilson z rendered from the same Scala Z975 constant; step
     // semantics identical to evt_funnel's ordered-first-time CTE.

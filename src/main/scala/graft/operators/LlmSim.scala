@@ -2049,6 +2049,49 @@ object LlmSim extends OpModule {
         .orderBy("a_id", "rk")
     }),
 
+    "embed_knn_label_acc" -> ((s, d) => {
+      // Leave-one-out kNN label accuracy (r10): the standard cheap
+      // probe of whether an embedding space respects its labels —
+      // predict each vector's label by STRICT majority of its top-3
+      // bucket-local neighbors (ties and minorities count as wrong:
+      // an eval gate should under-claim), score per label. Reads
+      // beside sim_label_homophily (pair-grain) as the vector-grain
+      // classifier view, and its per-label accuracy is what flags a
+      // label whose region the embedding collapsed. Candidates,
+      // ranks, and tie-breaks are exactly the mutual-kNN census's
+      // (bucket equi-join, rounded cos, ties → lower id); the
+      // correctness decision is pure integers (2·same > count). At
+      // 100 TB: one bucket equi-join + per-vector top-k + a |labels|
+      // rollup.
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          norm(col("embedding")).as("nrm"),
+          lshBucket(col("embedding")).as("bucket"))
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("label").as("a_label"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm"))
+      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+        col("label").as("b_label"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+      val edges = a.join(b, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos", round(
+          dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("a_id"), col("a_label"), col("b_label"))
+      edges.groupBy("a_id", "a_label")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("b_label") === col("a_label"), 1L).otherwise(0L))
+            .as("same"))
+        .withColumn("correct",
+          when(col("same") * 2 > col("cnt"), 1L).otherwise(0L))
+        .groupBy(col("a_label").as("label"))
+        .agg(count(lit(1)).as("n_eval"), sum("correct").as("n_correct"))
+        .withColumn("acc_e4", expr("n_correct * 10000 div n_eval"))
+        .orderBy("label")
+    }),
+
     "embed_isotropy" -> ((s, d) => {
       // Embedding-space isotropy audit (r10; the anisotropy measure
       // of Mu & Viswanath 2018 / Ethayarajh 2019, public methods):
@@ -2693,6 +2736,55 @@ object LlmSim extends OpModule {
          |JOIN embeddings l ON l.vec_id = e.a_id
          |LEFT JOIN edges r ON r.a_id = e.b_id AND r.b_id = e.a_id
          |GROUP BY l.label ORDER BY l.label""".stripMargin,
+
+    // Same edges as the mutual-kNN census (bucket-gated candidates,
+    // pair-first join order); the majority decision is pure integers.
+    "embed_knn_label_acc" ->
+      s"""WITH buckets AS ($BucketsSql),
+         |ua AS (${unnested("a", "true")}),
+         |ub AS (${unnested("b", "true")}),
+         |norms AS ($NormsSql),
+         |cand AS (
+         |  SELECT ba.vec_id AS a_id, la.label AS a_label,
+         |    bb.vec_id AS b_id, lb.label AS b_label
+         |  FROM buckets ba
+         |  JOIN buckets bb ON bb.bucket = ba.bucket AND bb.vec_id <> ba.vec_id
+         |  JOIN embeddings la ON la.vec_id = ba.vec_id
+         |  JOIN embeddings lb ON lb.vec_id = bb.vec_id
+         |),
+         |dots AS (
+         |  SELECT c.a_id, c.a_label, c.b_id, c.b_label,
+         |    sum(ua.v * ub.v) AS dp
+         |  FROM cand c
+         |  JOIN ua ON ua.a_id = c.a_id
+         |  JOIN ub ON ub.b_id = c.b_id AND ub.pos = ua.pos
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |scored AS (
+         |  SELECT a_id, a_label, b_id, b_label,
+         |    round(dp / (na.nrm * nb.nrm), 4) AS cos
+         |  FROM dots
+         |  JOIN norms na ON na.vec_id = a_id
+         |  JOIN norms nb ON nb.vec_id = b_id
+         |),
+         |edges AS (
+         |  SELECT a_id, a_label, b_label FROM (
+         |    SELECT a_id, a_label, b_label,
+         |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+         |    FROM scored
+         |  ) WHERE rk <= 3
+         |),
+         |per AS (
+         |  SELECT a_id, a_label, count(*) AS cnt,
+         |    sum(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS same
+         |  FROM edges GROUP BY 1, 2
+         |)
+         |SELECT a_label AS label, CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(sum(CASE WHEN same * 2 > cnt THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  CAST(sum(CASE WHEN same * 2 > cnt THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 10000 // CAST(count(*) AS BIGINT) AS acc_e4
+         |FROM per GROUP BY a_label ORDER BY label""".stripMargin,
 
     // Candidate pairs materialize FIRST (bucket equi-join + label
     // filter), then the per-pair dot joins the unnested vectors — the

@@ -696,6 +696,47 @@ object LlmText extends OpModule {
         .orderBy("source")
     }),
 
+    "mix_curriculum_order" -> ((s, d) => {
+      // Curriculum ordering of sources (r10): rank sources by a
+      // lexical-difficulty proxy — mean per-token corpus NLL (rare
+      // vocabulary ⇒ harder text) — and cut the ranking into 3
+      // curriculum phases, easy → hard (the curriculum-learning
+      // schedule a dataloader consumes; phase boundaries are
+      // RANK-based, the scale-stable form). Exactness: each vocab
+      // token contributes floor(1e6·ln(T/cnt)) — ONE ln of an exact
+      // integer ratio, floored onto the integer grid — multiplied by
+      // its exact per-source occurrence count, so per-source
+      // difficulty sums are order-free integers; the per-token mean
+      // and ranks are integer arithmetic. One token explode with a
+      // (source, token) partial agg is the only data-sized pass; the
+      // rank window rides the |sources| frame (dimension-sized).
+      val docs = Tables.documents(s, d)
+      val occ = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("occ"))
+      val freq = docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = docs
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("t"))
+      val contrib = occ.join(broadcast(freq), Seq("token"))
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("occ"),
+          (col("occ") * floor(log(col("t").cast("double")
+            / col("cnt").cast("double")) * 1e6).cast("long")).as("c_e6"))
+      val per = contrib.groupBy("source")
+        .agg(sum("occ").as("n_tokens"), sum("c_e6").as("sum_e6"))
+        .withColumn("diff_e6", expr("sum_e6 div n_tokens"))
+      val w = Window.orderBy(col("diff_e6"), col("source"))
+      val n = per.agg(count(lit(1)).as("n_src"))
+      per.crossJoin(broadcast(n))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("phase", expr("(rk - 1) * 3 div n_src + 1"))
+        .select(col("source"), col("n_tokens"), col("diff_e6"),
+          col("rk"), col("phase"))
+        .orderBy("rk")
+    }),
+
     "text_lang_stats" -> ((s, d) =>
       Tables.documents(s, d)
         .groupBy("lang", "source")
@@ -1788,6 +1829,34 @@ object LlmText extends OpModule {
         .orderBy("canonical")
     }),
 
+    "sample_dedup_aware" -> ((s, d) => {
+      // Dedup-aware sampling weights (r10): instead of DROPPING
+      // near-duplicates, downweight each doc by its near-dup cluster
+      // size (w = 1/|cluster| — every cluster contributes one doc's
+      // worth of sampling mass; the soft alternative to hard dedup
+      // that keeps rare-variant coverage). Emits the per-lang ledger
+      // a sampler consumes: docs, clusters touched, total ×10⁴
+      // weight mass, largest cluster. Weights are EXACT scaled
+      // integers (10⁴ div size — a 1/size double would sum in
+      // partition order); composes the graded component labels on
+      // their doc_id < 1000 universe (the gated pair-graph
+      // convention). Scale shape: the component labels' cost plus a
+      // |clusters| rollup and one broadcast size join.
+      val comps = queries("dedup_components")(s, d)
+      val sizes = comps.groupBy("canonical").agg(count(lit(1)).as("csz"))
+      val langs = Tables.documents(s, d)
+        .select(col("doc_id").as("l_id"), col("lang"))
+      comps.join(broadcast(sizes), Seq("canonical"))
+        .join(langs, col("doc_id") === col("l_id"))
+        .withColumn("w_e4", expr("10000 div csz"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("canonical").as("n_clusters"),
+          sum("w_e4").as("sum_w_e4"),
+          max("csz").as("max_cluster"))
+        .orderBy("lang")
+    }),
+
     "dedup_methods_agreement" -> ((s, d) => {
       // Method-agreement matrix across the three near-dup detectors
       // (minhash-LSH, shingle-simhash, exact ngram-Jaccard): diagonal
@@ -2302,6 +2371,38 @@ object LlmText extends OpModule {
         |  round(z / ztot, 4) AS weight,
         |  round(1e6 * (z / ztot) / n_tokens, 4) AS eff_epochs
         |FROM z, tot ORDER BY source""".stripMargin,
+
+    "mix_curriculum_order" ->
+      """WITH occ AS (
+        |  SELECT source, token, count(*) AS occ FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |freq AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |total AS (
+        |  SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+        |  FROM documents),
+        |contrib AS (
+        |  SELECT o.source, o.occ,
+        |    o.occ * CAST(floor(ln(CAST(t AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS c_e6
+        |  FROM occ o JOIN freq USING (token) CROSS JOIN total),
+        |per AS (
+        |  SELECT source, CAST(sum(occ) AS BIGINT) AS n_tokens,
+        |    CAST(sum(c_e6) AS BIGINT) AS sum_e6
+        |  FROM contrib GROUP BY source),
+        |ranked AS (
+        |  SELECT source, n_tokens, sum_e6 // n_tokens AS diff_e6,
+        |    CAST(row_number() OVER (ORDER BY sum_e6 // n_tokens, source)
+        |      AS BIGINT) AS rk,
+        |    count(*) OVER () AS n_src
+        |  FROM per)
+        |SELECT source, n_tokens, diff_e6, rk,
+        |  (rk - 1) * 3 // n_src + 1 AS phase
+        |FROM ranked ORDER BY rk""".stripMargin,
 
     "mix_post_dedup_shift" ->
       """WITH pre AS (
@@ -3019,6 +3120,18 @@ s"""SELECT doc_id, lang, bucket FROM (
          |  round(1.0 - qq * qq * qq * qq - 4.0 * p * (qq * qq * qq), 4)
          |    AS theory_rate
          |FROM pq2 ORDER BY bucket""".stripMargin,
+
+    "sample_dedup_aware" ->
+      s"""WITH $ComponentsCtes,
+         |cszs AS (SELECT label, count(*) AS csz FROM l3 GROUP BY label)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT l.label) AS BIGINT) AS n_clusters,
+         |  CAST(sum(10000 // csz) AS BIGINT) AS sum_w_e4,
+         |  CAST(max(csz) AS BIGINT) AS max_cluster
+         |FROM l3 l
+         |JOIN cszs s ON s.label = l.label
+         |JOIN documents d ON d.doc_id = l.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "dedup_rep_select" ->
       s"""WITH $ComponentsCtes,

@@ -201,6 +201,24 @@ object Streams {
       }
   }
 
+  /** Experiment SRM monitor — streaming twin of the graded
+    * `evt_ab_srm` sample-ratio-mismatch check (the health gate an
+    * experiment platform runs CONTINUOUSLY, not nightly: assignment
+    * bugs show up as drifting variant counts long before a readout).
+    * Exact distinct-user variant counts via the dauCounts two-stage
+    * shape: dropDuplicates collapses the stream to first sightings —
+    * state is one tombstone per distinct user, bounded by the
+    * experiment's assigned audience (the cardinality a production SRM
+    * monitor must carry anyway) — then a 2-cell variant count
+    * re-emits per micro-batch in Complete mode. The χ² statistic is
+    * one expression over the two exact counts at read time, exactly
+    * the batch twin's arithmetic.
+    */
+  def srmCounts(events: DataFrame): DataFrame =
+    events.select(col("user_id")).dropDuplicates("user_id")
+      .groupBy(pmod(col("user_id"), lit(2)).as("grp"))
+      .agg(count(lit(1)).as("n"))
+
   /** Daily active users — streaming twin of `evt_active_users`' DAU
     * side. Exact distinct-per-window via the standard two-stage shape:
     * watermarked dedup on (user, day) collapses the stream to first

@@ -1455,4 +1455,49 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+
+  test("SRM chi-square covers every user and flags consistently") {
+    import org.apache.spark.sql.functions._
+    val r = q("evt_ab_srm").collect().head
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(1) === users)
+    val na = r.getLong(0).toDouble; val nb = r.getLong(1).toDouble
+    val chi2 = (na - nb) * (na - nb) / (na + nb)
+    assert(math.abs(r.getDouble(2) - chi2) < 1e-3)
+    assert(r.getBoolean(3) === (chi2 > 3.841458820694124))
+  }
+
+  test("kNN label accuracy evaluates every bucketed vector once") {
+    val rows = q("embed_knn_label_acc").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "correct bounded by evaluated")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 10000L)
+    }
+    // every vector with at least one bucket co-resident is evaluated
+    // exactly once: n_eval sums to the count of distinct a_ids in the
+    // hard-negative-style candidate universe (labels unrestricted).
+    assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
+  test("dedup-aware weights: each cluster contributes ~one doc of mass") {
+    val rows = q("sample_dedup_aware").collect()
+    val comps = q("dedup_components").collect()
+    assert(rows.map(_.getLong(1)).sum === comps.length.toLong,
+      "every labeled doc carries a weight")
+    rows.foreach { r =>
+      // sum_w_e4 is at most 10^4 per doc and at least 10^4 per cluster
+      assert(r.getLong(3) <= 10000L * r.getLong(1))
+      assert(r.getLong(4) >= 1L)
+    }
+  }
+
+  test("curriculum phases are contiguous in rank and cover all sources") {
+    val rows = q("mix_curriculum_order").collect().sortBy(_.getLong(3))
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    assert(rows.map(_.getLong(3)).toSeq === (1L to rows.length).toSeq)
+    val phases = rows.map(_.getLong(4))
+    assert(phases.head === 1L && phases.last === 3L)
+    phases.sliding(2).foreach(p => assert(p(1) >= p(0), "phases monotone"))
+  }
+
 }

@@ -838,6 +838,41 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("round-10 fifth-batch operators keep their scale shapes") {
+    // evt_ab_srm: distinct + rollup, no window, no cartesian.
+    val srm = treeString(q("evt_ab_srm"))
+    assert(srm.contains("partial_"),
+      s"evt_ab_srm lost its partial aggregation:\n$srm")
+    assert(!srm.contains("windowspecdefinition") &&
+      !srm.contains("CartesianProduct"),
+      s"evt_ab_srm grew a window or cartesian:\n$srm")
+    // embed_knn_label_acc: per-vector rank windows only (a_id), no
+    // cartesian — candidates stay bucket equi-join shaped.
+    val acc = treeString(q("embed_knn_label_acc"))
+    val aw = acc.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(aw.nonEmpty, s"label-acc rank window missing:\n$acc")
+    aw.foreach(l =>
+      assert(l.contains("a_id"), s"unpartitioned label-acc window: $l"))
+    assert(!acc.contains("CartesianProduct"),
+      s"embed_knn_label_acc planned a cartesian:\n$acc")
+    // mix_curriculum_order: the only window rides the |sources| frame
+    // (dimension-sized); the freq/total scalars broadcast.
+    val cur = treeString(q("mix_curriculum_order"))
+    assert(cur.contains("partial_"),
+      s"mix_curriculum_order lost its partial aggregation:\n$cur")
+    assert(cur.toLowerCase.contains("broadcast"),
+      s"mix_curriculum_order lost its broadcast joins:\n$cur")
+    assert(!cur.contains("CartesianProduct"),
+      s"mix_curriculum_order planned a shuffled cartesian:\n$cur")
+    // sample_dedup_aware: cluster sizes broadcast back; no window.
+    val sda = treeString(q("sample_dedup_aware"))
+    assert(sda.toLowerCase.contains("broadcast"),
+      s"sample_dedup_aware lost its broadcast size join:\n$sda")
+    assert(!sda.contains("windowspecdefinition"),
+      s"sample_dedup_aware grew a window:\n$sda")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()

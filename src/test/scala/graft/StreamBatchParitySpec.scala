@@ -151,6 +151,24 @@ class StreamBatchParitySpec extends SparkSpec {
         s"truth-only=${seqTruth.keySet -- hits.keySet}")
   }
 
+  test("streaming SRM variant counts equal the graded evt_ab_srm audit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(realEvents)
+    runToTable("par_srm", Streams.srmCounts(in.toDF()), "complete")
+    val m = spark.table("par_srm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = SparkEntry.queries("evt_ab_srm")(spark, sf).collect().head
+    assert(m(0L) === b.getLong(0), "variant-0 audience must match")
+    assert(m(1L) === b.getLong(1), "variant-1 audience must match")
+    val (na, nb) = (m(0L).toDouble, m(1L).toDouble)
+    val chi2 = (na - nb) * (na - nb) / (na + nb)
+    assert(math.abs(chi2 - b.getDouble(2)) < 1e-3,
+      "read-time chi-square must reproduce the graded statistic")
+    assert(b.getBoolean(3) === (chi2 > 3.841458820694124))
+  }
+
   test("streaming CDC compaction equals the graded etl_cdc_compact over real events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
