@@ -123,6 +123,65 @@ object Events extends OpModule {
         .withColumn("funnel_done", coalesce(col("funnel_done"), lit(false)))
         .orderBy("user_id")),
 
+    "evt_seq_boundary" -> ((s, d) => {
+      // Group-sequential experiment monitoring (r10): the O'Brien-
+      // Fleming readout an experiment platform prints at each interim
+      // look — the timeline splits into K=4 equal spans, at each look
+      // the CUMULATIVE Welch statistic compares against the OBF
+      // boundary C·√(K/k) (conservative early, nominal at the end —
+      // the spending discipline that makes peeking legal). All
+      // cumulative moments are EXACT integer cents: per-(user, look)
+      // spend rolls up once, a per-user running sum (user-partitioned
+      // window over ≤4 rows) makes cumulative totals, and each
+      // (user, look) row carries a VALIDITY interval [look, next)
+      // joined to the broadcast 4-row look spine — so look k sees
+      // every user's latest total without rescanning events. The
+      // statistic and boundary are fixed-order doubles from exact
+      // integers and the pinned OBF constant. One data-sized rollup;
+      // everything after is |users|·≤4 rows then dimension-sized.
+      val us = unix_micros(col("ts"))
+      val rng = Tables.events(s, d)
+        .agg(min(us).as("lo"), max(us).as("hi"))
+      val per = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .crossJoin(broadcast(rng))
+        .withColumn("off4", (us - col("lo")) * 4)
+        .withColumn("span", col("hi") - col("lo") + 1)
+        .withColumn("look", least(lit(4L), lit(1L) + expr("off4 div span")))
+        .groupBy(col("user_id"), col("look"))
+        .agg((sum(Dec2(col("value"))) * 100).cast("long").as("xc"))
+      val w = Window.partitionBy("user_id").orderBy("look")
+      val cum = per
+        .withColumn("cum_xc", sum("xc").over(w))
+        .withColumn("next_look",
+          coalesce(lead("look", 1).over(w), lit(5L)))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      val spine = s.range(1, 5).select(col("id").as("k"))
+      val m = cum.join(broadcast(spine),
+          col("k") >= col("look") && col("k") < col("next_look"))
+        .groupBy("k", "grp")
+        .agg(count(lit(1)).as("n"), sum("cum_xc").as("sx"),
+          sum(col("cum_xc").cast("decimal(18,0)")
+            * col("cum_xc").cast("decimal(18,0)")).as("sxx"))
+      def side(g: Int, c: String) = max(when(col("grp") === g, col(c)))
+      val wide = m.groupBy("k").agg(
+        side(0, "n").as("na"), side(0, "sx").as("sxa"), side(0, "sxx").as("sxxa"),
+        side(1, "n").as("nb"), side(1, "sx").as("sxb"), side(1, "sxx").as("sxxb"))
+      val (na, nb) = (col("na").cast("double"), col("nb").cast("double"))
+      val (sxa, sxb) = (col("sxa").cast("double"), col("sxb").cast("double"))
+      val (sxxa, sxxb) = (col("sxxa").cast("double"), col("sxxb").cast("double"))
+      val va = (sxxa - sxa * sxa / na) / (na - 1)
+      val vb = (sxxb - sxb * sxb / nb) / (nb - 1)
+      val z = (sxa / na - sxb / nb) / sqrt(va / na + vb / nb)
+      val bound = lit(ObfC4) * sqrt(lit(4.0) / col("k").cast("double"))
+      wide.select(col("k").as("look"),
+          col("na").as("n_a"), col("nb").as("n_b"),
+          round(z, 4).as("z_stat"),
+          round(bound, 4).as("obf_bound"),
+          (abs(z) > bound).as("crossed"))
+        .orderBy("look")
+    }),
+
     "evt_ab_srm" -> ((s, d) => {
       // Sample-ratio-mismatch check (r10): THE first experiment
       // health gate — a 50/50 assignment whose observed variant sizes
@@ -1534,6 +1593,12 @@ object Events extends OpModule {
     * sample-ratio-mismatch gate. */
   private val Chi2Crit95: Double = 3.841458820694124
 
+  /** O'Brien–Fleming group-sequential constant for K = 4 looks at
+    * two-sided α = 0.05 (boundary_k = C·√(K/k), the classic OBF
+    * shape — public tables give C ≈ 2.024 for K = 4): pinned so
+    * evt_seq_boundary renders identical boundaries in both engines. */
+  private val ObfC4: Double = 2.024
+
   val oracles: Map[String, String] = Map(
     "evt_mad_outliers" ->
       """WITH med AS (SELECT event_type,
@@ -2424,6 +2489,60 @@ object Events extends OpModule {
         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  n_pairs, round(CAST(d_lo + d_hi AS DOUBLE) / 200, 4) AS hl_shift
         |FROM counts CROSS JOIN picked""".stripMargin,
+
+    // OBF constant rendered from the same Scala literal; cumulative
+    // moments via the same validity-interval join.
+    "evt_seq_boundary" ->
+      s"""WITH rng AS (
+         |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+         |), per AS (
+         |  SELECT user_id,
+         |    least(4, 1 + (epoch_us(ts) - lo) * 4 // (hi - lo + 1)) AS look,
+         |    CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS xc
+         |  FROM events CROSS JOIN rng
+         |  WHERE event_type = 'purchase'
+         |  GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT user_id, look,
+         |    CAST(sum(xc) OVER (PARTITION BY user_id ORDER BY look) AS BIGINT)
+         |      AS cum_xc,
+         |    coalesce(lead(look, 1) OVER (PARTITION BY user_id ORDER BY look),
+         |      5) AS next_look,
+         |    CAST(user_id % 2 AS BIGINT) AS grp
+         |  FROM per
+         |), m AS (
+         |  SELECT k.k, grp, count(*) AS n, CAST(sum(cum_xc) AS BIGINT) AS sx,
+         |    sum(CAST(cum_xc AS DECIMAL(18,0)) * CAST(cum_xc AS DECIMAL(18,0)))
+         |      AS sxx
+         |  FROM cum JOIN (SELECT unnest(range(1, 5)) AS k) k
+         |    ON k.k >= cum.look AND k.k < cum.next_look
+         |  GROUP BY 1, 2
+         |), wide AS (
+         |  SELECT k,
+         |    max(CASE WHEN grp = 0 THEN n END) AS na0,
+         |    max(CASE WHEN grp = 0 THEN sx END) AS sxa,
+         |    max(CASE WHEN grp = 0 THEN sxx END) AS sxxa,
+         |    max(CASE WHEN grp = 1 THEN n END) AS nb0,
+         |    max(CASE WHEN grp = 1 THEN sx END) AS sxb,
+         |    max(CASE WHEN grp = 1 THEN sxx END) AS sxxb
+         |  FROM m GROUP BY k
+         |), dbl AS (
+         |  SELECT k, na0, nb0,
+         |    CAST(na0 AS DOUBLE) AS na, CAST(nb0 AS DOUBLE) AS nb,
+         |    CAST(sxa AS DOUBLE) AS sxa, CAST(sxxa AS DOUBLE) AS sxxa,
+         |    CAST(sxb AS DOUBLE) AS sxb, CAST(sxxb AS DOUBLE) AS sxxb
+         |  FROM wide
+         |)
+         |SELECT CAST(k AS BIGINT) AS look, na0 AS n_a, nb0 AS n_b,
+         |  round((sxa / na - sxb / nb)
+         |    / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
+         |         + (sxxb - sxb * sxb / nb) / (nb - 1) / nb), 4) AS z_stat,
+         |  round($ObfC4 * sqrt(4.0 / CAST(k AS DOUBLE)), 4) AS obf_bound,
+         |  abs((sxa / na - sxb / nb)
+         |    / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
+         |         + (sxxb - sxb * sxb / nb) / (nb - 1) / nb))
+         |    > $ObfC4 * sqrt(4.0 / CAST(k AS DOUBLE)) AS crossed
+         |FROM dbl ORDER BY look""".stripMargin,
 
     // χ² critical literal rendered from the same Scala constant.
     "evt_ab_srm" ->

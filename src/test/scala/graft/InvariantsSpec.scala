@@ -1500,4 +1500,22 @@ class InvariantsSpec extends SparkSpec {
     phases.sliding(2).foreach(p => assert(p(1) >= p(0), "phases monotone"))
   }
 
+
+  test("sequential looks are cumulative: audiences and boundaries monotone") {
+    val rows = q("evt_seq_boundary").collect().sortBy(_.getLong(0))
+    assert(rows.length === 4)
+    // cumulative cohorts only grow; OBF boundaries only shrink; the
+    // final look must cover every purchasing user (welch's audience).
+    rows.sliding(2).foreach { p =>
+      assert(p(1).getLong(1) >= p(0).getLong(1))
+      assert(p(1).getLong(2) >= p(0).getLong(2))
+      assert(p(1).getDouble(4) <= p(0).getDouble(4))
+    }
+    val welch = q("evt_abtest_welch").collect().head
+    assert(rows.last.getLong(1) === welch.getLong(0))
+    assert(rows.last.getLong(2) === welch.getLong(1))
+    rows.foreach(r =>
+      assert(r.getBoolean(5) === (math.abs(r.getDouble(3)) > r.getDouble(4))))
+  }
+
 }

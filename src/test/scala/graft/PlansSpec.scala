@@ -871,6 +871,17 @@ class PlansSpec extends SparkSpec {
       s"sample_dedup_aware lost its broadcast size join:\n$sda")
     assert(!sda.contains("windowspecdefinition"),
       s"sample_dedup_aware grew a window:\n$sda")
+    // evt_seq_boundary: the cumulative window partitions by user_id
+    // (≤4 rows per user) and the look spine joins via broadcast —
+    // a global window or shuffled spine join would not scale.
+    val sq = treeString(q("evt_seq_boundary"))
+    val sw = sq.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(sw.nonEmpty, s"seq-boundary cumulative window missing:\n$sq")
+    sw.foreach(l =>
+      assert(l.contains("user_id"), s"unpartitioned seq-boundary window: $l"))
+    assert(sq.toLowerCase.contains("broadcast"),
+      s"evt_seq_boundary lost its broadcast joins:\n$sq")
   }
 
   test("flagship entry broadcasts the filtered customer dimension") {
