@@ -172,13 +172,21 @@ object Events extends OpModule {
       val (sxxa, sxxb) = (col("sxxa").cast("double"), col("sxxb").cast("double"))
       val va = (sxxa - sxa * sxa / na) / (na - 1)
       val vb = (sxxb - sxb * sxb / nb) / (nb - 1)
+      // Degenerate-arm guard (r10 advice): an interim look where one
+      // parity arm has ≤1 purchasing user makes va/vb 0/0 → NaN, and
+      // NaN comparison/serialization conventions diverge per engine.
+      // The statistic is UNDEFINED there — emit NULL (both engines
+      // CASE on the same exact integer counts, so they agree by
+      // construction; a missing arm makes na/nb NULL, and NULL > 1
+      // short-circuits the same way).
+      val zOk = col("na") > 1 && col("nb") > 1
       val z = (sxa / na - sxb / nb) / sqrt(va / na + vb / nb)
       val bound = lit(ObfC4) * sqrt(lit(4.0) / col("k").cast("double"))
       wide.select(col("k").as("look"),
           col("na").as("n_a"), col("nb").as("n_b"),
-          round(z, 4).as("z_stat"),
+          round(when(zOk, z), 4).as("z_stat"),
           round(bound, 4).as("obf_bound"),
-          (abs(z) > bound).as("crossed"))
+          when(zOk, abs(z) > bound).as("crossed"))
         .orderBy("look")
     }),
 
@@ -1095,13 +1103,19 @@ object Events extends OpModule {
       val vb = (sxxb - sxb * sxb / nb) / (nb - 1)
       val sea = va / na
       val seb = vb / nb
+      // Degenerate-arm guard (r10 advice): an arm with ≤1 user makes
+      // its variance 0/0 → NaN, and NaN conventions diverge per
+      // engine; the statistic is undefined there — emit NULL, decided
+      // on the same exact integer counts in both engines.
+      val zOk = col("na") > 1 && col("nb") > 1
       wide.select(
         col("na").as("n_a"), col("nb").as("n_b"),
         round(sxa / na / 100, 4).as("mean_a"),
         round(sxb / nb / 100, 4).as("mean_b"),
-        round((sxa / na - sxb / nb) / sqrt(sea + seb), 4).as("t_stat"),
-        round((sea + seb) * (sea + seb) /
-          (sea * sea / (na - 1) + seb * seb / (nb - 1)), 4).as("df"))
+        round(when(zOk, (sxa / na - sxb / nb) / sqrt(sea + seb)), 4)
+          .as("t_stat"),
+        round(when(zOk, (sea + seb) * (sea + seb) /
+          (sea * sea / (na - 1) + seb * seb / (nb - 1))), 4).as("df"))
     }),
 
     "evt_did" -> ((s, d) => {
@@ -1116,6 +1130,11 @@ object Events extends OpModule {
       // integers — engine-identical. One partial-agged shuffle to
       // the 2×2×|types| cell frame; everything after is dimension-
       // sized. At 100 TB the same single aggregation carries it.
+      // Degenerate cells need no guard (r10 advice audit): a missing
+      // (grp, post) cell leaves max(CASE…) NULL, and NULL arithmetic
+      // propagates to a NULL mean/did IDENTICALLY in both engines —
+      // no division can see a 0 or NaN here (present cells have n≥1,
+      // and no variance term exists).
       val cells = Tables.events(s, d)
         .withColumn("grp", pmod(col("user_id"), lit(2)))
         .withColumn("post",
@@ -1178,14 +1197,21 @@ object Events extends OpModule {
       val z = lit(ZSum)
       val mdeC = z * sqrt(va / na + vb / nb)
       val deltaC = sxb / nb * 0.05
+      // Degenerate guards (r10 advice): an arm with ≤1 user makes its
+      // variance 0/0 → NaN; a zero control mean makes mde_rel and the
+      // required-n divide by zero → ±Inf. Both are undefined readouts
+      // — emit NULL, decided on exact integer counts/sums so both
+      // engines agree by construction.
+      val zOk = col("na") > 1 && col("nb") > 1
+      val relOk = zOk && col("sxb") =!= 0
       wide.select(
         col("na").as("n_a"), col("nb").as("n_b"),
         round(sxa / na / 100, 4).as("mean_a"),
         round(sxb / nb / 100, 4).as("mean_b"),
-        round(mdeC / 100, 4).as("mde_abs"),
-        round(mdeC / (sxb / nb), 4).as("mde_rel"),
-        ceil(z * z * (va + vb) / (deltaC * deltaC)).cast("long")
-          .as("n_per_arm_5pct"))
+        round(when(zOk, mdeC / 100), 4).as("mde_abs"),
+        round(when(relOk, mdeC / (sxb / nb)), 4).as("mde_rel"),
+        ceil(when(relOk, z * z * (va + vb) / (deltaC * deltaC)))
+          .cast("long").as("n_per_arm_5pct"))
     }),
 
     "evt_abtest_hl" -> ((s, d) => {
@@ -1278,6 +1304,14 @@ object Events extends OpModule {
       val covn = n * sxy - sx * sy
       val varxn = n * sxx - sx * sx
       val varyn = n * syy - sy * sy
+      // Degenerate-covariate guard (r10 advice): a pre-period where
+      // every user spent the same amount (or a single-user pool) makes
+      // var(X) = 0 → θ = 0/0 NaN, and NaN conventions diverge per
+      // engine. CUPED is undefined without covariate variance — emit
+      // NULL for the adjusted columns (the raw means stay). Decided on
+      // doubles both engines derive identically from exact integers.
+      val adjOk = varxn =!= 0.0
+      val rhoOk = adjOk && varyn =!= 0.0
       val ng = col("ng").cast("double")
       val mxg = col("sxg").cast("double") / ng / 100
       val myg = col("syg").cast("double") / ng / 100
@@ -1285,10 +1319,10 @@ object Events extends OpModule {
         .select(col("grp"), col("ng").as("n_users"),
           round(mxg, 4).as("mean_x"),
           round(myg, 4).as("mean_y"),
-          round(myg - covn / varxn * (mxg - sx / n / 100), 4)
+          round(when(adjOk, myg - covn / varxn * (mxg - sx / n / 100)), 4)
             .as("mean_y_adj"),
-          round(covn / varxn, 4).as("theta"),
-          round(covn * covn / (varxn * varyn), 4).as("rho2"))
+          round(when(adjOk, covn / varxn), 4).as("theta"),
+          round(when(rhoOk, covn * covn / (varxn * varyn)), 4).as("rho2"))
         .orderBy("grp")
     }),
 
@@ -2325,18 +2359,20 @@ object Events extends OpModule {
         |SELECT na0 AS n_a, nb0 AS n_b,
         |  round(sxa / na / 100, 4) AS mean_a,
         |  round(sxb / nb / 100, 4) AS mean_b,
-        |  round((sxa / na - sxb / nb) /
-        |    sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
-        |       + (sxxb - sxb * sxb / nb) / (nb - 1) / nb), 4) AS t_stat,
-        |  round(((sxxa - sxa * sxa / na) / (na - 1) / na
-        |       + (sxxb - sxb * sxb / nb) / (nb - 1) / nb)
-        |      * ((sxxa - sxa * sxa / na) / (na - 1) / na
-        |       + (sxxb - sxb * sxb / nb) / (nb - 1) / nb)
-        |    / ((sxxa - sxa * sxa / na) / (na - 1) / na
-        |        * ((sxxa - sxa * sxa / na) / (na - 1) / na) / (na - 1)
-        |      + (sxxb - sxb * sxb / nb) / (nb - 1) / nb
-        |        * ((sxxb - sxb * sxb / nb) / (nb - 1) / nb) / (nb - 1)), 4)
-        |    AS df
+        |  CASE WHEN na0 > 1 AND nb0 > 1 THEN
+        |    round((sxa / na - sxb / nb) /
+        |      sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
+        |         + (sxxb - sxb * sxb / nb) / (nb - 1) / nb), 4) END AS t_stat,
+        |  CASE WHEN na0 > 1 AND nb0 > 1 THEN
+        |    round(((sxxa - sxa * sxa / na) / (na - 1) / na
+        |         + (sxxb - sxb * sxb / nb) / (nb - 1) / nb)
+        |        * ((sxxa - sxa * sxa / na) / (na - 1) / na
+        |         + (sxxb - sxb * sxb / nb) / (nb - 1) / nb)
+        |      / ((sxxa - sxa * sxa / na) / (na - 1) / na
+        |          * ((sxxa - sxa * sxa / na) / (na - 1) / na) / (na - 1)
+        |        + (sxxb - sxb * sxb / nb) / (nb - 1) / nb
+        |          * ((sxxb - sxb * sxb / nb) / (nb - 1) / nb) / (nb - 1)), 4)
+        |    END AS df
         |FROM dbl""".stripMargin,
 
     "evt_did" ->
@@ -2407,13 +2443,17 @@ object Events extends OpModule {
         |SELECT grp, ng AS n_users,
         |  round(CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE) / 100, 4) AS mean_x,
         |  round(CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE) / 100, 4) AS mean_y,
-        |  round(CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE) / 100
-        |    - (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        |      * (CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE) / 100 - sx / n / 100),
-        |    4) AS mean_y_adj,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS theta,
-        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS rho2
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    round(CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE) / 100
+        |      - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        |        * (CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE) / 100
+        |           - sx / n / 100),
+        |      4) END AS mean_y_adj,
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) END AS theta,
+        |  CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+        |    round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) END AS rho2
         |FROM m CROSS JOIN pool ORDER BY grp""".stripMargin,
 
     // z literal rendered from the SAME Scala constant as the Spark
@@ -2452,11 +2492,15 @@ object Events extends OpModule {
          |SELECT na0 AS n_a, nb0 AS n_b,
          |  round(sxa / na / 100, 4) AS mean_a,
          |  round(sxb / nb / 100, 4) AS mean_b,
-         |  round($ZSum * sqrt(va / na + vb / nb) / 100, 4) AS mde_abs,
-         |  round($ZSum * sqrt(va / na + vb / nb) / (sxb / nb), 4) AS mde_rel,
-         |  CAST(ceil($ZSum * $ZSum * (va + vb)
-         |    / ((sxb / nb * 0.05) * (sxb / nb * 0.05))) AS BIGINT)
-         |    AS n_per_arm_5pct
+         |  CASE WHEN na0 > 1 AND nb0 > 1 THEN
+         |    round($ZSum * sqrt(va / na + vb / nb) / 100, 4) END AS mde_abs,
+         |  CASE WHEN na0 > 1 AND nb0 > 1 AND sxb <> 0 THEN
+         |    round($ZSum * sqrt(va / na + vb / nb) / (sxb / nb), 4)
+         |    END AS mde_rel,
+         |  CASE WHEN na0 > 1 AND nb0 > 1 AND sxb <> 0 THEN
+         |    CAST(ceil($ZSum * $ZSum * (va + vb)
+         |      / ((sxb / nb * 0.05) * (sxb / nb * 0.05))) AS BIGINT)
+         |    END AS n_per_arm_5pct
          |FROM v""".stripMargin,
 
     "evt_abtest_hl" ->
@@ -2534,14 +2578,16 @@ object Events extends OpModule {
          |  FROM wide
          |)
          |SELECT CAST(k AS BIGINT) AS look, na0 AS n_a, nb0 AS n_b,
-         |  round((sxa / na - sxb / nb)
-         |    / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
-         |         + (sxxb - sxb * sxb / nb) / (nb - 1) / nb), 4) AS z_stat,
+         |  CASE WHEN na0 > 1 AND nb0 > 1 THEN
+         |    round((sxa / na - sxb / nb)
+         |      / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
+         |           + (sxxb - sxb * sxb / nb) / (nb - 1) / nb), 4) END AS z_stat,
          |  round($ObfC4 * sqrt(4.0 / CAST(k AS DOUBLE)), 4) AS obf_bound,
-         |  abs((sxa / na - sxb / nb)
-         |    / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
-         |         + (sxxb - sxb * sxb / nb) / (nb - 1) / nb))
-         |    > $ObfC4 * sqrt(4.0 / CAST(k AS DOUBLE)) AS crossed
+         |  CASE WHEN na0 > 1 AND nb0 > 1 THEN
+         |    abs((sxa / na - sxb / nb)
+         |      / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
+         |           + (sxxb - sxb * sxb / nb) / (nb - 1) / nb))
+         |      > $ObfC4 * sqrt(4.0 / CAST(k AS DOUBLE)) END AS crossed
          |FROM dbl ORDER BY look""".stripMargin,
 
     // χ² critical literal rendered from the same Scala constant.

@@ -96,6 +96,140 @@ class InvariantsSpec extends SparkSpec {
     assert(hKey > 1e-6, f"gkey headroom $hKey%.2e < 1e-6")
   }
 
+  test("mix_curriculum_order difficulty terms keep headroom to the 1e6 floor grid") {
+    // r10 verdict #1: each vocab token contributes floor(1e6·ln(T/cnt))
+    // — ONE ln whose last ulp can differ between JVM Math.log and
+    // DuckDB's libm. A value within ~1 ulp of an integer grid line
+    // flips the floored contribution on a different libc/JDK and fails
+    // the hash silently. Same discipline as the sample_dsir tripwire:
+    // MEASURE the minimum distance to the nearest floor boundary over
+    // the whole vocabulary at both the test and the GRADED SF and
+    // demand ≥5 orders of magnitude more headroom than a last-ulp
+    // disagreement (|x|≈1e7 → ulp ≈ 2e-9).
+    import org.apache.spark.sql.functions._
+    Seq(sf, "/root/testdata/sf0.01").foreach { d =>
+      val docs = Tables.documents(spark, d)
+      val freq = docs.select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = docs
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("t"))
+      val x = freq.crossJoin(broadcast(total))
+        .select((log(col("t").cast("double") / col("cnt").cast("double"))
+          * 1e6).as("x"))
+      val h = x
+        .select(least(col("x") - floor(col("x")),
+          floor(col("x")) + 1 - col("x")).as("dist"))
+        .agg(min("dist")).collect().head.getDouble(0)
+      assert(h > 1e-6, f"$d: curriculum ln floor-grid headroom $h%.2e < 1e-6")
+    }
+  }
+
+  test("text_crossval_ppl per-doc NLL keeps headroom to every round-4 boundary") {
+    // r10 verdict #1 (second sibling): the per-doc held-out NLL is a
+    // position-ordered sum of per-token ln values rounded to 4
+    // decimals — a ≤max-doc-tokens·ulp cross-engine drift only flips
+    // the hash if some doc's raw score sits within ~1e-11 of a .00005
+    // boundary. Measure the minimum boundary distance over every
+    // scored doc at both the test and the GRADED SF (the sample_dsir
+    // tripwire pattern).
+    import org.apache.spark.sql.functions._
+    Seq(sf, "/root/testdata/sf0.01").foreach { d =>
+      val docs = Tables.documents(spark, d)
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val evToks = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      val freq = train
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val tv = train
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("t"))
+        .crossJoin(broadcast(freq.agg(count(lit(1)).as("v"))))
+      val raw = evToks.join(broadcast(freq), Seq("token"), "left")
+        .crossJoin(broadcast(tv))
+        .select(col("doc_id"), col("pos"),
+          log((col("t") + col("v")).cast("double")
+            / (coalesce(col("cnt"), lit(0L)) + 1).cast("double")).as("lnv"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sort_array(collect_list(struct(col("pos"), col("lnv")))).as("ls"))
+        .select((aggregate(col("ls"), lit(0.0), (a, e) => a + e.getField("lnv"))
+          / col("n_tokens").cast("double")).as("nll"))
+      val h = raw
+        .select(abs(abs(col("nll")) * 1e4
+          - floor(abs(col("nll")) * 1e4) - 0.5).as("dist"))
+        .agg(min("dist")).collect().head.getDouble(0)
+      assert(h > 1e-6, f"$d: crossval ppl round-4 headroom $h%.2e < 1e-6")
+    }
+  }
+
+  test("degenerate-arm experiment stats emit NULL, never NaN/Inf") {
+    // r10 verdict #2: build a fixture where parity arm 1 has exactly
+    // ONE purchasing user and every user's PRE-period spend is
+    // identical — the two degeneracy classes the Welch/CUPED family
+    // can hit (0/0 variance, zero covariate variance). The guarded
+    // operators must emit NULL for the undefined statistics (both
+    // engines CASE on the same exact integers, so NULL agreement is
+    // by construction — this test proves the Spark side takes the
+    // guard and that no NaN/Inf survives to serialization).
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-degenerate-arm").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // Arm 0 (even ids): 3 purchasing users; arm 1 (odd ids): ONE (id 1).
+    // Every user's single pre-cut (2024-01-16) purchase is 10.00.
+    val rows = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 0L, "purchase", 10.0, "{}"),
+      (2L, ts("2024-01-20 00:00:00"), 0L, "purchase", 7.5, "{}"),
+      (3L, ts("2024-01-11 00:00:00"), 2L, "purchase", 10.0, "{}"),
+      (4L, ts("2024-01-21 00:00:00"), 2L, "purchase", 3.25, "{}"),
+      (5L, ts("2024-01-12 00:00:00"), 4L, "purchase", 10.0, "{}"),
+      (6L, ts("2024-01-13 00:00:00"), 1L, "purchase", 10.0, "{}"),
+      (7L, ts("2024-01-22 00:00:00"), 1L, "purchase", 5.0, "{}"),
+      (8L, ts("2024-01-05 00:00:00"), 3L, "view", 0.0, "{}"),
+      (9L, ts("2024-01-30 00:00:00"), 5L, "view", 0.0, "{}"))
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def assertFinite(name: String): Seq[org.apache.spark.sql.Row] = {
+      val out = SparkEntry.queries(name)(spark, dir).collect().toSeq
+      out.foreach { r =>
+        (0 until r.length).foreach { i =>
+          r.get(i) match {
+            case d: java.lang.Double =>
+              assert(!d.isNaN && !d.isInfinite,
+                s"$name col $i leaked ${d.doubleValue()}")
+            case _ => ()
+          }
+        }
+      }
+      out
+    }
+    // Welch t / df undefined with a 1-user arm.
+    val welch = assertFinite("evt_abtest_welch")
+    assert(welch.head.isNullAt(4) && welch.head.isNullAt(5),
+      "welch t_stat/df must be NULL with a 1-user arm")
+    // MDE family undefined with a 1-user arm.
+    val mde = assertFinite("evt_power_mde")
+    assert(mde.head.isNullAt(4) && mde.head.isNullAt(5) && mde.head.isNullAt(6),
+      "mde_abs/mde_rel/n_per_arm must be NULL with a 1-user arm")
+    // Sequential z undefined at every look (arm b never exceeds 1 user).
+    val seq = assertFinite("evt_seq_boundary")
+    assert(seq.nonEmpty)
+    seq.foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(5),
+        s"look ${r.getLong(0)}: z_stat/crossed must be NULL with a 1-user arm")
+    }
+    // CUPED adjustment undefined with zero covariate variance
+    // (every user's pre-period spend is the same 10.00).
+    val cuped = assertFinite("evt_cuped")
+    cuped.foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6),
+        s"grp ${r.get(0)}: mean_y_adj/theta/rho2 must be NULL at var(X)=0")
+    }
+  }
+
   test("dedup_incremental partitions the new batch and agrees with the batch pair graph") {
     // (survivors ∪ dropped) must partition the new batch, and the
     // drop decision must equal what the GRADED batch dedup would
