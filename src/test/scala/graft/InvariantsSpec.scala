@@ -163,6 +163,28 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sim_ndcg_eval is bounded, complete, and DCG never exceeds the ideal") {
+    // nDCG ∈ [0, 1] by construction (DCG of any retrieved ordering
+    // cannot beat the ideal ordering over the same relevance
+    // universe), every path×query cell must be present (the spine
+    // contract), and no path retrieves more than its k.
+    val rows = q("sim_ndcg_eval").collect()
+    assert(rows.length === 4 * 10, s"spine must be 4 paths × 10 queries, got ${rows.length}")
+    assert(rows.map(_.getString(0)).distinct.sorted.toSeq ===
+      Seq("hamming", "ivf", "lsh", "pq"))
+    rows.foreach { r =>
+      val (path, nRet, dcg, idcg) =
+        (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(nRet <= 5, s"$path retrieved $nRet > k")
+      assert(dcg >= 0.0 && dcg <= idcg + 1e-9,
+        s"$path q=${r.getLong(1)}: dcg $dcg outside [0, idcg=$idcg]")
+      if (!r.isNullAt(5)) {
+        val ndcg = r.getDouble(5)
+        assert(ndcg >= 0.0 && ndcg <= 1.0, s"$path ndcg $ndcg out of [0,1]")
+      }
+    }
+  }
+
   test("degenerate-arm experiment stats emit NULL, never NaN/Inf") {
     // r10 verdict #2: build a fixture where parity arm 1 has exactly
     // ONE purchasing user and every user's PRE-period spend is

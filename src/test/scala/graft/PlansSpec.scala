@@ -343,6 +343,23 @@ class PlansSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("sim_ndcg_eval persists the tier universe once and broadcasts the ideal DCG") {
+    // The graded-relevance universe (10·|V| pairs) must be read from
+    // the persist scope by BOTH consumers (ideal ranking + retrieved
+    // join) instead of recomputing the brute cosine scan per path,
+    // and the |Q|-row ideal-DCG table must broadcast onto the
+    // path×query spine; no path's candidate join may degenerate to a
+    // cartesian over the universe.
+    scopedPlan(graft.operators.LlmSim.ndcgBody(spark, sf)) { plan =>
+      assert(plan.contains("InMemoryTableScan"),
+        s"tier universe is not read from the persist scope:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"ideal DCG table is not broadcast onto the spine:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"a retrieval path degenerated to a cartesian:\n$plan")
+    }
+  }
+
   test("sim_knn_mips broadcasts the query elements") {
     val plan = treeString(q("sim_knn_mips"))
     assert(plan.contains("BroadcastExchange") ||
