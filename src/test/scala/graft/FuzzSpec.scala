@@ -272,6 +272,72 @@ class FuzzSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     (df, sql)
   }
 
+  /** Duplicate-order-key window mode (r11, r10 verdict #6): frames
+    * over NON-unique order keys — RANGE vs ROWS tie semantics and
+    * ignoreNulls corners are exactly where engines disagree — in the
+    * two formulations that stay deterministic under ties:
+    *  (a) peer-inclusive RANGE frames and the rank family ordered by
+    *      the duplicate key ALONE (ties are peers: every frame bound
+    *      and rank value is tie-order-free by definition), sums
+    *      routed through DECIMAL so peer-set aggregation order cannot
+    *      show either;
+    *  (b) ROWS frames, lag, and first/last_value-ignoreNulls ordered
+    *      by (dup key, unique key) — the evt_pit_features value-frame
+    *      discipline: a full tiebreak pins the row sequence, so
+    *      position-based frames are well-defined.
+    * The final ORDER BY rides (partition, unique key) — a total
+    * order — so the row-for-row compare is itself tie-free. */
+  private def dupWinCase(r: Random, t: Table): (DataFrame, String) = {
+    import org.apache.spark.sql.expressions.Window
+    val p = predicate(r, t)
+    val part = baseCol(r, t, "str").name
+    val uk = t.uniqueKey.head
+    val m = pick(r, Seq(3L, 5L, 7L, 11L))
+    val dup = pmod(col(uk), lit(m))
+    val dupSql = s"pmod($uk, $m)"
+    val eL = numExpr(r, t, 1)
+    val eDec = eL.dsl.cast("decimal(18,6)")
+    val eDecSql = s"CAST(${eL.sql} AS DECIMAL(18,6))"
+    val nv = nullableExpr(r, t)
+    val wPeer = Window.partitionBy(col(part)).orderBy(dup)
+    val wPeerSql = s"PARTITION BY $part ORDER BY $dupSql"
+    val wPin = Window.partitionBy(col(part)).orderBy(dup, col(uk))
+    val wPinSql = s"PARTITION BY $part ORDER BY $dupSql, $uk"
+    val fns: Seq[(Column, String)] = Seq(
+      (rank().over(wPeer), s"rank() OVER ($wPeerSql)"),
+      (dense_rank().over(wPeer), s"dense_rank() OVER ($wPeerSql)"),
+      (sum(eDec).over(
+        wPeer.rangeBetween(Window.unboundedPreceding, Window.currentRow)),
+        s"sum($eDecSql) OVER ($wPeerSql RANGE BETWEEN UNBOUNDED PRECEDING " +
+          "AND CURRENT ROW)"),
+      (count(lit(1)).over(wPeer.rangeBetween(-2L, 2L)),
+        s"count(*) OVER ($wPeerSql RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)"),
+      (min(eDec).over(wPeer.rangeBetween(Window.currentRow, 3L)),
+        s"min($eDecSql) OVER ($wPeerSql RANGE BETWEEN CURRENT ROW " +
+          "AND 3 FOLLOWING)"),
+      (sum(eDec).over(wPin.rowsBetween(-2L, Window.currentRow)),
+        s"sum($eDecSql) OVER ($wPinSql ROWS BETWEEN 2 PRECEDING " +
+          "AND CURRENT ROW)"),
+      (lag(eDec, 1).over(wPin), s"lag($eDecSql, 1) OVER ($wPinSql)"),
+      (first(nv.dsl, ignoreNulls = true).over(
+        wPin.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        s"first_value(${nv.sql}, true) OVER ($wPinSql ROWS BETWEEN " +
+          "UNBOUNDED PRECEDING AND CURRENT ROW)"),
+      (last(nv.dsl, ignoreNulls = true).over(
+        wPin.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        s"last_value(${nv.sql}, true) OVER ($wPinSql ROWS BETWEEN " +
+          "UNBOUNDED PRECEDING AND CURRENT ROW)"))
+    val chosen = r.shuffle(fns).take(1 + r.nextInt(3)).zipWithIndex
+      .map { case ((d, s), i) => (d.as(s"w$i"), s"$s AS w$i", s"w$i") }
+    val df = spark.table(s"fz_${t.name}").filter(p.dsl)
+      .select(Seq(col(part), col(uk)) ++ chosen.map(_._1): _*)
+      .orderBy(col(part).asc_nulls_last, col(uk).asc)
+    val sql = s"SELECT $part, $uk, ${chosen.map(_._2).mkString(", ")} " +
+      s"FROM fz_${t.name} WHERE ${p.sql} " +
+      s"ORDER BY $part ASC NULLS LAST, $uk ASC"
+    (df, sql)
+  }
+
   /** Join-mode: random filters on both sides of the lineitem⋈orders
     * orderkey join, random join type (incl. semi/anti), aggregated to
     * a one-row summary — exercises the join surface the other three
@@ -554,6 +620,18 @@ class FuzzSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   // the last §2.7 corners outside the harness; disjoint seed range.
   test("lateral/pivot fuzz: seeds 300..329") {
     (300 until 330).foreach(checkLateralPivot)
+  }
+
+  // 30 seeded duplicate-order-key window cases (r11, r10 verdict #6);
+  // disjoint seed range so every earlier block stays reproducible.
+  test("duplicate-order-key window fuzz: seeds 330..359") {
+    views
+    (330 until 360).foreach { seed =>
+      val r = new Random(seed)
+      val t = pick(r, tables.filter(_.uniqueKey.nonEmpty))
+      val (df, sql) = dupWinCase(r, t)
+      assertAgree(seed, df, sql)
+    }
   }
 
   // ---- hazard-class fixtures (the classes that motivated the suite) --
