@@ -1,0 +1,94 @@
+package graft
+
+/** Generic 100 TB-shape sweep over EVERY graded query (r11, r10
+  * verdict #9): PlansSpec locks ~75 flagship shapes in detail; this
+  * suite closes the remaining gap with the two invariants that hold
+  * for ALL 306 graded queries, so a planner regression ANYWHERE fails
+  * `sbt test` instead of a future bench:
+  *
+  *  1. No query may plan a shuffled CartesianProduct. (Gated
+  *     cross-pair universes are fine — they plan as
+  *     BroadcastNestedLoopJoin over a broadcast gated side, which is
+  *     exactly the shape that scales; a CartesianProduct means BOTH
+  *     sides shuffle everywhere.)
+  *  2. Every window function must be partitioned, except the
+  *     explicitly whitelisted queries whose global windows ride
+  *     provably bounded frames (dimension-sized or gate-bounded —
+  *     each listed with its bound below). A new unpartitioned window
+  *     anywhere else is the classic single-partition scale killer.
+  *
+  * Plans are inspected WITHOUT executing (queryExecution.executedPlan
+  * before any action): cartesians and window specs are structural,
+  * not AQE-dependent. scopedPersist queries eagerly materialize at
+  * construction and return a checkpoint scan — their inner shapes are
+  * locked on factored bodies in PlansSpec; here they simply pass
+  * (their terminal plan has no window/cartesian), and their
+  * construction doubles as a smoke run.
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries whose global (unpartitioned) windows ride bounded frames
+    * — the bound is the invariant; anything NOT listed here must
+    * partition every window. */
+  private val boundedGlobalWindows: Map[String, String] = Map(
+    "etl_backfill_plan" -> "|missing days| rows (gap spine)",
+    "etl_ttl_purge_plan" -> "|distinct days| rows (age ledger)",
+    "text_zipf" -> "top-50 vocabulary frame",
+    "mix_curriculum_order" -> "|sources| rank frame",
+    "win_mom_growth" -> "monthly grain — ~|months| rows",
+    "evt_abtest_hl" -> "gated <=2,500-pair HL median (user_id < 100)",
+    "agg_gini" -> "two-phase bucket offsets — |buckets| frame, never |customers|",
+    "agg_ks_test" -> "two-phase bucket offsets — |buckets| frame")
+
+  /** Window specs whose argument list starts with a sort column (no
+    * partition columns before the ordering) — the single-partition
+    * shape. */
+  private def unpartitionedSpecs(plan: String): Seq[String] =
+    plan.split("windowspecdefinition\\(").drop(1).toSeq
+      .map(_.takeWhile(_ != '\n'))
+      .filter { spec =>
+        val head = spec.split(",").head
+        head.contains(" ASC") || head.contains(" DESC")
+      }
+
+  test("no graded query plans a shuffled CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning shuffled cartesians: ${offenders.mkString(", ")}")
+  }
+
+  test("every window is partitioned unless its global frame is provably bounded") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (boundedGlobalWindows.contains(name)) None
+        else {
+          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          val bad = unpartitionedSpecs(plan)
+          if (bad.nonEmpty) Some(s"$name: ${bad.head.take(120)}") else None
+        }
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned windows outside the bounded whitelist:\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("whitelisted global windows still exist where declared") {
+    // The whitelist must not rot: if a listed query no longer plans
+    // any global window (e.g. it was reshaped), the entry should be
+    // removed so the sweep stays tight.
+    val stale = boundedGlobalWindows.keys.toSeq.sorted.filter { name =>
+      SparkEntry.queries.get(name).forall { fn =>
+        unpartitionedSpecs(
+          fn(spark, sf).queryExecution.executedPlan.toString).isEmpty
+      }
+    }
+    assert(stale.isEmpty,
+      s"whitelist entries with no global window (remove them): ${stale.mkString(", ")}")
+  }
+}
