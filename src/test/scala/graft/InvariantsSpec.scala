@@ -22,7 +22,8 @@ class InvariantsSpec extends SparkSpec {
       "graph_label_propagation", "evt_absorb_prob",
       "graph_bfs_layers", "evt_markov_attrib",
       "text_ccnet_buckets", "graph_modularity",
-      "sim_knn_ivfpq", "dedup_semdedup", "embed_matryoshka_eval").foreach { name =>
+      "sim_knn_ivfpq", "dedup_semdedup", "embed_matryoshka_eval",
+      "sim_ndcg_eval").foreach { name =>
       q(name).count()
       assert(org.apache.spark.sql.CacheProbe.isEmpty(spark),
         s"$name left cached plans in the CacheManager")
