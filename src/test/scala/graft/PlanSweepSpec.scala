@@ -53,25 +53,28 @@ class PlanSweepSpec extends SparkSpec {
         head.contains(" ASC") || head.contains(" DESC")
       }
 
-  test("no graded query plans a shuffled CartesianProduct") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+  /** Every graded query's physical plan string, computed ONCE —
+    * scopedPersist queries execute at construction, so per-test
+    * recomputation would triple the suite's wall-clock. */
+  private lazy val plans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
+
+  test("no graded query plans a shuffled CartesianProduct") {
+    val offenders =
+      plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
     assert(offenders.isEmpty,
       s"queries planning shuffled cartesians: ${offenders.mkString(", ")}")
   }
 
   test("every window is partitioned unless its global frame is provably bounded") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        if (boundedGlobalWindows.contains(name)) None
-        else {
-          val plan = fn(spark, sf).queryExecution.executedPlan.toString
-          val bad = unpartitionedSpecs(plan)
-          if (bad.nonEmpty) Some(s"$name: ${bad.head.take(120)}") else None
-        }
+    val offenders = plans.flatMap { case (name, plan) =>
+      if (boundedGlobalWindows.contains(name)) None
+      else {
+        val bad = unpartitionedSpecs(plan)
+        if (bad.nonEmpty) Some(s"$name: ${bad.head.take(120)}") else None
+      }
     }
     assert(offenders.isEmpty,
       "unpartitioned windows outside the bounded whitelist:\n" +
@@ -82,11 +85,9 @@ class PlanSweepSpec extends SparkSpec {
     // The whitelist must not rot: if a listed query no longer plans
     // any global window (e.g. it was reshaped), the entry should be
     // removed so the sweep stays tight.
+    val planMap = plans.toMap
     val stale = boundedGlobalWindows.keys.toSeq.sorted.filter { name =>
-      SparkEntry.queries.get(name).forall { fn =>
-        unpartitionedSpecs(
-          fn(spark, sf).queryExecution.executedPlan.toString).isEmpty
-      }
+      planMap.get(name).forall(p => unpartitionedSpecs(p).isEmpty)
     }
     assert(stale.isEmpty,
       s"whitelist entries with no global window (remove them): ${stale.mkString(", ")}")
