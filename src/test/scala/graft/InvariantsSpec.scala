@@ -67,34 +67,38 @@ class InvariantsSpec extends SparkSpec {
     // corpus and demands 5 orders of magnitude more headroom than the
     // worst plausible libm disagreement (~1e-11 absolute over a
     // ≤200-term sum), so a data or JDK change that erodes the margin
-    // fails HERE before it can flip a driver hash.
+    // fails HERE before it can flip a driver hash. r11: runs at the
+    // GRADED sf0.01 too, uniform with the curriculum/crossval
+    // tripwires below.
     import org.apache.spark.sql.functions._
-    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
-    val toks = Tables.documents(spark, sf)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .join(docs, "doc_id")
-    val voc = toks.groupBy("token")
-      .agg(count(lit(1)).as("cc"),
-        count(when(col("lang") === "en", 1)).as("ct"))
-    val tot = voc.agg(sum("cc").as("nc"), sum("ct").as("nt"),
-      count(lit(1)).as("v"))
-    val lw = voc.crossJoin(broadcast(tot))
-      .select(col("token"),
-        log(((col("ct") + 1) * (col("nc") + col("v"))).cast("double")
-          / ((col("cc") + 1) * (col("nt") + col("v"))).cast("double"))
-          .as("lw"))
-    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
-      % lit(1000003L) + 1).cast("double") / lit(1000004.0)
-    val raw = toks.join(lw, "token").groupBy("doc_id")
-      .agg(sum("lw").as("raw"))
-      .withColumn("gkey_raw", col("raw") - log(-log(u)))
-    def headroom(c: String) =
-      raw.select(min(abs(abs(col(c)) * 1e4 - floor(abs(col(c)) * 1e4) - 0.5)))
-        .collect().head.getDouble(0)
-    val hRaw = headroom("raw")
-    val hKey = headroom("gkey_raw")
-    assert(hRaw > 1e-6, f"log_weight headroom $hRaw%.2e < 1e-6")
-    assert(hKey > 1e-6, f"gkey headroom $hKey%.2e < 1e-6")
+    Seq(sf, "/root/testdata/sf0.01").foreach { d =>
+      val docs = Tables.documents(spark, d).select(col("doc_id"), col("lang"))
+      val toks = Tables.documents(spark, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .join(docs, "doc_id")
+      val voc = toks.groupBy("token")
+        .agg(count(lit(1)).as("cc"),
+          count(when(col("lang") === "en", 1)).as("ct"))
+      val tot = voc.agg(sum("cc").as("nc"), sum("ct").as("nt"),
+        count(lit(1)).as("v"))
+      val lw = voc.crossJoin(broadcast(tot))
+        .select(col("token"),
+          log(((col("ct") + 1) * (col("nc") + col("v"))).cast("double")
+            / ((col("cc") + 1) * (col("nt") + col("v"))).cast("double"))
+            .as("lw"))
+      val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L))
+        % lit(1000003L) + 1).cast("double") / lit(1000004.0)
+      val raw = toks.join(lw, "token").groupBy("doc_id")
+        .agg(sum("lw").as("raw"))
+        .withColumn("gkey_raw", col("raw") - log(-log(u)))
+      def headroom(c: String) =
+        raw.select(min(abs(abs(col(c)) * 1e4 - floor(abs(col(c)) * 1e4) - 0.5)))
+          .collect().head.getDouble(0)
+      val hRaw = headroom("raw")
+      val hKey = headroom("gkey_raw")
+      assert(hRaw > 1e-6, f"$d: log_weight headroom $hRaw%.2e < 1e-6")
+      assert(hKey > 1e-6, f"$d: gkey headroom $hKey%.2e < 1e-6")
+    }
   }
 
   test("mix_curriculum_order difficulty terms keep headroom to the 1e6 floor grid") {
