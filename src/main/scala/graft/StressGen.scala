@@ -95,7 +95,18 @@ object StressGen {
     // wrap additionally REVERSE the rotated vector so every copy's
     // point set keeps distinct geometry (a plain k%dim rotation would
     // make copy 64 coincide with copy 0 and inflate the embedding
-    // dedup/ANN duplicate structure 100×).
+    // dedup/ANN duplicate structure 100×). That scheme disambiguates
+    // only up to 2·dim copies (rotate×{plain,reversed}): copy 2·dim
+    // has the same r AND the same reverse branch as copy 0 — fail
+    // LOUDLY rather than silently reintroduce duplicate inflation on
+    // a future >128× leg (r11 advice).
+    val dim = Tables(spark, src, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    require(copies <= 2 * dim,
+      s"embeddings rotation scheme distinguishes at most 2*dim=${2 * dim} " +
+        s"copies; asked for $copies — extend the scheme (e.g. key the " +
+        "reverse branch on (k div dim) parity plus a per-wrap sign flip) " +
+        "before scaling past it")
     write("embeddings",
       scaled("embeddings", Seq("vec_id"))
         .withColumn("r", pmod(col("k"), size(col("embedding"))))

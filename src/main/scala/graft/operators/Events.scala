@@ -162,11 +162,14 @@ object Events extends OpModule {
         .groupBy("k", "grp")
         .agg(count(lit(1)).as("n"), sum("cum_xc").as("sx"),
           sum(col("cum_xc").cast("decimal(18,0)")
-            * col("cum_xc").cast("decimal(18,0)")).as("sxx"))
+            * col("cum_xc").cast("decimal(18,0)")).as("sxx"),
+          min("cum_xc").as("mn"), max("cum_xc").as("mx"))
       def side(g: Int, c: String) = max(when(col("grp") === g, col(c)))
       val wide = m.groupBy("k").agg(
         side(0, "n").as("na"), side(0, "sx").as("sxa"), side(0, "sxx").as("sxxa"),
-        side(1, "n").as("nb"), side(1, "sx").as("sxb"), side(1, "sxx").as("sxxb"))
+        side(1, "n").as("nb"), side(1, "sx").as("sxb"), side(1, "sxx").as("sxxb"),
+        side(0, "mn").as("mna"), side(0, "mx").as("mxa"),
+        side(1, "mn").as("mnb"), side(1, "mx").as("mxb"))
       val (na, nb) = (col("na").cast("double"), col("nb").cast("double"))
       val (sxa, sxb) = (col("sxa").cast("double"), col("sxb").cast("double"))
       val (sxxa, sxxb) = (col("sxxa").cast("double"), col("sxxb").cast("double"))
@@ -178,8 +181,15 @@ object Events extends OpModule {
       // The statistic is UNDEFINED there — emit NULL (both engines
       // CASE on the same exact integer counts, so they agree by
       // construction; a missing arm makes na/nb NULL, and NULL > 1
-      // short-circuits the same way).
-      val zOk = col("na") > 1 && col("nb") > 1
+      // short-circuits the same way). r11 advice widened the guard
+      // to zero POOLED variance: two >1-user arms whose members all
+      // spent identical cents still make √(va/na+vb/nb)=0 — Spark
+      // (non-ANSI) NULLs the division, DuckDB's IEEE doubles emit
+      // ±Inf. Variance is zero iff min==max of the exact integer
+      // cents (overflow-free, unlike comparing n·Σx² to (Σx)² whose
+      // decimal(38)·bigint product can exceed decimal range).
+      val zOk = col("na") > 1 && col("nb") > 1 &&
+        (col("mna") =!= col("mxa") || col("mnb") =!= col("mxb"))
       val z = (sxa / na - sxb / nb) / sqrt(va / na + vb / nb)
       val bound = lit(ObfC4) * sqrt(lit(4.0) / col("k").cast("double"))
       wide.select(col("k").as("look"),
@@ -1091,11 +1101,14 @@ object Events extends OpModule {
       val m = per.groupBy("grp")
         .agg(count(lit(1)).as("n"), sum("xc").as("sx"),
           sum(col("xc").cast("decimal(18,0)") * col("xc").cast("decimal(18,0)"))
-            .as("sxx"))
+            .as("sxx"),
+          min("xc").as("mn"), max("xc").as("mx"))
       def side(g: Int, c: String) = max(when(col("grp") === g, col(c)))
       val wide = m.agg(
         side(0, "n").as("na"), side(0, "sx").as("sxa"), side(0, "sxx").as("sxxa"),
-        side(1, "n").as("nb"), side(1, "sx").as("sxb"), side(1, "sxx").as("sxxb"))
+        side(1, "n").as("nb"), side(1, "sx").as("sxb"), side(1, "sxx").as("sxxb"),
+        side(0, "mn").as("mna"), side(0, "mx").as("mxa"),
+        side(1, "mn").as("mnb"), side(1, "mx").as("mxb"))
       val (na, nb) = (col("na").cast("double"), col("nb").cast("double"))
       val (sxa, sxb) = (col("sxa").cast("double"), col("sxb").cast("double"))
       val (sxxa, sxxb) = (col("sxxa").cast("double"), col("sxxb").cast("double"))
@@ -1106,8 +1119,13 @@ object Events extends OpModule {
       // Degenerate-arm guard (r10 advice): an arm with ≤1 user makes
       // its variance 0/0 → NaN, and NaN conventions diverge per
       // engine; the statistic is undefined there — emit NULL, decided
-      // on the same exact integer counts in both engines.
-      val zOk = col("na") > 1 && col("nb") > 1
+      // on the same exact integer counts in both engines. r11 advice
+      // widened the guard to zero POOLED variance: two >1-user arms
+      // of identical cent totals make √(sea+seb)=0 and the t/df 0/0 —
+      // Spark (non-ANSI) NULLs them, DuckDB emits Inf/NaN. Variance
+      // is zero iff min==max of the exact cents (overflow-free).
+      val zOk = col("na") > 1 && col("nb") > 1 &&
+        (col("mna") =!= col("mxa") || col("mnb") =!= col("mxb"))
       wide.select(
         col("na").as("n_a"), col("nb").as("n_b"),
         round(sxa / na / 100, 4).as("mean_a"),
@@ -2338,7 +2356,8 @@ object Events extends OpModule {
         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
         |), m AS (
         |  SELECT grp, count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
-        |    sum(CAST(xc AS DECIMAL(18,0)) * CAST(xc AS DECIMAL(18,0))) AS sxx
+        |    sum(CAST(xc AS DECIMAL(18,0)) * CAST(xc AS DECIMAL(18,0))) AS sxx,
+        |    min(xc) AS mn, max(xc) AS mx
         |  FROM per GROUP BY grp
         |), wide AS (
         |  SELECT
@@ -2347,23 +2366,28 @@ object Events extends OpModule {
         |    max(CASE WHEN grp = 0 THEN sxx END) AS sxxa,
         |    max(CASE WHEN grp = 1 THEN n END) AS nb0,
         |    max(CASE WHEN grp = 1 THEN sx END) AS sxb,
-        |    max(CASE WHEN grp = 1 THEN sxx END) AS sxxb
+        |    max(CASE WHEN grp = 1 THEN sxx END) AS sxxb,
+        |    max(CASE WHEN grp = 0 THEN mn END) AS mna,
+        |    max(CASE WHEN grp = 0 THEN mx END) AS mxa,
+        |    max(CASE WHEN grp = 1 THEN mn END) AS mnb,
+        |    max(CASE WHEN grp = 1 THEN mx END) AS mxb
         |  FROM m
         |), dbl AS (
         |  SELECT na0, nb0,
         |    CAST(na0 AS DOUBLE) AS na, CAST(nb0 AS DOUBLE) AS nb,
         |    CAST(sxa AS DOUBLE) AS sxa, CAST(sxxa AS DOUBLE) AS sxxa,
-        |    CAST(sxb AS DOUBLE) AS sxb, CAST(sxxb AS DOUBLE) AS sxxb
+        |    CAST(sxb AS DOUBLE) AS sxb, CAST(sxxb AS DOUBLE) AS sxxb,
+        |    (na0 > 1 AND nb0 > 1 AND (mna <> mxa OR mnb <> mxb)) AS z_ok
         |  FROM wide
         |)
         |SELECT na0 AS n_a, nb0 AS n_b,
         |  round(sxa / na / 100, 4) AS mean_a,
         |  round(sxb / nb / 100, 4) AS mean_b,
-        |  CASE WHEN na0 > 1 AND nb0 > 1 THEN
+        |  CASE WHEN z_ok THEN
         |    round((sxa / na - sxb / nb) /
         |      sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
         |         + (sxxb - sxb * sxb / nb) / (nb - 1) / nb), 4) END AS t_stat,
-        |  CASE WHEN na0 > 1 AND nb0 > 1 THEN
+        |  CASE WHEN z_ok THEN
         |    round(((sxxa - sxa * sxa / na) / (na - 1) / na
         |         + (sxxb - sxb * sxb / nb) / (nb - 1) / nb)
         |        * ((sxxa - sxa * sxa / na) / (na - 1) / na
@@ -2557,7 +2581,8 @@ object Events extends OpModule {
          |), m AS (
          |  SELECT k.k, grp, count(*) AS n, CAST(sum(cum_xc) AS BIGINT) AS sx,
          |    sum(CAST(cum_xc AS DECIMAL(18,0)) * CAST(cum_xc AS DECIMAL(18,0)))
-         |      AS sxx
+         |      AS sxx,
+         |    min(cum_xc) AS mn, max(cum_xc) AS mx
          |  FROM cum JOIN (SELECT unnest(range(1, 5)) AS k) k
          |    ON k.k >= cum.look AND k.k < cum.next_look
          |  GROUP BY 1, 2
@@ -2568,22 +2593,27 @@ object Events extends OpModule {
          |    max(CASE WHEN grp = 0 THEN sxx END) AS sxxa,
          |    max(CASE WHEN grp = 1 THEN n END) AS nb0,
          |    max(CASE WHEN grp = 1 THEN sx END) AS sxb,
-         |    max(CASE WHEN grp = 1 THEN sxx END) AS sxxb
+         |    max(CASE WHEN grp = 1 THEN sxx END) AS sxxb,
+         |    max(CASE WHEN grp = 0 THEN mn END) AS mna,
+         |    max(CASE WHEN grp = 0 THEN mx END) AS mxa,
+         |    max(CASE WHEN grp = 1 THEN mn END) AS mnb,
+         |    max(CASE WHEN grp = 1 THEN mx END) AS mxb
          |  FROM m GROUP BY k
          |), dbl AS (
          |  SELECT k, na0, nb0,
          |    CAST(na0 AS DOUBLE) AS na, CAST(nb0 AS DOUBLE) AS nb,
          |    CAST(sxa AS DOUBLE) AS sxa, CAST(sxxa AS DOUBLE) AS sxxa,
-         |    CAST(sxb AS DOUBLE) AS sxb, CAST(sxxb AS DOUBLE) AS sxxb
+         |    CAST(sxb AS DOUBLE) AS sxb, CAST(sxxb AS DOUBLE) AS sxxb,
+         |    (na0 > 1 AND nb0 > 1 AND (mna <> mxa OR mnb <> mxb)) AS z_ok
          |  FROM wide
          |)
          |SELECT CAST(k AS BIGINT) AS look, na0 AS n_a, nb0 AS n_b,
-         |  CASE WHEN na0 > 1 AND nb0 > 1 THEN
+         |  CASE WHEN z_ok THEN
          |    round((sxa / na - sxb / nb)
          |      / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
          |           + (sxxb - sxb * sxb / nb) / (nb - 1) / nb), 4) END AS z_stat,
          |  round($ObfC4 * sqrt(4.0 / CAST(k AS DOUBLE)), 4) AS obf_bound,
-         |  CASE WHEN na0 > 1 AND nb0 > 1 THEN
+         |  CASE WHEN z_ok THEN
          |    abs((sxa / na - sxb / nb)
          |      / sqrt((sxxa - sxa * sxa / na) / (na - 1) / na
          |           + (sxxb - sxb * sxb / nb) / (nb - 1) / nb))

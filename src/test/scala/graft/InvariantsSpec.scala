@@ -300,6 +300,59 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("equal-spend arms (zero pooled variance, n>1) emit NULL, never NaN/Inf") {
+    // r11 advice: the 1-user fixture above misses the OTHER
+    // degeneracy — both arms have >1 purchasing user but every user
+    // spent the identical amount (exact on the cents grid), so
+    // va=vb=0 with na,nb>1 and the Welch t/df and sequential z divide
+    // 0/0. Spark (non-ANSI) NULLs the division; DuckDB's IEEE doubles
+    // emit Inf/NaN — the guard must decide BEFORE the division, on
+    // the exact integer min/max, in both engines.
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-equal-spend-arm").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    // Arm 0 (even ids 0,2,4) and arm 1 (odd ids 1,3): every user's
+    // single purchase is exactly 10.00 — 1000 cents, zero variance
+    // in BOTH arms, means equal, n>1 on both sides.
+    val rows = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 0L, "purchase", 10.0, "{}"),
+      (2L, ts("2024-01-11 00:00:00"), 2L, "purchase", 10.0, "{}"),
+      (3L, ts("2024-01-12 00:00:00"), 4L, "purchase", 10.0, "{}"),
+      (4L, ts("2024-01-13 00:00:00"), 1L, "purchase", 10.0, "{}"),
+      (5L, ts("2024-01-14 00:00:00"), 3L, "purchase", 10.0, "{}"),
+      (6L, ts("2024-01-30 00:00:00"), 5L, "view", 0.0, "{}"))
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def assertFinite(name: String): Seq[org.apache.spark.sql.Row] = {
+      val out = SparkEntry.queries(name)(spark, dir).collect().toSeq
+      out.foreach { r =>
+        (0 until r.length).foreach { i =>
+          r.get(i) match {
+            case d: java.lang.Double =>
+              assert(!d.isNaN && !d.isInfinite,
+                s"$name col $i leaked ${d.doubleValue()}")
+            case _ => ()
+          }
+        }
+      }
+      out
+    }
+    val welch = assertFinite("evt_abtest_welch")
+    assert(welch.head.getLong(0) > 1 && welch.head.getLong(1) > 1,
+      "fixture must put >1 user in each arm")
+    assert(welch.head.isNullAt(4) && welch.head.isNullAt(5),
+      "welch t_stat/df must be NULL at zero pooled variance")
+    val seq = assertFinite("evt_seq_boundary")
+    assert(seq.nonEmpty)
+    seq.foreach { r =>
+      assert(r.isNullAt(3) && r.isNullAt(5),
+        s"look ${r.get(0)}: z_stat/crossed must be NULL at zero pooled variance")
+    }
+  }
+
   test("dedup_incremental partitions the new batch and agrees with the batch pair graph") {
     // (survivors ∪ dropped) must partition the new batch, and the
     // drop decision must equal what the GRADED batch dedup would

@@ -44,13 +44,30 @@ class PlanSweepSpec extends SparkSpec {
 
   /** Window specs whose argument list starts with a sort column (no
     * partition columns before the ordering) — the single-partition
-    * shape. */
+    * shape. The first TOP-LEVEL argument is extracted paren-depth-
+    * aware (r11 advice: a naive split on ',' truncates an ordering
+    * expression that itself contains commas — e.g. pmod(x, 2) ASC →
+    * head "pmod(x" with no " ASC" — and the single-partition shape
+    * the sweep exists to catch escapes detection). */
   private def unpartitionedSpecs(plan: String): Seq[String] =
     plan.split("windowspecdefinition\\(").drop(1).toSeq
       .map(_.takeWhile(_ != '\n'))
       .filter { spec =>
-        val head = spec.split(",").head
-        head.contains(" ASC") || head.contains(" DESC")
+        val head = new StringBuilder
+        var depth = 0
+        var done = false
+        spec.foreach { c =>
+          if (!done) c match {
+            case '(' => depth += 1; head.append(c)
+            case ')' =>
+              if (depth == 0) done = true // the spec's own closing paren
+              else { depth -= 1; head.append(c) }
+            case ',' if depth == 0 => done = true
+            case _ => head.append(c)
+          }
+        }
+        val h = head.toString
+        h.contains(" ASC") || h.contains(" DESC")
       }
 
   /** Every graded query's physical plan string, computed ONCE —
@@ -60,6 +77,21 @@ class PlanSweepSpec extends SparkSpec {
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
+
+  test("spec parser catches comma-bearing unpartitioned orderings") {
+    // The r11-advice escape case: ordered by an expression containing
+    // a comma, no partition columns — must be detected; the same
+    // expression BEHIND a partition column must pass.
+    val bad = "Window [windowspecdefinition(pmod(x#1, 2) ASC NULLS FIRST, " +
+      "specifiedwindowframe(RangeFrame, unboundedpreceding$(), currentrow$()))]"
+    assert(unpartitionedSpecs(bad).nonEmpty,
+      "comma-bearing unpartitioned ordering escaped detection")
+    val ok = "Window [windowspecdefinition(grp#2, pmod(x#1, 2) ASC NULLS " +
+      "FIRST, specifiedwindowframe(RangeFrame, unboundedpreceding$(), " +
+      "currentrow$()))]"
+    assert(unpartitionedSpecs(ok).isEmpty,
+      "partitioned window falsely flagged")
+  }
 
   test("no graded query plans a shuffled CartesianProduct") {
     val offenders =
