@@ -192,6 +192,36 @@ class InvariantsSpec extends SparkSpec {
         .filter(col("sc") =!= col("cell")).count()
       assert(moved === 0L, "sub-split must never move a vector across coarse cells")
     } finally scope.release()
+    // r11 advice: the identity claim rests on EVERY coarse cell being
+    // under the 625 cap at EVERY graded SF, not just the test SF —
+    // k-means cells are unbalanced, and a hot cell reaching the cap
+    // at sf0.01/sf0.1 would silently change dedup_semdedup /
+    // dedup_incremental_embedding outputs vs the flat form locked in
+    // prior rounds. Audit BOTH trained cell structures (the full
+    // ivfTrain cells semdedup pairs on, and the C=8 old-trained cells
+    // the incremental ingest pairs on) per graded directory — the
+    // multi-SF pattern the headroom tripwires use. K_c is computed
+    // from TRAINING members, so the incremental audit counts old
+    // vectors per cell.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { d =>
+      val sc = new graft.operators.PersistScope
+      try {
+        val (_, a) = graft.operators.LlmSim.ivfTrain(spark, d, sc)
+        val hot = a.groupBy("cell").count()
+          .agg(max("count")).collect().head.getLong(0)
+        assert(hot < graft.operators.LlmSim.SubCellTarget,
+          s"$d: hottest ivfTrain cell has $hot members — the graded-SF " +
+            "identity premise (every cell under the 625 cap) broke")
+        val ia = graft.operators.LlmSim.incEmbAssign(spark, d, sc)
+        val hotOld = ia.filter(!(col("vec_id") % 7 === 3))
+          .groupBy("cell").count()
+          .agg(max("count")).collect().head.getLong(0)
+        assert(hotOld < graft.operators.LlmSim.SubCellTarget,
+          s"$d: hottest incremental-index cell has $hotOld old members — " +
+            "the graded-SF identity premise broke")
+      } finally sc.release()
+    }
     val sf1Dir = "/root/repo/tmp-sf1"
     assume(new java.io.File(s"$sf1Dir/embeddings.parquet").exists(),
       "sf1 stress tables not generated on this host")

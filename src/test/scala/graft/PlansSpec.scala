@@ -901,6 +901,44 @@ class PlansSpec extends SparkSpec {
       s"evt_seq_boundary lost its broadcast joins:\n$sq")
   }
 
+  test("subAssign degrades off broadcast when the threshold forbids it") {
+    // r11 verdict #1: the sub-centroid side of subSplit's assignment
+    // join must be SIZE-ESTIMATED, never hint-broadcast — it is
+    // ~|V|/625 rows, tiny at every measured decade but 8 GB+ at a
+    // true 100 TB corpus, where an explicit broadcast() would force
+    // an oversized build instead of degrading to a shuffled
+    // cell-keyed join with AQE skew-splitting. Proof both ways: with
+    // broadcasting forbidden the join plans shuffled (an explicit
+    // hint would override the threshold and still broadcast); with
+    // the default threshold the checkpointed, accurately sized frame
+    // broadcasts at graded scale, so the fast path is intact.
+    import org.apache.spark.sql.functions._
+    val scope = new graft.operators.PersistScope
+    try {
+      val (_, assign) = graft.operators.LlmSim.ivfTrain(spark, sf, scope)
+      val members = assign.select(col("vec_id"), col("cell"), col("embedding"))
+        .withColumn("snrm",
+          graft.functions.GraftFunctions.vecNorm(col("embedding")))
+      val cents = scope.cut(members.groupBy("cell")
+        .agg(min_by(col("embedding"), col("vec_id")).as("seed"))
+        .select(col("cell"), lit(1L).as("sub"),
+          transform(col("seed"), _.cast("double")).as("sc_emb")))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val forbidden =
+        treeString(graft.operators.LlmSim.subAssign(members, cents))
+      assert(!forbidden.contains("BroadcastHashJoin")
+          && !forbidden.contains("BroadcastNestedLoop"),
+        s"sub-assign broadcasts with the threshold off — a hint is back:\n$forbidden")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val auto = treeString(graft.operators.LlmSim.subAssign(members, cents))
+      assert(auto.contains("BroadcastHashJoin"),
+        s"sub-assign stopped broadcasting the tiny centroid frame:\n$auto")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      scope.release()
+    }
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
