@@ -161,18 +161,23 @@ object Graph extends OpModule {
       val n = 25.0
       var r: DataFrame = nations.withColumn("r", lit(1.0 / n))
       var rPrev: DataFrame = r
+      // The rank vector and per-iteration contributions are |N|-bounded
+      // (the fixed 25-nation dimension) — broadcast them explicitly:
+      // their post-aggregate size estimates are unknown, and without
+      // the hint every iteration shuffle-sorted a 25-row frame against
+      // the edge list (caught by the r12 dim-shuffle PlanSweep gate).
       for (_ <- 1 to 5) {
         rPrev = r
-        val contrib = ew.join(r.withColumnRenamed("node", "src2"),
+        val contrib = ew.join(broadcast(r.withColumnRenamed("node", "src2")),
             col("src") === col("src2"))
           .groupBy(col("dst"))
           .agg(sum(col("r") * col("f")).as("contrib"))
-        r = nations.join(contrib, col("node") === col("dst"), "left")
+        r = nations.join(broadcast(contrib), col("node") === col("dst"), "left")
           .select(col("node"),
             round(lit(0.15 / n) + lit(0.85) *
               coalesce(col("contrib"), lit(0.0)), 9).as("r"))
       }
-      r.join(rPrev.select(col("node").as("pnode"), col("r").as("rp")),
+      r.join(broadcast(rPrev.select(col("node").as("pnode"), col("r").as("rp"))),
           col("node") === col("pnode"))
         .select(col("node"), round(col("r"), 6).as("rank"),
           round(abs(col("r") - col("rp")), 9).as("delta"))

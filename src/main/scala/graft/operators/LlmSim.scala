@@ -368,42 +368,59 @@ object LlmSim extends OpModule {
     * plan; everything after is |paths|·|Q| rows. A shorter retrieved
     * list (PQ serves top-3) simply earns 0 at the missing ranks —
     * the standard @k convention. */
-  private[graft] def ndcgBody(s: SparkSession, d: String)(
+  /** Tiered-relevance universe over the gated Q=10 query set (the
+    * sim_knn gated 10·|V| frame), persisted once per scope and joined
+    * by every consumer — shared by [[ndcgBody]] and [[rrfBody]]. */
+  private def tierUniverse(s: SparkSession, d: String,
       scope: PersistScope): DataFrame = {
-      import s.implicits._
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"))
     val n = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       norm(col("embedding")).as("n_nrm"))
-    val tiers = scope.persist(q.join(n, col("q_id") =!= col("n_id"))
+    scope.persist(q.join(n, col("q_id") =!= col("n_id"))
       .withColumn("cos", round(
         dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4))
       .select(col("q_id"), col("n_id"),
         when(col("cos") >= 0.3, 3L).when(col("cos") >= 0.2, 2L)
           .when(col("cos") >= 0.1, 1L).otherwise(0L).as("tier")))
-    def gainOf(t: org.apache.spark.sql.Column) =
-      when(t === 3, 7L).when(t === 2, 3L).when(t === 1, 1L).otherwise(0L)
-    def dcgOf(df: DataFrame, keys: Seq[String], out: String): DataFrame = {
-      val piv = df.groupBy(keys.map(col): _*).agg(
-        count(lit(1)).as("n_ret"),
-        (1 to 5).map(i =>
-          sum(when(col("rk") === i, col("gain")).otherwise(lit(0L)))
-            .as(s"g$i")): _*)
-      piv.withColumn(out,
-        col("g1").cast("double") * lit(NdcgW(0))
-          + col("g2").cast("double") * lit(NdcgW(1))
-          + col("g3").cast("double") * lit(NdcgW(2))
-          + col("g4").cast("double") * lit(NdcgW(3))
-          + col("g5").cast("double") * lit(NdcgW(4)))
-        .drop("g1", "g2", "g3", "g4", "g5")
-    }
+  }
+
+  private def ndcgGain(t: org.apache.spark.sql.Column) =
+    when(t === 3, 7L).when(t === 2, 3L).when(t === 1, 1L).otherwise(0L)
+
+  /** Pivot the ≤5 ranks to columns so the discounted sum is ONE
+    * fixed-order double expression from exact integer gains. */
+  private def dcgPivot(df: DataFrame, keys: Seq[String],
+      out: String): DataFrame = {
+    val piv = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_ret"),
+      (1 to 5).map(i =>
+        sum(when(col("rk") === i, col("gain")).otherwise(lit(0L)))
+          .as(s"g$i")): _*)
+    piv.withColumn(out,
+      col("g1").cast("double") * lit(NdcgW(0))
+        + col("g2").cast("double") * lit(NdcgW(1))
+        + col("g3").cast("double") * lit(NdcgW(2))
+        + col("g4").cast("double") * lit(NdcgW(3))
+        + col("g5").cast("double") * lit(NdcgW(4)))
+      .drop("g1", "g2", "g3", "g4", "g5")
+  }
+
+  /** The ideal ordering's DCG per query over the full gated universe. */
+  private def idealDcg(tiers: DataFrame): DataFrame = {
     val wI = Window.partitionBy("q_id").orderBy(col("tier").desc, col("n_id"))
     val ideal = tiers.withColumn("rk", row_number().over(wI).cast("long"))
-      .filter(col("rk") <= 5).withColumn("gain", gainOf(col("tier")))
-    val idcgT = dcgOf(ideal, Seq("q_id"), "idcg_raw").drop("n_ret")
-    val retr = queries("sim_knn_lsh")(s, d)
+      .filter(col("rk") <= 5).withColumn("gain", ndcgGain(col("tier")))
+    dcgPivot(ideal, Seq("q_id"), "idcg_raw").drop("n_ret")
+  }
+
+  /** Every ANN serving path's retrieved list — (path, q_id, n_id, rk);
+    * each path contributes its own graded plan. */
+  private def annRetrieved(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame =
+    queries("sim_knn_lsh")(s, d)
       .select(lit("lsh").as("path"), col("q_id"), col("n_id"), col("rk"))
       .unionAll(ivfBody(s, d, 4)(scope)
         .select(lit("ivf").as("path"), col("q_id"), col("n_id"), col("rk")))
@@ -413,9 +430,17 @@ object LlmSim extends OpModule {
       .unionAll(queries("sim_knn_hamming")(s, d)
         .select(lit("hamming").as("path"), col("q_id"), col("n_id"),
           col("rk")))
+
+  private[graft] def ndcgBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val tiers = tierUniverse(s, d, scope)
+    val idcgT = idealDcg(tiers)
+    val retr = annRetrieved(s, d)(scope)
       .join(tiers, Seq("q_id", "n_id"))
-      .withColumn("gain", gainOf(col("tier")))
-    val dcgT = dcgOf(retr, Seq("path", "q_id"), "dcg_raw")
+      .withColumn("gain", ndcgGain(col("tier")))
+    val dcgT = dcgPivot(retr, Seq("path", "q_id"), "dcg_raw")
     val spine = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
       .crossJoin(Seq("lsh", "ivf", "pq", "hamming").toDF("path"))
     spine.join(dcgT, Seq("path", "q_id"), "left")
@@ -428,6 +453,62 @@ object LlmSim extends OpModule {
           round(coalesce(col("dcg_raw"), lit(0.0)) / col("idcg_raw"), 4))
           .as("ndcg"))
       .orderBy("path", "q_id")
+  }
+
+  /** Reciprocal-rank-fusion constants (Cormack, Clarke & Buettcher
+    * 2009): the paper's standard k = 60, and the LCM of 61..65 so
+    * every per-rank contribution LCM/(60+rk) is an EXACT integer —
+    * fused scores sum order-independently and compare exactly in
+    * both engines (no double addition whose order a shuffle could
+    * permute). Max fused score = 4 paths · LCM/61 ≈ 3.2e7 — far
+    * inside a long. */
+  private val RrfDen = 495593280L
+
+  /** sim_rrf_fusion (r11 verdict #5): fuse the four ANN paths'
+    * retrieved lists with reciprocal-rank fusion — score(n) =
+    * Σ_paths 1/(60 + rank_path(n)) — and grade the FUSED top-5
+    * against the same persisted tier universe sim_ndcg_eval grades
+    * the individual paths on, so the ensemble's nDCG reads directly
+    * beside the per-path numbers. Scores live on the exact integer
+    * grid (see [[RrfDen]]); fused ranking ties → lower n_id. Scale
+    * shape: the fusion itself is one partial-agged groupBy over
+    * ≤ |paths|·k·|Q| rows and a q_id-partitioned ≤18-row window —
+    * the cost is the four path plans it composes, not re-derives. */
+  private[graft] def rrfBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val tiers = tierUniverse(s, d, scope)
+    val idcgT = idealDcg(tiers)
+    val rrf = annRetrieved(s, d)(scope)
+      .withColumn("contrib", expr(s"$RrfDen div (60 + rk)"))
+      .groupBy("q_id", "n_id")
+      .agg(count(lit(1)).as("n_paths"), sum("contrib").as("rrf_int"))
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("rrf_int").desc, col("n_id"))
+    val fused = rrf.withColumn("rk", row_number().over(wf).cast("long"))
+    val cands = rrf.groupBy("q_id").agg(
+      count(lit(1)).as("n_candidates"),
+      sum(when(col("n_paths") >= 2, 1L).otherwise(0L)).as("n_multi"),
+      max(col("rrf_int")).as("top_rrf_scaled"))
+    val fg = fused.filter(col("rk") <= 5)
+      .join(tiers, Seq("q_id", "n_id"))
+      .withColumn("gain", ndcgGain(col("tier")))
+    val fdcg = dcgPivot(fg, Seq("q_id"), "dcg_raw")
+    val spine = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+    spine.join(cands, Seq("q_id"), "left")
+      .join(fdcg, Seq("q_id"), "left")
+      .join(broadcast(idcgT), Seq("q_id"))
+      .select(col("q_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_multi"), lit(0L)).as("n_multi"),
+        coalesce(col("top_rrf_scaled"), lit(0L)).as("top_rrf_scaled"),
+        coalesce(col("n_ret"), lit(0L)).as("n_retrieved"),
+        round(coalesce(col("dcg_raw"), lit(0.0)), 4).as("dcg"),
+        round(col("idcg_raw"), 4).as("idcg"),
+        when(col("idcg_raw") > 0,
+          round(coalesce(col("dcg_raw"), lit(0.0)) / col("idcg_raw"), 4))
+          .as("ndcg"))
+      .orderBy("q_id")
   }
 
   private[graft] def knnPqBody(s: SparkSession, d: String)(
@@ -1329,6 +1410,8 @@ object LlmSim extends OpModule {
 
     // Persist-scoped; body factored out for the PlansSpec plan lock.
     "sim_ndcg_eval" -> ((s, d) => scopedPersist(ndcgBody(s, d))),
+
+    "sim_rrf_fusion" -> ((s, d) => scopedPersist(rrfBody(s, d))),
 
     "multimodal_decode_hist" -> ((s, d) => {
       // REAL image decode, hash-graded (r7): synthesize a deterministic
@@ -2434,6 +2517,104 @@ object LlmSim extends OpModule {
     (1 to 5).map(i =>
       s"CAST(sum(CASE WHEN rk = $i THEN g ELSE 0 END) AS DOUBLE) * ${NdcgW(i - 1)}")
       .mkString("\n|      + ")
+
+  /** Shared ANN-eval WITH-body (through `tiers`, `idcg`, and the
+    * four-path `retr` union) — the SQL twin of [[tierUniverse]] +
+    * [[idealDcg]] + [[annRetrieved]], interpolated by BOTH the
+    * sim_ndcg_eval and sim_rrf_fusion oracles so the two gradings
+    * share one retrieval chain by construction. */
+  private def annEvalChainSql: String =
+    s"""uq AS (${unnested("q", "vec_id < 10")}),
+       |un AS (${unnested("n", "true")}),
+       |norms AS ($NormsSql),
+       |bscored AS (
+       |  SELECT q_id, n_id, round(sum(uq.v * un.v) / (nq.nrm * nn.nrm), 4) AS cos
+       |  FROM uq JOIN un ON uq.pos = un.pos AND uq.q_id <> un.n_id
+       |  JOIN norms nq ON nq.vec_id = uq.q_id
+       |  JOIN norms nn ON nn.vec_id = un.n_id
+       |  GROUP BY q_id, n_id, nq.nrm, nn.nrm),
+       |tiers AS (
+       |  SELECT q_id, n_id,
+       |    CASE WHEN cos >= 0.3 THEN 3 WHEN cos >= 0.2 THEN 2
+       |         WHEN cos >= 0.1 THEN 1 ELSE 0 END AS tier
+       |  FROM bscored),
+       |ideal AS (
+       |  SELECT q_id, rk,
+       |    CASE tier WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS g
+       |  FROM (
+       |    SELECT q_id, tier,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY tier DESC, n_id) AS rk
+       |    FROM tiers) WHERE rk <= 5),
+       |idcg AS (
+       |  SELECT q_id,
+       |    $dcgSql AS idcg_raw
+       |  FROM ideal GROUP BY q_id),
+       |buckets AS ($BucketsSql),
+       |lshr AS (
+       |  SELECT q_id, n_id, rk FROM (
+       |    SELECT s2.q_id, s2.n_id,
+       |      row_number() OVER (PARTITION BY s2.q_id
+       |        ORDER BY s2.cos DESC, s2.n_id) AS rk
+       |    FROM bscored s2
+       |    JOIN buckets bq ON bq.vec_id = s2.q_id
+       |    JOIN buckets bn ON bn.vec_id = s2.n_id AND bn.bucket = bq.bucket
+       |  ) WHERE rk <= 5),
+       |uall AS (
+       |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |ic0 AS (SELECT vec_id AS cell, pos, v AS c FROM uall WHERE vec_id < 16),
+       |ia1 AS (${kmAssignSql("ic0", u = "uall")}),
+       |ic1 AS (${kmUpdateSql("ia1", u = "uall")}),
+       |ia2 AS (${kmAssignSql("ic1", u = "uall")}),
+       |ic2 AS (${kmUpdateSql("ia2", u = "uall")}),
+       |assign AS (${kmAssignSql("ic2", u = "uall")}),
+       |qtop4 AS (${kmAssignSql("ic2", topn = 4, u = "uall")}),
+       |ivfr AS (
+       |  SELECT q_id, n_id, rk FROM (
+       |    SELECT p.q_id, p.n_id,
+       |      row_number() OVER (PARTITION BY p.q_id
+       |        ORDER BY s3.cos DESC, p.n_id) AS rk
+       |    FROM (SELECT qa.vec_id AS q_id, nb.vec_id AS n_id
+       |          FROM qtop4 qa JOIN assign nb ON qa.cell = nb.cell
+       |            AND qa.vec_id < 10 AND nb.vec_id <> qa.vec_id) p
+       |    JOIN bscored s3 ON s3.q_id = p.q_id AND s3.n_id = p.n_id
+       |  ) WHERE rk <= 5),
+       |$PqCtes,
+       |pcodes AS (SELECT vec_id, m, k FROM best WHERE rn = 1),
+       |dtab AS (SELECT vec_id AS q_id, m, k, dist FROM dists WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT dtab.q_id, pcodes.vec_id,
+       |    CAST(sum(dtab.dist) AS BIGINT) AS adc_dist
+       |  FROM pcodes JOIN dtab ON pcodes.m = dtab.m AND pcodes.k = dtab.k
+       |  WHERE pcodes.vec_id <> dtab.q_id
+       |  GROUP BY dtab.q_id, pcodes.vec_id),
+       |pqr AS (
+       |  SELECT q_id, vec_id AS n_id, rnk AS rk FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rnk
+       |    FROM adc) WHERE rnk <= 3),
+       |hcodes AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN pos <= 32 AND v > 0
+       |      THEN (CAST(1 AS BIGINT) << (pos - 1)) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN pos > 32 AND v > 0
+       |      THEN (CAST(1 AS BIGINT) << (pos - 33)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM uall GROUP BY vec_id),
+       |hamr AS (
+       |  SELECT q_id, n_id, rk FROM (
+       |    SELECT hq.vec_id AS q_id, hn.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY hq.vec_id
+       |        ORDER BY bit_count(xor(hq.lo, hn.lo))
+       |          + bit_count(xor(hq.hi, hn.hi)), hn.vec_id) AS rk
+       |    FROM hcodes hq JOIN hcodes hn
+       |      ON hq.vec_id < 10 AND hn.vec_id <> hq.vec_id
+       |  ) WHERE rk <= 5),
+       |retr AS (
+       |  SELECT 'lsh' AS path, q_id, n_id, rk FROM lshr
+       |  UNION ALL SELECT 'ivf', q_id, n_id, rk FROM ivfr
+       |  UNION ALL SELECT 'pq', q_id, n_id, rk FROM pqr
+       |  UNION ALL SELECT 'hamming', q_id, n_id, rk FROM hamr)""".stripMargin
 
   private val NormsSql =
     """SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM (
@@ -3595,97 +3776,7 @@ object LlmSim extends OpModule {
     // reuse the brute `bscored` cosines (same round-4 values), PQ and
     // Hamming replay their graded-oracle chains.
     "sim_ndcg_eval" ->
-      s"""WITH uq AS (${unnested("q", "vec_id < 10")}),
-         |un AS (${unnested("n", "true")}),
-         |norms AS ($NormsSql),
-         |bscored AS (
-         |  SELECT q_id, n_id, round(sum(uq.v * un.v) / (nq.nrm * nn.nrm), 4) AS cos
-         |  FROM uq JOIN un ON uq.pos = un.pos AND uq.q_id <> un.n_id
-         |  JOIN norms nq ON nq.vec_id = uq.q_id
-         |  JOIN norms nn ON nn.vec_id = un.n_id
-         |  GROUP BY q_id, n_id, nq.nrm, nn.nrm),
-         |tiers AS (
-         |  SELECT q_id, n_id,
-         |    CASE WHEN cos >= 0.3 THEN 3 WHEN cos >= 0.2 THEN 2
-         |         WHEN cos >= 0.1 THEN 1 ELSE 0 END AS tier
-         |  FROM bscored),
-         |ideal AS (
-         |  SELECT q_id, rk,
-         |    CASE tier WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS g
-         |  FROM (
-         |    SELECT q_id, tier,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY tier DESC, n_id) AS rk
-         |    FROM tiers) WHERE rk <= 5),
-         |idcg AS (
-         |  SELECT q_id,
-         |    $dcgSql AS idcg_raw
-         |  FROM ideal GROUP BY q_id),
-         |buckets AS ($BucketsSql),
-         |lshr AS (
-         |  SELECT q_id, n_id, rk FROM (
-         |    SELECT s2.q_id, s2.n_id,
-         |      row_number() OVER (PARTITION BY s2.q_id
-         |        ORDER BY s2.cos DESC, s2.n_id) AS rk
-         |    FROM bscored s2
-         |    JOIN buckets bq ON bq.vec_id = s2.q_id
-         |    JOIN buckets bn ON bn.vec_id = s2.n_id AND bn.bucket = bq.bucket
-         |  ) WHERE rk <= 5),
-         |uall AS (
-         |  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
-         |    CAST(unnest(embedding) AS DOUBLE) AS v
-         |  FROM embeddings),
-         |ic0 AS (SELECT vec_id AS cell, pos, v AS c FROM uall WHERE vec_id < 16),
-         |ia1 AS (${kmAssignSql("ic0", u = "uall")}),
-         |ic1 AS (${kmUpdateSql("ia1", u = "uall")}),
-         |ia2 AS (${kmAssignSql("ic1", u = "uall")}),
-         |ic2 AS (${kmUpdateSql("ia2", u = "uall")}),
-         |assign AS (${kmAssignSql("ic2", u = "uall")}),
-         |qtop4 AS (${kmAssignSql("ic2", topn = 4, u = "uall")}),
-         |ivfr AS (
-         |  SELECT q_id, n_id, rk FROM (
-         |    SELECT p.q_id, p.n_id,
-         |      row_number() OVER (PARTITION BY p.q_id
-         |        ORDER BY s3.cos DESC, p.n_id) AS rk
-         |    FROM (SELECT qa.vec_id AS q_id, nb.vec_id AS n_id
-         |          FROM qtop4 qa JOIN assign nb ON qa.cell = nb.cell
-         |            AND qa.vec_id < 10 AND nb.vec_id <> qa.vec_id) p
-         |    JOIN bscored s3 ON s3.q_id = p.q_id AND s3.n_id = p.n_id
-         |  ) WHERE rk <= 5),
-         |$PqCtes,
-         |pcodes AS (SELECT vec_id, m, k FROM best WHERE rn = 1),
-         |dtab AS (SELECT vec_id AS q_id, m, k, dist FROM dists WHERE vec_id < 10),
-         |adc AS (
-         |  SELECT dtab.q_id, pcodes.vec_id,
-         |    CAST(sum(dtab.dist) AS BIGINT) AS adc_dist
-         |  FROM pcodes JOIN dtab ON pcodes.m = dtab.m AND pcodes.k = dtab.k
-         |  WHERE pcodes.vec_id <> dtab.q_id
-         |  GROUP BY dtab.q_id, pcodes.vec_id),
-         |pqr AS (
-         |  SELECT q_id, vec_id AS n_id, rnk AS rk FROM (
-         |    SELECT q_id, vec_id,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rnk
-         |    FROM adc) WHERE rnk <= 3),
-         |hcodes AS (
-         |  SELECT vec_id,
-         |    CAST(sum(CASE WHEN pos <= 32 AND v > 0
-         |      THEN (CAST(1 AS BIGINT) << (pos - 1)) ELSE 0 END) AS BIGINT) AS lo,
-         |    CAST(sum(CASE WHEN pos > 32 AND v > 0
-         |      THEN (CAST(1 AS BIGINT) << (pos - 33)) ELSE 0 END) AS BIGINT) AS hi
-         |  FROM uall GROUP BY vec_id),
-         |hamr AS (
-         |  SELECT q_id, n_id, rk FROM (
-         |    SELECT hq.vec_id AS q_id, hn.vec_id AS n_id,
-         |      row_number() OVER (PARTITION BY hq.vec_id
-         |        ORDER BY bit_count(xor(hq.lo, hn.lo))
-         |          + bit_count(xor(hq.hi, hn.hi)), hn.vec_id) AS rk
-         |    FROM hcodes hq JOIN hcodes hn
-         |      ON hq.vec_id < 10 AND hn.vec_id <> hq.vec_id
-         |  ) WHERE rk <= 5),
-         |retr AS (
-         |  SELECT 'lsh' AS path, q_id, n_id, rk FROM lshr
-         |  UNION ALL SELECT 'ivf', q_id, n_id, rk FROM ivfr
-         |  UNION ALL SELECT 'pq', q_id, n_id, rk FROM pqr
-         |  UNION ALL SELECT 'hamming', q_id, n_id, rk FROM hamr),
+      s"""WITH $annEvalChainSql,
          |rg AS (
          |  SELECT r.path, r.q_id, r.rk,
          |    CASE t.tier WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS g
@@ -3708,6 +3799,53 @@ object LlmSim extends OpModule {
          |LEFT JOIN dcg d ON d.path = sp.path AND d.q_id = sp.q_id
          |JOIN idcg i ON i.q_id = sp.q_id
          |ORDER BY sp.path, sp.q_id""".stripMargin,
+
+    // Reciprocal-rank fusion of the same four retrieval chains: the
+    // per-rank contributions are EXACT integers (495593280 = lcm(61..65),
+    // so N // (60+rk) divides exactly — no double sum whose order an
+    // engine could permute); fused ranks tie to the lower n_id; the
+    // fused top-5 grades against the same tiers/idcg CTEs.
+    "sim_rrf_fusion" ->
+      s"""WITH $annEvalChainSql,
+         |rrf AS (
+         |  SELECT q_id, n_id, count(*) AS n_paths,
+         |    CAST(sum($RrfDen // (60 + rk)) AS BIGINT) AS rrf_int
+         |  FROM retr GROUP BY q_id, n_id),
+         |fused AS (
+         |  SELECT q_id, n_id, rrf_int,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rrf_int DESC, n_id) AS frk
+         |  FROM rrf),
+         |cands AS (
+         |  SELECT q_id, count(*) AS n_candidates,
+         |    CAST(sum(CASE WHEN n_paths >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_multi,
+         |    max(rrf_int) AS top_rrf_scaled
+         |  FROM rrf GROUP BY q_id),
+         |fg AS (
+         |  SELECT f.q_id, f.frk AS rk,
+         |    CASE t.tier WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END AS g
+         |  FROM fused f JOIN tiers t ON t.q_id = f.q_id AND t.n_id = f.n_id
+         |  WHERE f.frk <= 5),
+         |fdcg AS (
+         |  SELECT q_id, count(*) AS n_ret,
+         |    $dcgSql AS dcg_raw
+         |  FROM fg GROUP BY q_id),
+         |qs AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10)
+         |SELECT qs.q_id,
+         |  CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(c.n_multi, 0) AS BIGINT) AS n_multi,
+         |  CAST(coalesce(c.top_rrf_scaled, 0) AS BIGINT) AS top_rrf_scaled,
+         |  CAST(coalesce(d.n_ret, 0) AS BIGINT) AS n_retrieved,
+         |  round(coalesce(d.dcg_raw, 0.0), 4) AS dcg,
+         |  round(i.idcg_raw, 4) AS idcg,
+         |  CASE WHEN i.idcg_raw > 0 THEN
+         |    round(coalesce(d.dcg_raw, 0.0) / i.idcg_raw, 4) END AS ndcg
+         |FROM qs
+         |LEFT JOIN cands c ON c.q_id = qs.q_id
+         |LEFT JOIN fdcg d ON d.q_id = qs.q_id
+         |JOIN idcg i ON i.q_id = qs.q_id
+         |ORDER BY qs.q_id""".stripMargin,
 
     // Same two-word sign packing; popcount(xor) distances are pure
     // integers on both engines.

@@ -263,6 +263,30 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("sim_rrf_fusion is bounded, complete, and inside the 4-path score ceiling") {
+    // One row per gated query; the fused top-5 can never retrieve
+    // more than its candidate pool; a candidate seen by >= 2 paths is
+    // a subset of the pool; the integer RRF score is capped by all 4
+    // paths ranking the candidate first (4 * LCM/61); DCG <= ideal.
+    val rows = q("sim_rrf_fusion").collect()
+    assert(rows.length === 10, s"spine must be 10 queries, got ${rows.length}")
+    rows.foreach { r =>
+      val (nc, nm, top, nret) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (dcg, idcg) = (r.getDouble(5), r.getDouble(6))
+      assert(nret <= 5 && nret <= nc, s"q=${r.getLong(0)}: retrieved $nret of $nc")
+      assert(nm <= nc, s"q=${r.getLong(0)}: multi-path count exceeds pool")
+      assert(top <= 4L * (495593280L / 61L),
+        s"q=${r.getLong(0)}: fused score $top exceeds the 4-path ceiling")
+      assert(dcg >= 0.0 && dcg <= idcg + 1e-9,
+        s"q=${r.getLong(0)}: dcg $dcg outside [0, idcg=$idcg]")
+      if (!r.isNullAt(7)) {
+        val nd = r.getDouble(7)
+        assert(nd >= 0.0 && nd <= 1.0, s"ndcg $nd out of [0,1]")
+      }
+    }
+  }
+
   test("degenerate-arm experiment stats emit NULL, never NaN/Inf") {
     // r10 verdict #2: build a fixture where parity arm 1 has exactly
     // ONE purchasing user and every user's PRE-period spend is

@@ -27,6 +27,11 @@ package graft
   */
 class PlanSweepSpec extends SparkSpec {
 
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
   private val sf = "/root/testdata/sf0.001"
 
   /** Queries whose global (unpartitioned) windows ride bounded frames
@@ -70,12 +75,65 @@ class PlanSweepSpec extends SparkSpec {
         h.contains(" ASC") || h.contains(" DESC")
       }
 
-  /** Every graded query's physical plan string, computed ONCE —
-    * scopedPersist queries execute at construction, so per-test
-    * recomputation would triple the suite's wall-clock. */
-  private lazy val plans: Seq[(String, String)] =
+  /** Every graded query's physical plan (tree + string), computed
+    * ONCE — scopedPersist queries execute at construction, so
+    * per-test recomputation would triple the suite's wall-clock. */
+  private lazy val physical: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.executedPlan.toString
+      name -> fn(spark, sf).queryExecution.executedPlan
+    }
+
+  private lazy val plans: Seq[(String, String)] =
+    physical.map { case (n, p) => n -> p.toString }
+
+  /** Descend across AQE stage / reused-exchange boundaries (the
+    * PlansSpec deepNodes discipline — TreeNode.collect does not). */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: children.flatMap(nodes)
+  }
+
+  private val DimTables = Set("region", "nation", "supplier")
+
+  /** If this join side is a RAW dimension read — no join / aggregate /
+    * window / generate anywhere in the subtree, every leaf scan one of
+    * the three dimension tables — return the table name. A raw dim
+    * side under a shuffled join is the broadcast-degradation shape:
+    * it should always have planned a broadcast build. (A dim scan
+    * under an aggregate or another join is a composite side — those
+    * may legitimately shuffle.) */
+  private def rawDimSide(side: SparkPlan): Option[String] = {
+    val ns = nodes(side)
+    val composite = ns.exists { n =>
+      val nn = n.nodeName
+      nn.contains("Join") || nn.contains("Aggregate") ||
+        nn.contains("Window") || nn.contains("Generate")
+    }
+    if (composite) None
+    else {
+      val scans = ns.collect { case f: FileSourceScanExec =>
+        DimTables.find(t => f.relation.location.rootPaths
+          .exists(_.toString.contains(s"/$t.parquet")))
+      }
+      if (scans.nonEmpty && scans.forall(_.isDefined)) scans.head else None
+    }
+  }
+
+  /** Shuffled joins whose build-able side is a raw dimension read. */
+  private def dimShuffleJoins(p: SparkPlan): Seq[String] =
+    nodes(p).flatMap {
+      case j: SortMergeJoinExec =>
+        (rawDimSide(j.left).toSeq ++ rawDimSide(j.right).toSeq)
+          .map(t => s"SortMergeJoin over raw $t")
+      case j: ShuffledHashJoinExec =>
+        (rawDimSide(j.left).toSeq ++ rawDimSide(j.right).toSeq)
+          .map(t => s"ShuffledHashJoin over raw $t")
+      case _ => Nil
     }
 
   test("spec parser catches comma-bearing unpartitioned orderings") {
@@ -111,6 +169,44 @@ class PlanSweepSpec extends SparkSpec {
     assert(offenders.isEmpty,
       "unpartitioned windows outside the bounded whitelist:\n" +
         offenders.mkString("\n"))
+  }
+
+  test("no graded query shuffle-joins a raw dimension table") {
+    // r11 verdict #3 (broadcast-degradation gate): an explicit
+    // broadcast() hint that silently degrades — dropped in a
+    // refactor, or re-planned — turns a map-side dimension join into
+    // a full shuffle of the fact side at 100 TB. The structural
+    // invariant: a SortMergeJoin/ShuffledHashJoin may never build
+    // against a RAW read (no join/agg/window between scan and join)
+    // of region/nation/supplier — those always fit a broadcast.
+    val offenders = physical.flatMap { case (name, plan) =>
+      dimShuffleJoins(plan).map(o => s"$name: $o")
+    }
+    assert(offenders.isEmpty,
+      "shuffled joins building a raw dimension side:\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("the dim-shuffle detector fires on a deliberately degraded join") {
+    // Prove the gate can actually catch the regression it exists for:
+    // the same lineitem⋈supplier join WITH the broadcast path available
+    // passes, and with broadcasting forbidden (what a dropped hint
+    // plus a mis-estimate produces) plans an SMJ over the raw supplier
+    // scan that the detector must flag.
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf).select("l_suppkey", "l_quantity")
+    val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_name")
+    def plan() = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .queryExecution.executedPlan
+    assert(dimShuffleJoins(plan()).isEmpty,
+      "healthy broadcast-able join falsely flagged")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hits = dimShuffleJoins(plan())
+      assert(hits.nonEmpty,
+        "detector missed a forced SMJ over the raw supplier table")
+      assert(hits.exists(_.contains("supplier")), s"wrong table named: $hits")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("whitelisted global windows still exist where declared") {

@@ -360,6 +360,29 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("sim_rrf_fusion fuses from the persisted universe with partitioned windows") {
+    // The fused grading must ride the SAME persisted tier universe as
+    // the per-path eval (never re-derive the brute scan), broadcast
+    // the |Q|-row ideal-DCG table onto the query spine, keep the
+    // fusion window partitioned by q_id (≤18 candidates per query),
+    // and no path may degenerate to a cartesian.
+    scopedPlan(graft.operators.LlmSim.rrfBody(spark, sf)) { plan =>
+      assert(plan.contains("InMemoryTableScan"),
+        s"tier universe is not read from the persist scope:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"ideal DCG table is not broadcast onto the spine:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"a retrieval path degenerated to a cartesian:\n$plan")
+      // Every window (fusion ranking + the composed paths' candidate
+      // ranks) must partition by the query key (q_id / vec_id).
+      val specs = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty, s"fusion ranking window missing:\n$plan")
+      specs.foreach(l => assert(l.contains("q_id") || l.contains("vec_id"),
+        s"unpartitioned fusion window: $l"))
+    }
+  }
+
   test("sim_knn_mips broadcasts the query elements") {
     val plan = treeString(q("sim_knn_mips"))
     assert(plan.contains("BroadcastExchange") ||
