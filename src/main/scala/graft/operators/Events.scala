@@ -733,6 +733,60 @@ object Events extends OpModule {
         .orderBy("user_id")
     }),
 
+    "sample_user_cap" -> ((s, d) => {
+      // APPLIED skew mitigation (r11 verdict #4): the 100× skew leg
+      // showed per-user windows serializing a 2M-event hot user into
+      // one task; etl_skew_audit NAMES the key and evt_bot_detect
+      // FLAGS it — this operator is the quarantine step that actually
+      // emits the capped stream. Cap N = the p99 of per-user event
+      // counts, derived from the count-of-counts HISTOGRAM (the
+      // cumulative window rides |distinct count values| rows — the
+      // value domain, never |users|); each over-cap user keeps its
+      // FIRST N events by (ts, event_id) — a deterministic total
+      // order — and the per-user ledger records kept/dropped plus two
+      // selection witnesses that grade the kept SET itself: the exact
+      // Σ event_id of the kept slice and the boundary (rank-N) event.
+      // Scale shape: one partial-agged user rollup; the rank window
+      // runs over the OVER-CAP SLICE only (≈1% of users by
+      // construction), so quarantining costs one bounded sort per
+      // offender instead of every downstream query paying the hot
+      // task; under-cap users never enter a window. All columns are
+      // exact integers/booleans — no doubles anywhere.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val counts = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("all_sum"))
+      val hist = counts.groupBy("n").agg(count(lit(1)).as("users"))
+      val tot = counts.agg(count(lit(1)).as("tot"))
+      val cum = hist
+        .withColumn("cum_u", sum("users").over(Window.orderBy("n")))
+        .crossJoin(broadcast(tot))
+      // p99 on exact integers: smallest count value whose cumulative
+      // user share reaches 99% (cum·100 ≥ tot·99 — no doubles).
+      val cap = cum.filter(col("cum_u") * 100 >= col("tot") * 99)
+        .agg(min("n").as("cap_n"))
+      val withCap = counts.crossJoin(broadcast(cap))
+      val overKeys = withCap.filter(col("n") > col("cap_n"))
+        .select("user_id", "cap_n")
+      val wr = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cappedStats = ev.join(overKeys, "user_id")
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .filter(col("rk") <= col("cap_n"))
+        .groupBy("user_id")
+        .agg(sum("event_id").as("kept_sum_c"),
+          max(when(col("rk") === col("cap_n"), col("event_id")))
+            .as("boundary_event_id"))
+      withCap.join(cappedStats, Seq("user_id"), "left")
+        .select(col("user_id"),
+          col("n").as("n_events"),
+          least(col("n"), col("cap_n")).as("n_kept"),
+          greatest(col("n") - col("cap_n"), lit(0L)).as("n_dropped"),
+          (col("n") > col("cap_n")).as("capped"),
+          coalesce(col("kept_sum_c"), col("all_sum")).as("kept_event_sum"),
+          col("boundary_event_id"))
+        .orderBy("user_id")
+    }),
+
     "evt_funnel_time" -> ((s, d) => {
       // Funnel step-latency distribution: among completing users, how
       // long view→click and click→purchase take (median / p90
@@ -1730,6 +1784,40 @@ object Events extends OpModule {
         |  round(quantile_cont(d_us, 0.5) / 1e6, 4) AS med_s,
         |  round(quantile_cont(d_us, 0.9) / 1e6, 4) AS p90_s
         |FROM steps GROUP BY step ORDER BY step""".stripMargin,
+
+    // Fully integer/boolean — the cap, the kept-set checksum, and the
+    // boundary event are all exact; no rounding anywhere.
+    "sample_user_cap" ->
+      """WITH ev AS (SELECT user_id, ts, event_id FROM events),
+        |counts AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(event_id) AS BIGINT) AS all_sum
+        |  FROM ev GROUP BY user_id),
+        |hist AS (SELECT n, count(*) AS users FROM counts GROUP BY n),
+        |tot AS (SELECT count(*) AS tot FROM counts),
+        |cum AS (SELECT n, sum(users) OVER (ORDER BY n) AS cum_u FROM hist),
+        |cap AS (
+        |  SELECT min(n) AS cap_n FROM cum CROSS JOIN tot
+        |  WHERE cum_u * 100 >= tot * 99),
+        |wc AS (SELECT c.*, cap.cap_n FROM counts c CROSS JOIN cap),
+        |ranked AS (
+        |  SELECT e.user_id, e.event_id, w.cap_n,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.ts, e.event_id) AS rk
+        |  FROM ev e JOIN wc w ON w.user_id = e.user_id AND w.n > w.cap_n),
+        |cstats AS (
+        |  SELECT user_id,
+        |    CAST(sum(event_id) AS BIGINT) AS kept_sum_c,
+        |    max(CASE WHEN rk = cap_n THEN event_id END) AS boundary_event_id
+        |  FROM ranked WHERE rk <= cap_n GROUP BY user_id)
+        |SELECT w.user_id, w.n AS n_events,
+        |  least(w.n, w.cap_n) AS n_kept,
+        |  greatest(w.n - w.cap_n, 0) AS n_dropped,
+        |  w.n > w.cap_n AS capped,
+        |  coalesce(cs.kept_sum_c, w.all_sum) AS kept_event_sum,
+        |  cs.boundary_event_id
+        |FROM wc w LEFT JOIN cstats cs ON cs.user_id = w.user_id
+        |ORDER BY w.user_id""".stripMargin,
 
     "evt_forecast_snaive" ->
       """WITH daily AS (

@@ -45,7 +45,8 @@ class PlanSweepSpec extends SparkSpec {
     "win_mom_growth" -> "monthly grain — ~|months| rows",
     "evt_abtest_hl" -> "gated <=2,500-pair HL median (user_id < 100)",
     "agg_gini" -> "two-phase bucket offsets — |buckets| frame, never |customers|",
-    "agg_ks_test" -> "two-phase bucket offsets — |buckets| frame")
+    "agg_ks_test" -> "two-phase bucket offsets — |buckets| frame",
+    "sample_user_cap" -> "count-of-counts histogram — |distinct per-user count values| frame, never |users|")
 
   /** Window specs whose argument list starts with a sort column (no
     * partition columns before the ordering) — the single-partition
