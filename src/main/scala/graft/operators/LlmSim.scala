@@ -248,6 +248,17 @@ object LlmSim extends OpModule {
       scope: PersistScope): DataFrame = {
     val e = assign.select(col("vec_id"), col("cell"), col("embedding"))
       .withColumn("snrm", norm(col("embedding")))
+    scope.cut(subAssign(e, subCentroids(assign, trainPred, scope)))
+  }
+
+  /** The TRAINED sub-centroid frame (cell, sub, sc_emb) — the
+    * second-level stored index. Factored from [[subSplit]] (r12) so
+    * the streaming semantic-ingest twin can consume the same stored
+    * index the batch operator assigns against. */
+  private[graft] def subCentroids(assign: DataFrame, trainPred: Column,
+      scope: PersistScope): DataFrame = {
+    val e = assign.select(col("vec_id"), col("cell"), col("embedding"))
+      .withColumn("snrm", norm(col("embedding")))
     val tr = e.filter(trainPred)
     val kc = tr.groupBy("cell").agg(
       expr(s"(count(1) + ${SubCellTarget - 1}) div $SubCellTarget").as("kc"))
@@ -269,7 +280,7 @@ object LlmSim extends OpModule {
       .groupBy("cell", "sub")
       .agg(transform(sort_array(collect_list(struct(col("pos0"), col("c")))),
         _.getField("c")).as("sc_emb"))
-    scope.cut(subAssign(e, scope.cut(upd)))
+    scope.cut(upd)
   }
 
   /** Nearest-sub-centroid assignment within each coarse cell — the
@@ -548,18 +559,29 @@ object LlmSim extends OpModule {
     * (InvariantsSpec) audits the same cells the graded operator
     * pairs on. Returns (vec_id, cell, embedding, nrm) over the FULL
     * corpus. */
-  private[graft] def incEmbAssign(s: SparkSession, d: String,
+  /** The trained COARSE centroids of the incremental-embedding index
+    * (C=8, init = the 8 lowest old ids, 2 Lloyd rounds over OLD
+    * vectors only). */
+  private[graft] def incEmbCents(s: SparkSession, d: String,
       scope: PersistScope): DataFrame = {
     val C = 8
-    val full = Tables.embeddings(s, d).select(col("vec_id"),
-      col("embedding"), norm(col("embedding")).as("nrm"))
-    val old = full.filter(!(col("vec_id") % 7 === 3))
+    val old = Tables.embeddings(s, d)
+      .filter(!(col("vec_id") % 7 === 3))
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
     var cents = Tables.embeddings(s, d)
       .filter(!(col("vec_id") % 7 === 3) && col("vec_id") < C + 1)
       .select(col("vec_id").as("cell"),
         transform(col("embedding"), _.cast("double")).as("c_emb"))
     for (_ <- 1 to 2) cents = scope.cut(kmUpdate(old, kmAssign(old, cents)))
-    scope.cut(kmAssign(full, cents)
+    cents
+  }
+
+  private[graft] def incEmbAssign(s: SparkSession, d: String,
+      scope: PersistScope): DataFrame = {
+    val full = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    scope.cut(kmAssign(full, incEmbCents(s, d, scope))
       .join(full.select("vec_id", "embedding"), "vec_id"))
   }
 

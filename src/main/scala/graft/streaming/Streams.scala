@@ -59,6 +59,20 @@ case class CdcState(us: Long, event_id: Long, typ: String, value: Double, n: Lon
 case class CdcRow(user_id: Long, last_event_id: Long, last_type: String,
                   last_value: Double, last_us: Long, n_versions: Long)
 
+/** An arriving vector for the semantic ingest screen. */
+case class VecArrival(vec_id: Long, label: Long, embedding: Array[Float])
+
+/** A stored old-corpus bucket member on the ⌊v·1e6⌋ integer grid. */
+case class OldMember(o_id: Long, iv: Array[Double], nrm: Double)
+
+/** Per-(cell, sub) running ingest ledger carried in state — O(1). */
+case class BucketLedger(nSeen: Long, nDup: Long)
+
+/** Per-arrival screen decision — streaming twin of the graded
+  * `dedup_incremental_embedding` drop decision. */
+case class IngestDecision(vec_id: Long, label: Long, cell: Long, sub: Long,
+                          is_dup: Boolean)
+
 /** Structured Streaming twins of the batch event-time operators in
   * `graft.operators.Events` (SURVEY.md §2.8 "ungraded twin" row — the
   * DuckDB oracle can't execute streams, so these are spec-verified via
@@ -435,6 +449,88 @@ object Streams {
           }
           state.update(st)
           hit.iterator
+      }
+  }
+
+  /** Continuous SEMANTIC ingest screen — the streaming twin of graded
+    * `dedup_incremental_embedding`, completing the incremental trio's
+    * streaming story (the exact leg already has [[screenIngest]]).
+    * Arriving vectors assign to the STORED index — the old-trained
+    * coarse centroids and old-trained sub-centroids, passed as static
+    * lookup structures (closure-captured here, i.e. task-broadcast;
+    * the production form at corpus scale is a broadcast frame for the
+    * centroids and a stream-static join on (cell, sub) for the member
+    * buckets, exactly screenIngest's discipline) — then screen
+    * against the OLD members of their (cell, sub) bucket at the batch
+    * threshold. State rides mapGroupsWithState keyed by the
+    * (cell, sub) CANDIDATE BUCKET: the running seen/dup ledger per
+    * bucket (O(1) per bucket — the stored-index contract means
+    * arrivals never mutate the index, so no vector lives in state).
+    *
+    * Every arithmetic step replicates the batch operator bit-for-bit:
+    * ascending-index double dot/norm (the DotProduct/L2Norm order),
+    * HALF_UP round-4 cosines (Spark's Round), coarse/sub argmin ties
+    * to the lower id, the ⌊v·1e6⌋ integer grid for the dup screen,
+    * and a cell with no trained sub-centroids screens no one (the
+    * batch inner-join semantics). StreamBatchParitySpec replays the
+    * real new-slice and asserts decision parity with the graded
+    * ledger. */
+  def semanticIngest(arrivals: Dataset[VecArrival],
+      coarse: Map[Long, Array[Double]],
+      subCents: Map[Long, Seq[(Long, Array[Double])]],
+      oldBuckets: Map[(Long, Long), Seq[OldMember]]): Dataset[IngestDecision] = {
+    implicit val stateEnc: Encoder[BucketLedger] = Encoders.product[BucketLedger]
+    implicit val outEnc: Encoder[IngestDecision] = Encoders.product[IngestDecision]
+    implicit val keyEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val rowEnc: Encoder[((Long, Long), VecArrival)] =
+      Encoders.tuple(keyEnc, Encoders.product[VecArrival])
+    def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    def dotFD(a: Array[Float], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length); var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i); i += 1 }; acc
+    }
+    def dotDD(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length); var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def normF(a: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    def normD(a: Array[Double]): Double = math.sqrt(dotDD(a, a))
+    def assignOf(v: Array[Float]): (Long, Long) = {
+      val nrm = normF(v)
+      val cell = coarse.iterator.map { case (c, ce) =>
+        (-r4(dotFD(v, ce) / (nrm * normD(ce))), c) }.min._2
+      val sub = subCents.get(cell) match {
+        case Some(scs) if scs.nonEmpty =>
+          scs.iterator.map { case (sb, sce) =>
+            (-r4(dotFD(v, sce) / (nrm * normD(sce))), sb) }.min._2
+        case _ => -1L // untrained cell: no bucket, nothing to screen
+      }
+      (cell, sub)
+    }
+    arrivals.map(a => (assignOf(a.embedding), a))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketLedger, IngestDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), batch: Iterator[((Long, Long), VecArrival)],
+         state: GroupState[BucketLedger]) =>
+          val bucket = oldBuckets.getOrElse(key, Seq.empty)
+          var st = state.getOption.getOrElse(BucketLedger(0L, 0L))
+          val out = batch.map(_._2).toSeq.sortBy(_.vec_id).map { a =>
+            val iv = a.embedding.map(f => math.floor(f.toDouble * 1e6))
+            val nrm = normD(iv)
+            val dup = bucket.exists { o =>
+              r4(dotDD(iv, o.iv) / (nrm * o.nrm)) >= 0.45 }
+            st = BucketLedger(st.nSeen + 1, st.nDup + (if (dup) 1L else 0L))
+            IngestDecision(a.vec_id, a.label, key._1, key._2, dup)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 }

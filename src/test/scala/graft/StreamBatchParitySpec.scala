@@ -393,4 +393,69 @@ class StreamBatchParitySpec extends SparkSpec {
         s"$lang: stream kept ${streamKept.getOrElse(lang, 0L)}, ledger says $k")
     }
   }
+
+  test("streaming semantic ingest equals the graded dedup_incremental_embedding ledger (14th twin)") {
+    // Replay the real new-vector slice (vec_id % 7 = 3) in TWO
+    // micro-batches through semanticIngest against the SAME stored
+    // index the graded batch operator trains (old-trained coarse
+    // centroids + old-trained sub-centroids + old (cell, sub)
+    // buckets on the integer grid) and assert the per-label
+    // drop ledger equals the hash-graded batch output. Two batches
+    // exercise the per-bucket state across micro-batch boundaries.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val scope = new graft.operators.PersistScope
+    try {
+      val notNew = !(col("vec_id") % 7 === 3)
+      val cents = graft.operators.LlmSim.incEmbCents(spark, sf, scope)
+      val assign = graft.operators.LlmSim.incEmbAssign(spark, sf, scope)
+      val subC = graft.operators.LlmSim.subCentroids(assign, notNew, scope)
+      val sub = graft.operators.LlmSim.subSplit(assign, notNew, scope)
+      val coarseMap: Map[Long, Array[Double]] = cents.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val subMap: Map[Long, Seq[(Long, Array[Double])]] = subC.collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
+      val oldB: Map[(Long, Long), Seq[graft.streaming.OldMember]] =
+        assign.join(sub.select("vec_id", "sub"), "vec_id")
+          .filter(notNew)
+          .select(col("vec_id"), col("cell"), col("sub"), col("embedding"))
+          .collect().map { r =>
+            val iv = r.getSeq[Float](3)
+              .map(f => math.floor(f.toDouble * 1e6)).toArray
+            var acc = 0.0; var i = 0
+            while (i < iv.length) { acc += iv(i) * iv(i); i += 1 }
+            ((r.getLong(1), r.getLong(2)),
+              graft.streaming.OldMember(r.getLong(0), iv, math.sqrt(acc)))
+          }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSeq }
+      val arrivals = Tables.embeddings(spark, sf)
+        .filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+        .collect().map(r => graft.streaming.VecArrival(
+          r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray)).toSeq
+      val in = MemoryStream[graft.streaming.VecArrival]
+      val q = Streams.semanticIngest(in.toDS(), coarseMap, subMap, oldB)
+        .writeStream.format("memory").queryName("par_semantic")
+        .outputMode("append").start()
+      try {
+        val (first, second) = arrivals.splitAt(arrivals.length / 2)
+        in.addData(first); q.processAllAvailable()
+        in.addData(second); q.processAllAvailable()
+      } finally q.stop()
+      val dec = spark.table("par_semantic")
+      assert(dec.count() === arrivals.length,
+        "every arriving vector must receive exactly one decision")
+      val streamLedger = dec.groupBy("label").agg(
+          count(lit(1)).as("n_new"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = SparkEntry.queries("dedup_incremental_embedding")(spark, sf)
+        .select(col("label"), col("n_new"), col("n_dup_old")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamLedger === batch,
+        s"semantic ingest parity broke: stream-only=${streamLedger -- batch}, " +
+          s"batch-only=${batch -- streamLedger}")
+    } finally scope.release()
+  }
 }
