@@ -97,7 +97,7 @@ object StressGen {
     // make copy 64 coincide with copy 0 and inflate the embedding
     // dedup/ANN duplicate structure 100×). That scheme disambiguates
     // only up to 2·dim copies (rotate×{plain,reversed}): copy 2·dim
-    // has the same r AND the same reverse branch as copy 0 — fail
+    // has the same r AND the same reverse branch as copy dim — fail
     // LOUDLY rather than silently reintroduce duplicate inflation on
     // a future >128× leg (r11 advice).
     val dim = Tables(spark, src, "embeddings")

@@ -34,6 +34,55 @@ class TranscendentalGuardSpec extends AnyFunSuite {
   private val Call =
     """(?<![\w.$])(ln|log|log2|log10|log1p|pow|cbrt|exp|expm1)\(""".r
 
+  /** Strip Scala comments from a whole compilation unit while
+    * PRESERVING string-literal content (r12 advice: the old
+    * per-line `split("//")` also truncated at DuckDB's `//`
+    * integer-division operator inside SQL strings, blinding the
+    * tripwire to any transcendental appearing after a `//` division
+    * on the same line). A tiny mode machine: code / line comment /
+    * nesting block comment / "…" / """…""". Char literals are only
+    * entered when a real `'x'` or `'\x'` closes within 3 chars, so a
+    * stray apostrophe in code can't swallow the file. SQL oracle
+    * text lives inside (triple-)quoted strings and passes through
+    * untouched — it evaluates in DuckDB and MUST count. */
+  private def stripComments(src: String): String = {
+    val sb = new StringBuilder(src.length)
+    var i = 0; val n = src.length
+    var depth = 0 // nesting /* */ depth; Scala block comments nest
+    while (i < n) {
+      if (depth > 0) {
+        if (src.startsWith("/*", i)) { depth += 1; i += 2 }
+        else if (src.startsWith("*/", i)) { depth -= 1; i += 2 }
+        else { if (src.charAt(i) == '\n') sb.append('\n'); i += 1 }
+      } else if (src.startsWith("//", i)) {
+        while (i < n && src.charAt(i) != '\n') i += 1
+      } else if (src.startsWith("/*", i)) { depth = 1; i += 2 }
+      else if (src.startsWith("\"\"\"", i)) {
+        val close = src.indexOf("\"\"\"", i + 3)
+        val end = if (close < 0) n else {
+          // a run of >3 quotes ends at the run's last quote
+          var e = close + 3; while (e < n && src.charAt(e) == '"') e += 1; e
+        }
+        sb.append(src.substring(i, math.min(end, n))); i = end
+      } else if (src.charAt(i) == '"') {
+        sb.append('"'); i += 1
+        while (i < n && src.charAt(i) != '"' && src.charAt(i) != '\n') {
+          if (src.charAt(i) == '\\' && i + 1 < n) {
+            sb.append(src.substring(i, i + 2)); i += 2
+          } else { sb.append(src.charAt(i)); i += 1 }
+        }
+        if (i < n) { sb.append(src.charAt(i)); i += 1 }
+      } else if (src.charAt(i) == '\'' && i + 2 < n &&
+          (src.charAt(i + 1) != '\\' && src.charAt(i + 2) == '\'')) {
+        sb.append(src.substring(i, i + 3)); i += 3
+      } else if (src.charAt(i) == '\'' && i + 3 < n &&
+          src.charAt(i + 1) == '\\' && src.charAt(i + 3) == '\'') {
+        sb.append(src.substring(i, i + 4)); i += 4
+      } else { sb.append(src.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Vetted per-file site counts. Every entry documents WHY its sites
     * are engine-safe; update the count ONLY after verifying the new
     * site follows one of the disciplines above (and its DuckDB twin
@@ -49,30 +98,34 @@ class TranscendentalGuardSpec extends AnyFunSuite {
     "operators/LlmSim.scala" -> (3,
       "pow(x,2) squaring (exact in IEEE) in embed_bucket_stats' std " +
         "+ two SQL twins (pow(2,j) bit weights are exact integers)"),
-    "operators/LlmText.scala" -> (30,
+    "operators/LlmText.scala" -> (31,
       "DSIR/curriculum/crossval single-ln-of-exact-integer-ratio sites " +
         "(InvariantsSpec ln-headroom tripwires at graded SFs), Gumbel " +
         "log(-log(u)) on the deterministic scramble grid, mixture " +
         "temperature pow(n,0.3) summed via SORTED folds, TF-IDF/PMI/JS " +
-        "single-ln exact ratios + all their SQL twins"),
+        "single-ln exact ratios + all their SQL twins (31st site = " +
+        "tfidf's log(n_docs/df) on a `*`-continuation line the old " +
+        "per-line scanner wrongly skipped as scaladoc — same exact-" +
+        "integer-ratio discipline, hash-graded green since r6)"),
     "operators/Relational.scala" -> (4,
       "math_funcs demo: round-4 ln(price)/pow(size,2) on the DECIMAL " +
         "grid + SQL twins (graded green since r1)"))
 
   test("every engine-evaluated transcendental site is on the vetted whitelist") {
-    val root = new java.io.File("src/main/scala/graft")
+    // Root widened to src/main/scala (r12 verdict #6) so the bridge
+    // package can't become a blind spot.
+    val root = new java.io.File("src/main/scala")
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
       else if (f.getName.endsWith(".scala")) Seq(f) else Nil
     val counts = walk(root).map { f =>
       val rel = f.getPath.replace("src/main/scala/graft/", "")
-      val n = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8).getLines().map { line =>
-        val code = line.split("//")(0)
-        val t = code.trim
-        if (t.startsWith("*") || t.startsWith("/*")) 0
-        else Call.findAllIn(code).length
-      }.sum
-      rel -> n
+        .replace("src/main/scala/", "")
+      val src = {
+        val s = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+        try s.mkString finally s.close()
+      }
+      rel -> Call.findAllIn(stripComments(src)).length
     }.filter(_._2 > 0).toMap
     val unexpected = counts.filterNot { case (f, n) =>
       vetted.get(f).exists(_._1 == n) }
