@@ -411,23 +411,16 @@ class StreamBatchParitySpec extends SparkSpec {
       val assign = graft.operators.LlmSim.incEmbAssign(spark, sf, scope)
       val subC = graft.operators.LlmSim.subCentroids(assign, notNew, scope)
       val sub = graft.operators.LlmSim.subSplit(assign, notNew, scope)
-      val coarseMap: Map[Long, Array[Double]] = cents.collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-      val subMap: Map[Long, Seq[(Long, Array[Double])]] = subC.collect()
-        .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2).toArray)))
-        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSeq }
-      val oldB: Map[(Long, Long), Seq[graft.streaming.OldMember]] =
-        assign.join(sub.select("vec_id", "sub"), "vec_id")
-          .filter(notNew)
-          .select(col("vec_id"), col("cell"), col("sub"), col("embedding"))
-          .collect().map { r =>
-            val iv = r.getSeq[Float](3)
-              .map(f => math.floor(f.toDouble * 1e6)).toArray
-            var acc = 0.0; var i = 0
-            while (i < iv.length) { acc += iv(i) * iv(i); i += 1 }
-            ((r.getLong(1), r.getLong(2)),
-              graft.streaming.OldMember(r.getLong(0), iv, math.sqrt(acc)))
-          }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSeq }
+      // Production-form index handoff (r12 verdict #5): the centroid
+      // FRAMES go in as-is (semanticIngest torrent-broadcasts them);
+      // the member buckets go in as a static FRAME for the
+      // stream-static join, with o_iv put on the ⌊v·1e6⌋ grid by the
+      // same floor arithmetic the batch operator uses.
+      val oldMembers = assign.join(sub.select("vec_id", "sub"), "vec_id")
+        .filter(notNew)
+        .select(col("cell"), col("sub"),
+          transform(col("embedding"),
+            f => floor(f.cast("double") * lit(1e6)).cast("double")).as("o_iv"))
       val arrivals = Tables.embeddings(spark, sf)
         .filter(col("vec_id") % 7 === 3)
         .select(col("vec_id"), col("label").cast("long").as("label"),
@@ -435,7 +428,7 @@ class StreamBatchParitySpec extends SparkSpec {
         .collect().map(r => graft.streaming.VecArrival(
           r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray)).toSeq
       val in = MemoryStream[graft.streaming.VecArrival]
-      val q = Streams.semanticIngest(in.toDS(), coarseMap, subMap, oldB)
+      val q = Streams.semanticIngest(in.toDS(), cents, subC, oldMembers)
         .writeStream.format("memory").queryName("par_semantic")
         .outputMode("append").start()
       try {
