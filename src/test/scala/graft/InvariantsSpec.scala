@@ -230,15 +230,96 @@ class InvariantsSpec extends SparkSpec {
       val (_, assign1) = graft.operators.LlmSim.ivfTrain(spark, sf1Dir, scope1)
       val sub1 = graft.operators.LlmSim.subSplit(assign1, lit(true), scope1)
       assert(sub1.count() === assign1.count())
+      // Plain ids stay within the cell's K_c; a recursively re-split
+      // group carries a composed id sub₁·2²⁰ + sub₂ whose level-1
+      // part must itself be a valid plain id (r13 recursion).
+      val idBase = graft.operators.LlmSim.SubIdBase
       val kc = assign1.groupBy("cell").agg(
         expr(s"(count(1) + 624) div 625").as("kc"))
-      val over = sub1.join(kc, "cell").filter(col("sub") > col("kc")).count()
-      assert(over === 0L, "sub ids must stay within the cell's K_c")
+      val withKc = sub1.join(kc, "cell")
+      val overPlain = withKc
+        .filter(col("sub") < idBase && col("sub") > col("kc")).count()
+      assert(overPlain === 0L, "plain sub ids must stay within the cell's K_c")
+      val badComposed = withKc.filter(col("sub") >= idBase)
+        .filter(floor(col("sub") / idBase) > col("kc") || col("sub") % idBase < 1)
+        .count()
+      assert(badComposed === 0L,
+        "composed sub ids must decompose to (valid level-1 id, sub2 >= 1)")
       val split = sub1.select("cell", "sub").distinct().count()
       val cells = assign1.select("cell").distinct().count()
       assert(split > cells,
         s"sf1 cells exceed the cap — the split must be non-trivial ($split vs $cells)")
     } finally scope1.release()
+  }
+
+  test("subSplit's recursive level re-splits a group one Lloyd round left over the cap") {
+    // Fixture engineered so level 1 FAILS the cap and level 2 fixes
+    // it (the r12 verdict's recursion claim, now real): one coarse
+    // cell, 1250 vectors in three orthogonal clusters — A = 450
+    // copies of e₁ on the EVEN ids 0..898, B = 450 copies of e₂ on
+    // the ODD ids 1..899, C = 350 copies of e₃ on ids 900..1249.
+    // K_c = ⌈1250/625⌉ = 2, residue seeds = ids 0 (A) and 1 (B), so
+    // the one local Lloyd round sends A and the both-ties cluster C
+    // to sub 1 (800 members > 625) and B to sub 2 (450). The over-cap
+    // census flags (cell, 1); the recursive level re-seeds WITHIN it
+    // (residues now hit A's id 0 and C's id 901) and separates A from
+    // C. Under-cap B must pass through with its plain id untouched.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val u = Array(1f, 0f, 0f, 0f); val v = Array(0f, 1f, 0f, 0f)
+    val w = Array(0f, 0f, 1f, 0f)
+    val rows =
+      (0 until 450).map(i => (2L * i, u)) ++
+      (0 until 450).map(i => (2L * i + 1, v)) ++
+      (900 until 1250).map(i => (i.toLong, w))
+    val assign = rows.toDF("vec_id", "embedding")
+      .withColumn("cell", lit(0L))
+      .select("vec_id", "cell", "embedding")
+    val scope = new graft.operators.PersistScope
+    try {
+      val sub = graft.operators.LlmSim.subSplit(assign, lit(true), scope)
+      val out = sub.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(out.size === 1250, "recursion must cover every vector exactly once")
+      val idBase = graft.operators.LlmSim.SubIdBase
+      val aSubs = (0 until 450).map(i => out(2L * i)).toSet
+      val bSubs = (0 until 450).map(i => out(2L * i + 1)).toSet
+      val cSubs = (900 until 1250).map(i => out(i.toLong)).toSet
+      assert(bSubs === Set(2L),
+        s"under-cap cluster B must keep its plain level-1 id, got $bSubs")
+      assert(aSubs.size === 1 && cSubs.size === 1 && aSubs != cSubs,
+        s"recursion must separate A from C (A=$aSubs, C=$cSubs)")
+      assert((aSubs ++ cSubs).forall(s => s >= idBase && s / idBase === 1L),
+        s"re-split ids must compose as 1*SubIdBase + sub2, got ${aSubs ++ cSubs}")
+      val occ = sub.groupBy("cell", "sub").count()
+        .agg(max("count")).collect().head.getLong(0)
+      assert(occ <= graft.operators.LlmSim.SubCellTarget,
+        s"post-recursion occupancy $occ must be back under the cap")
+    } finally scope.release()
+  }
+
+  test("sub-cell occupancy stays bounded on the 100x stress corpus") {
+    // r12 verdict #4: the hierarchy exists to kill the Σ|cell|²
+    // quadratic — an unbalanced local Lloyd round silently
+    // reintroduces it if a (cell, sub) bucket grows past the cap.
+    // Gate max occupancy at 2× the target on the 100× corpus (one
+    // Lloyd round guarantees balance only loosely; exact-duplicate
+    // clusters cannot be split by ANY metric refinement, so the bound
+    // is the practical one, not a hard invariant of the algebra).
+    // Gitignored-data test: skips where tmp-sf10 isn't generated.
+    val d = "/root/repo/tmp-sf10"
+    assume(new java.io.File(s"$d/embeddings.parquet").exists(),
+      "sf10 stress tables not generated on this host")
+    import org.apache.spark.sql.functions._
+    val scope = new graft.operators.PersistScope
+    try {
+      val (_, a) = graft.operators.LlmSim.ivfTrain(spark, d, scope)
+      val sub = graft.operators.LlmSim.subSplit(a, lit(true), scope)
+      val occ = sub.groupBy("cell", "sub").count()
+        .agg(max("count")).collect().head.getLong(0)
+      assert(occ <= 2 * graft.operators.LlmSim.SubCellTarget,
+        s"hottest (cell, sub) bucket holds $occ members at 100x — " +
+          "the pair-enumeration quadratic is creeping back")
+    } finally scope.release()
   }
 
   test("sim_ndcg_eval is bounded, complete, and DCG never exceeds the ideal") {
