@@ -237,6 +237,77 @@ object LlmText extends OpModule {
   private def bigramArr(text: Column): Column =
     graft.functions.GraftFunctions.shingleStrings(text, 2)
 
+  /** Merge rounds learned by `text_bpe_merges` — enough to exercise
+    * multi-character symbols merging with each other. */
+  private[graft] val BpeRounds = 6
+
+  /** One BPE pair census: adjacent symbol pairs from each word's
+    * symbol array, weighted by the word's corpus frequency — a
+    * partial-agged explode over the DIMENSION-SIZED word table
+    * (PlansSpec locks the shape; rounds are lineage-cut so the
+    * terminal plan can't show it). */
+  private[graft] def bpePairCensus(syms: DataFrame): DataFrame =
+    syms.filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+          "'lhs', element_at(syms, i), 'rhs', element_at(syms, i + 1)))")).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("wc")).as("pair_count"))
+
+  /** The round's winning pair: orderBy().limit(1) compiles to
+    * TakeOrderedAndProject (per-partition top-1 heaps, never a global
+    * sort or window) — the frontier-argmax discipline. Exact integer
+    * counts; ties break lexicographically on (lhs, rhs) so both
+    * engines pick the same merge. */
+  private[graft] def bpeTop(pairs: DataFrame): DataFrame =
+    pairs.orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
+
+  /** BPE pair-merge learning census (r13) — the tokenizer-TRAINING
+    * staple beside the token_bpe / fertility evals: learn the first
+    * [[BpeRounds]] byte-pair merges over the corpus and emit one row
+    * per round (the merged pair, its exact pair count at merge time,
+    * and the symbol-vocabulary size after the merge). Method:
+    * Sennrich, Haddow & Birch 2016 (arXiv:1508.07909) — symbol
+    * vocabularies start as characters; each round merges the most
+    * frequent adjacent pair, applied greedily left-to-right ("aaaa"
+    * under (a,a) becomes [aa, aa], the BPE convention).
+    *
+    * Scale shape: the ONE corpus-scale aggregation is the word census
+    * (map-side-combining groupBy straight to |word-vocab| rows);
+    * every merge round then works on the dimension-sized word table —
+    * pair census as a partial-agged explode, argmax via [[bpeTop]],
+    * merge application as a per-row array fold (interpreted HOF, fine
+    * at dimension size — the corpus never re-enters). All-integer
+    * counts; rounds are lineage-cut (the unrolled-kernel discipline).
+    * The DuckDB twin unrolls the same rounds with the fold as a
+    * WITH RECURSIVE position walk (the r8 fold-mutation discipline). */
+  private[graft] def bpeMergesBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    var syms = scope.cut(words.select(col("word"), col("wc"), expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms")))
+    val rounds = (1 to BpeRounds).map { r =>
+      val top = scope.cut(bpeTop(bpePairCensus(syms)))
+      syms = scope.cut(syms.crossJoin(broadcast(
+          top.select(col("lhs").as("ml"), col("rhs").as("mr"))))
+        .select(col("word"), col("wc"), expr(
+          "aggregate(syms, cast(array() as array<string>), (acc, x) -> " +
+            "case when size(acc) > 0 and element_at(acc, -1) = ml and x = mr " +
+            "then concat(slice(acc, 1, size(acc) - 1), array(concat(ml, mr))) " +
+            "else concat(acc, array(x)) end)").as("syms")))
+      val vocab = syms.select(explode(col("syms")).as("sym"))
+        .agg(countDistinct(col("sym")).as("vocab_size"))
+      top.select(lit(r.toLong).as("round"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+        .crossJoin(broadcast(vocab))
+    }
+    rounds.reduce(_.unionByName(_)).orderBy("round")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_contamination" -> ((s, d) => {
       // Benchmark decontamination: fraction of each corpus doc's
@@ -801,6 +872,8 @@ object LlmText extends OpModule {
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z]+")).cast("long").as("re_tokens"))
         .orderBy("doc_id")),
+
+    "text_bpe_merges" -> ((s, d) => scopedPersist(bpeMergesBody(s, d))),
 
     "text_fingerprint" -> ((s, d) => {
       // Rolling-hash fingerprint as a per-row array fold — map-only, no
@@ -2111,7 +2184,70 @@ object LlmText extends OpModule {
     s"SELECT doc_id, CAST($j AS BIGINT) AS band, sig${2 * j} * $P + sig${2 * j + 1} AS bsig FROM sigs")
     .mkString("\nUNION ALL\n")
 
+  /** One unrolled BPE merge round in DuckDB: pair census + top-1 +
+    * the greedy left-to-right merge application as a WITH RECURSIVE
+    * position walk (the r8 list_reduce/struct_pack fold-mutation
+    * hazard rules out DuckDB lambda folds for stateful recursions —
+    * the evt_forecast discipline). Mirrors [[bpePairCensus]] /
+    * [[bpeTop]] / the Spark-side aggregate() fold bit-for-bit on
+    * exact integer counts. */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = if (r == 1) "syms0" else s"syms${r - 1}"
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so
+    // syms{r-1} referenced inside the recursive app{r} body would
+    // re-evaluate the ENTIRE prior-round chain once per recursion
+    // step — measured as a hang at 6 rounds (~steps^rounds chain
+    // evaluations). Materializing pins each round to compute once.
+    s"""pairs$r AS MATERIALIZED (
+       |  SELECT p.lhs AS lhs, p.rhs AS rhs, CAST(sum(wc) AS BIGINT) AS pair_count
+       |  FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
+       |          i -> {'lhs': syms[i], 'rhs': syms[i + 1]})) AS p
+       |        FROM $prev) u
+       |  GROUP BY 1, 2),
+       |top$r AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM pairs$r
+       |          ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+       |app$r(word, wc, pos, acc) AS (
+       |  SELECT word, wc, 0, CAST([] AS VARCHAR[]) FROM $prev
+       |  UNION ALL
+       |  SELECT a.word, a.wc, a.pos + 1,
+       |    CASE WHEN len(a.acc) > 0 AND a.acc[-1] = t.lhs
+       |              AND s.syms[a.pos + 1] = t.rhs
+       |         THEN list_slice(a.acc, 1, len(a.acc) - 1) || [t.lhs || t.rhs]
+       |         ELSE list_append(a.acc, s.syms[a.pos + 1]) END
+       |  FROM app$r a JOIN $prev s USING (word) CROSS JOIN top$r t
+       |  WHERE a.pos < len(s.syms)),
+       |syms$r AS MATERIALIZED (
+       |  SELECT a.word, a.wc, a.acc AS syms
+       |  FROM app$r a JOIN $prev s USING (word) WHERE a.pos = len(s.syms)),
+       |vocab$r AS MATERIALIZED (
+       |  SELECT CAST(count(DISTINCT sym) AS BIGINT) AS vocab_size
+       |  FROM (SELECT unnest(syms) AS sym FROM syms$r)),
+       |round$r AS MATERIALIZED (
+       |  SELECT CAST($r AS BIGINT) AS round, t.lhs, t.rhs,
+       |         t.lhs || t.rhs AS merged, t.pair_count, v.vocab_size
+       |  FROM top$r t CROSS JOIN vocab$r v)""".stripMargin
+  }
+
+  private val BpeSql = {
+    val roundsSql = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n")
+    val unions = (1 to BpeRounds)
+      .map(r => s"SELECT * FROM round$r").mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+       |words AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |syms0 AS MATERIALIZED (
+       |  SELECT word, wc,
+       |    list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
+       |  FROM words),
+       |$roundsSql
+       |$unions
+       |ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bpe_merges" -> BpeSql,
     "text_contamination" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -962,6 +962,31 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_merges: round argmax is TakeOrderedAndProject over a partial-agged census") {
+    // The merge rounds are lineage-cut inside the body (the unrolled-
+    // kernel discipline), so the terminal plan can't show their
+    // shape — lock the factored helpers on a round-shaped frame
+    // instead (the kcenterNext pattern). The pair census must
+    // partial-aggregate (map-side combine before its exchange) and
+    // the round's winning pair must be a per-partition top-1 heap
+    // merge, never a global sort or a window rank.
+    import org.apache.spark.sql.functions._
+    val syms = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val census = graft.operators.LlmText.bpePairCensus(syms)
+    val cs = treeString(census)
+    assert(cs.contains("partial_sum"),
+      s"bpe pair census lost its map-side combine:\n$cs")
+    val top = treeString(graft.operators.LlmText.bpeTop(census))
+    assert(top.contains("TakeOrderedAndProject"),
+      s"bpe round argmax lost its two-phase top-1 shape:\n$top")
+    assert(!top.contains("windowspecdefinition"),
+      s"bpe round argmax regressed to a window rank:\n$top")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()
