@@ -451,4 +451,34 @@ class StreamBatchParitySpec extends SparkSpec {
           s"batch-only=${batch -- streamLedger}")
     } finally scope.release()
   }
+
+  test("semantic ingest survives a zero-norm arrival (NaN cosine never kills the stream)") {
+    // r12 advice: BigDecimal.valueOf(NaN) throws, so before the guard
+    // one all-zeros vector (norm 0 ⇒ cosine NaN at every screen)
+    // crashed the streaming query. The guard mirrors Spark's Round —
+    // NaN passes through, NaN >= 0.45 is false — so the degenerate
+    // arrival must come out as ONE non-dup decision while a normal
+    // arrival in the same batch still screens correctly.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val coarse = Seq((0L, Array(1.0, 0.0))).toDF("cell", "emb")
+    val subC = Seq((0L, 1L, Array(1.0, 0.0))).toDF("cell", "sub", "sc_emb")
+    val oldMembers = Seq((0L, 1L, Array(1000000.0, 0.0)))
+      .toDF("cell", "sub", "o_iv")
+    val in = MemoryStream[graft.streaming.VecArrival]
+    val q = Streams.semanticIngest(in.toDS(), coarse, subC, oldMembers)
+      .writeStream.format("memory").queryName("par_semantic_nan")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(
+        graft.streaming.VecArrival(1L, 7L, Array(0f, 0f)),   // zero norm
+        graft.streaming.VecArrival(2L, 7L, Array(1f, 0f))))  // exact dup
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("par_semantic_nan")
+      .select("vec_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(1L -> false, 2L -> true),
+      s"zero-norm arrival must survive as non-dup beside a screened dup: $out")
+  }
 }
