@@ -281,8 +281,14 @@ object LlmText extends OpModule {
     * counts; rounds are lineage-cut (the unrolled-kernel discipline).
     * The DuckDB twin unrolls the same rounds with the fold as a
     * WITH RECURSIVE position walk (the r8 fold-mutation discipline). */
-  private[graft] def bpeMergesBody(s: SparkSession, d: String)(
-      scope: PersistScope): DataFrame = {
+  /** The shared merge-learning chain: word census → character
+    * symbolization → [[BpeRounds]] unrolled merge rounds. Returns the
+    * per-round ledger frames AND the final word → symbol-array table,
+    * so `text_bpe_merges` (the ledger) and `text_bpe_encode` (the
+    * applied compression readout) train ONE chain each rather than
+    * diverging copies — the annEvalChain sharing discipline. */
+  private[graft] def bpeChain(s: SparkSession, d: String)(
+      scope: PersistScope): (Seq[DataFrame], DataFrame) = {
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -305,7 +311,44 @@ object LlmText extends OpModule {
           concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
         .crossJoin(broadcast(vocab))
     }
+    (rounds, syms)
+  }
+
+  private[graft] def bpeMergesBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val (rounds, _) = bpeChain(s, d)(scope)
     rounds.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  /** Applied-tokenizer compression readout (r13, pairs with
+    * [[bpeMergesBody]]): re-tokenize the corpus with the LEARNED
+    * merges and emit the per-language cost ledger — words, characters,
+    * BPE pieces, and the exact scaled-integer ratios pieces-per-word
+    * and pieces-per-char (Σ·10⁴ div Σ, the fertility discipline). The
+    * re-tokenization itself is DIMENSION-SIZED (the trained word →
+    * pieces table); the corpus pays one explode + hint-free join
+    * (AQE broadcasts the checkpointed vocab while it's small, degrades
+    * to a shuffled word-keyed join past broadcast scale) + one
+    * partial-agged per-lang rollup. All-integer outputs. */
+  private[graft] def bpeEncodeBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val (_, syms) = bpeChain(s, d)(scope)
+    val pieces = syms.select(col("word"),
+      size(col("syms")).cast("long").as("n_p"),
+      length(col("word")).cast("long").as("n_c"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(pieces, "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_c")).as("n_chars"),
+        sum(col("n_p")).as("n_pieces"))
+      .withColumn("pieces_per_word_x10k",
+        expr("n_pieces * 10000 div n_words"))
+      .withColumn("pieces_per_char_x10k",
+        expr("n_pieces * 10000 div n_chars"))
+      .orderBy("lang")
   }
 
   val queries: Map[String, Q] = Map(
@@ -874,6 +917,8 @@ object LlmText extends OpModule {
         .orderBy("doc_id")),
 
     "text_bpe_merges" -> ((s, d) => scopedPersist(bpeMergesBody(s, d))),
+
+    "text_bpe_encode" -> ((s, d) => scopedPersist(bpeEncodeBody(s, d))),
 
     "text_fingerprint" -> ((s, d) => {
       // Rolling-hash fingerprint as a per-row array fold — map-only, no
@@ -2228,10 +2273,10 @@ object LlmText extends OpModule {
        |  FROM top$r t CROSS JOIN vocab$r v)""".stripMargin
   }
 
-  private val BpeSql = {
+  /** The shared CTE chain (words → syms0 → rounds 1..K) both BPE
+    * oracles prepend — mirrors [[bpeChain]]'s sharing. */
+  private val BpeChainSql = {
     val roundsSql = (1 to BpeRounds).map(bpeRoundSql).mkString(",\n")
-    val unions = (1 to BpeRounds)
-      .map(r => s"SELECT * FROM round$r").mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE
        |words AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS wc
@@ -2241,13 +2286,39 @@ object LlmText extends OpModule {
        |  SELECT word, wc,
        |    list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS syms
        |  FROM words),
-       |$roundsSql
+       |$roundsSql""".stripMargin
+  }
+
+  private val BpeSql = {
+    val unions = (1 to BpeRounds)
+      .map(r => s"SELECT * FROM round$r").mkString("\nUNION ALL\n")
+    s"""$BpeChainSql
        |$unions
        |ORDER BY round""".stripMargin
   }
 
+  private val BpeEncodeSql =
+    s"""$BpeChainSql,
+       |pieces AS MATERIALIZED (
+       |  SELECT word, CAST(len(syms) AS BIGINT) AS n_p,
+       |         CAST(length(word) AS BIGINT) AS n_c
+       |  FROM syms$BpeRounds)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_c) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_p) AS BIGINT) AS n_pieces,
+       |  CAST(sum(n_p) * 10000 // count(*) AS BIGINT) AS pieces_per_word_x10k,
+       |  CAST(sum(n_p) * 10000 // sum(n_c) AS BIGINT) AS pieces_per_char_x10k
+       |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |      FROM documents) dw
+       |JOIN pieces USING (word)
+       |WHERE length(word) > 0
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_bpe_merges" -> BpeSql,
+    "text_bpe_encode" -> BpeEncodeSql,
     "text_contamination" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
