@@ -311,6 +311,90 @@ object Graph extends OpModule {
         .orderBy("distance")
     }),
 
+    "graph_rich_club" -> ((s, d) => scopedPersist { scope =>
+      // Rich-club coefficient spectrum (Zhou & Mondragón 2004):
+      // φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph induced by
+      // nodes with degree > k — "do the hubs preferentially trade
+      // with each other" (the core-structure diagnostic beside
+      // assortativity's one-number summary; compare against a
+      // degree-preserving null model offline, Colizza 2006).
+      // Plan: degrees broadcast into the edge scan (the triangles
+      // discipline), each edge reduces to its min endpoint degree,
+      // and the FIXED 5-value k-spine cross-joins both node- and
+      // edge-sized frames before one partial-agged rollup each —
+      // per-edge fanout is |spine|, no per-k rescan. φ emitted as an
+      // exact ·10⁶ div scaled integer (numerator/denominator pure
+      // counts; φ ≤ 1e6 is a theorem InvariantsSpec pins, as is
+      // monotone non-increasing N_k/E_k over k).
+      val e = scope.persist(edges(s, d))
+      val deg = scope.persist(degrees(e))
+      val spine = s.range(1).select(explode(
+        array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L))).as("k"))
+      val nk = deg.crossJoin(broadcast(spine)).filter(col("d") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+      val du = deg.select(col("node").as("un"), col("d").as("du"))
+      val dv = deg.select(col("node").as("vn"), col("d").as("dv"))
+      val ek = e.join(broadcast(du), col("u") === col("un"))
+        .join(broadcast(dv), col("v") === col("vn"))
+        .select(least(col("du"), col("dv")).as("dmin"))
+        .crossJoin(broadcast(spine)).filter(col("dmin") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_edges"))
+      nk.join(ek, Seq("k"), "left")
+        .na.fill(0L, Seq("n_edges"))
+        .filter(col("n_nodes") >= 2)
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          expr("n_edges * 2 * 1000000 div (n_nodes * (n_nodes - 1))")
+            .as("phi_ppm"))
+        .orderBy("k")
+    }),
+
+    "graph_path_counts" -> ((s, d) => scopedPersist { scope =>
+      // Shortest-path-counting BFS — the σ census of Brandes 2001
+      // (the forward pass every betweenness/stress-centrality engine
+      // runs): from each of the top-5 hubs, count the NUMBER of
+      // shortest paths reaching every node, layer by layer
+      // (σ(v, dist k+1) = Σ σ(parents at dist k) — exact integers,
+      // never enumerated paths). Same level-synchronous shape as
+      // graph_bfs_layers with the σ column carried through: each
+      // round is ONE adjacency equi-join against the (src-keyed)
+      // frontier + a partial-agged (src, node) rollup + an anti-join
+      // against the visited set; frontier/visited stay ≤ 5·|nodes|
+      // rows, the join is the only edge-sized op, rounds lineage-cut.
+      // The emitted profile ((src, distance) → reach count, total σ,
+      // hottest σ) is the path-redundancy diagnostic behind
+      // robustness/influence models; Long holds σ comfortably at
+      // diameter 3 (σ ≤ max_deg³).
+      val e = scope.persist(edges(s, d))
+      val deg = degrees(e)
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val l0 = scope.cut(
+        deg.orderBy(col("d").desc, col("node").desc).limit(5)
+          .select(col("node").as("src"), col("node"), lit(1L).as("sigma")))
+      def nextLayer(frontier: DataFrame, visited: DataFrame): DataFrame =
+        scope.cut(
+          adj.join(frontier.select(col("src"), col("node").as("fn"), col("sigma")),
+              col("a") === col("fn"))
+            .groupBy(col("src"), col("b").as("node"))
+            .agg(sum("sigma").as("sigma"))
+            .join(visited.select(col("src").as("vs"), col("node").as("vn")),
+              col("src") === col("vs") && col("node") === col("vn"), "left_anti"))
+      val v0 = l0.select("src", "node")
+      val l1 = nextLayer(l0, v0)
+      val v1 = scope.cut(v0.union(l1.select("src", "node")))
+      val l2 = nextLayer(l1, v1)
+      val v2 = scope.cut(v1.union(l2.select("src", "node")))
+      val l3 = nextLayer(l2, v2)
+      Seq(l0 -> 0L, l1 -> 1L, l2 -> 2L, l3 -> 3L)
+        .map { case (df, k) =>
+          df.select(col("src"), lit(k).as("distance"), col("sigma")) }
+        .reduce(_ union _)
+        .groupBy("src", "distance")
+        .agg(count(lit(1)).as("n_nodes"), sum("sigma").as("n_paths"),
+          max("sigma").as("max_paths"))
+        .orderBy("src", "distance")
+    }),
+
     "graph_modularity" -> ((s, d) => scopedPersist { scope =>
       // Community-quality gate (r7): Newman modularity of the LPA
       // partition — the "did label propagation find real structure"
@@ -663,6 +747,60 @@ object Graph extends OpModule {
          |    FROM (SELECT node FROM deg EXCEPT SELECT node FROM v3))
          |SELECT CAST(dist AS BIGINT) AS distance, count(*) AS n_nodes
          |FROM lab GROUP BY dist ORDER BY distance""".stripMargin,
+
+    "graph_rich_club" ->
+      s"""WITH $EDGES,
+         |ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS k),
+         |nk AS (SELECT k, count(*) AS n_nodes FROM deg, ks
+         |       WHERE d > k GROUP BY k),
+         |em AS (SELECT least(du.d, dv.d) AS dmin FROM e
+         |       JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+         |ek AS (SELECT k, count(*) AS n_edges FROM em, ks
+         |       WHERE dmin > k GROUP BY k)
+         |SELECT n.k, n.n_nodes,
+         |  CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+         |  CAST(coalesce(ek.n_edges, 0) * 2 * 1000000
+         |    // (n.n_nodes * (n.n_nodes - 1)) AS BIGINT) AS phi_ppm
+         |FROM nk n LEFT JOIN ek ON n.k = ek.k
+         |WHERE n.n_nodes >= 2 ORDER BY n.k""".stripMargin,
+
+    "graph_path_counts" -> {
+      // Unrolled σ-BFS rounds mirroring the Spark kernel: per round,
+      // join the adjacency to the previous frontier, sum σ per
+      // (src, node), drop already-visited nodes via NOT EXISTS.
+      // MATERIALIZED pins each layer to compute once (the bpe-round
+      // discipline — plain CTE inlining re-derives the whole prior
+      // chain per reference).
+      def layer(prev: String, vis: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT f.src, adj.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+           |  FROM adj JOIN $prev f ON adj.a = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM $vis v
+           |                    WHERE v.src = f.src AND v.node = adj.b)
+           |  GROUP BY f.src, adj.b)""".stripMargin
+      s"""WITH $EDGES,
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |l0 AS MATERIALIZED (
+         |  SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma
+         |  FROM deg ORDER BY d DESC, node DESC LIMIT 5),
+         |v0 AS (SELECT src, node FROM l0),
+         |${layer("l0", "v0", "l1")},
+         |v1 AS MATERIALIZED (SELECT src, node FROM v0
+         |  UNION ALL SELECT src, node FROM l1),
+         |${layer("l1", "v1", "l2")},
+         |v2 AS MATERIALIZED (SELECT src, node FROM v1
+         |  UNION ALL SELECT src, node FROM l2),
+         |${layer("l2", "v2", "l3")},
+         |lab AS (
+         |  SELECT src, 0 AS dist, sigma FROM l0
+         |  UNION ALL SELECT src, 1, sigma FROM l1
+         |  UNION ALL SELECT src, 2, sigma FROM l2
+         |  UNION ALL SELECT src, 3, sigma FROM l3)
+         |SELECT src, CAST(dist AS BIGINT) AS distance, count(*) AS n_nodes,
+         |  CAST(sum(sigma) AS BIGINT) AS n_paths,
+         |  CAST(max(sigma) AS BIGINT) AS max_paths
+         |FROM lab GROUP BY src, dist ORDER BY src, distance""".stripMargin
+    },
 
     "graph_degree_hist" ->
       s"""WITH $EDGES

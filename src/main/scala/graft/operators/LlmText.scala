@@ -133,6 +133,14 @@ object LlmText extends OpModule {
     * far from Long overflow). */
   private val C1 = graft.functions.ShingleIds.C1
 
+  /** Count-Min sketch grid: d hash rows × w counters. d·w = 2,048
+    * counters total — the sketch table is FIXED-size at any corpus
+    * scale; w = 512 keeps the per-row collision mass ≈ n/512 small
+    * enough that the top-20 readout sees mostly-zero overcounts on
+    * this corpus while still exercising real collisions. */
+  private val CmsD = 4
+  private val CmsW = 512L
+
   /** Per-doc MinHash signatures (doc_id, sig0..sig7), computed entirely
     * with array higher-order functions in a per-row projection — ZERO
     * shuffles at any scale; the only exchanges in the dedup pipeline
@@ -915,6 +923,124 @@ object LlmText extends OpModule {
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z]+")).cast("long").as("re_tokens"))
         .orderBy("doc_id")),
+
+    "text_countmin" -> ((s, d) => {
+      // Count-Min sketch + exact-error readout (Cormode & Muthukrishnan
+      // 2005): the OTHER single-pass frequency sketch beside the
+      // Misra-Gries heavy hitters — where MG keeps per-partition
+      // candidate sets, CMS keeps a FIXED d×w integer counter grid
+      // that merges by elementwise sum, so a 100 TB token stream pays
+      // exactly one map-side-combining aggregation to (r, bucket)
+      // grain (≤ d·w = 2,048 rows whatever the corpus). Hashes are the
+      // shared textFoldHash id pushed through the minhash affine
+      // family ((2r+3)·h + 5r+7 mod P mod w) — deterministic and
+      // engine-portable, no engine hash builtin. The readout grades
+      // the sketch the way sim_recall_* grades the ANN indexes:
+      // estimate = min over the d probed counters for the exact
+      // top-20 words, emitted beside the exact count with the
+      // overestimate (CMS can only OVER-count — collisions add mass;
+      // InvariantsSpec pins overcount ≥ 0 for every word at every
+      // graded SF). All counters and errors are exact integers.
+      val wB = CmsW
+      val t = tokens(s, d).select(col("token"), tid(col("token")).as("h"))
+      def buckets(h: Column): Column = array((0 until CmsD).map { r =>
+        struct(lit(r.toLong).as("r"),
+          pmod(h * lit((2 * r + 3).toLong) + lit((5 * r + 7).toLong), lit(P))
+            .mod(lit(wB)).as("bucket"))
+      }: _*)
+      val sketch = t
+        .select(explode(buckets(col("h"))).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val top = t.groupBy("token", "h").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+      top
+        .select(col("token"), col("cnt"), explode(buckets(col("h"))).as("rb"))
+        .select(col("token"), col("cnt"),
+          col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+        .join(broadcast(sketch), Seq("r", "bucket"))
+        .groupBy("token", "cnt").agg(min(col("c")).as("cms_est"))
+        .select(col("token"), col("cnt"), col("cms_est"),
+          (col("cms_est") - col("cnt")).as("overcount"),
+          expr("(cms_est - cnt) * 1000000 div cnt").as("over_ppm"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
+    "text_ngram_novelty" -> ((s, d) => {
+      // Novel-trigram rate of the arriving slice against the standing
+      // corpus — the text-level counterpart of the dedup_incremental
+      // trio's ledger and the memorization/novelty readout an
+      // ingest-quality gate runs (a slice whose trigram types are
+      // mostly already-seen adds tokens but no new content; ~100%
+      // novelty flags junk/garbled text). Same deterministic slice
+      // convention as the incremental family (doc_id % 7 = 3 = new).
+      // Trigrams are exact strings built by an IN-ROW transform over
+      // the split array (no positional window, no hash — a hashed
+      // shingle id would collide at ~1e6 types and miscount novelty);
+      // both slices collapse to distinct-type tables in one
+      // partial-agged pass each, and the novelty probe is ONE
+      // hint-free left-anti join on the trigram key (old side is
+      // corpus-scale ⇒ shuffled key join; a deployment fronts it with
+      // the dedup_exact sha grid or a bloom filter, the
+      // join_bloom_prefilter pattern). Ledger is per-lang, all-integer
+      // (types, occurrences, novelty as ·10⁶ div scaled integers).
+      def tri(df: DataFrame): DataFrame = df
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("lang"), explode(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 2),
+            |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+            |                 element_at(split(text, ' '), i + 1),
+            |                 element_at(split(text, ' '), i + 2)))"""
+            .stripMargin)).as("tri"))
+      val docs = Tables.documents(s, d)
+      val newTri = tri(docs.filter(col("doc_id") % 7 === 3))
+        .groupBy("lang", "tri").agg(count(lit(1)).as("cnt"))
+      val oldTri = tri(docs.filter(col("doc_id") % 7 =!= 3))
+        .select("tri").distinct()
+      val novel = newTri.join(oldTri, Seq("tri"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_novel_types"),
+          sum("cnt").as("n_novel_occ"))
+      newTri.groupBy("lang")
+        .agg(count(lit(1)).as("n_types"), sum("cnt").as("n_occ"))
+        .join(novel, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_novel_types", "n_novel_occ"))
+        .select(col("lang"), col("n_types"), col("n_novel_types"),
+          col("n_occ"), col("n_novel_occ"),
+          expr("n_novel_types * 1000000 div n_types").as("novelty_ppm"))
+        .orderBy("lang")
+    }),
+
+    "text_kn_continuation" -> ((s, d) => {
+      // Kneser-Ney continuation-count census (Kneser & Ney 1995; Chen
+      // & Goodman 1999 §2.7) — the smoothing statistic every n-gram
+      // LM / tokenizer-quality pipeline needs: a word's continuation
+      // probability rides how many DISTINCT left contexts it follows
+      // (N1+(•w)), not its raw frequency ("Francisco" is frequent but
+      // follows only "San"). One per-doc lead window forms bigrams
+      // (doc-sized partitions), one partial-agged groupBy collapses
+      // the stream to the distinct-bigram table, and every census
+      // after that is vocab-sized: predecessor fan-in, successor
+      // fan-out, and the continuation distribution as exact scaled
+      // integers (n_pred·10⁶ div |bigram types| — sums to ~1e6 over
+      // the vocab, no float division).
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = tokens(s, d)
+        .withColumn("next", lead("token", 1).over(w))
+        .filter(col("next").isNotNull)
+      val big = pairs.groupBy("token", "next").agg(count(lit(1)).as("c2"))
+      val nBig = big.agg(count(lit(1)).as("n_bigram_types"))
+      val nPred = big.groupBy(col("next").as("token"))
+        .agg(count(lit(1)).as("n_pred"))
+      val nSucc = big.groupBy("token").agg(count(lit(1)).as("n_succ"))
+      val uni = tokens(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
+      uni.join(nPred, Seq("token"), "left")
+        .join(nSucc, Seq("token"), "left")
+        .na.fill(0L, Seq("n_pred", "n_succ"))
+        .crossJoin(broadcast(nBig))
+        .select(col("token"), col("cnt"), col("n_pred"), col("n_succ"),
+          expr("n_pred * 1000000 div n_bigram_types").as("p_cont_ppm"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
 
     "text_bpe_merges" -> ((s, d) => scopedPersist(bpeMergesBody(s, d))),
 
@@ -2317,6 +2443,78 @@ object LlmText extends OpModule {
        |ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_countmin" -> {
+      def bucketExpr(r: Int): String =
+        s"((h * ${2 * r + 3} + ${5 * r + 7}) % $P) % $CmsW"
+      val sketchRows = (0 until CmsD)
+        .map(r => s"SELECT $r AS r, ${bucketExpr(r)} AS bucket FROM t")
+        .mkString("\n  UNION ALL ")
+      val probeRows = (0 until CmsD)
+        .map(r => s"SELECT token, cnt, $r AS r, ${bucketExpr(r)} AS bucket FROM top")
+        .mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT token, $TidExpr AS h FROM ($TokensSql)),
+         |sk AS (SELECT r, bucket, count(*) AS c
+         |       FROM ($sketchRows) GROUP BY r, bucket),
+         |top AS (SELECT token, h, count(*) AS cnt FROM t GROUP BY token, h
+         |        ORDER BY cnt DESC, token LIMIT 20),
+         |probes AS ($probeRows)
+         |SELECT p.token, p.cnt, CAST(min(sk.c) AS BIGINT) AS cms_est,
+         |  CAST(min(sk.c) - p.cnt AS BIGINT) AS overcount,
+         |  CAST((min(sk.c) - p.cnt) * 1000000 // p.cnt AS BIGINT) AS over_ppm
+         |FROM probes p JOIN sk ON p.r = sk.r AND p.bucket = sk.bucket
+         |GROUP BY p.token, p.cnt
+         |ORDER BY p.cnt DESC, p.token""".stripMargin
+    },
+
+    "text_ngram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |tri AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tri
+         |  FROM toks),
+         |newtri AS (SELECT lang, tri, count(*) AS cnt FROM tri
+         |           WHERE doc_id % 7 = 3 GROUP BY lang, tri),
+         |oldtri AS (SELECT DISTINCT tri FROM tri WHERE doc_id % 7 <> 3),
+         |novel AS (
+         |  SELECT lang, count(*) AS n_novel_types,
+         |    CAST(sum(cnt) AS BIGINT) AS n_novel_occ
+         |  FROM newtri n
+         |  WHERE NOT EXISTS (SELECT 1 FROM oldtri o WHERE o.tri = n.tri)
+         |  GROUP BY lang),
+         |tot AS (SELECT lang, count(*) AS n_types,
+         |          CAST(sum(cnt) AS BIGINT) AS n_occ
+         |        FROM newtri GROUP BY lang)
+         |SELECT t.lang, t.n_types,
+         |  CAST(coalesce(v.n_novel_types, 0) AS BIGINT) AS n_novel_types,
+         |  t.n_occ, CAST(coalesce(v.n_novel_occ, 0) AS BIGINT) AS n_novel_occ,
+         |  CAST(coalesce(v.n_novel_types, 0) * 1000000 // t.n_types AS BIGINT)
+         |    AS novelty_ppm
+         |FROM tot t LEFT JOIN novel v ON t.lang = v.lang
+         |ORDER BY t.lang""".stripMargin,
+
+    "text_kn_continuation" ->
+      s"""WITH pairs AS (
+         |  SELECT token, next FROM (
+         |    SELECT token,
+         |      lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+         |    FROM ($TokensSql)) WHERE next IS NOT NULL),
+         |big AS (SELECT token, next, count(*) AS c2 FROM pairs GROUP BY token, next),
+         |nbig AS (SELECT count(*) AS n_bigram_types FROM big),
+         |npred AS (SELECT next AS token, count(*) AS n_pred FROM big GROUP BY next),
+         |nsucc AS (SELECT token, count(*) AS n_succ FROM big GROUP BY token),
+         |uni AS (SELECT token, count(*) AS cnt FROM ($TokensSql) GROUP BY token)
+         |SELECT u.token, u.cnt,
+         |  CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+         |  CAST(coalesce(sc.n_succ, 0) AS BIGINT) AS n_succ,
+         |  CAST(coalesce(p.n_pred, 0) * 1000000
+         |    // (SELECT n_bigram_types FROM nbig) AS BIGINT) AS p_cont_ppm
+         |FROM uni u LEFT JOIN npred p ON u.token = p.token
+         |LEFT JOIN nsucc sc ON u.token = sc.token
+         |ORDER BY u.cnt DESC, u.token""".stripMargin,
+
     "text_bpe_merges" -> BpeSql,
     "text_bpe_encode" -> BpeEncodeSql,
     "text_contamination" ->

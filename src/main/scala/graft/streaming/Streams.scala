@@ -185,6 +185,35 @@ object Streams {
     docs.join(org.apache.spark.sql.functions.broadcast(corpusKeys),
       Seq(keyCol), "left_anti")
 
+  /** Continuous tokenizer-cost ledger — the streaming twin of
+    * `text_bpe_encode`: arriving documents are re-tokenized against
+    * the TRAINED word → (pieces, chars) vocabulary (the stored-index
+    * contract, same as semanticIngest: training happened offline on
+    * the batch corpus; the stream only APPLIES the index) and a
+    * per-language running ledger aggregates words / chars / pieces.
+    * The vocab is a stream-static broadcast join (screenIngest's
+    * discipline — dimension-sized trained frame, no index data in
+    * task closures); the ledger is a plain streaming aggregation
+    * whose state is |langs| rows. All counters are exact integers,
+    * so complete-mode totals after replaying a corpus slice are
+    * bit-comparable with the graded batch ledger's integer columns
+    * (StreamBatchParitySpec, 15th twin). Out-of-vocab words drop out
+    * of the inner join exactly as in the batch operator — production
+    * retrains / extends the vocab offline and restarts the sink, the
+    * standard applied-tokenizer deployment.
+    */
+  def bpeEncodeIngest(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(vocab), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_c")).as("n_chars"),
+        sum(col("n_p")).as("n_pieces"))
+  }
+
   /** Cross-event view→click→purchase funnel as a per-user state
     * machine — twin of `evt_funnel`'s strict-ordering semantics. Emits
     * one FunnelHit the first time a user completes the chain. State is

@@ -1910,4 +1910,111 @@ class InvariantsSpec extends SparkSpec {
       assert(r.getBoolean(5) === (math.abs(r.getDouble(3)) > r.getDouble(4))))
   }
 
+  test("count-min estimates never under-count (the CMS one-sided guarantee)") {
+    // CMS counters only ever ADD colliding mass, so est ≥ exact for
+    // every queried word is a theorem, not a tuning outcome — any
+    // negative overcount means the sketch and the probe disagree on a
+    // hash (the silent way the readout goes wrong in exactly one
+    // engine). Checked at both the smoke and the graded SF.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val rows = SparkEntry.queries("text_countmin")(spark, d).collect()
+      assert(rows.length === 20, s"top-20 readout at $d")
+      rows.foreach { r =>
+        assert(r.getLong(3) >= 0L,
+          s"CMS under-counted '${r.getString(0)}' at $d: " +
+            s"est ${r.getLong(2)} < exact ${r.getLong(1)}")
+        assert(r.getLong(2) - r.getLong(1) === r.getLong(3))
+      }
+    }
+  }
+
+  test("kn continuation fan-ins sum to the independently-counted bigram-type total") {
+    // Σ n_pred over the vocab = |distinct bigram types| exactly (every
+    // bigram's right word is in the vocab). The independent recount
+    // builds bigrams with an IN-ROW zip over the split array — no lead
+    // window — so a window/ordering bug in the operator can't cancel.
+    import org.apache.spark.sql.functions._
+    val rows = q("text_kn_continuation").collect()
+    val nTypes = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> struct(element_at(split(text, ' '), i) AS w1,
+          |              element_at(split(text, ' '), i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select("b.w1", "b.w2").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nTypes,
+      "Σ n_pred must equal the distinct-bigram count")
+    assert(rows.map(_.getLong(3)).sum === nTypes,
+      "Σ n_succ must equal the distinct-bigram count")
+    rows.foreach(r => assert(r.getLong(4) <= 1000000L))
+  }
+
+  test("ngram novelty nests: novel ≤ total, and zero when the slice rejoins the corpus") {
+    // Per-lang: novel types/occurrences can never exceed the slice's
+    // totals, and novelty_ppm ≤ 1e6. Independent zero-check: probing
+    // the OLD slice against the full corpus (which contains it) must
+    // find nothing novel — computed with the operator's own trigram
+    // builder but a fresh anti join, so a join-direction bug can't
+    // self-confirm.
+    import org.apache.spark.sql.functions._
+    val rows = q("text_ngram_novelty").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "novel types ≤ types")
+      assert(r.getLong(4) <= r.getLong(3), "novel occ ≤ occ")
+      assert(r.getLong(5) <= 1000000L)
+    }
+    def tri(f: org.apache.spark.sql.Column) = Tables.documents(spark, sf)
+      .filter(f).filter(size(split(col("text"), " ")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 2),
+          |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+          |                 element_at(split(text, ' '), i + 1),
+          |                 element_at(split(text, ' '), i + 2)))"""
+          .stripMargin)).as("tri")).distinct()
+    val selfNovel = tri(col("doc_id") % 7 =!= 3)
+      .join(tri(lit(true)), Seq("tri"), "left_anti").count()
+    assert(selfNovel === 0L, "a slice probed against its superset must have zero novelty")
+  }
+
+  test("rich-club spectrum is monotone and φ is a valid density") {
+    // N_k and E_k can only shrink as the degree threshold rises, and
+    // E_k ≤ C(N_k, 2) ⇒ φ_ppm ≤ 1e6 — both theorems of the induced-
+    // subgraph construction, independent of the data.
+    val rows = SparkEntry.queries("graph_rich_club")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, e2, phi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(2L * e2 <= n * (n - 1L), "E_k exceeds the complete graph")
+      assert(phi <= 1000000L)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) <= a.getLong(1), "N_k must not grow with k")
+        assert(b.getLong(2) <= a.getLong(2), "E_k must not grow with k")
+      case _ =>
+    }
+  }
+
+  test("path-count layers obey the BFS σ algebra") {
+    // distance 0: the source itself, σ = 1. distance 1: every
+    // neighbor has EXACTLY one shortest path (the edge), so
+    // n_paths = n_nodes and max σ = 1 — a double-counting bug in the
+    // frontier join breaks this before anything else. All layers:
+    // σ ≥ 1 per node ⇒ n_paths ≥ n_nodes.
+    val rows = SparkEntry.queries("graph_path_counts")(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getLong(0))
+    assert(bySrc.size === 5, "five BFS sources")
+    rows.foreach { r =>
+      val (dist, n, paths, mx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (dist == 0L) assert(n === 1L && paths === 1L && mx === 1L)
+      if (dist == 1L) assert(paths === n && mx === 1L,
+        s"layer-1 σ must be exactly 1 per neighbor (src ${r.getLong(0)})")
+      assert(paths >= n, "every reached node carries at least one path")
+    }
+  }
+
 }

@@ -987,6 +987,32 @@ class PlansSpec extends SparkSpec {
       s"bpe round argmax regressed to a window rank:\n$top")
   }
 
+  test("text_countmin: sketch census partial-aggregates; readout joins broadcast the fixed grid") {
+    // The whole point of the CMS is that the corpus pays ONE
+    // map-side-combining aggregation to the fixed (r, bucket) grid —
+    // if the partial agg disappears, 4·|tokens| rows cross the wire;
+    // if the sketch/probe joins stop broadcasting, two ≤2,048-row
+    // frames shuffle-sort against each other.
+    val plan = treeString(SparkEntry.queries("text_countmin")(spark, sf))
+    assert(plan.contains("partial_count"),
+      s"CMS bucket census lost its map-side combine:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"CMS readout stopped broadcasting the fixed-size sketch:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a fixed-size CMS frame shuffle-sorts:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"CMS readout grew a window:\n$plan")
+  }
+
+  test("text_kn_continuation: the only window is doc-partitioned; censuses partial-aggregate") {
+    val plan = treeString(SparkEntry.queries("text_kn_continuation")(spark, sf))
+    val specs = plan.split("windowspecdefinition\\(").drop(1)
+    assert(specs.nonEmpty && specs.forall(_.startsWith("doc_id")),
+      s"kn bigram window must partition by doc_id:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"kn bigram census lost its map-side combine:\n$plan")
+  }
+
   test("flagship entry broadcasts the filtered customer dimension") {
     val df = SparkEntry.entry(spark)
     df.collect()

@@ -394,6 +394,50 @@ class StreamBatchParitySpec extends SparkSpec {
     }
   }
 
+  test("streaming bpe-encode ledger equals the graded text_bpe_encode totals (15th twin)") {
+    // Replay the real corpus in TWO micro-batches through
+    // bpeEncodeIngest against the SAME trained word → pieces vocab
+    // the graded batch operator derives (stored-index contract: the
+    // vocab is collected off the batch bpeChain and re-created as a
+    // plain static frame, so no batch lineage leaks into the stream).
+    // The complete-mode per-lang ledger after the replay must equal
+    // the hash-graded batch ledger's integer columns exactly —
+    // integer counters make the comparison bitwise, no tolerance.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val scope = new graft.operators.PersistScope
+    val vocabRows = try {
+      val (_, syms) = graft.operators.LlmText.bpeChain(spark, sf)(scope)
+      syms.select(col("word"), size(col("syms")).cast("long").as("n_p"),
+          length(col("word")).cast("long").as("n_c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally scope.release()
+    val vocab = vocabRows.toDF("word", "n_p", "n_c")
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.bpeEncodeIngest(
+        in.toDF().toDF("doc_id", "lang", "text"), vocab)
+      .writeStream.format("memory").queryName("par_bpe")
+      .outputMode("complete").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      in.addData(first); q.processAllAvailable()
+      in.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("par_bpe")
+      .select("lang", "n_words", "n_chars", "n_pieces").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = SparkEntry.queries("text_bpe_encode")(spark, sf)
+      .select("lang", "n_words", "n_chars", "n_pieces").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(stream === batch,
+      s"bpe-encode parity broke: stream-only=${stream -- batch}, " +
+        s"batch-only=${batch -- stream}")
+  }
+
   test("streaming semantic ingest equals the graded dedup_incremental_embedding ledger (14th twin)") {
     // Replay the real new-vector slice (vec_id % 7 = 3) in TWO
     // micro-batches through semanticIngest against the SAME stored
