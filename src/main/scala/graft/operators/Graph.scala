@@ -56,6 +56,84 @@ object Graph extends OpModule {
     e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
 
+  /** Forward σ-BFS chain (Brandes 2001's shortest-path-counting
+    * forward pass), shared by graph_path_counts and
+    * graph_stress_centrality so the two graded consumers cannot drift
+    * (the annEvalChain sharing discipline): from each of the top-5
+    * hubs, per-(src, node) shortest-path counts σ, layer by layer to
+    * radius 3. Each round is ONE adjacency equi-join against the
+    * frontier + a partial-agged (src, node) rollup + an anti-join
+    * against the visited set; frontier/visited stay ≤ 5·|nodes| rows,
+    * rounds lineage-cut. Returns (adj, l0..l3), each layer with
+    * columns (src, node, sigma).
+    */
+  private def sigmaChain(s: SparkSession, d: String, scope: PersistScope)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = scope.persist(edges(s, d))
+    val deg = degrees(e)
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+    val l0 = scope.cut(
+      deg.orderBy(col("d").desc, col("node").desc).limit(5)
+        .select(col("node").as("src"), col("node"), lit(1L).as("sigma")))
+    def nextLayer(frontier: DataFrame, visited: DataFrame): DataFrame =
+      scope.cut(
+        adj.join(frontier.select(col("src"), col("node").as("fn"), col("sigma")),
+            col("a") === col("fn"))
+          .groupBy(col("src"), col("b").as("node"))
+          .agg(sum("sigma").as("sigma"))
+          .join(visited.select(col("src").as("vs"), col("node").as("vn")),
+            col("src") === col("vs") && col("node") === col("vn"), "left_anti"))
+    val v0 = l0.select("src", "node")
+    val l1 = nextLayer(l0, v0)
+    val v1 = scope.cut(v0.union(l1.select("src", "node")))
+    val l2 = nextLayer(l1, v1)
+    val v2 = scope.cut(v1.union(l2.select("src", "node")))
+    val l3 = nextLayer(l2, v2)
+    (adj, l0, l1, l2, l3)
+  }
+
+  /** Per-(src, node) stress contributions σ·τ over the σ-BFS DAG —
+    * the pre-top-k frame of graph_stress_centrality, package-visible
+    * so InvariantsSpec can assert the Brandes accumulation identity
+    * Σ_v σ_s(v)·τ_s(v) = Σ_t σ_s(t)·(dist(t)−1) against the graded
+    * graph_path_counts profile (both sides computed from GRADED
+    * surfaces, so a drift in either kernel breaks the suite).
+    *
+    * τ is the continuation count of Brandes 2001's backward pass
+    * specialized to STRESS centrality (Shimbel 1953): τ(v) =
+    * Σ_{w successor}(1 + τ(w)) counts the shortest-path suffixes
+    * leaving v toward deeper targets, so σ(v)·τ(v) is the exact
+    * NUMBER of shortest s-t paths with v interior — all integers (no
+    * σ-ratio rationals as in betweenness), so sums are order-free and
+    * the oracle compares bit-exact. Each backward level is one
+    * adjacency equi-join + a partial-agged rollup, the mirror image
+    * of the forward chain's cost shape; successor-less nodes keep
+    * τ = 0 via the left join (their paths END there — the 1-term is
+    * owed to their predecessors, not to them).
+    */
+  private[graft] def stressContrib(s: SparkSession, d: String,
+      scope: PersistScope): DataFrame = {
+    val (adj, _, l1, l2, l3) = sigmaChain(s, d, scope)
+    def back(layer: DataFrame, deeper: DataFrame): DataFrame = scope.cut {
+      val cand = adj
+        .join(deeper.select(col("src").as("ws"), col("node").as("wn"),
+            col("tau").as("wtau")),
+          col("b") === col("wn"))
+        .groupBy(col("ws"), col("a"))
+        .agg(sum(col("wtau") + lit(1L)).as("t"))
+      layer.join(cand,
+          col("src") === col("ws") && col("node") === col("a"), "left")
+        .select(col("src"), col("node"), col("sigma"),
+          coalesce(col("t"), lit(0L)).as("tau"))
+    }
+    val t3 = l3.withColumn("tau", lit(0L))
+    val t2 = back(l2, t3)
+    val t1 = back(l1, t2)
+    t1.union(t2)
+      .select(col("src"), col("node"), (col("sigma") * col("tau")).as("st"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_degree_hist" -> ((s, d) =>
       // Degree distribution of the co-purchase graph: how many
@@ -363,28 +441,10 @@ object Graph extends OpModule {
       // The emitted profile ((src, distance) → reach count, total σ,
       // hottest σ) is the path-redundancy diagnostic behind
       // robustness/influence models; Long holds σ comfortably at
-      // diameter 3 (σ ≤ max_deg³).
-      val e = scope.persist(edges(s, d))
-      val deg = degrees(e)
-      val adj = e.select(col("u").as("a"), col("v").as("b"))
-        .union(e.select(col("v").as("a"), col("u").as("b")))
-      val l0 = scope.cut(
-        deg.orderBy(col("d").desc, col("node").desc).limit(5)
-          .select(col("node").as("src"), col("node"), lit(1L).as("sigma")))
-      def nextLayer(frontier: DataFrame, visited: DataFrame): DataFrame =
-        scope.cut(
-          adj.join(frontier.select(col("src"), col("node").as("fn"), col("sigma")),
-              col("a") === col("fn"))
-            .groupBy(col("src"), col("b").as("node"))
-            .agg(sum("sigma").as("sigma"))
-            .join(visited.select(col("src").as("vs"), col("node").as("vn")),
-              col("src") === col("vs") && col("node") === col("vn"), "left_anti"))
-      val v0 = l0.select("src", "node")
-      val l1 = nextLayer(l0, v0)
-      val v1 = scope.cut(v0.union(l1.select("src", "node")))
-      val l2 = nextLayer(l1, v1)
-      val v2 = scope.cut(v1.union(l2.select("src", "node")))
-      val l3 = nextLayer(l2, v2)
+      // diameter 3 (σ ≤ max_deg³). Forward chain factored into
+      // sigmaChain, shared with graph_stress_centrality's backward
+      // pass — computation unchanged.
+      val (_, l0, l1, l2, l3) = sigmaChain(s, d, scope)
       Seq(l0 -> 0L, l1 -> 1L, l2 -> 2L, l3 -> 3L)
         .map { case (df, k) =>
           df.select(col("src"), lit(k).as("distance"), col("sigma")) }
@@ -393,6 +453,31 @@ object Graph extends OpModule {
         .agg(count(lit(1)).as("n_nodes"), sum("sigma").as("n_paths"),
           max("sigma").as("max_paths"))
         .orderBy("src", "distance")
+    }),
+
+    "graph_stress_centrality" -> ((s, d) => scopedPersist { scope =>
+      // Stress centrality (Shimbel 1953) of the co-purchase graph via
+      // the Brandes 2001 BACKWARD pass over the same σ-BFS DAG
+      // graph_path_counts counts forward (shared sigmaChain): for
+      // each of the top-5 hub sources, how many shortest paths pass
+      // THROUGH each interior node — the load/bottleneck centrality
+      // behind cut-vertex and routing-pressure analyses, where the
+      // degree spectrum (rich club) sees only local structure. The
+      // stress variant keeps the whole accumulation on exact integers
+      // (σ·τ path counts, not betweenness' σ-ratio rationals), so
+      // cross-source sums are order-free and the DuckDB compare is
+      // bit-exact. Backward levels mirror the forward plan shape (one
+      // adjacency equi-join + partial-agged rollup per level, frames
+      // ≤ 5·|nodes| rows, lineage-cut); the final rollup is
+      // node-sized and the top-20 is a TakeOrderedAndProject, never a
+      // global sort. Long bound: σ·τ ≤ max_deg⁶ ≈ 7e14 at this
+      // graph's max degree ~300 — comfortable.
+      stressContrib(s, d, scope)
+        .filter(col("st") > 0)
+        .groupBy("node")
+        .agg(countDistinct("src").as("n_src"), sum("st").as("stress"))
+        .orderBy(col("stress").desc, col("node"))
+        .limit(20)
     }),
 
     "graph_modularity" -> ((s, d) => scopedPersist { scope =>
@@ -721,6 +806,34 @@ object Graph extends OpModule {
        |${step("l1", "c2", "l2")}""".stripMargin
   }
 
+  /** Unrolled σ-BFS forward CTEs (adj, l0..l3, v0..v2) over the EDGES
+    * CTEs — shared by the graph_path_counts and
+    * graph_stress_centrality oracles, mirroring the Spark-side
+    * sigmaChain factoring. MATERIALIZED pins each layer to compute
+    * once (the bpe-round discipline — plain CTE inlining re-derives
+    * the whole prior chain per reference). */
+  private val SigmaCtes: String = {
+    def layer(prev: String, vis: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT f.src, adj.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM adj JOIN $prev f ON adj.a = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM $vis v
+         |                    WHERE v.src = f.src AND v.node = adj.b)
+         |  GROUP BY f.src, adj.b)""".stripMargin
+    s"""adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+       |l0 AS MATERIALIZED (
+       |  SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma
+       |  FROM deg ORDER BY d DESC, node DESC LIMIT 5),
+       |v0 AS (SELECT src, node FROM l0),
+       |${layer("l0", "v0", "l1")},
+       |v1 AS MATERIALIZED (SELECT src, node FROM v0
+       |  UNION ALL SELECT src, node FROM l1),
+       |${layer("l1", "v1", "l2")},
+       |v2 AS MATERIALIZED (SELECT src, node FROM v1
+       |  UNION ALL SELECT src, node FROM l2),
+       |${layer("l2", "v2", "l3")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Level-set BFS unrolled: L_r = neighbors(L_{r-1}) minus visited,
     // seed = the deterministic (degree, node) argmax. Empty layers
@@ -765,32 +878,12 @@ object Graph extends OpModule {
          |WHERE n.n_nodes >= 2 ORDER BY n.k""".stripMargin,
 
     "graph_path_counts" -> {
-      // Unrolled σ-BFS rounds mirroring the Spark kernel: per round,
-      // join the adjacency to the previous frontier, sum σ per
-      // (src, node), drop already-visited nodes via NOT EXISTS.
-      // MATERIALIZED pins each layer to compute once (the bpe-round
-      // discipline — plain CTE inlining re-derives the whole prior
-      // chain per reference).
-      def layer(prev: String, vis: String, out: String): String =
-        s"""$out AS MATERIALIZED (
-           |  SELECT f.src, adj.b AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
-           |  FROM adj JOIN $prev f ON adj.a = f.node
-           |  WHERE NOT EXISTS (SELECT 1 FROM $vis v
-           |                    WHERE v.src = f.src AND v.node = adj.b)
-           |  GROUP BY f.src, adj.b)""".stripMargin
+      // Unrolled σ-BFS rounds mirroring the Spark kernel (shared
+      // SigmaCtes): per round, join the adjacency to the previous
+      // frontier, sum σ per (src, node), drop already-visited nodes
+      // via NOT EXISTS.
       s"""WITH $EDGES,
-         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-         |l0 AS MATERIALIZED (
-         |  SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma
-         |  FROM deg ORDER BY d DESC, node DESC LIMIT 5),
-         |v0 AS (SELECT src, node FROM l0),
-         |${layer("l0", "v0", "l1")},
-         |v1 AS MATERIALIZED (SELECT src, node FROM v0
-         |  UNION ALL SELECT src, node FROM l1),
-         |${layer("l1", "v1", "l2")},
-         |v2 AS MATERIALIZED (SELECT src, node FROM v1
-         |  UNION ALL SELECT src, node FROM l2),
-         |${layer("l2", "v2", "l3")},
+         |$SigmaCtes,
          |lab AS (
          |  SELECT src, 0 AS dist, sigma FROM l0
          |  UNION ALL SELECT src, 1, sigma FROM l1
@@ -800,6 +893,35 @@ object Graph extends OpModule {
          |  CAST(sum(sigma) AS BIGINT) AS n_paths,
          |  CAST(max(sigma) AS BIGINT) AS max_paths
          |FROM lab GROUP BY src, dist ORDER BY src, distance""".stripMargin
+    },
+
+    "graph_stress_centrality" -> {
+      // Backward τ accumulation over the shared forward layers: per
+      // level, sum (1 + τ) of the deeper layer's BFS successors, left
+      // join keeps successor-less nodes at τ = 0; stress = σ·τ summed
+      // over the interior levels (distances 1-2; level 3 is all-leaf
+      // by the radius truncation). All-integer throughout.
+      def tau(layer: String, deeper: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT l.src, l.node, l.sigma,
+           |    CAST(coalesce(c.t, 0) AS BIGINT) AS tau
+           |  FROM $layer l LEFT JOIN (
+           |    SELECT w.src, adj.a AS node, sum(w.tau + 1) AS t
+           |    FROM adj JOIN $deeper w ON adj.b = w.node
+           |    GROUP BY w.src, adj.a) c
+           |  ON c.src = l.src AND c.node = l.node)""".stripMargin
+      s"""WITH $EDGES,
+         |$SigmaCtes,
+         |t3 AS MATERIALIZED (
+         |  SELECT src, node, sigma, CAST(0 AS BIGINT) AS tau FROM l3),
+         |${tau("l2", "t3", "t2")},
+         |${tau("l1", "t2", "t1")},
+         |st AS (SELECT src, node, sigma * tau AS st FROM t1
+         |       UNION ALL SELECT src, node, sigma * tau FROM t2)
+         |SELECT node, count(DISTINCT src) AS n_src,
+         |  CAST(sum(st) AS BIGINT) AS stress
+         |FROM st WHERE st > 0
+         |GROUP BY node ORDER BY stress DESC, node LIMIT 20""".stripMargin
     },
 
     "graph_degree_hist" ->

@@ -141,6 +141,26 @@ object LlmText extends OpModule {
   private val CmsD = 4
   private val CmsW = 512L
 
+  /** The d probed (row, bucket) coordinates of one hashed token — the
+    * minhash affine family ((2r+3)·h + 5r+7 mod P mod w) over the
+    * shared textFoldHash id. */
+  private def cmsBuckets(h: Column): Column = array((0 until CmsD).map { r =>
+    struct(lit(r.toLong).as("r"),
+      pmod(h * lit((2 * r + 3).toLong) + lit((5 * r + 7).toLong), lit(P))
+        .mod(lit(CmsW)).as("bucket"))
+  }: _*)
+
+  /** Stateless (r, bucket) CMS increment stream over every token of
+    * `docs` — shared by the graded text_countmin sketch census and
+    * the streaming twin [[graft.streaming.Streams.countminIngest]],
+    * so the batch sketch and the streamed sketch cannot drift. Pure
+    * in-row transforms (split → explode → hash → probe coordinates):
+    * works unchanged on a streaming frame. */
+  private[graft] def cmsPairs(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .select(explode(cmsBuckets(tid(col("token")))).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+
   /** Per-doc MinHash signatures (doc_id, sig0..sig7), computed entirely
     * with array higher-order functions in a per-row projection — ZERO
     * shuffles at any scale; the only exchanges in the dedup pipeline
@@ -607,6 +627,41 @@ object LlmText extends OpModule {
       tokens(s, d).groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(50)),
 
+    "text_burstiness" -> ((s, d) => {
+      // Word burstiness (Church & Gale 1995, "Poisson mixtures";
+      // Katz 1996): content words arrive in BURSTS — once a document
+      // mentions one it mentions it again — while function words
+      // spread evenly, so per-doc count dispersion separates the two
+      // where raw frequency cannot (a dedup/quality pipeline weights
+      // bursty terms differently from glue). Two exact readouts per
+      // top-30 word: the variance-to-mean ratio of per-doc counts
+      // INCLUDING zero-docs (VMR; 1 = Poisson, ≤ 1 provably for
+      // at-most-once-per-doc words since x ∈ {0,1} ⇒ Σx² = T, ≫ 1 for
+      // bursty terms) and Katz's E[x | x > 0] = T/df (mean count once
+      // present, ·10⁴). One corpus pass: (doc, token) census → token
+      // rollup, both map-side-combining; the doc count crosses in as
+      // one broadcast row. VMR rides DECIMAL(38,0) — N·Σx²·10⁶ wraps
+      // a Long near 1e13 doc·tokens² (HUGEINT mirrors in the oracle);
+      // Cauchy–Schwarz ((Σx)² ≤ N·Σx² over N docs) keeps the
+      // numerator non-negative so floor-div == trunc-div in both
+      // engines, and the quotient (~VMR·10⁶) lands back in Long.
+      val dt = tokens(s, d).groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("x"))
+      val w = dt.groupBy("token").agg(
+        sum("x").as("total_cnt"),
+        count(lit(1)).as("doc_freq"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      w.crossJoin(broadcast(nd))
+        .select(col("token"), col("total_cnt"), col("doc_freq"),
+          expr("""CAST((CAST(nd AS DECIMAL(38,0)) * sxx
+                |  - CAST(total_cnt AS DECIMAL(38,0)) * total_cnt) * 1000000
+                |  div (CAST(nd AS DECIMAL(38,0)) * total_cnt) AS BIGINT)"""
+            .stripMargin).as("vmr_ppm"),
+          expr("total_cnt * 10000 div doc_freq").as("mgp_e4"))
+        .orderBy(col("total_cnt").desc, col("token")).limit(30)
+    }),
+
     "text_heavy_hitters" -> ((s, d) => {
       // φ-heavy-hitters via Misra–Gries + exact recount (r8): the
       // single-pass sketch pattern a 100 TB token stream needs —
@@ -941,21 +996,14 @@ object LlmText extends OpModule {
       // overestimate (CMS can only OVER-count — collisions add mass;
       // InvariantsSpec pins overcount ≥ 0 for every word at every
       // graded SF). All counters and errors are exact integers.
-      val wB = CmsW
       val t = tokens(s, d).select(col("token"), tid(col("token")).as("h"))
-      def buckets(h: Column): Column = array((0 until CmsD).map { r =>
-        struct(lit(r.toLong).as("r"),
-          pmod(h * lit((2 * r + 3).toLong) + lit((5 * r + 7).toLong), lit(P))
-            .mod(lit(wB)).as("bucket"))
-      }: _*)
-      val sketch = t
-        .select(explode(buckets(col("h"))).as("rb"))
-        .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      val sketch = cmsPairs(Tables.documents(s, d))
+        .groupBy("r", "bucket")
         .agg(count(lit(1)).as("c"))
       val top = t.groupBy("token", "h").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(20)
       top
-        .select(col("token"), col("cnt"), explode(buckets(col("h"))).as("rb"))
+        .select(col("token"), col("cnt"), explode(cmsBuckets(col("h"))).as("rb"))
         .select(col("token"), col("cnt"),
           col("rb.r").as("r"), col("rb.bucket").as("bucket"))
         .join(broadcast(sketch), Seq("r", "bucket"))
@@ -2684,6 +2732,24 @@ object LlmText extends OpModule {
     "text_wordcount" ->
       s"""SELECT token, count(*) AS cnt FROM ($TokensSql)
          |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    // Church–Gale burstiness: exact per-doc count dispersion per
+    // top-30 word; HUGEINT mirrors the Spark side's DECIMAL(38,0)
+    // lift (N·Σx²·10⁶ wraps BIGINT at web scale).
+    "text_burstiness" ->
+      s"""WITH dt AS (SELECT doc_id, token, count(*) AS x
+         |            FROM ($TokensSql) GROUP BY 1, 2),
+         |w AS (SELECT token, CAST(sum(x) AS BIGINT) AS total_cnt,
+         |        count(*) AS doc_freq,
+         |        sum(CAST(x AS HUGEINT) * x) AS sxx
+         |      FROM dt GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS HUGEINT) AS nd FROM documents)
+         |SELECT token, total_cnt, doc_freq,
+         |  CAST((nd * sxx - CAST(total_cnt AS HUGEINT) * total_cnt) * 1000000
+         |    // (nd * total_cnt) AS BIGINT) AS vmr_ppm,
+         |  CAST(total_cnt * 10000 // doc_freq AS BIGINT) AS mgp_e4
+         |FROM w, n
+         |ORDER BY total_cnt DESC, token LIMIT 30""".stripMargin,
 
     // Exact φ=1/500 heavy hitters — the MG candidate phase on the
     // Spark side must be invisible in the result (merge theorem).

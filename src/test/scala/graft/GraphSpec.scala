@@ -129,6 +129,21 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq(Row(0L, 1L), Row(1L, 3L)))
   }
 
+  test("graph_stress_centrality routes every fixture path through the cut vertex") {
+    // Graph {1-2, 1-3, 2-3, 3-4}: node 3 is the unique cut vertex
+    // between the triangle {1,2,3} and the pendant 4. With all four
+    // nodes as sources (top-5 of a 4-node graph): src 1 → target 4
+    // rides 1-3-4 (interior 3), src 2 → 4 rides 2-3-4 (interior 3),
+    // src 4 → {1,2} rides 4-3-{1,2} (interior 3 twice); src 3's tree
+    // reaches everything in one hop — no interior nodes. Direct
+    // triangle edges (1-2 etc.) beat any 2-hop route, so NO other
+    // node is interior to any shortest path. Hand total:
+    // stress(3) = 1+1+2 = 4 from 3 of the 4 sources.
+    val got = SparkEntry.queries("graph_stress_centrality")(spark, dir)
+      .collect().toSeq
+    assert(got === Seq(Row(3L, 3L, 4L)))
+  }
+
   test("graph_modularity scores the single-community fixture at exactly zero") {
     // LPA collapses the fixture to ONE community (see the consensus
     // test): intra = m = 4, Σd_c = 8 → Q = 4/4 − 8²/(4·4²) = 0 — the

@@ -1998,6 +1998,71 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("stress centrality obeys the Brandes interior-incidence identity") {
+    // Σ_v σ_s(v)·τ_s(v) over interior nodes must equal
+    // Σ_t σ_s(t)·(dist(t) − 1) over targets at distance ≥ 1: each
+    // shortest s-t path of length L is counted once per its L−1
+    // interior nodes on the left and once with weight L−1 on the
+    // right (Brandes 2001's accumulation theorem, stress variant).
+    // Left side: the pre-top-k frame of graph_stress_centrality;
+    // right side: the GRADED graph_path_counts profile — a drift in
+    // either kernel fails here even if its oracle drifts identically.
+    val scope = new operators.PersistScope
+    try {
+      val lhs = operators.Graph.stressContrib(spark, sf, scope)
+        .groupBy("src").agg(org.apache.spark.sql.functions.sum("st").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rhs = q("graph_path_counts").collect()
+        .filter(_.getLong(1) >= 1L)
+        .groupBy(_.getLong(0))
+        .map { case (src, rows) =>
+          src -> rows.map(r => r.getLong(3) * (r.getLong(1) - 1L)).sum }
+      assert(rhs.nonEmpty)
+      rhs.foreach { case (src, v) =>
+        assert(lhs.getOrElse(src, 0L) === v,
+          s"interior incidences for src $src: stress ${lhs.get(src)} vs σ·(d−1) $v")
+      }
+    } finally scope.release()
+  }
+
+  test("burstiness ledger: dispersion bounds and wordcount consistency") {
+    // Exact theorems of the construction: every containing doc
+    // contributes ≥ 1 occurrence (df ≤ T ⇒ mgp_e4 ≥ 1e4), and
+    // Cauchy–Schwarz over the N docs ((Σx)² ≤ N·Σx²) keeps the VMR
+    // numerator — hence the floor-divided vmr_ppm — non-negative.
+    // Cross-lock: the words shared with text_wordcount's graded top
+    // list must carry identical total counts (same token pipeline).
+    val b = q("text_burstiness").collect()
+    assert(b.nonEmpty)
+    b.foreach { r =>
+      val (t, df, vmr, mgp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(df >= 1L && df <= t, s"doc_freq $df outside [1, $t]")
+      assert(vmr >= 0L, "VMR numerator went negative")
+      assert(mgp >= 10000L, "mean-given-present below 1 occurrence")
+    }
+    val wc = q("text_wordcount").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    b.foreach { r =>
+      wc.get(r.getString(0)).foreach(c => assert(c === r.getLong(1),
+        s"count drift vs wordcount for ${r.getString(0)}"))
+    }
+  }
+
+  test("burstiness separates an engineered bursty word from a uniform one") {
+    // 4-doc fixture, hand-computed: "b" occurs 4× in ONE doc
+    // (T=4, df=1, Σx²=16 → VMR = (4·16−16)·1e6/(4·4) = 3,000,000 ppm,
+    // mgp = 40000); "u" occurs once in each of 3 docs
+    // (T=3, df=3, Σx²=3 → VMR = (4·3−9)·1e6/(4·3) = 250,000 ppm,
+    // mgp = 10000). The bursty word must dominate both readouts.
+    val d = Fixtures.tempDir()
+    Fixtures.documents(spark, d, Seq("b b b b", "u", "u", "u"))
+    val got = SparkEntry.queries("text_burstiness")(spark, d).collect().toSeq
+    assert(got === Seq(
+      org.apache.spark.sql.Row("b", 4L, 1L, 3000000L, 40000L),
+      org.apache.spark.sql.Row("u", 3L, 3L, 250000L, 10000L)))
+  }
+
   test("path-count layers obey the BFS σ algebra") {
     // distance 0: the source itself, σ = 1. distance 1: every
     // neighbor has EXACTLY one shortest path (the edge), so

@@ -987,6 +987,49 @@ class PlansSpec extends SparkSpec {
       s"bpe round argmax regressed to a window rank:\n$top")
   }
 
+  test("graph_stress_centrality: node rollup partial-aggregates; top-20 never global-sorts") {
+    // The graded query's terminal result is checkpoint-truncated
+    // (scopedPersist), so rebuild the terminal stage on the
+    // package-private pre-top-k frame — the PersistScope discipline
+    // for plan tests. If TakeOrderedAndProject disappears the query
+    // global-sorts every interior node; a window here would be a
+    // whole-graph rank; the node rollup must map-side combine.
+    import org.apache.spark.sql.functions.{col, countDistinct, sum}
+    val scope = new graft.operators.PersistScope
+    try {
+      val df = graft.operators.Graph.stressContrib(spark, sf, scope)
+        .filter(col("st") > 0)
+        .groupBy("node")
+        .agg(countDistinct("src").as("n_src"), sum("st").as("stress"))
+        .orderBy(col("stress").desc, col("node"))
+        .limit(20)
+      val plan = treeString(df)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"stress top-20 lost its two-phase top-k shape:\n$plan")
+      assert(!plan.contains("windowspecdefinition"),
+        s"stress rollup grew a window:\n$plan")
+      assert(plan.contains("partial_"),
+        s"stress node rollup lost its map-side combine:\n$plan")
+    } finally scope.release()
+  }
+
+  test("text_burstiness: both censuses partial-aggregate; doc count broadcasts in") {
+    // One corpus-scale pass: the (doc, token) census and the token
+    // rollup must both map-side combine, the one-row doc count must
+    // arrive as a broadcast (never a shuffle), and the top-30 must be
+    // a TakeOrderedAndProject.
+    val plan = treeString(SparkEntry.queries("text_burstiness")(spark, sf))
+    assert(plan.contains("partial_count"),
+      s"burstiness census lost its map-side combine:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"doc-count scalar stopped broadcasting:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"burstiness top-30 lost its two-phase top-k shape:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"burstiness grew a window:\n$plan")
+  }
+
   test("text_countmin: sketch census partial-aggregates; readout joins broadcast the fixed grid") {
     // The whole point of the CMS is that the corpus pays ONE
     // map-side-combining aggregation to the fixed (r, bucket) grid —

@@ -438,6 +438,36 @@ class StreamBatchParitySpec extends SparkSpec {
         s"batch-only=${batch -- stream}")
   }
 
+  test("streaming count-min sketch equals the batch census after replay (16th twin)") {
+    // Replay the real sf0.001 documents in TWO micro-batches through
+    // countminIngest and assert the complete-mode counter grid is
+    // bit-identical to the batch sketch census over the same corpus
+    // (both sides ride the SHARED cmsPairs probe transform; CMS
+    // merges by elementwise sum, so the streamed state — ≤ 2,048
+    // rows — must land exactly on the one-pass batch aggregate).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.countminIngest(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("par_cms")
+      .outputMode("complete").start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      in.addData(first); q.processAllAvailable()
+      in.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("par_cms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.LlmText.cmsPairs(Tables.documents(spark, sf))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream === batch,
+      s"CMS parity broke: stream-only=${stream -- batch}, " +
+        s"batch-only=${batch -- stream}")
+  }
+
   test("streaming semantic ingest equals the graded dedup_incremental_embedding ledger (14th twin)") {
     // Replay the real new-vector slice (vec_id % 7 = 3) in TWO
     // micro-batches through semanticIngest against the SAME stored
