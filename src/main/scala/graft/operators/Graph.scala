@@ -56,6 +56,25 @@ object Graph extends OpModule {
     e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
 
+  /** Nation→nation trade edges (customer nation buys from supplier
+    * nation, weight = lineitem count) — the directed weighted graph
+    * shared by graph_pagerank and graph_hits. Aggregation shrinks the
+    * fact table to ≤ |N|² rows BEFORE any iteration; both dimension
+    * joins broadcast. Referenced once per iteration downstream —
+    * exchange reuse dedupes the repeated subplan at execution. */
+  private def tradeGraph(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** Forward σ-BFS chain (Brandes 2001's shortest-path-counting
     * forward pass), shared by graph_path_counts and
     * graph_stress_centrality so the two graded consumers cannot drift
@@ -222,16 +241,7 @@ object Graph extends OpModule {
       // or a divergent graph is observable in the output rather than
       // silently absorbed — max(delta) is the stopping criterion a
       // variable-iteration PageRank would watch.
-      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
-      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
-      val e = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").cast("long").as("src"),
-          col("s_nationkey").cast("long").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      val e = tradeGraph(s, d)
       val ew = e.withColumn("f", col("w").cast("double") /
         sum("w").over(Window.partitionBy("src")).cast("double"))
       val nations = Tables.nation(s, d)
@@ -260,6 +270,77 @@ object Graph extends OpModule {
         .select(col("node"), round(col("r"), 6).as("rank"),
           round(abs(col("r") - col("rp")), 9).as("delta"))
         .orderBy("node")
+    }),
+
+    "graph_hits" -> ((s, d) => {
+      // HITS hubs & authorities (Kleinberg 1999), weighted, over the
+      // SAME nation→nation trade graph as graph_pagerank (shared
+      // tradeGraph derivation — the sigmaChain discipline). The
+      // mutual-reinforcement pair PageRank's single score can't
+      // express on a directed trade graph: a good HUB (buyer nation)
+      // concentrates purchases on good AUTHORITIES (supplier
+      // nations), and vice versa — a = Eᵀh, h = Ea per iteration.
+      // L1 normalization instead of the classical L2 keeps every
+      // step a sum + one divide (no engine sqrt in the loop) and the
+      // fixpoint direction is identical (normalization only rescales);
+      // per-iteration round(…, 9) quantizes both engines' float noise
+      // identically (the pagerank discipline), and the last-iteration
+      // deltas ride along so a divergent graph or a changed iteration
+      // count is observable in the output. Every per-iteration frame
+      // is |N|-bounded and broadcast explicitly — their post-aggregate
+      // size estimates are unknown, the r12 dim-shuffle lesson.
+      //
+      // Rounds are lineage-CUT (unlike pagerank's single-reference
+      // chain): ar/hr each feed their round twice (the score join AND
+      // the L1 total), so an un-cut plan re-derives shared subtrees
+      // ~4× per level — 4⁵ copies of the fact-table aggregation by
+      // round 5, measured as a Catalyst-analysis hang. The edge table
+      // persists across the cut boundaries.
+      scopedPersist { scope =>
+      val e = scope.persist(tradeGraph(s, d))
+      val nodes = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"))
+      var h: DataFrame = scope.cut(nodes.withColumn("h", lit(1.0 / 25.0)))
+      var a: DataFrame = scope.cut(nodes.withColumn("a", lit(0.0)))
+      var aPrev = a
+      var hPrev = h
+      for (_ <- 1 to 5) {
+        aPrev = a; hPrev = h
+        val ar = scope.cut(
+          e.join(broadcast(h.withColumnRenamed("node", "hn")),
+              col("src") === col("hn"))
+            .groupBy(col("dst"))
+            .agg(round(sum(col("h") * col("w")), 9).as("araw")))
+        val aTot = ar.agg(sum("araw").as("at"))
+        a = scope.cut(
+          nodes.join(broadcast(ar), col("node") === col("dst"), "left")
+            .crossJoin(broadcast(aTot))
+            .select(col("node"),
+              round(coalesce(col("araw"), lit(0.0)) / col("at"), 9).as("a")))
+        val hr = scope.cut(
+          e.join(broadcast(a.withColumnRenamed("node", "an")),
+              col("dst") === col("an"))
+            .groupBy(col("src"))
+            .agg(round(sum(col("a") * col("w")), 9).as("hraw")))
+        val hTot = hr.agg(sum("hraw").as("ht"))
+        h = scope.cut(
+          nodes.join(broadcast(hr), col("node") === col("src"), "left")
+            .crossJoin(broadcast(hTot))
+            .select(col("node"),
+              round(coalesce(col("hraw"), lit(0.0)) / col("ht"), 9).as("h")))
+      }
+      a.join(broadcast(h.select(col("node").as("hn2"), col("h"))),
+          col("node") === col("hn2"))
+        .join(broadcast(aPrev.select(col("node").as("pa"), col("a").as("ap"))),
+          col("node") === col("pa"))
+        .join(broadcast(hPrev.select(col("node").as("ph"), col("h").as("hp"))),
+          col("node") === col("ph"))
+        .select(col("node"),
+          round(col("a"), 6).as("authority"), round(col("h"), 6).as("hub"),
+          round(abs(col("a") - col("ap")), 9).as("a_delta"),
+          round(abs(col("h") - col("hp")), 9).as("h_delta"))
+        .orderBy("node")
+      }
     }),
 
     "graph_link_predict" -> ((s, d) => {
@@ -806,6 +887,17 @@ object Graph extends OpModule {
        |${step("l1", "c2", "l2")}""".stripMargin
   }
 
+  /** Nation→nation trade edge CTE — shared by the graph_pagerank and
+    * graph_hits oracles, mirroring the Spark-side tradeGraph
+    * factoring. */
+  private val TradeEdgeSql: String =
+    """e AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** Unrolled σ-BFS forward CTEs (adj, l0..l3, v0..v2) over the EDGES
     * CTEs — shared by the graph_path_counts and
     * graph_stress_centrality oracles, mirroring the Spark-side
@@ -968,12 +1060,7 @@ object Graph extends OpModule {
 
     "graph_pagerank" -> {
       val base =
-        """WITH e AS (
-          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
-          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-          |  JOIN customer c ON o.o_custkey = c.c_custkey
-          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-          |  GROUP BY 1, 2),
+        s"""WITH $TradeEdgeSql,
           |ew AS (SELECT src, dst,
           |    CAST(w AS DOUBLE) / CAST(sum(w) OVER (PARTITION BY src) AS DOUBLE) AS f
           |  FROM e),
@@ -996,6 +1083,45 @@ object Graph extends OpModule {
           |SELECT r5.node, round(r5.r, 6) AS rank,
           |  round(abs(r5.r - r4.r), 9) AS delta
           |FROM r5 JOIN r4 ON r4.node = r5.node ORDER BY r5.node""".stripMargin
+    },
+
+    "graph_hits" -> {
+      // Five unrolled a = Eᵀh / h = Ea rounds over the shared trade
+      // edge CTE, L1-normalized with round(…, 9) per step exactly as
+      // the Spark loop; zero-in/out-degree nodes keep score 0 via the
+      // LEFT joins. MATERIALIZED is load-bearing exactly as on the
+      // Spark side's lineage cuts: every level is referenced twice
+      // (score join + L1 total), so plain CTE inlining re-derives the
+      // prior chain ~4× per round — 4⁵ copies of the trade-edge
+      // aggregation, measured as a hang.
+      val base =
+        s"""WITH $TradeEdgeSql,
+           |nn AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+           |h0 AS (SELECT node, CAST(1.0 / 25 AS DOUBLE) AS h FROM nn),
+           |""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s"""ar$i AS MATERIALIZED (
+           |  SELECT e.dst AS node, round(sum(h${i - 1}.h * e.w), 9) AS araw
+           |  FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY e.dst),
+           |a$i AS MATERIALIZED (SELECT nn.node,
+           |    round(coalesce(ar.araw, 0) / (SELECT sum(araw) FROM ar$i), 9) AS a
+           |  FROM nn LEFT JOIN ar$i ar ON ar.node = nn.node),
+           |hr$i AS MATERIALIZED (
+           |  SELECT e.src AS node, round(sum(a$i.a * e.w), 9) AS hraw
+           |  FROM e JOIN a$i ON a$i.node = e.dst GROUP BY e.src),
+           |h$i AS MATERIALIZED (SELECT nn.node,
+           |    round(coalesce(hr.hraw, 0) / (SELECT sum(hraw) FROM hr$i), 9) AS h
+           |  FROM nn LEFT JOIN hr$i hr ON hr.node = nn.node)""".stripMargin
+      }.mkString(",\n")
+      base + iters +
+        """
+          |SELECT a5.node, round(a5.a, 6) AS authority, round(h5.h, 6) AS hub,
+          |  round(abs(a5.a - a4.a), 9) AS a_delta,
+          |  round(abs(h5.h - h4.h), 9) AS h_delta
+          |FROM a5 JOIN h5 ON h5.node = a5.node
+          |JOIN a4 ON a4.node = a5.node
+          |JOIN h4 ON h4.node = a5.node
+          |ORDER BY a5.node""".stripMargin
     },
 
     "graph_link_predict" ->

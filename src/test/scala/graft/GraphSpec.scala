@@ -162,6 +162,25 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(1) > 0.0))
   }
 
+  test("graph_hits conserves L1 mass on both score vectors") {
+    // The per-iteration L1 normalization makes each rounded score
+    // vector sum to 1 (±25·1e-6 rounding quanta); scores are
+    // non-negative by construction (sums of products of non-negative
+    // terms). A broken normalization or a sign slip in the
+    // coalesce(0) path breaks this before anything else.
+    val rows = SparkEntry.queries("graph_hits")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 25)
+    val aTot = rows.map(_.getDouble(1)).sum
+    val hTot = rows.map(_.getDouble(2)).sum
+    assert(math.abs(aTot - 1.0) < 1e-3, s"authority mass $aTot drifted from 1")
+    assert(math.abs(hTot - 1.0) < 1e-3, s"hub mass $hTot drifted from 1")
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0,
+        s"negative HITS score at node ${r.getLong(0)}")
+    }
+  }
+
   test("basket_rules emits ordered pairs with consistent support and lift") {
     val rows = SparkEntry.queries("basket_rules")(spark, "/root/testdata/sf0.001")
       .collect()
