@@ -83,11 +83,13 @@ object Graph extends OpModule {
     * radius 3. Each round is ONE adjacency equi-join against the
     * frontier + a partial-agged (src, node) rollup + an anti-join
     * against the visited set; frontier/visited stay ≤ 5·|nodes| rows,
-    * rounds lineage-cut. Returns (adj, l0..l3), each layer with
-    * columns (src, node, sigma).
+    * rounds lineage-cut. Returns (e, adj, l0..l3), each layer with
+    * columns (src, node, sigma); e is the persisted edge frame so
+    * consumers needing graph-level rollups reuse it instead of
+    * persisting a second copy.
     */
   private def sigmaChain(s: SparkSession, d: String, scope: PersistScope)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = scope.persist(edges(s, d))
     val deg = degrees(e)
     val adj = e.select(col("u").as("a"), col("v").as("b"))
@@ -109,7 +111,7 @@ object Graph extends OpModule {
     val l2 = nextLayer(l1, v1)
     val v2 = scope.cut(v1.union(l2.select("src", "node")))
     val l3 = nextLayer(l2, v2)
-    (adj, l0, l1, l2, l3)
+    (e, adj, l0, l1, l2, l3)
   }
 
   /** Per-(src, node) stress contributions σ·τ over the σ-BFS DAG —
@@ -133,7 +135,7 @@ object Graph extends OpModule {
     */
   private[graft] def stressContrib(s: SparkSession, d: String,
       scope: PersistScope): DataFrame = {
-    val (adj, _, l1, l2, l3) = sigmaChain(s, d, scope)
+    val (_, adj, _, l1, l2, l3) = sigmaChain(s, d, scope)
     def back(layer: DataFrame, deeper: DataFrame): DataFrame = scope.cut {
       val cand = adj
         .join(deeper.select(col("src").as("ws"), col("node").as("wn"),
@@ -525,7 +527,7 @@ object Graph extends OpModule {
       // diameter 3 (σ ≤ max_deg³). Forward chain factored into
       // sigmaChain, shared with graph_stress_centrality's backward
       // pass — computation unchanged.
-      val (_, l0, l1, l2, l3) = sigmaChain(s, d, scope)
+      val (_, _, l0, l1, l2, l3) = sigmaChain(s, d, scope)
       Seq(l0 -> 0L, l1 -> 1L, l2 -> 2L, l3 -> 3L)
         .map { case (df, k) =>
           df.select(col("src"), lit(k).as("distance"), col("sigma")) }
@@ -534,6 +536,38 @@ object Graph extends OpModule {
         .agg(count(lit(1)).as("n_nodes"), sum("sigma").as("n_paths"),
           max("sigma").as("max_paths"))
         .orderBy("src", "distance")
+    }),
+
+    "graph_closeness" -> ((s, d) => scopedPersist { scope =>
+      // Truncated closeness centrality of the top-5 hubs
+      // (Wasserman–Faust 1994 variant: reach-weighted so disconnected
+      // components don't zero the score) over the SAME shared σ-BFS
+      // chain as graph_path_counts / graph_stress_centrality — the
+      // third leg of the Brandes-family centrality suite on one
+      // forward chain: σ counts redundancy, σ·τ counts interior load,
+      // Σd measures proximity. Radius-3 truncation makes this the
+      // ego-network closeness (Everett & Borgatti 2005) — the honest
+      // form at 100 TB, where a full APSP is off the table anyway.
+      // C_WF = ((r−1)/(N−1))·((r−1)/Σd) on the exact integer grid
+      // (r−1)²·10⁶ div ((N−1)·Σd): Σd ≥ r−1 and r−1 ≤ N−1 make
+      // closeness_ppm ≤ 1e6 a pinned theorem, and n_reached must
+      // equal the GRADED path-count profile's Σ n_nodes — both
+      // InvariantsSpec cross-locks. Everything after the shared chain
+      // is 5-row arithmetic.
+      val (e, _, l0, l1, l2, l3) = sigmaChain(s, d, scope)
+      val nTot = degrees(e).agg(count(lit(1)).as("n_graph"))
+      Seq(l0 -> 0L, l1 -> 1L, l2 -> 2L, l3 -> 3L)
+        .map { case (df, k) =>
+          df.select(col("src"), lit(k).as("distance")) }
+        .reduce(_ union _)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_reached"), sum("distance").as("total_dist"))
+        .crossJoin(broadcast(nTot))
+        .select(col("src"), col("n_reached"), col("total_dist"),
+          expr("""(n_reached - 1) * (n_reached - 1) * 1000000
+                | div ((n_graph - 1) * total_dist)""".stripMargin)
+            .as("closeness_ppm"))
+        .orderBy("src")
     }),
 
     "graph_stress_centrality" -> ((s, d) => scopedPersist { scope =>
@@ -986,6 +1020,26 @@ object Graph extends OpModule {
          |  CAST(max(sigma) AS BIGINT) AS max_paths
          |FROM lab GROUP BY src, dist ORDER BY src, distance""".stripMargin
     },
+
+    "graph_closeness" ->
+      // Reach-weighted truncated closeness over the shared σ layers:
+      // per source, count reached nodes and sum distances, then the
+      // Wasserman–Faust score on the exact (r−1)²·10⁶ div grid.
+      s"""WITH $EDGES,
+         |$SigmaCtes,
+         |lab AS (
+         |  SELECT src, 0 AS dist FROM l0
+         |  UNION ALL SELECT src, 1 FROM l1
+         |  UNION ALL SELECT src, 2 FROM l2
+         |  UNION ALL SELECT src, 3 FROM l3),
+         |cl AS (SELECT src, count(*) AS n_reached,
+         |         CAST(sum(dist) AS BIGINT) AS total_dist
+         |       FROM lab GROUP BY src),
+         |ng AS (SELECT count(*) AS n_graph FROM deg)
+         |SELECT src, n_reached, total_dist,
+         |  CAST((n_reached - 1) * (n_reached - 1) * 1000000
+         |    // ((ng.n_graph - 1) * total_dist) AS BIGINT) AS closeness_ppm
+         |FROM cl, ng ORDER BY src""".stripMargin,
 
     "graph_stress_centrality" -> {
       // Backward τ accumulation over the shared forward layers: per

@@ -162,6 +162,18 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(1) > 0.0))
   }
 
+  test("graph_closeness scores the fixture ego-networks exactly") {
+    // Graph {1-2, 1-3, 2-3, 3-4}, N = 4, all four nodes are sources.
+    // src 3 reaches everything in one hop: Σd = 3, C = 9e6/(3·3) =
+    // 1,000,000 (the cut vertex is maximally close). src 1 and 2:
+    // two 1-hop + the pendant at 2 → Σd = 4, C = 750,000. src 4 pays
+    // 1+2+2 = 5 → C = 600,000.
+    val got = SparkEntry.queries("graph_closeness")(spark, dir).collect().toSeq
+    assert(got === Seq(
+      Row(1L, 4L, 4L, 750000L), Row(2L, 4L, 4L, 750000L),
+      Row(3L, 4L, 3L, 1000000L), Row(4L, 4L, 5L, 600000L)))
+  }
+
   test("graph_hits conserves L1 mass on both score vectors") {
     // The per-iteration L1 normalization makes each rounded score
     // vector sum to 1 (±25·1e-6 rounding quanta); scores are

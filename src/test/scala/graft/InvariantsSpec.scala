@@ -2063,6 +2063,27 @@ class InvariantsSpec extends SparkSpec {
       org.apache.spark.sql.Row("u", 3L, 3L, 250000L, 10000L)))
   }
 
+  test("closeness cross-locks the graded path-count reach and respects its ceiling") {
+    // n_reached(src) must equal Σ_k n_nodes(src, k) from the GRADED
+    // path-count profile (the two queries share one σ-chain, but both
+    // sides here are read from graded outputs, so a kernel drift in
+    // either fails the suite even if its oracle drifts identically).
+    // closeness_ppm ≤ 1e6 and Σd ≥ r−1 are theorems of the
+    // construction.
+    val cl = q("graph_closeness").collect()
+    assert(cl.length === 5)
+    val reach = q("graph_path_counts").collect()
+      .groupBy(_.getLong(0))
+      .map { case (src, rows) => src -> rows.map(_.getLong(2)).sum }
+    cl.foreach { r =>
+      val (src, n, td, ppm) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n === reach(src), s"reach mismatch vs path counts for src $src")
+      assert(ppm >= 0L && ppm <= 1000000L, s"closeness $ppm outside [0, 1e6]")
+      assert(td >= n - 1L, "total distance below reach − 1 is impossible")
+    }
+  }
+
   test("path-count layers obey the BFS σ algebra") {
     // distance 0: the source itself, σ = 1. distance 1: every
     // neighbor has EXACTLY one shortest path (the edge), so
