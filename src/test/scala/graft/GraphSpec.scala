@@ -183,10 +183,16 @@ class GraphSpec extends SparkSpec {
     val rows = SparkEntry.queries("graph_hits")(spark, "/root/testdata/sf0.001")
       .collect()
     assert(rows.length === 25)
+    // Bound = the 25 rounding quanta the comment above derives: each
+    // score is round-6 (±0.5e-6) over a round-9 L1-normalized vector
+    // (±0.5e-9 each) → |Σ − 1| ≤ 25·(0.5e-6 + 0.5e-9) ≈ 1.26e-5.
+    // (r13 ADVICE: the old 1e-3 tolerance was 80× looser than the
+    // stated bound and would have let a stale-total normalization
+    // drift pass.)
     val aTot = rows.map(_.getDouble(1)).sum
     val hTot = rows.map(_.getDouble(2)).sum
-    assert(math.abs(aTot - 1.0) < 1e-3, s"authority mass $aTot drifted from 1")
-    assert(math.abs(hTot - 1.0) < 1e-3, s"hub mass $hTot drifted from 1")
+    assert(math.abs(aTot - 1.0) < 1.3e-5, s"authority mass $aTot drifted from 1")
+    assert(math.abs(hTot - 1.0) < 1.3e-5, s"hub mass $hTot drifted from 1")
     rows.foreach { r =>
       assert(r.getDouble(1) >= 0.0 && r.getDouble(2) >= 0.0,
         s"negative HITS score at node ${r.getLong(0)}")
