@@ -90,27 +90,44 @@ object Graph extends OpModule {
     */
   private def sigmaChain(s: SparkSession, d: String, scope: PersistScope)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val e = scope.persist(edges(s, d))
+    // coalesce(4): the hash-coarsened node universe caps the edge
+    // table at |5000|²/2 rows AT ANY corpus scale (~1.5M rows per
+    // partition worst-case), while the r14 audit showed 32-partition
+    // cached frames multiply every downstream stage into 32+ tasks
+    // whose ~100 ms/task fixed cost (1–2 MiB task-binary deserialize)
+    // dwarfed the microseconds of actual work — 350+ tasks and 36+
+    // CPU-seconds per consumer for a 43k-row graph. The map side of
+    // the edge derivation stays parallel behind its shuffle.
+    val e = scope.persist(edges(s, d).coalesce(4))
     val deg = degrees(e)
     val adj = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
+    // Cut discipline, priced by the r14 stage audit (~100–160 ms of
+    // scheduling floor per eager action; the σ frames are ≤5·|nodes|
+    // rows of microsecond work): cut ONLY the multi-referenced layers
+    // (l0/l1/l2 each feed the next frontier + the visited chain + the
+    // consumer union), coalesce(1)'d — the frames are
+    // dimension-bounded (≤25k rows at ANY corpus scale; only the
+    // final agg stage collapses, the edge-sized map side stays
+    // parallel). The visited unions and the last layer are
+    // single-cheap or single-referenced — they stay lineage, saving 3
+    // eager actions per consumer vs the r13 form.
     val l0 = scope.cut(
       deg.orderBy(col("d").desc, col("node").desc).limit(5)
         .select(col("node").as("src"), col("node"), lit(1L).as("sigma")))
-    def nextLayer(frontier: DataFrame, visited: DataFrame): DataFrame =
-      scope.cut(
-        adj.join(frontier.select(col("src"), col("node").as("fn"), col("sigma")),
-            col("a") === col("fn"))
-          .groupBy(col("src"), col("b").as("node"))
-          .agg(sum("sigma").as("sigma"))
-          .join(visited.select(col("src").as("vs"), col("node").as("vn")),
-            col("src") === col("vs") && col("node") === col("vn"), "left_anti"))
+    def layer(frontier: DataFrame, visited: DataFrame): DataFrame =
+      adj.join(frontier.select(col("src"), col("node").as("fn"), col("sigma")),
+          col("a") === col("fn"))
+        .groupBy(col("src"), col("b").as("node"))
+        .agg(sum("sigma").as("sigma"))
+        .join(visited.select(col("src").as("vs"), col("node").as("vn")),
+          col("src") === col("vs") && col("node") === col("vn"), "left_anti")
     val v0 = l0.select("src", "node")
-    val l1 = nextLayer(l0, v0)
-    val v1 = scope.cut(v0.union(l1.select("src", "node")))
-    val l2 = nextLayer(l1, v1)
-    val v2 = scope.cut(v1.union(l2.select("src", "node")))
-    val l3 = nextLayer(l2, v2)
+    val l1 = scope.cut(layer(l0, v0).coalesce(1))
+    val v1 = v0.union(l1.select("src", "node"))
+    val l2 = scope.cut(layer(l1, v1).coalesce(1))
+    val v2 = v1.union(l2.select("src", "node"))
+    val l3 = layer(l2, v2)
     (e, adj, l0, l1, l2, l3)
   }
 
@@ -136,7 +153,7 @@ object Graph extends OpModule {
   private[graft] def stressContrib(s: SparkSession, d: String,
       scope: PersistScope): DataFrame = {
     val (_, adj, _, l1, l2, l3) = sigmaChain(s, d, scope)
-    def back(layer: DataFrame, deeper: DataFrame): DataFrame = scope.cut {
+    def back(layer: DataFrame, deeper: DataFrame): DataFrame = {
       val cand = adj
         .join(deeper.select(col("src").as("ws"), col("node").as("wn"),
             col("tau").as("wtau")),
@@ -149,7 +166,10 @@ object Graph extends OpModule {
           coalesce(col("t"), lit(0L)).as("tau"))
     }
     val t3 = l3.withColumn("tau", lit(0L))
-    val t2 = back(l2, t3)
+    // t2 feeds BOTH the next backward level and the final union — cut
+    // it (coalesce(1): ≤5·|nodes| rows); t1 is union-only, so it
+    // stays lineage (the r14 cut-trim discipline, see sigmaChain).
+    val t2 = scope.cut(back(l2, t3).coalesce(1))
     val t1 = back(l1, t2)
     t1.union(t2)
       .select(col("src"), col("node"), (col("sigma") * col("tau")).as("st"))
@@ -443,7 +463,7 @@ object Graph extends OpModule {
       // partial-agged groupBys (label count, then per-node struct-max
       // argmax — no window over the adjacency); rounds persist via
       // cut, the iterative-kernel discipline.
-      val e = scope.persist(edges(s, d))
+      val e = scope.persist(edges(s, d).coalesce(4)) // bounded universe — see sigmaChain
       val (l1, l2) = lpaLabels(e, scope)
       val changed = l2.select(col("node").as("n2"), col("lbl").as("lb2"))
         .join(l1, col("n2") === col("node"))
@@ -470,22 +490,25 @@ object Graph extends OpModule {
       // discipline). The result folds all layers through a single
       // union → groupBy, not per-layer scalar aggs (the kcore trace
       // lesson).
-      val e = scope.persist(edges(s, d))
+      val e = scope.persist(edges(s, d).coalesce(4)) // bounded universe — see sigmaChain
       val deg = degrees(e)
       val adj = e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b")))
+      // r14 cut trim (see sigmaChain): cut only the multi-referenced
+      // layers, coalesce(1)'d (node-sized at any scale); the visited
+      // unions of cut frames stay lineage — 2 fewer eager actions.
       val l0 = scope.cut(deg.agg(max(struct(col("d"), col("node"))).as("m"))
         .select(col("m.node").as("node")))
       def nextLayer(frontier: DataFrame, visited: DataFrame): DataFrame =
         scope.cut(
           adj.join(frontier.select(col("node").as("fn")), col("a") === col("fn"))
             .select(col("b").as("node")).distinct()
-            .except(visited))
+            .except(visited).coalesce(1))
       val v0 = l0
       val l1 = nextLayer(l0, v0)
-      val v1 = scope.cut(v0.union(l1))
+      val v1 = v0.union(l1)
       val l2 = nextLayer(l1, v1)
-      val v2 = scope.cut(v1.union(l2))
+      val v2 = v1.union(l2)
       val l3 = nextLayer(l2, v2)
       val v3 = v2.union(l3)
       val unreached = deg.select("node").except(v3)
@@ -511,8 +534,8 @@ object Graph extends OpModule {
       // exact ·10⁶ div scaled integer (numerator/denominator pure
       // counts; φ ≤ 1e6 is a theorem InvariantsSpec pins, as is
       // monotone non-increasing N_k/E_k over k).
-      val e = scope.persist(edges(s, d))
-      val deg = scope.persist(degrees(e))
+      val e = scope.persist(edges(s, d).coalesce(4)) // bounded universe — see sigmaChain
+      val deg = scope.persist(degrees(e).coalesce(1)) // node-sized
       val spine = s.range(1).select(explode(
         array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L))).as("k"))
       val nk = deg.crossJoin(broadcast(spine)).filter(col("d") > col("k"))
@@ -632,7 +655,7 @@ object Graph extends OpModule {
       // without tolerance games. Plan: the label join is the only
       // edge-sized op after the LPA supersteps; community rollups are
       // node-sized, the scalars broadcast-cross into one row.
-      val e = scope.persist(edges(s, d))
+      val e = scope.persist(edges(s, d).coalesce(4)) // bounded universe — see sigmaChain
       val (_, l2) = lpaLabels(e, scope)
       val lu = l2.select(col("node").as("u2"), col("lbl").as("lu"))
       val lv = l2.select(col("node").as("v2"), col("lbl").as("lv"))
@@ -713,7 +736,7 @@ object Graph extends OpModule {
       // link-predict family. The coefficient is bucketed on the EXACT
       // integer decile (10·t) div pairs ∈ 0..10 — no double ever
       // crosses engines; per-bucket sums stay exact longs.
-      val e = scope.persist(edges(s, d))
+      val e = scope.persist(edges(s, d).coalesce(4)) // bounded universe — see sigmaChain
       val adj = e.select(col("u").as("ctr"), col("v").as("nb"))
         .union(e.select(col("v").as("ctr"), col("u").as("nb")))
       val w1 = adj.select(col("ctr"), col("nb").as("a"))
@@ -750,7 +773,8 @@ object Graph extends OpModule {
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy("a")
         .agg(max(struct(col("c"), (lit(0L) - col("lbl")).as("nl"))).as("m"))
-        .select(col("a").as("node"), (lit(0L) - col("m.nl")).as("lbl")))
+        .select(col("a").as("node"), (lit(0L) - col("m.nl")).as("lbl"))
+        .coalesce(1))
     val l1 = step(l0)
     (l1, step(l1))
   }
@@ -834,11 +858,17 @@ object Graph extends OpModule {
         .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
           col("b") === col("b2"))
         .groupBy(col("a")).agg(min("bl").as("nl"))
+      // coalesce(1): the label frame is node-sized (bounded by the
+      // hash-coarsened node universe at any corpus scale); a
+      // 1-partition cut prices ~65 ms vs ~100–160 for 32 partitions
+      // on this host (r14 audit), and the edge-sized map side of the
+      // neighbor-min rollup stays parallel behind its shuffle.
       lbl = scope.cut(
         lbl.join(nbrMin.withColumnRenamed("a", "n2"),
             col("node") === col("n2"), "left")
           .select(col("node"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")))
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          .coalesce(1))
     }
     val changed = lbl
       .join(prev.select(col("node").as("pn"), col("lbl").as("plbl")),
@@ -853,7 +883,7 @@ object Graph extends OpModule {
     * last-round convergence delta broadcast onto every row. */
   private[graft] def componentsBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
-    val e = scope.persist(edges(s, d))
+    val e = scope.persist(edges(s, d).coalesce(4)) // bounded universe — see sigmaChain
     val adj = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
     val (lbl, changed) =
@@ -888,8 +918,8 @@ object Graph extends OpModule {
     // two endpoint-degree joins) — both are dimension-bounded, so one
     // persist each stops the shared subtree from re-deriving the
     // incidence join per reference.
-    val e = scope.persist(edges(s, d))
-    val deg = scope.persist(degrees(e))
+    val e = scope.persist(edges(s, d).coalesce(4)) // bounded universe — see sigmaChain
+    val deg = scope.persist(degrees(e).coalesce(1)) // node-sized
     val adj = e.select(col("u").as("node"), col("v").as("nbr"))
       .union(e.select(col("v").as("node"), col("u").as("nbr")))
     val nbrs = adj.join(broadcast(deg.filter(col("d") <= hubCap)), Seq("node"))
