@@ -105,17 +105,16 @@ object LlmSim extends OpModule {
       .select(col("vec_id"), col("m.cl").as("cell"), (-col("m.nc")).as("acos"))
   }
 
-  /** Lloyd update: integer-sum mean of FLOOR(v·1e6) per (cell, pos),
-    * regathered into one array per cell (C·dim rows). */
+  /** Lloyd update: integer-sum mean of FLOOR(v·1e6) per (cell, pos).
+    * ONE aggregation via the grid-exact O(dim)-buffer UDAF (r14 — the
+    * old join + posexplode + two-groupBy shape paid 3 extra exchange
+    * stages per round across every consumer; values bit-identical,
+    * see GridCentroidAggregator). */
   private def kmUpdate(e: DataFrame, assign: DataFrame): DataFrame =
     assign.join(e.select("vec_id", "embedding"), "vec_id")
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
-      .groupBy(col("cell"), col("pos0"))
-      .agg((sum(floor(col("vf").cast("double") * 1000000.0).cast("long")).cast("double")
-        / (lit(1000000.0) * count(lit(1)))).as("c"))
       .groupBy("cell")
-      .agg(transform(sort_array(collect_list(struct(col("pos0"), col("c")))),
-        _.getField("c")).as("c_emb"))
+      .agg(graft.functions.GridCentroidAggregator.asColumn(col("embedding"))
+        .as("c_emb"))
 
   /** Deterministic init: the C lowest-id vectors as double arrays. */
   private def kmInit(s: SparkSession, d: String, c: Int): DataFrame =
@@ -157,14 +156,15 @@ object LlmSim extends OpModule {
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       col("embedding"), norm(col("embedding")).as("nrm"))
     var cents = kmInit(s, d, C)
-    // cut, not persist: each Lloyd round embeds the previous round's
-    // full lineage (assign references cents inside a crossJoin-agg),
-    // so the plan compounds per round and AQE re-renders it per stage
-    // (see PersistScope.cut). Truncation also makes every downstream
-    // reference (probe scoring, cell join, stats rollups, the
-    // recall sweep's 3 probe depths) start from a leaf.
-    for (_ <- 1 to 2)
-      cents = scope.cut(kmUpdate(e, kmAssign(e, cents)))
+    // Round 1 feeds ONLY round 2 (cents enters kmAssign exactly once,
+    // via the broadcast) — a single-reference chain grows linearly,
+    // so no intermediate cut (r14 cut-trim; each eager action prices
+    // ~100–160 ms of scheduling floor). Only the FINAL centroid table
+    // is cut: every downstream reference — probe scoring, cell join,
+    // stats rollups, the recall sweep's 3 probe depths — starts from
+    // a leaf instead of re-deriving the training lineage.
+    cents = kmUpdate(e, kmAssign(e, cents))
+    cents = scope.cut(kmUpdate(e, kmAssign(e, cents)))
     val assign = scope.cut(kmAssign(e, cents).join(e, "vec_id"))
     (cents, assign)
   }
@@ -656,8 +656,9 @@ object LlmSim extends OpModule {
       .filter(!(col("vec_id") % 7 === 3) && col("vec_id") < C + 1)
       .select(col("vec_id").as("cell"),
         transform(col("embedding"), _.cast("double")).as("c_emb"))
-    for (_ <- 1 to 2) cents = scope.cut(kmUpdate(old, kmAssign(old, cents)))
-    cents
+    // round 1 single-reference -> uncut (r14 cut-trim, see ivfTrain)
+    cents = kmUpdate(old, kmAssign(old, cents))
+    scope.cut(kmUpdate(old, kmAssign(old, cents)))
   }
 
   private[graft] def incEmbAssign(s: SparkSession, d: String,
@@ -804,7 +805,9 @@ object LlmSim extends OpModule {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     var cents = kmInit(s, d, C)
-    for (_ <- 1 to 2) cents = scope.cut(kmUpdate(e, kmAssign(e, cents)))
+    // round 1 single-reference -> uncut (r14 cut-trim, see ivfTrain)
+    cents = kmUpdate(e, kmAssign(e, cents))
+    cents = scope.cut(kmUpdate(e, kmAssign(e, cents)))
     val assign = scope.cut(kmAssign(e, cents).select("vec_id", "cell"))
     val ci = cents.select(col("cell").as("c_cell"),
         posexplode(col("c_emb")).as(Seq("pos0", "c")))
@@ -823,8 +826,9 @@ object LlmSim extends OpModule {
         (col("vi0") - col("cci")).as("vi")))
     val cb0 = e2.filter(col("vec_id") < 8)
       .select(col("vec_id").as("k"), col("pos").as("cpos"), col("vi").as("ci"))
-    val a1 = scope.cut(pqArgmin(pqDists(e2.drop("cell"), cb0)).drop("dist_sq"))
-    val cb1 = scope.cut(pqUpdate(e2.drop("cell"), a1))
+    // a1/cb1 single-reference -> uncut (r14 cut-trim, see pqCodebook)
+    val a1 = pqArgmin(pqDists(e2.drop("cell"), cb0)).drop("dist_sq")
+    val cb1 = pqUpdate(e2.drop("cell"), a1)
     val fin = pqArgmin(pqDists(e2.drop("cell"), cb1))
       .select(col("vec_id").as("f_id"), col("k").as("rcode"),
         col("dist_sq").as("d2"))
@@ -864,7 +868,9 @@ object LlmSim extends OpModule {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     var cents = kmInit(s, d, C)
-    for (_ <- 1 to 2) cents = scope.cut(kmUpdate(e, kmAssign(e, cents)))
+    // round 1 single-reference -> uncut (r14 cut-trim, see ivfTrain)
+    cents = kmUpdate(e, kmAssign(e, cents))
+    cents = scope.cut(kmUpdate(e, kmAssign(e, cents)))
     val cwn = cents.withColumn("cnrm", norm(col("c_emb")))
     val scores = e.crossJoin(broadcast(cwn))
       .withColumn("kcos", round(
@@ -936,7 +942,16 @@ object LlmSim extends OpModule {
 
   /** Sub-vector element table (vec_id, pos, m, vi) — vi = ⌊v·1e6⌋. */
   private def pqElems(s: SparkSession, d: String): DataFrame =
+    // repartition by vec_id BEFORE the 64× explode: the local testdata
+    // is a single-row-group parquet file (one scan task), so without
+    // it the |V|·64-row element expansion — and the 16×-wider ADC
+    // distance intermediates downstream — ran SERIALLY in one task
+    // (r14 audit: ~4 s of single-core work inside sim_knn_pq's
+    // chains). On a real multi-file table the scan parallelizes
+    // naturally and this exchange moves 2000-row batches, not the
+    // exploded elements.
     Tables.embeddings(s, d)
+      .repartition(8, col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
       .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
         floor(col("vf").cast("double") * 1e6).cast("long").as("vi"))
@@ -984,12 +999,17 @@ object LlmSim extends OpModule {
   private def pqCodebook(e: DataFrame, scope: PersistScope): DataFrame = {
     val c0 = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("k"), col("pos").as("cpos"), col("vi").as("ci"))
-    // cut, not persist: the assign→update→assign→update chain embeds
-    // each prior step's lineage (plan compounds across the 4 steps and
-    // AQE re-renders it per stage — see PersistScope.cut).
-    val a1 = scope.cut(pqArgmin(pqDists(e, c0)).drop("dist_sq"))
-    val c1 = scope.cut(pqUpdate(e, a1))
-    val a2 = scope.cut(pqArgmin(pqDists(e, c1)).drop("dist_sq"))
+    // The assign→update→assign→update chain is SINGLE-REFERENCE
+    // (each step feeds only the next, e is persisted), so the plan
+    // grows linearly across the 4 steps — no intermediate cuts
+    // needed; only the trained codebook, which every consumer
+    // (codes, distance tables, argmins) references repeatedly, is
+    // cut. The r14 stage audit priced each eager cut action at
+    // ~100–160 ms of scheduling floor — 3 actions saved per
+    // PQ-composing query at identical output.
+    val a1 = pqArgmin(pqDists(e, c0)).drop("dist_sq")
+    val c1 = pqUpdate(e, a1)
+    val a2 = pqArgmin(pqDists(e, c1)).drop("dist_sq")
     scope.cut(pqUpdate(e, a2))
   }
 
