@@ -51,6 +51,16 @@ object Graph extends OpModule {
       .select("u", "v").distinct()
   }
 
+  /** Undirected co-purchase edges WITH the co-occurrence count — the
+    * weighted variant of [[edges]] (graph_sssp's metric source). */
+  private def edgesW(s: SparkSession, d: String): DataFrame = {
+    val ob = incidence(s, d)
+    val a = ob.select(col("ok"), col("node").as("u"))
+    val b = ob.select(col("ok").as("ok2"), col("node").as("v"))
+    a.join(b, col("ok") === col("ok2") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+  }
+
   /** Per-node degree of the undirected co-purchase graph. */
   private def degrees(e: DataFrame): DataFrame =
     e.select(col("u").as("node")).union(e.select(col("v").as("node")))
@@ -443,6 +453,86 @@ object Graph extends OpModule {
     // Persist-scoped (r5); see componentsBody. Emits the convergence
     // column labels_changed_last_round beside the histogram.
     "graph_components" -> ((s, d) => scopedPersist(componentsBody(s, d))),
+
+    "graph_components_doubling" -> ((s, d) => scopedPersist { scope =>
+      // Connected components by POINTER-DOUBLING hash-to-min (r13
+      // verdict #2): each round does the plain neighbor-min superstep
+      // and then a label-indirection jump lbl(v) ← min(m(v), m(m(v)))
+      // — the label value IS a node id, so one self-join on the label
+      // column doubles the radius the min has traveled. k rounds
+      // cover diameter ~2ᵏ⁺¹−2 where the plain kernel covers k —
+      // the scale-correct form for canonical-doc assignment on graphs
+      // whose diameter outgrows a fixed round budget (proven on the
+      // GraphSpec long-path fixture where the 3-round kernel
+      // under-merges and this kernel converges). Same convergence
+      // column, same histogram shape as graph_components, so the two
+      // kernels read side by side; labels only ever decrease within a
+      // component, so every jump target is a real node (the left join
+      // is defensive, not semantic).
+      val e = scope.persist(edges(s, d).coalesce(4)) // bounded universe — see sigmaChain
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val (lbl, changed) =
+        componentLabelsDoubling(adj, degrees(e).select("node"), 3, scope)
+      lbl.groupBy("lbl").agg(count(lit(1)).as("csz"))
+        .groupBy(col("csz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+        .crossJoin(broadcast(changed))
+        .orderBy("component_size")
+    }),
+
+    "graph_sssp" -> ((s, d) => scopedPersist { scope =>
+      // Bounded-hop weighted single-source shortest paths (r13 verdict
+      // #5): 4 unrolled Bellman-Ford relaxation rounds from the
+      // top-degree hub over the WEIGHTED co-purchase graph — the
+      // missing shortest-path-weighted leg of the Brandes-family
+      // suite (path_counts/stress/closeness walk the UNWEIGHTED
+      // radius-3 ball; this walks the affinity metric). Edge cost =
+      // 10⁶ div w (inverse co-purchase count — frequently
+      // co-purchased means CLOSE), all-integer so cross-engine
+      // compares are bit-exact; each round is ONE edge-sized
+      // adjacency equi-join + a partial-agged per-node min + a
+      // node-sized full-outer merge, rounds lineage-cut at
+      // coalesce(1) (node-sized at any corpus scale — the sigmaChain
+      // discipline). The improved-last-round count rides the output
+      // (the fixed-round-kernel residual discipline): 0 = distances
+      // converged inside 4 hops.
+      val e = scope.persist(edgesW(s, d).coalesce(4))
+      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val cost = expr("1000000 div w")
+      val adjw = e.select(col("u").as("a"), col("v").as("b"), cost.as("c"))
+        .union(e.select(col("v").as("a"), col("u").as("b"), cost.as("c")))
+      val lmax = lit(2305843009213693951L)
+      var dist = scope.cut(
+        deg.agg(max(struct(col("d"), col("node"))).as("m"))
+          .select(col("m.node").as("node"), lit(0L).as("dist")))
+      var prev = dist
+      for (_ <- 1 to 4) {
+        prev = dist
+        val relaxed = adjw
+          .join(dist.select(col("node").as("dn"), col("dist").as("du")),
+            col("a") === col("dn"))
+          .groupBy(col("b").as("node"))
+          .agg(min(col("du") + col("c")).as("nd"))
+        dist = scope.cut(dist.join(relaxed, Seq("node"), "full_outer")
+          .select(col("node"),
+            least(coalesce(col("dist"), lmax), coalesce(col("nd"), lmax))
+              .as("dist"))
+          .coalesce(1))
+      }
+      val reach = dist.agg(count(lit(1)).as("n_reached"))
+      val imp = dist
+        .join(prev.select(col("node").as("pn"), col("dist").as("pd")),
+          col("node") === col("pn"), "left")
+        .filter(col("pd").isNull || col("dist") < col("pd"))
+        .agg(count(lit(1)).as("improved_last_round"))
+      dist.orderBy(col("dist"), col("node")).limit(20)
+        .crossJoin(broadcast(reach)).crossJoin(broadcast(imp))
+        .select(col("node"), col("dist").as("dist_cost"),
+          col("n_reached"), col("improved_last_round"))
+        .orderBy("dist_cost", "node")
+    }),
 
     // Persist-scoped (r5); see jaccardBody.
     "graph_jaccard_sim" -> ((s, d) => scopedPersist(jaccardBody(s, d))),
@@ -845,6 +935,46 @@ object Graph extends OpModule {
     * equi-join + partial-agg min; per-round labels persist via the
     * scope (the next round references them twice, the delta a third
     * time). */
+  /** Pointer-doubling hash-to-min component labels (r13 verdict #2):
+    * per round, ONE neighbor-min superstep (the componentLabels step)
+    * followed by ONE label-indirection jump lbl(v) ← min(m(v),
+    * m(m(v))) — radius coverage doubles per round (~2ᵏ⁺¹−2 after k
+    * rounds vs k for the plain kernel). m is referenced twice by the
+    * jump self-join → cut; label frames are node-sized at any scale
+    * → coalesce(1) (the r14 floor discipline). Returns (labels,
+    * last-round-delta) like componentLabels.
+    */
+  private[graft] def componentLabelsDoubling(adj: DataFrame, nodes: DataFrame,
+      rounds: Int, scope: PersistScope): (DataFrame, DataFrame) = {
+    var lbl = scope.cut(nodes.select(col("node"), col("node").as("lbl")))
+    var prev = lbl
+    for (_ <- 1 to rounds) {
+      prev = lbl
+      val nbrMin = adj
+        .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
+          col("b") === col("b2"))
+        .groupBy(col("a")).agg(min("bl").as("nl"))
+      val m = scope.cut(
+        lbl.join(nbrMin.withColumnRenamed("a", "n2"),
+            col("node") === col("n2"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("ml"))
+          .coalesce(1))
+      lbl = scope.cut(
+        m.join(m.select(col("node").as("jn"), col("ml").as("jl")),
+            col("ml") === col("jn"), "left")
+          .select(col("node"),
+            least(col("ml"), coalesce(col("jl"), col("ml"))).as("lbl"))
+          .coalesce(1))
+    }
+    val changed = lbl
+      .join(prev.select(col("node").as("pn"), col("lbl").as("plbl")),
+        col("node") === col("pn"))
+      .filter(col("lbl") =!= col("plbl"))
+      .agg(count(lit(1)).as("labels_changed_last_round"))
+    (lbl, changed)
+  }
+
   private[graft] def componentLabels(adj: DataFrame, nodes: DataFrame,
       rounds: Int, scope: PersistScope): (DataFrame, DataFrame) = {
     // lbl_r references lbl_{r-1} twice (self + neighbor-min) — a
@@ -1294,6 +1424,75 @@ object Graph extends OpModule {
          |FROM (
          |  SELECT lbl, count(*) AS csz FROM l3 GROUP BY lbl)
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "graph_components_doubling" -> {
+      // m-step referenced twice by the jump self-join and l-step
+      // referenced by the next round AND the final rollup →
+      // MATERIALIZED (the bpe-round CTE discipline).
+      val mstep = (prev: String) =>
+        s"""SELECT l.node, least(l.lbl, coalesce(m.nl, l.lbl)) AS ml
+           |  FROM $prev l LEFT JOIN (
+           |    SELECT adj.a, min(p.lbl) AS nl
+           |    FROM adj JOIN $prev p ON p.node = adj.b GROUP BY adj.a) m
+           |  ON m.a = l.node""".stripMargin
+      val jstep = (mprev: String) =>
+        s"""SELECT m.node, least(m.ml, coalesce(j.ml, m.ml)) AS lbl
+           |  FROM $mprev m LEFT JOIN $mprev j ON j.node = m.ml""".stripMargin
+      s"""WITH $EDGES,
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |l0 AS (SELECT node, node AS lbl FROM deg),
+         |m1 AS MATERIALIZED (${mstep("l0")}),
+         |l1 AS MATERIALIZED (${jstep("m1")}),
+         |m2 AS MATERIALIZED (${mstep("l1")}),
+         |l2 AS MATERIALIZED (${jstep("m2")}),
+         |m3 AS MATERIALIZED (${mstep("l2")}),
+         |l3 AS MATERIALIZED (${jstep("m3")}),
+         |chg AS (SELECT count(*) AS labels_changed_last_round
+         |        FROM l3 JOIN l2 ON l3.node = l2.node AND l3.lbl <> l2.lbl)
+         |SELECT csz AS component_size, count(*) AS n_components,
+         |  (SELECT labels_changed_last_round FROM chg) AS labels_changed_last_round
+         |FROM (
+         |  SELECT lbl, count(*) AS csz FROM l3 GROUP BY lbl)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "graph_sssp" -> {
+      val relax = (prev: String) =>
+        s"""SELECT adjw.b AS node, min(d.dist + adjw.c) AS nd
+           |  FROM adjw JOIN $prev d ON d.node = adjw.a GROUP BY 1""".stripMargin
+      val merge = (prev: String, r: String) =>
+        s"""SELECT coalesce(d.node, r.node) AS node,
+           |  least(coalesce(d.dist, 2305843009213693951),
+           |        coalesce(r.nd, 2305843009213693951)) AS dist
+           |  FROM $prev d FULL JOIN $r r ON d.node = r.node""".stripMargin
+      s"""WITH ob AS ($INCIDENCE),
+         |ew AS (SELECT a.node AS u, b.node AS v, count(*) AS w
+         |       FROM ob a JOIN ob b ON a.ok = b.ok AND a.node < b.node
+         |       GROUP BY 1, 2),
+         |degw AS (SELECT node, count(*) AS d
+         |         FROM (SELECT u AS node FROM ew UNION ALL SELECT v FROM ew)
+         |         GROUP BY 1),
+         |adjw AS (SELECT u AS a, v AS b, 1000000 // w AS c FROM ew
+         |         UNION ALL SELECT v, u, 1000000 // w FROM ew),
+         |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist
+         |  FROM degw ORDER BY d DESC, node DESC LIMIT 1),
+         |r1 AS MATERIALIZED (${relax("d0")}),
+         |d1 AS MATERIALIZED (${merge("d0", "r1")}),
+         |r2 AS MATERIALIZED (${relax("d1")}),
+         |d2 AS MATERIALIZED (${merge("d1", "r2")}),
+         |r3 AS MATERIALIZED (${relax("d2")}),
+         |d3 AS MATERIALIZED (${merge("d2", "r3")}),
+         |r4 AS MATERIALIZED (${relax("d3")}),
+         |d4 AS MATERIALIZED (${merge("d3", "r4")}),
+         |imp AS (SELECT count(*) AS improved_last_round
+         |        FROM d4 LEFT JOIN d3 ON d4.node = d3.node
+         |        WHERE d3.dist IS NULL OR d4.dist < d3.dist),
+         |rch AS (SELECT count(*) AS n_reached FROM d4)
+         |SELECT node, dist AS dist_cost,
+         |  (SELECT n_reached FROM rch) AS n_reached,
+         |  (SELECT improved_last_round FROM imp) AS improved_last_round
+         |FROM d4 ORDER BY dist_cost, node LIMIT 20""".stripMargin
     },
 
     "graph_jaccard_sim" ->

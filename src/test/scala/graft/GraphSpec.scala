@@ -108,6 +108,56 @@ class GraphSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("componentLabelsDoubling converges on the path the 3-round kernel under-merges") {
+    // Path 0-1-...-7 (diameter 7): the plain 3-round kernel leaves
+    // labels max(0, v-3) (the test above proves it); the doubling
+    // kernel's radius ~doubles per round, so 3 rounds collapse the
+    // whole path to label 0 — the r13-verdict #2 upgrade, proven on
+    // the same fixture.
+    import spark.implicits._
+    val e = (0L to 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val adj = e.union(e.select($"b", $"a")).toDF("a", "b")
+    val nodes = (0L to 7L).toDF("node")
+    val scope = new graft.operators.PersistScope
+    try {
+      val (lbl, _) =
+        graft.operators.Graph.componentLabelsDoubling(adj, nodes, 3, scope)
+      val labels = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L to 7L).forall(v => labels(v) === 0L),
+        s"doubling kernel under-merged the diameter-7 path: $labels")
+      // and on a LONGER path (diameter 15) round-3 coverage ~2^4-2=14
+      // still reaches node 14 but not 15 -- the bound is real, not
+      // infinite: a 4th round would cover ~30.
+      val e2 = (0L to 14L).map(i => (i, i + 1)).toDF("a", "b")
+      val adj2 = e2.union(e2.select($"b", $"a")).toDF("a", "b")
+      val nodes2 = (0L to 15L).toDF("node")
+      val (lbl2, changed2) =
+        graft.operators.Graph.componentLabelsDoubling(adj2, nodes2, 3, scope)
+      val l2 = lbl2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(l2(14L) === 0L, s"radius-14 coverage lost: $l2")
+      assert(changed2.collect().head.getLong(0) > 0L,
+        "diameter-15 path must report a nonzero last-round delta")
+    } finally scope.release()
+  }
+
+  test("graph_components_doubling matches graph_components on the converged fixture") {
+    // dir2's diameter-2 graph converges under BOTH kernels -> same
+    // histogram, both deltas 0.
+    val plain = SparkEntry.queries("graph_components")(spark, dir2).collect().toSeq
+    val dbl = SparkEntry.queries("graph_components_doubling")(spark, dir2).collect().toSeq
+    assert(dbl === plain)
+  }
+
+  test("graph_sssp walks the weighted fixture from the hub with exact costs") {
+    // dir's graph {1-2, 1-3, 2-3, 3-4} has all co-purchase weights 1
+    // -> every edge costs 10^6; hub = node 3 (degree 3). Distances:
+    // 3->0, {1,2,4}->10^6; 4 rounds converge (improved=0), 4 reached.
+    val got = SparkEntry.queries("graph_sssp")(spark, dir).collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) ===
+      Seq((3L, 0L), (1L, 1000000L), (2L, 1000000L), (4L, 1000000L)))
+    assert(got.forall(r => r.getLong(2) === 4L && r.getLong(3) === 0L))
+  }
+
   test("graph_label_propagation reaches consensus on the fixture with exact churn") {
     // Graph {1-2, 1-3, 2-3, 3-4}, labels start as node ids.
     // Round 1 (most frequent neighbor label, ties → min):
