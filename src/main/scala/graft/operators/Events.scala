@@ -25,6 +25,24 @@ import graft.Tables
   */
 object Events extends OpModule {
 
+  /** The p99 event-count cap of `sample_user_cap`, factored so the
+    * streaming twin's parity replay derives the SAME broadcast cap
+    * the graded ledger applies (r13 verdict #6). Input = the per-user
+    * count rollup (a frame with column `n`); output = one row
+    * (cap_n). p99 on exact integers: smallest count value whose
+    * cumulative user share reaches 99% (cum·100 ≥ tot·99 — no
+    * doubles); the cumulative window rides |distinct count values|
+    * rows — the value domain, never |users|. */
+  private[graft] def userCapFrame(counts: DataFrame): DataFrame = {
+    val hist = counts.groupBy("n").agg(count(lit(1)).as("users"))
+    val tot = counts.agg(count(lit(1)).as("tot"))
+    hist
+      .withColumn("cum_u", sum("users").over(Window.orderBy("n")))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum_u") * 100 >= col("tot") * 99)
+      .agg(min("n").as("cap_n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "evt_rolling_active" -> ((s, d) => {
       // 7-day rolling distinct actives (WAU per day) on the DAY-GRAIN
@@ -756,16 +774,7 @@ object Events extends OpModule {
         .select(col("user_id"), col("ts"), col("event_id"))
       val counts = ev.groupBy("user_id")
         .agg(count(lit(1)).as("n"), sum("event_id").as("all_sum"))
-      val hist = counts.groupBy("n").agg(count(lit(1)).as("users"))
-      val tot = counts.agg(count(lit(1)).as("tot"))
-      val cum = hist
-        .withColumn("cum_u", sum("users").over(Window.orderBy("n")))
-        .crossJoin(broadcast(tot))
-      // p99 on exact integers: smallest count value whose cumulative
-      // user share reaches 99% (cum·100 ≥ tot·99 — no doubles).
-      val cap = cum.filter(col("cum_u") * 100 >= col("tot") * 99)
-        .agg(min("n").as("cap_n"))
-      val withCap = counts.crossJoin(broadcast(cap))
+      val withCap = counts.crossJoin(broadcast(userCapFrame(counts)))
       val overKeys = withCap.filter(col("n") > col("cap_n"))
         .select("user_id", "cap_n")
       val wr = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

@@ -468,6 +468,62 @@ class StreamBatchParitySpec extends SparkSpec {
         s"batch-only=${batch -- stream}")
   }
 
+  test("streaming user-cap quarantine equals the graded sample_user_cap ledger (17th twin)") {
+    // Replay the sf0.01 events (sf0.001 has ZERO over-cap users — the
+    // p99 cap quarantines ~1% by construction) in TWO micro-batches
+    // through userCapIngest with the SAME cap the graded ledger
+    // derives (shared userCapFrame helper), feeding event-time order
+    // across batches; assert per-user kept counts, kept-event-id
+    // sums, and the rank-N boundary event equal the hash-graded
+    // batch output.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val ev = Tables.events(spark, sf01)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val capRow = graft.operators.Events.userCapFrame(counts).collect().head
+    val capN = capRow.getLong(0)
+    val rows = ev.orderBy("ts", "event_id").collect().map(r =>
+      graft.streaming.Event(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    val in = MemoryStream[graft.streaming.Event]
+    val q = Streams.userCapIngest(in.toDS(), capN)
+      .writeStream.format("memory").queryName("par_usercap")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    val dec = spark.table("par_usercap")
+    assert(dec.count() === rows.length,
+      "every event must receive exactly one cap decision")
+    val streamLedger = dec.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("event_id"))).as("kept_sum"),
+        max(when(col("rank") === capN, col("event_id"))).as("bnd"))
+      .select(col("user_id"), col("n_events"), col("n_kept"),
+        (col("n_events") - col("n_kept")).as("n_dropped"),
+        (col("n_events") > capN).as("capped"),
+        col("kept_sum"),
+        // the graded ledger records the rank-N boundary ONLY for
+        // over-cap users (under-cap users never enter its window)
+        when(col("n_events") > capN, col("bnd")).as("boundary"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6))).toSet
+    val batch = SparkEntry.queries("sample_user_cap")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6))).toSet
+    assert(streamLedger === batch,
+      s"user-cap parity broke: stream-only=${streamLedger -- batch}, " +
+        s"batch-only=${batch -- streamLedger}")
+  }
+
   test("streaming semantic ingest equals the graded dedup_incremental_embedding ledger (14th twin)") {
     // Replay the real new-vector slice (vec_id % 7 = 3) in TWO
     // micro-batches through semanticIngest against the SAME stored
