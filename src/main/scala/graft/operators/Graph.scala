@@ -701,8 +701,13 @@ object Graph extends OpModule {
         .agg(count(lit(1)).as("n_reached"), sum("distance").as("total_dist"))
         .crossJoin(broadcast(nTot))
         .select(col("src"), col("n_reached"), col("total_dist"),
+          // nullif guard (r13 advice #1): a degenerate graph
+          // (n_graph = 1 or an unreachable hub, total_dist = 0) must
+          // yield NULL on BOTH engines — Spark div returns NULL on a
+          // zero divisor where DuckDB // raises, so the asymmetry
+          // would otherwise be silent until a degenerate input hits.
           expr("""(n_reached - 1) * (n_reached - 1) * 1000000
-                | div ((n_graph - 1) * total_dist)""".stripMargin)
+                | div nullif((n_graph - 1) * total_dist, 0)""".stripMargin)
             .as("closeness_ppm"))
         .orderBy("src")
     }),
@@ -1078,12 +1083,18 @@ object Graph extends OpModule {
       |      AND o_orderdate < TIMESTAMP '1995-04-01'
       |    GROUP BY 1, 2""".stripMargin
 
+  // e/deg MATERIALIZED (r13 advice #3, the bpe-round CTE discipline):
+  // most consumers reference them 2+ times — graph_closeness's deg
+  // feeds both the SigmaCtes seed AND the graph-size scalar — and a
+  // plain CTE makes DuckDB inline and recompute the full ob/e/deg
+  // incidence derivation per reference, unlike the Spark side's
+  // persisted edge frame.
   private val EDGES =
     s"""ob AS ($INCIDENCE),
-       |e AS (SELECT a.node AS u, b.node AS v
+       |e AS MATERIALIZED (SELECT a.node AS u, b.node AS v
        |      FROM ob a JOIN ob b ON a.ok = b.ok AND a.node < b.node
        |      GROUP BY 1, 2),
-       |deg AS (SELECT node, count(*) AS d
+       |deg AS MATERIALIZED (SELECT node, count(*) AS d
        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
        |        GROUP BY 1)""".stripMargin
 
@@ -1222,7 +1233,7 @@ object Graph extends OpModule {
          |ng AS (SELECT count(*) AS n_graph FROM deg)
          |SELECT src, n_reached, total_dist,
          |  CAST((n_reached - 1) * (n_reached - 1) * 1000000
-         |    // ((ng.n_graph - 1) * total_dist) AS BIGINT) AS closeness_ppm
+         |    // nullif((ng.n_graph - 1) * total_dist, 0) AS BIGINT) AS closeness_ppm
          |FROM cl, ng ORDER BY src""".stripMargin,
 
     "graph_stress_centrality" -> {
