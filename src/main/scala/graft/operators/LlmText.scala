@@ -2029,7 +2029,8 @@ object LlmText extends OpModule {
       val edges = scope.persist(
         p.select(col("a_id").as("src"), col("b_id").as("dst"))
           .unionByName(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-          .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst"))))
+          .unionByName(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+          .coalesce(4)) // gated pair universe — bounded; r14 task-floor trim
       var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       for (_ <- 1 to 3) {
         labels = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
