@@ -53,7 +53,7 @@ object Graph extends OpModule {
 
   /** Undirected co-purchase edges WITH the co-occurrence count — the
     * weighted variant of [[edges]] (graph_sssp's metric source). */
-  private def edgesW(s: SparkSession, d: String): DataFrame = {
+  private[graft] def edgesW(s: SparkSession, d: String): DataFrame = {
     val ob = incidence(s, d)
     val a = ob.select(col("ok"), col("node").as("u"))
     val b = ob.select(col("ok").as("ok2"), col("node").as("v"))

@@ -987,6 +987,44 @@ class PlansSpec extends SparkSpec {
       s"bpe round argmax regressed to a window rank:\n$top")
   }
 
+  test("graph_sssp: relaxation round partial-aggregates, merges full-outer; top-20 never global-sorts") {
+    // The graded rounds are checkpoint-cut, so rebuild ONE relaxation
+    // round + the terminal top-k from the package-private weighted
+    // edge source (the stressContrib lock discipline): the per-node
+    // min must map-side combine, the distance merge must stay a
+    // FULL-outer join (an inner merge silently drops newly-reached
+    // nodes), no window anywhere, and the closing top-20 must be a
+    // TakeOrderedAndProject, never a global sort of every node.
+    import org.apache.spark.sql.functions._
+    val e = graft.operators.Graph.edgesW(spark, sf)
+    val cost = expr("1000000 div w")
+    val adjw = e.select(col("u").as("a"), col("v").as("b"), cost.as("c"))
+      .union(e.select(col("v").as("a"), col("u").as("b"), cost.as("c")))
+    val dist = spark.range(1)
+      .select(lit(0L).as("node"), lit(0L).as("dist"))
+    val relaxed = adjw
+      .join(dist.select(col("node").as("dn"), col("dist").as("du")),
+        col("a") === col("dn"))
+      .groupBy(col("b").as("node"))
+      .agg(min(col("du") + col("c")).as("nd"))
+    val merged = dist.join(relaxed, Seq("node"), "full_outer")
+      .select(col("node"),
+        least(coalesce(col("dist"), lit(Long.MaxValue / 4)),
+          coalesce(col("nd"), lit(Long.MaxValue / 4))).as("dist"))
+      .orderBy(col("dist"), col("node")).limit(20)
+    val plan = treeString(merged)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sssp top-20 lost its two-phase top-k shape:\n$plan")
+    assert(plan.contains("FullOuter"),
+      s"sssp distance merge lost its full-outer shape:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"sssp relaxation grew a window:\n$plan")
+    assert(plan.contains("partial_"),
+      s"sssp per-node min lost its map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"sssp planned a cartesian:\n$plan")
+  }
+
   test("graph_stress_centrality: node rollup partial-aggregates; top-20 never global-sorts") {
     // The graded query's terminal result is checkpoint-truncated
     // (scopedPersist), so rebuild the terminal stage on the
