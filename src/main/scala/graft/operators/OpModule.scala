@@ -16,8 +16,29 @@ private[graft] final class PersistScope {
   private val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    kept += p
+    // synchronized: bodies may register from concurrent path-builder
+    // threads (see `par` / LlmSim.annRetrieved)
+    kept.synchronized { kept += p }
     p
+  }
+
+  /** Materialize two INDEPENDENT sub-chains' eager cuts concurrently
+    * (r15): a body whose paths each end in `cut` jobs would otherwise
+    * serialize path A's whole training chain before path B's begins —
+    * pure scheduling loss, since the chains share nothing. Spark
+    * sessions accept concurrent job submission; the builders run on
+    * scala.concurrent's global pool and this blocks until both plans
+    * (and their internal cut jobs) are built. NOT for chains sharing
+    * an UNMATERIALIZED persisted frame — concurrent stages racing a
+    * cold cache materialize it once per racer (measured: task time
+    * doubled); share only already-cut inputs across the two thunks. */
+  def par[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
   }
   /** Materialize NOW and truncate lineage to the computed blocks
     * (`localCheckpoint(eager = true)`). REQUIRED (not optional) for

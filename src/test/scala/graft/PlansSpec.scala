@@ -190,12 +190,15 @@ class PlansSpec extends SparkSpec {
     finally scope.release()
   }
 
-  test("sim_knn_pq broadcasts the query distance table") {
-    // ADC scoring = codes ⋈ broadcast(dtab); a shuffled dtab join
-    // would move the full code table per query batch.
+  test("sim_knn_pq broadcasts the query distance maps onto pivoted codes") {
+    // ADC scoring (r15 pivot) = pivoted code rows (one per vector)
+    // ⋈ broadcast of the ≤|Q|-row per-query distance-map table — the
+    // only join fanout left is |Q|; the non-equi (vec_id ≠ q_id)
+    // condition makes it a broadcast nested-loop against 10 rows,
+    // NEVER a shuffled join or an unbroadcast cartesian.
     scopedPlan(graft.operators.LlmSim.knnPqBody(spark, sf)) { plan =>
-      assert(plan.contains("BroadcastHashJoin"),
-        s"distance table not broadcast:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"distance-map table not broadcast:\n$plan")
       assert(!plan.contains("CartesianProduct"),
         "ADC scoring degenerated to a cartesian")
     }
@@ -345,14 +348,16 @@ class PlansSpec extends SparkSpec {
 
   test("sim_ndcg_eval persists the tier universe once and broadcasts the ideal DCG") {
     // The graded-relevance universe (10·|V| pairs) must be read from
-    // the persist scope by BOTH consumers (ideal ranking + retrieved
-    // join) instead of recomputing the brute cosine scan per path,
+    // its truncated checkpoint leaf by BOTH consumers (ideal ranking +
+    // retrieved join) — r15: an eager cut, because the two consumer
+    // stages raced a lazily persisted cold cache and re-materialized
+    // the brute scoring once each —
     // and the |Q|-row ideal-DCG table must broadcast onto the
     // path×query spine; no path's candidate join may degenerate to a
     // cartesian over the universe.
     scopedPlan(graft.operators.LlmSim.ndcgBody(spark, sf)) { plan =>
-      assert(plan.contains("InMemoryTableScan"),
-        s"tier universe is not read from the persist scope:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"tier universe is not read from a truncated leaf:\n$plan")
       assert(plan.contains("BroadcastHashJoin"),
         s"ideal DCG table is not broadcast onto the spine:\n$plan")
       assert(!plan.contains("CartesianProduct"),
@@ -361,14 +366,14 @@ class PlansSpec extends SparkSpec {
   }
 
   test("sim_rrf_fusion fuses from the persisted universe with partitioned windows") {
-    // The fused grading must ride the SAME persisted tier universe as
+    // The fused grading must ride the SAME truncated tier universe as
     // the per-path eval (never re-derive the brute scan), broadcast
     // the |Q|-row ideal-DCG table onto the query spine, keep the
     // fusion window partitioned by q_id (≤18 candidates per query),
     // and no path may degenerate to a cartesian.
     scopedPlan(graft.operators.LlmSim.rrfBody(spark, sf)) { plan =>
-      assert(plan.contains("InMemoryTableScan"),
-        s"tier universe is not read from the persist scope:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"tier universe is not read from a truncated leaf:\n$plan")
       assert(plan.contains("BroadcastHashJoin"),
         s"ideal DCG table is not broadcast onto the spine:\n$plan")
       assert(!plan.contains("CartesianProduct"),
