@@ -666,6 +666,146 @@ object LlmSim extends OpModule {
       .orderBy("q_id")
   }
 
+  /** Graph-ANN (NSW-lite) greedy beam search (r15 verdict #2) — the
+    * fifth ANN serving family beside LSH / IVF / PQ / Hamming: search
+    * walks the mutual-kNN graph instead of scanning an index. Edge
+    * frame = the sim_knn_graph_stats directed top-3 graph (per-vector
+    * top-3 by rounded cosine among LSH-bucket co-residents — built
+    * once, persisted; at 100 TB this is THE navigable-small-world
+    * build shape: one bucket equi-join + a per-vector rank window).
+    * Search: every query (vec_id < 10) enters at one DETERMINISTIC
+    * entry node (the lowest non-query id — the fixed-entry-point
+    * discipline HNSW layer-0 uses), then 3 unrolled hop rounds:
+    * candidates = out-neighbors of the current beam via the edge
+    * frame, fresh candidates (anti-joined against everything already
+    * visited) are scored on the integer-grid rounded cosine, the
+    * top-3 fresh nodes (ties → lower id) become the next beam, and
+    * ALL scored nodes accumulate into the visited set. Answer =
+    * top-5 of the visited set. Scale shape: the beam is ≤ 3·|Q| rows
+    * (broadcast onto the edge frame — each hop is one map-side join),
+    * scoring touches only |fresh| ≤ 9·|Q| vectors per hop, and the
+    * unrolled rounds cut per superstep (the graph-kernel discipline).
+    * Recall vs the brute truth is graded by [[recallGraphBody]]. */
+  private[graft] def knnGraphBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    // TWO independent 8-bit hyperplane tables from one 16-bit hash
+    // (bits 0–7 / 8–15 — disjoint hyperplane sets, so the tables are
+    // independent): a single-table bucket-gated kNN graph is a union
+    // of DISCONNECTED per-bucket cliques — a walk can never leave its
+    // bucket and recall measured 0. Multi-table candidate generation
+    // (the standard LSH construction) crosses table-1 boundaries via
+    // table-2 co-residency while keeping the build Σ|bucket|² linear.
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"),
+        graft.functions.GraftFunctions.lshBucket(col("embedding"), 16)
+          .as("b16"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr("b16 % 256").as("bucket1"), expr("b16 div 256").as("bucket2"))
+    def side(t: Int, p: String, idc: String) =
+      e.select(col(s"bucket$t").as("bucket"), col("vec_id").as(idc),
+        col("embedding").as(s"${p}_emb"), col("nrm").as(s"${p}_nrm"))
+    // candidate ids from either table (UNION dedupes), then ONE
+    // re-join to the vector sides for scoring — arrays never ride
+    // through the distinct.
+    val cand = side(1, "a", "a_id").select(col("bucket"), col("a_id"))
+      .join(side(1, "b", "b_id").select(col("bucket"), col("b_id")), Seq("bucket"))
+      .select("a_id", "b_id")
+      .union(side(2, "a", "a_id").select(col("bucket"), col("a_id"))
+        .join(side(2, "b", "b_id").select(col("bucket"), col("b_id")), Seq("bucket"))
+        .select("a_id", "b_id"))
+      .filter(col("a_id") =!= col("b_id")).distinct()
+    val we = Window.partitionBy("a_id").orderBy(col("ecos").desc, col("b_id"))
+    // Directed top-3 kNN edges over the multi-table candidates;
+    // queries are nodes too, so their out-edges double as the walk's
+    // deterministic seeds below.
+    val dir = scope.cut(cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm")), "b_id")
+      .withColumn("ecos", round(
+        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= 5)
+      .select(col("a_id"), col("b_id"), col("ecos")))
+    // SYMMETRIZED adjacency (kNN edges ∪ reverses) — NSW links are
+    // undirected; the directed form dead-ends greedy walks.
+    val edges = scope.cut(dir.select("a_id", "b_id")
+      .unionAll(dir.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct())
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val nside = e.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+    // pairs (q_id, n_id) -> scored (q_id, n_id, cos); the query side
+    // is |Q| rows, always broadcast.
+    def scoreOf(pairs: DataFrame): DataFrame =
+      pairs.join(nside, "n_id").join(broadcast(q), "q_id")
+        .withColumn("cos", round(
+          dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4))
+        .select("q_id", "n_id", "cos")
+    // DETERMINISTIC entries: the query's own directed top-3 edges —
+    // the index's shortlist for that query (ties → lower id), with a
+    // lowest-non-query-id fallback for a query with no candidates.
+    // Seeding from the shortlist and letting the hops expand across
+    // buckets is the hybrid (index-seed + graph-expansion) serving
+    // shape; a fixed global entry measured recall 0 at a 3-hop budget
+    // (navigating from one node needs HNSW's log-N layer stack, which
+    // this flat graph deliberately doesn't build).
+    val seeds = dir.filter(col("a_id") < 10)
+      .select(col("a_id").as("q_id"), col("b_id").as("n_id"),
+        col("ecos").as("cos"))
+    val gmin = e.filter(col("vec_id") >= 10).agg(min("vec_id").as("g_entry"))
+    val fallback = scoreOf(q.select("q_id")
+      .join(seeds.select("q_id").distinct(), Seq("q_id"), "left_anti")
+      .crossJoin(broadcast(gmin)).select(col("q_id"),
+        col("g_entry").as("n_id")))
+    var visited = scope.cut(seeds.unionAll(fallback))
+    var beam = visited
+    for (_ <- 1 to 3) {
+      val cand = broadcast(beam.select(col("q_id"), col("n_id")))
+        .join(edges, col("n_id") === col("a_id"))
+        .select(col("q_id"), col("b_id").as("n_id")).distinct()
+      val fresh = cand.join(visited.select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_anti")
+      val scored = scoreOf(fresh)
+      val wB = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+      val next = scope.cut(scored.withColumn("brk", row_number().over(wB)))
+      beam = next.filter(col("brk") <= 5).drop("brk")
+      visited = scope.cut(visited.unionAll(next.drop("brk")))
+    }
+    val wF = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    visited.filter(col("n_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(wF).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("q_id", "n_id", "cos", "rk")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Graph-path quality gate: per-query recall@5 of the NSW-lite beam
+    * search against the exact cosine truth — completes the per-path
+    * recall family (LSH / IVF / PQ / Hamming / graph: every ANN
+    * serving path ships with its accuracy eval). The
+    * sim_recall_hamming shape: truth persists via the scope, one
+    * dimension-sized left join + agg. */
+  private[graft] def recallGraphBody(s: SparkSession, d: String)(
+      scope: PersistScope): DataFrame = {
+    val truth = scope.persist(
+      queries("sim_knn")(s, d).select(col("q_id"), col("n_id")))
+    val g = knnGraphBody(s, d)(scope)
+      .select(col("q_id").as("g_q"), col("n_id").as("g_n"), lit(1).as("hit"))
+    truth
+      .join(g, col("q_id") === col("g_q") && col("n_id") === col("g_n"),
+        "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+      .select(col("q_id"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Coarse train + assign of the incremental-embedding index (C=8,
     * init = the 8 lowest old ids, 2 Lloyd rounds over OLD vectors
     * only — the stored-index contract) — factored out of
@@ -1556,6 +1696,11 @@ object LlmSim extends OpModule {
 
     // Persist-scoped; body factored out for PlansSpec plan locks.
     "sim_recall_hamming" -> ((s, d) => scopedPersist(recallHammingBody(s, d))),
+
+    // NSW-lite greedy beam search over the mutual-kNN graph (r15) +
+    // its recall gate; bodies factored out for PlansSpec plan locks.
+    "sim_knn_graph" -> ((s, d) => scopedPersist(knnGraphBody(s, d))),
+    "sim_recall_graph" -> ((s, d) => scopedPersist(recallGraphBody(s, d))),
 
     "sim_recall_ivf" -> ((s, d) => scopedPersist { scope =>
       // IVF quality gate: per-query recall@5 PER NPROBE (r5) — the
@@ -2845,6 +2990,123 @@ object LlmSim extends OpModule {
       |  GROUP BY vec_id, j
       |) GROUP BY vec_id""".stripMargin
 
+  // ---- graph-ANN (NSW-lite) oracle chain (r15) ------------------------
+
+  /** Score a (q_id, n_id) pair CTE on the rounded cosine — expects
+    * CTEs `uq` (unnested queries), `un` (unnested corpus), `norms`. */
+  private def gscoreSql(pairs: String): String =
+    s"""SELECT p.q_id, p.n_id,
+       |  round(sum(uq.v * un.v) / (nq.nrm * nn.nrm), 4) AS cos
+       |FROM $pairs p
+       |JOIN uq ON uq.q_id = p.q_id
+       |JOIN un ON un.n_id = p.n_id AND un.pos = uq.pos
+       |JOIN norms nq ON nq.vec_id = p.q_id
+       |JOIN norms nn ON nn.vec_id = p.n_id
+       |GROUP BY p.q_id, p.n_id, nq.nrm, nn.nrm""".stripMargin
+
+  /** One unrolled hop: candidates = out-neighbors of the previous
+    * beam, fresh = not yet visited, scored, beam = top-3 fresh,
+    * visited += all scored (the Spark twin's exact round shape). */
+  private def gHopSql(r: Int): String = {
+    val pv = s"gv${r - 1}"
+    val pf = s"gf${r - 1}"
+    s"""gc$r AS (SELECT DISTINCT $pf.q_id, ed.b_id AS n_id
+       |  FROM $pf JOIN gedges ed ON ed.a_id = $pf.n_id),
+       |gx$r AS (SELECT gc$r.q_id, gc$r.n_id FROM gc$r
+       |  WHERE NOT EXISTS (SELECT 1 FROM $pv
+       |    WHERE $pv.q_id = gc$r.q_id AND $pv.n_id = gc$r.n_id)),
+       |gs$r AS MATERIALIZED (${gscoreSql(s"gx$r")}),
+       |gf$r AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS brk
+       |  FROM gs$r) WHERE brk <= 5),
+       |gv$r AS MATERIALIZED (
+       |  SELECT * FROM $pv UNION ALL SELECT * FROM gs$r)""".stripMargin
+  }
+
+  /** Second 8-bit hyperplane table — hyperplanes j = 8..15 of the
+    * shared arithmetic family (disjoint from [[BucketsSql]]'s 0..7,
+    * so the two tables are independent). */
+  private val Buckets2Sql =
+    """SELECT vec_id, CAST(sum(CASE WHEN bproj > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+      |FROM (
+      |  SELECT vec_id, j, CAST(pow(2, j - 8) AS BIGINT) AS pw,
+      |    sum(v * (CAST((37 * j + 101 * pos) % 97 AS DOUBLE) / 97.0 - 0.5)) AS bproj
+      |  FROM (
+      |    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+      |      CAST(unnest(embedding) AS DOUBLE) AS v
+      |    FROM embeddings
+      |  ) CROSS JOIN range(8, 16) t(j)
+      |  GROUP BY vec_id, j
+      |) GROUP BY vec_id""".stripMargin
+
+  /** The full unrolled search: two-table candidate build + top-3 edge
+    * rank + symmetrization + seed + 3 hops, ending in CTE `gres`
+    * (q_id, n_id, cos, rk) — shared by the sim_knn_graph and
+    * sim_recall_graph oracles. */
+  private def graphSearchSql: String =
+    s"""buckets1 AS ($BucketsSql),
+       |buckets2 AS ($Buckets2Sql),
+       |ua AS (${unnested("a", "true")}),
+       |ub AS (${unnested("b", "true")}),
+       |uq AS (${unnested("q", "vec_id < 10")}),
+       |un AS (${unnested("n", "true")}),
+       |norms AS ($NormsSql),
+       |gcand AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM buckets1 a
+       |  JOIN buckets1 b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+       |  UNION
+       |  SELECT a.vec_id, b.vec_id
+       |  FROM buckets2 a
+       |  JOIN buckets2 b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+       |),
+       |gescored AS (
+       |  SELECT c.a_id, c.b_id,
+       |    round(sum(ua.v * ub.v) / (na.nrm * nb.nrm), 4) AS cos
+       |  FROM gcand c
+       |  JOIN ua ON ua.a_id = c.a_id
+       |  JOIN ub ON ub.b_id = c.b_id AND ub.pos = ua.pos
+       |  JOIN norms na ON na.vec_id = c.a_id
+       |  JOIN norms nb ON nb.vec_id = c.b_id
+       |  GROUP BY c.a_id, c.b_id, na.nrm, nb.nrm
+       |),
+       |gdir AS MATERIALIZED (
+       |  SELECT a_id, b_id, cos FROM (
+       |    SELECT a_id, b_id, cos,
+       |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+       |    FROM gescored
+       |  ) WHERE rk <= 5
+       |),
+       |gedges AS MATERIALIZED (
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT a_id, b_id FROM gdir
+       |    UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM gdir)
+       |),
+       |gseed AS (
+       |  SELECT a_id AS q_id, b_id AS n_id, cos FROM gdir WHERE a_id < 10),
+       |gmin AS (
+       |  SELECT min(vec_id) AS g_entry FROM embeddings WHERE vec_id >= 10),
+       |gfb0 AS (SELECT e.vec_id AS q_id, g.g_entry AS n_id
+       |  FROM embeddings e CROSS JOIN gmin g
+       |  WHERE e.vec_id < 10
+       |    AND NOT EXISTS (SELECT 1 FROM gseed s WHERE s.q_id = e.vec_id)),
+       |gfb AS (${gscoreSql("gfb0")}),
+       |gv0 AS MATERIALIZED (
+       |  SELECT * FROM gseed UNION ALL SELECT * FROM gfb),
+       |gf0 AS (SELECT q_id, n_id FROM gv0),
+       |${gHopSql(1)},
+       |${gHopSql(2)},
+       |${gHopSql(3)},
+       |gres AS (
+       |  SELECT q_id, n_id, cos, rk FROM (
+       |    SELECT q_id, n_id, cos,
+       |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+       |        AS BIGINT) AS rk
+       |    FROM gv3 WHERE n_id <> q_id
+       |  ) WHERE rk <= 5
+       |)""".stripMargin
+
   /** One k-means assignment pass in SQL: the `topn` nearest centroids
     * from `cents` by rounded cosine, ties to the lower cell id
     * (mirrors the Spark side's min(struct(-cos, cell)) argmin for
@@ -3363,6 +3625,33 @@ object LlmSim extends OpModule {
          |JOIN embeddings l ON l.vec_id = e.a_id
          |LEFT JOIN edges r ON r.a_id = e.b_id AND r.b_id = e.a_id
          |GROUP BY l.label ORDER BY l.label""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""WITH $graphSearchSql
+         |SELECT q_id, n_id, cos, rk FROM gres ORDER BY q_id, rk""".stripMargin,
+
+    "sim_recall_graph" ->
+      s"""WITH $graphSearchSql,
+         |bscored AS (
+         |  SELECT q_id, n_id,
+         |    round(sum(uq.v * un.v) / (nq.nrm * nn.nrm), 4) AS cos
+         |  FROM uq JOIN un ON uq.pos = un.pos AND uq.q_id <> un.n_id
+         |  JOIN norms nq ON nq.vec_id = uq.q_id
+         |  JOIN norms nn ON nn.vec_id = un.n_id
+         |  GROUP BY q_id, n_id, nq.nrm, nn.nrm
+         |),
+         |truth AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM bscored) WHERE rk <= 5)
+         |SELECT t.q_id, count(*) AS n_truth,
+         |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  round(CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 4) AS recall
+         |FROM truth t
+         |LEFT JOIN gres g ON g.q_id = t.q_id AND g.n_id = t.n_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
 
     // Same edges as the mutual-kNN census (bucket-gated candidates,
     // pair-first join order); the majority decision is pure integers.

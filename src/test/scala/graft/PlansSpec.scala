@@ -388,6 +388,24 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("sim_knn_graph walks truncated edge leaves with per-query windows") {
+    // The hop rounds must read the symmetrized edge frame and the
+    // visited set from truncated checkpoint leaves (un-cut, the
+    // superstep lineage compounds ~branching^rounds), every rank
+    // window must partition on a per-query/per-node key, and no hop
+    // may degenerate to a cartesian.
+    scopedPlan(graft.operators.LlmSim.knnGraphBody(spark, sf)) { plan =>
+      assert(plan.contains("ExistingRDD"),
+        s"no truncated superstep leaves in the graph walk plan:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"a hop degenerated to a cartesian:\n$plan")
+      val specs = plan.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      specs.foreach(l => assert(l.contains("q_id") || l.contains("a_id"),
+        s"unpartitioned walk window: $l"))
+    }
+  }
+
   test("sim_knn_mips broadcasts the query elements") {
     val plan = treeString(q("sim_knn_mips"))
     assert(plan.contains("BroadcastExchange") ||
