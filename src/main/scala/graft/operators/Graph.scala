@@ -185,7 +185,69 @@ object Graph extends OpModule {
       .select(col("src"), col("node"), (col("sigma") * col("tau")).as("st"))
   }
 
+  /** Per-(src, node) betweenness dependencies δ over the σ-BFS DAG —
+    * Brandes 2001's ACTUAL backward recurrence δ(v) =
+    * Σ_{w successor} (σ(v)/σ(w))·(1 + δ(w)), the σ-ratio rational twin
+    * of [[stressContrib]]'s integer τ pass (stress counts paths
+    * through v; betweenness weights each s-t pair by the FRACTION of
+    * its shortest paths through v — the load-sharing readout routing
+    * and cut-vertex analyses actually rank by). Package-visible so
+    * InvariantsSpec can tie the graded profile to the σ chain via
+    * δ(v) ≤ σ(v)·τ(v) (each pair's fractional weight is ≤ its path
+    * count, level by level) and GraphSpec can pin a hand-computed
+    * fixture. Float discipline: each level's δ rounds at 9 (the
+    * pagerank quantization — summation-order noise dies before it
+    * compounds); every other term is an exact small integer ratio.
+    * Plan shape mirrors the τ pass level for level. */
+  private[graft] def betweennessContrib(s: SparkSession, d: String,
+      scope: PersistScope): DataFrame = {
+    val (_, adj, _, l1, l2, l3) = sigmaChain(s, d, scope)
+    def back(layer: DataFrame, deeper: DataFrame): DataFrame = {
+      val cand = adj
+        .join(deeper.select(col("src").as("ws"), col("node").as("wn"),
+            col("sigma").as("wsig"), col("delta").as("wdel")),
+          col("b") === col("wn"))
+        .groupBy(col("ws"), col("a"))
+        .agg(sum((lit(1.0) + col("wdel")) / col("wsig").cast("double"))
+          .as("dsum"))
+      layer.join(cand,
+          col("src") === col("ws") && col("node") === col("a"), "left")
+        .select(col("src"), col("node"), col("sigma"),
+          round(col("sigma").cast("double") *
+            coalesce(col("dsum"), lit(0.0)), 9).as("delta"))
+    }
+    val d3 = l3.withColumn("delta", lit(0.0))
+    // d2 feeds BOTH the next backward level and the final union — cut
+    // (coalesce(1): ≤5·|nodes| rows); d1 is union-only (the τ-pass
+    // cut-trim discipline).
+    val d2 = scope.cut(back(l2, d3).coalesce(1))
+    val d1 = back(l1, d2)
+    d1.union(d2).select(col("src"), col("node"), col("delta"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_betweenness" -> ((s, d) => scopedPersist { scope =>
+      // Betweenness centrality (Brandes 2001) of the co-purchase
+      // graph, emitted beside graph_stress_centrality so the two
+      // centralities read together (stress = HOW MANY shortest paths
+      // cross v; betweenness = WHAT FRACTION of each pair's paths
+      // cross v): δ backward accumulation over the SAME shared σ-BFS
+      // DAG (sigmaChain — the forward pass is computed once per
+      // scope, and a drift in either kernel breaks the shared-chain
+      // invariants). Per-level round(δ, 9) (the pagerank float
+      // discipline) makes both engines' summation noise quantize
+      // identically; the final per-node sum is ≤5 grid values, so
+      // round-6 output is engine-exact. Top-20 is a
+      // TakeOrderedAndProject, never a global sort.
+      betweennessContrib(s, d, scope)
+        .filter(col("delta") > 0)
+        .groupBy("node")
+        .agg(countDistinct("src").as("n_src"),
+          round(sum("delta"), 6).as("betweenness"))
+        .orderBy(col("betweenness").desc, col("node"))
+        .limit(20)
+    }),
+
     "graph_degree_hist" -> ((s, d) =>
       // Degree distribution of the co-purchase graph: how many
       // category nodes have k co-purchase partners. The shape (heavy
@@ -1235,6 +1297,35 @@ object Graph extends OpModule {
          |  CAST((n_reached - 1) * (n_reached - 1) * 1000000
          |    // nullif((ng.n_graph - 1) * total_dist, 0) AS BIGINT) AS closeness_ppm
          |FROM cl, ng ORDER BY src""".stripMargin,
+
+    "graph_betweenness" -> {
+      // Backward δ accumulation (Brandes): per level δ(v) =
+      // round(σ(v)·Σ_{w succ}(1+δ(w))/σ(w), 9) — same DAG join shape
+      // as the τ pass, σ-ratio doubles quantized per level exactly as
+      // the Spark kernel rounds them.
+      def delta(layer: String, deeper: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT l.src, l.node, l.sigma,
+           |    round(CAST(l.sigma AS DOUBLE) * coalesce(c.ds, 0), 9) AS delta
+           |  FROM $layer l LEFT JOIN (
+           |    SELECT w.src, adj.a AS node,
+           |      sum((1 + w.delta) / CAST(w.sigma AS DOUBLE)) AS ds
+           |    FROM adj JOIN $deeper w ON adj.b = w.node
+           |    GROUP BY w.src, adj.a) c
+           |  ON c.src = l.src AND c.node = l.node)""".stripMargin
+      s"""WITH $EDGES,
+         |$SigmaCtes,
+         |d3 AS MATERIALIZED (
+         |  SELECT src, node, sigma, CAST(0 AS DOUBLE) AS delta FROM l3),
+         |${delta("l2", "d3", "d2")},
+         |${delta("l1", "d2", "d1")},
+         |dd AS (SELECT src, node, delta FROM d1
+         |       UNION ALL SELECT src, node, delta FROM d2)
+         |SELECT node, count(DISTINCT src) AS n_src,
+         |  round(sum(delta), 6) AS betweenness
+         |FROM dd WHERE delta > 0
+         |GROUP BY node ORDER BY betweenness DESC, node LIMIT 20""".stripMargin
+    },
 
     "graph_stress_centrality" -> {
       // Backward τ accumulation over the shared forward layers: per

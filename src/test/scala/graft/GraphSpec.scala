@@ -194,6 +194,18 @@ class GraphSpec extends SparkSpec {
     assert(got === Seq(Row(3L, 3L, 4L)))
   }
 
+  test("graph_betweenness weights the cut vertex by exact path fractions") {
+    // Same fixture as the stress test ({1-2, 1-3, 2-3, 3-4}, node 3
+    // the unique cut vertex) — every σ here is 1, so each interior
+    // incidence carries fraction 1/1 and betweenness(3) = stress(3)
+    // = 4.0 from the same 3 sources; no other node is interior to
+    // any shortest path. Reading the two centralities side by side
+    // on the fixture pins the σ-ratio weighting to the integer count.
+    val got = SparkEntry.queries("graph_betweenness")(spark, dir)
+      .collect().toSeq
+    assert(got === Seq(Row(3L, 3L, 4.0)))
+  }
+
   test("graph_modularity scores the single-community fixture at exactly zero") {
     // LPA collapses the fixture to ONE community (see the consensus
     // test): intra = m = 4, Σd_c = 8 → Q = 4/4 − 8²/(4·4²) = 0 — the

@@ -2025,6 +2025,36 @@ class InvariantsSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("betweenness obeys the Brandes dependency-accumulation identity") {
+    // Σ_v δ_s(v) over interior nodes must equal Σ_t (dist(t) − 1)
+    // over targets at distance ≥ 1: for each target t, the σ-ratio
+    // fractions of its paths sum to exactly 1 per interior slot, so
+    // t contributes its path length minus one (Brandes 2001, Thm 6
+    // corollary). Left side: the pre-top-k δ frame; right side: the
+    // GRADED graph_path_counts n_nodes profile — the same
+    // cross-kernel tie the stress identity pins, so a drift in the σ
+    // chain or either backward pass fails here. Tolerance 1e-5
+    // absorbs the per-level round(δ, 9) quantization.
+    val scope = new operators.PersistScope
+    try {
+      val lhs = operators.Graph.betweennessContrib(spark, sf, scope)
+        .groupBy("src")
+        .agg(org.apache.spark.sql.functions.sum("delta").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val rhs = q("graph_path_counts").collect()
+        .filter(_.getLong(1) >= 1L)
+        .groupBy(_.getLong(0))
+        .map { case (src, rows) =>
+          src -> rows.map(r => r.getLong(2) * (r.getLong(1) - 1L)).sum }
+      assert(rhs.nonEmpty)
+      rhs.foreach { case (src, v) =>
+        val got = lhs.getOrElse(src, 0.0)
+        assert(math.abs(got - v) <= 1e-5,
+          s"dependency mass for src $src: δ-sum $got vs Σ(d−1) $v")
+      }
+    } finally scope.release()
+  }
+
   test("burstiness ledger: dispersion bounds and wordcount consistency") {
     // Exact theorems of the construction: every containing doc
     // contributes ≥ 1 occurrence (df ≤ T ⇒ mgp_e4 ≥ 1e4), and
