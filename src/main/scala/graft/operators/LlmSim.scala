@@ -2757,69 +2757,130 @@ object LlmSim extends OpModule {
     // Persist-scoped; body factored out for PlansSpec plan locks.
     "sim_ivf_routing_depth" -> ((s, d) => scopedPersist(routingDepthBody(s, d))),
 
-    "multimodal_ahash_dedup" -> ((s, d) => {
-      // Perceptual-hash image dedup (r10): the average-hash (aHash)
-      // near-duplicate screen every multimodal curation pipeline runs
-      // before training on crawled images — REAL ImageIO decode
-      // (the multimodal_decode_hist contract: same synthesized PNGs,
-      // pixel g = (doc·7 + x·3 + y·5) mod 256, dims keyed off doc_id,
-      // gated doc_id < 64), batched mapPartitions, and an ALL-INTEGER
-      // hash: threshold the first 64 row-major gray pixels against
-      // the integer-truncated mean, packed into two 32-bit words (the
-      // sim_knn_hamming packing — bit 63 of one long trips engines
-      // differently). The census self-joins the gate-bounded hash
-      // frame (≤ 64² pairs at EVERY sf) for exact-hash duplicate
-      // groups and Hamming ≤ 8 near-duplicates — measured on this
-      // corpus: exact groups of 3-4 (ids congruent mod 15 share dims
-      // and threshold pattern), 350 near-pairs. DuckDB cannot decode
-      // PNGs but predicts every hash by pure arithmetic (integer gray
-      // channel, integer mean — no float ever crosses the compare).
-      // At 100 TB: decode parallelism is the partition count; the
-      // hash frame (16 B/image) is what shuffles, never pixels —
-      // banding h0/h1 as LSH keys replaces the gated self-join.
-      import s.implicits._
-      import graft.multimodal.{MediaRow, Multimodal}
-      val media = Tables.documents(s, d)
-        .select(col("doc_id")).filter(col("doc_id") < 64)
-        .as[Long].map { id =>
-          val wpx = 8 + (id % 5).toInt
-          val hpx = 6 + (id % 3).toInt
-          val img = new java.awt.image.BufferedImage(
-            wpx, hpx, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < hpx) {
-            var x = 0
-            while (x < wpx) {
-              val g = ((id * 7 + x * 3 + y * 5) % 256).toInt
-              img.setRGB(x, y, (g << 16) | (g << 8) | g)
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          MediaRow(id, "image", bos.toByteArray)
-        }
-      val hashes = Multimodal.imageAHash(media).toDF()
-        .select(col("media_id").as("doc_id"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          col("mean_lum"), col("h0"), col("h1"))
-      val other = hashes.select(col("doc_id").as("o_id"),
-        col("h0").as("o_h0"), col("h1").as("o_h1"))
-      hashes.join(broadcast(other), col("doc_id") =!= col("o_id"))
-        .withColumn("hd",
-          expr("bit_count(h0 ^ o_h0) + bit_count(h1 ^ o_h1)"))
-        .groupBy("doc_id")
-        .agg(any_value(col("width")).as("width"),
-          any_value(col("height")).as("height"),
-          any_value(col("mean_lum")).as("mean_lum"),
-          any_value(col("h0")).as("h0"), any_value(col("h1")).as("h1"),
-          sum(when(col("hd") === 0, 1L).otherwise(0L)).as("n_exact_dup"),
-          sum(when(col("hd") <= 8, 1L).otherwise(0L)).as("n_near"))
+    "multimodal_ahash_dedup" -> ((s, d) => scopedPersist { scope =>
+      // Perceptual-hash image dedup (r10; BANDED r15): the
+      // average-hash (aHash) near-duplicate screen every multimodal
+      // curation pipeline runs before training on crawled images —
+      // REAL ImageIO decode (the multimodal_decode_hist contract:
+      // same synthesized PNGs, pixel g = (doc·7 + x·3 + y·5) mod 256,
+      // dims keyed off doc_id, gated doc_id < 64), batched
+      // mapPartitions, and an ALL-INTEGER hash: threshold the first
+      // 64 row-major gray pixels against the integer-truncated mean,
+      // packed into two 32-bit words (the sim_knn_hamming packing).
+      // CANDIDATES ARE BAND-BUCKETED (r15 verdict #4, the
+      // dedup_simhash_pairs discipline): the 64-bit hash splits into
+      // 4 × 16-bit bands used as LSH keys; near-pairs come from an
+      // equi-join on (band_idx, band_value), never the all-pairs
+      // self-join — at corpus scale the hash frame (16 B/image)
+      // shuffles by band, never pixels, and Σ|band bucket|² replaces
+      // |docs|². hd = 0 pairs share all 4 bands (recall 1 by
+      // construction); hd ≤ 8 banded recall is PRICED by
+      // multimodal_ahash_recall against the gate-bounded exact truth.
+      // DuckDB cannot decode PNGs but predicts every hash by pure
+      // arithmetic (integer gray channel, integer mean — no float
+      // ever crosses the compare).
+      val hashes = scope.persist(ahashHashes(s, d))
+      val near = ahashBandedNear(hashes)
+      val sym = near.select(col("a_id").as("doc_id"), col("hd"))
+        .unionAll(near.select(col("b_id").as("doc_id"), col("hd")))
+      val counts = sym.groupBy("doc_id")
+        .agg(sum(when(col("hd") === 0, 1L).otherwise(0L)).as("ned"),
+          count(lit(1)).as("nn"))
+      hashes.join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_lum"), col("h0"), col("h1"),
+          coalesce(col("ned"), lit(0L)).as("n_exact_dup"),
+          coalesce(col("nn"), lit(0L)).as("n_near"))
         .orderBy("doc_id")
     }),
+
+    "multimodal_ahash_recall" -> ((s, d) => scopedPersist { scope =>
+      // Banding quality gate (r15): recall of the band-bucketed
+      // near-pair census against the EXACT gate-bounded truth (the
+      // ≤64² broadcast self-join the r14 census ran — affordable
+      // precisely because the decode corpus is gated, which is what
+      // makes it the truth set), split by Hamming-distance bucket:
+      // hd = 0 must read 10000 (all bands equal by construction),
+      // and the 1–4 / 5–8 buckets price the pigeonhole gap (8 errors
+      // CAN touch all four 16-bit bands, so banded recall < 1 is
+      // expected and must be measured, not assumed — the
+      // sim_recall_* discipline). Banded pairs are a SUBSET of exact
+      // pairs, so recall = n_banded/n_truth on the exact ×10⁴ grid.
+      val hashes = scope.persist(ahashHashes(s, d))
+      val oth = hashes.select(col("doc_id").as("b_id"),
+        col("h0").as("b_h0"), col("h1").as("b_h1"))
+      val bucket = when(col("hd") === 0, 0L)
+        .when(col("hd") <= 4, 1L).otherwise(2L)
+      val truth = hashes.join(broadcast(oth), col("doc_id") < col("b_id"))
+        .withColumn("hd",
+          expr("bit_count(h0 ^ b_h0) + bit_count(h1 ^ b_h1)"))
+        .filter(col("hd") <= 8)
+        .groupBy(bucket.as("hd_bucket"))
+        .agg(count(lit(1)).as("n_truth"))
+      val banded = ahashBandedNear(hashes)
+        .groupBy(bucket.as("hd_bucket"))
+        .agg(count(lit(1)).as("nb"))
+      truth.join(banded, Seq("hd_bucket"), "left")
+        .select(col("hd_bucket"), col("n_truth"),
+          coalesce(col("nb"), lit(0L)).as("n_banded"),
+          expr("coalesce(nb, 0) * 10000 div n_truth").as("recall_e4"))
+        .orderBy("hd_bucket")
+    }),
   )
+
+  /** Gated decode + average-hash frame (doc_id, width, height,
+    * mean_lum, h0, h1) — REAL ImageIO decode of the synthesized PNGs,
+    * shared by multimodal_ahash_dedup and multimodal_ahash_recall. */
+  private def ahashHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{MediaRow, Multimodal}
+    val media = Tables.documents(s, d)
+      .select(col("doc_id")).filter(col("doc_id") < 64)
+      .as[Long].map { id =>
+        val wpx = 8 + (id % 5).toInt
+        val hpx = 6 + (id % 3).toInt
+        val img = new java.awt.image.BufferedImage(
+          wpx, hpx, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < hpx) {
+          var x = 0
+          while (x < wpx) {
+            val g = ((id * 7 + x * 3 + y * 5) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image", bos.toByteArray)
+      }
+    Multimodal.imageAHash(media).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("mean_lum"), col("h0"), col("h1"))
+  }
+
+  /** Band-bucketed near-pair census over a persisted hash frame:
+    * 4 × 16-bit bands as LSH keys → distinct candidate pairs → exact
+    * popcount filter hd ≤ 8. Returns (a_id, b_id, hd), a_id < b_id. */
+  private def ahashBandedNear(hashes: DataFrame): DataFrame = {
+    def banded(p: String) = hashes.select(
+      col("doc_id").as(s"${p}_id"), col("h0").as(s"${p}_h0"),
+      col("h1").as(s"${p}_h1"),
+      posexplode(array(expr("h0 % 65536"), expr("h0 div 65536"),
+        expr("h1 % 65536"), expr("h1 div 65536")))
+        .as(Seq(s"${p}_band", s"${p}_val")))
+    banded("a").join(banded("b"),
+        col("a_band") === col("b_band") && col("a_val") === col("b_val")
+          && col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_h0", "a_h1", "b_h0", "b_h1").distinct()
+      .withColumn("hd",
+        expr("bit_count(a_h0 ^ b_h0) + bit_count(a_h1 ^ b_h1)"))
+      .filter(col("hd") <= 8)
+      .select("a_id", "b_id", "hd")
+  }
 
   // ---- oracle SQL -------------------------------------------------------
 
@@ -2989,6 +3050,57 @@ object LlmSim extends OpModule {
       |  ) CROSS JOIN range(8) t(j)
       |  GROUP BY vec_id, j
       |) GROUP BY vec_id""".stripMargin
+
+  /** Arithmetic aHash chain (no decode — the synthesized pixels are
+    * pure integer arithmetic): CTEs `ids/px/m/bits/hs`, with `hs` =
+    * (id, w, h, mean_lum, h0, h1). Shared by the two ahash oracles. */
+  private val AhashSql =
+    """ids AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+      |  FROM documents WHERE doc_id < 64
+      |), px AS (
+      |  SELECT id, w, h, k,
+      |    (id * 7 + (k % w) * 3 + (k // w) * 5) % 256 AS g
+      |  FROM ids, unnest(range(0, 96)) t(k)
+      |  WHERE k < w * h
+      |), m AS (
+      |  SELECT id, max(w) AS w, max(h) AS h,
+      |    CAST(sum(g) // count(*) AS BIGINT) AS mean_lum
+      |  FROM px GROUP BY id
+      |), bits AS (
+      |  SELECT p.id,
+      |    CAST(sum(CASE WHEN p.k < 32 AND p.g > m.mean_lum
+      |      THEN CAST(1 AS BIGINT) << CAST(p.k AS INTEGER) ELSE 0 END)
+      |      AS BIGINT) AS h0,
+      |    CAST(sum(CASE WHEN p.k >= 32 AND p.k < 64 AND p.g > m.mean_lum
+      |      THEN CAST(1 AS BIGINT) << CAST(p.k - 32 AS INTEGER) ELSE 0 END)
+      |      AS BIGINT) AS h1
+      |  FROM px p JOIN m USING (id) GROUP BY p.id
+      |), hs AS (
+      |  SELECT m.id, m.w, m.h, m.mean_lum, b.h0, b.h1
+      |  FROM m JOIN bits b ON m.id = b.id
+      |)""".stripMargin
+
+  /** Band-bucketed near-pair CTEs over `hs` (the Spark
+    * ahashBandedNear twin): `near` = (a_id, b_id, hd ≤ 8). */
+  private val AhashBandedSql =
+    """bands AS (
+      |  SELECT id, h0, h1, t.band,
+      |    CASE t.band WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
+      |      WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS val
+      |  FROM hs, unnest(range(0, 4)) t(band)
+      |), cand AS (
+      |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+      |    a.h0 AS a_h0, a.h1 AS a_h1, b.h0 AS b_h0, b.h1 AS b_h1
+      |  FROM bands a
+      |  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+      |), near AS (
+      |  SELECT a_id, b_id, hd FROM (
+      |    SELECT a_id, b_id,
+      |      bit_count(xor(a_h0, b_h0)) + bit_count(xor(a_h1, b_h1)) AS hd
+      |    FROM cand
+      |  ) WHERE hd <= 8
+      |)""".stripMargin
 
   // ---- graph-ANN (NSW-lite) oracle chain (r15) ------------------------
 
@@ -3840,46 +3952,44 @@ object LlmSim extends OpModule {
     // index k enumerates a constant 0..96 range filtered to w·h
     // (max dims 12×8), with x = k % w, y = k // w row-major.
     "multimodal_ahash_dedup" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
-        |  FROM documents WHERE doc_id < 64
-        |), px AS (
-        |  SELECT id, w, h, k,
-        |    (id * 7 + (k % w) * 3 + (k // w) * 5) % 256 AS g
-        |  FROM ids, unnest(range(0, 96)) t(k)
-        |  WHERE k < w * h
-        |), m AS (
-        |  SELECT id, max(w) AS w, max(h) AS h,
-        |    CAST(sum(g) // count(*) AS BIGINT) AS mean_lum
-        |  FROM px GROUP BY id
-        |), bits AS (
-        |  SELECT p.id,
-        |    CAST(sum(CASE WHEN p.k < 32 AND p.g > m.mean_lum
-        |      THEN CAST(1 AS BIGINT) << CAST(p.k AS INTEGER) ELSE 0 END)
-        |      AS BIGINT) AS h0,
-        |    CAST(sum(CASE WHEN p.k >= 32 AND p.k < 64 AND p.g > m.mean_lum
-        |      THEN CAST(1 AS BIGINT) << CAST(p.k - 32 AS INTEGER) ELSE 0 END)
-        |      AS BIGINT) AS h1
-        |  FROM px p JOIN m USING (id) GROUP BY p.id
-        |), hs AS (
-        |  SELECT m.id, m.w, m.h, m.mean_lum, b.h0, b.h1
-        |  FROM m JOIN bits b ON m.id = b.id
-        |), pairs AS (
-        |  SELECT a.id,
-        |    sum(CASE WHEN bit_count(xor(a.h0, b.h0))
-        |      + bit_count(xor(a.h1, b.h1)) = 0 THEN 1 ELSE 0 END)
-        |      AS n_exact_dup,
-        |    sum(CASE WHEN bit_count(xor(a.h0, b.h0))
-        |      + bit_count(xor(a.h1, b.h1)) <= 8 THEN 1 ELSE 0 END)
-        |      AS n_near
-        |  FROM hs a JOIN hs b ON a.id <> b.id GROUP BY a.id
+      s"""WITH $AhashSql,
+        |$AhashBandedSql,
+        |sym AS (
+        |  SELECT a_id AS id, hd FROM near
+        |  UNION ALL SELECT b_id, hd FROM near
+        |), counts AS (
+        |  SELECT id, sum(CASE WHEN hd = 0 THEN 1 ELSE 0 END) AS ned,
+        |    count(*) AS nn
+        |  FROM sym GROUP BY id
         |)
         |SELECT a.id AS doc_id, CAST(a.w AS BIGINT) AS width,
         |  CAST(a.h AS BIGINT) AS height, a.mean_lum, a.h0, a.h1,
-        |  CAST(p.n_exact_dup AS BIGINT) AS n_exact_dup,
-        |  CAST(p.n_near AS BIGINT) AS n_near
-        |FROM hs a JOIN pairs p ON a.id = p.id
+        |  CAST(coalesce(c.ned, 0) AS BIGINT) AS n_exact_dup,
+        |  CAST(coalesce(c.nn, 0) AS BIGINT) AS n_near
+        |FROM hs a LEFT JOIN counts c ON a.id = c.id
         |ORDER BY doc_id""".stripMargin,
+
+    "multimodal_ahash_recall" ->
+      s"""WITH $AhashSql,
+        |$AhashBandedSql,
+        |truth AS (
+        |  SELECT CASE WHEN hd = 0 THEN 0 WHEN hd <= 4 THEN 1 ELSE 2 END
+        |    AS hd_bucket, count(*) AS n_truth
+        |  FROM (
+        |    SELECT bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |      AS hd
+        |    FROM hs a JOIN hs b ON a.id < b.id
+        |  ) WHERE hd <= 8 GROUP BY 1
+        |), bn AS (
+        |  SELECT CASE WHEN hd = 0 THEN 0 WHEN hd <= 4 THEN 1 ELSE 2 END
+        |    AS hd_bucket, count(*) AS nb
+        |  FROM near GROUP BY 1
+        |)
+        |SELECT CAST(t.hd_bucket AS BIGINT) AS hd_bucket, t.n_truth,
+        |  CAST(coalesce(bn.nb, 0) AS BIGINT) AS n_banded,
+        |  coalesce(bn.nb, 0) * 10000 // t.n_truth AS recall_e4
+        |FROM truth t LEFT JOIN bn ON bn.hd_bucket = t.hd_bucket
+        |ORDER BY t.hd_bucket""".stripMargin,
 
     "sim_recall_eval" ->
       s"""WITH uq AS (${unnested("q", "vec_id < 10")}),
