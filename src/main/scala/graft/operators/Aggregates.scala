@@ -21,7 +21,75 @@ import graft.Tables
   */
 object Aggregates extends OpModule {
 
+  /** Merged rank-stride quantile coreset + its readout (r15 verdict
+    * #5): per partition, SORT locally and keep every ⌈n_p/256⌉-th
+    * element with its stride as weight (plus a remainder row) — a
+    * deterministic KLL-shaped mergeable summary whose cumulative
+    * weight at an emitted element IS that element's exact local rank,
+    * so the merged coreset displaces any quantile's global rank by at
+    * most Σ_p stride_p ≤ n/256 + #partitions (the error-bound theorem
+    * InvariantsSpec pins). The merge is a plain union — ≤ 256·P rows
+    * cross the shuffle, never the data (the text_heavy_hitters
+    * mapPartitions discipline); at 100 TB the coreset is the ONLY
+    * thing leaving the executors. Returns (q, sketch_v, n) for
+    * q ∈ {0.5, 0.9, 0.99}; package-visible for the invariant spec. */
+  private[graft] def quantileSketch(s: SparkSession, d: String,
+      scope: PersistScope): DataFrame = {
+    import s.implicits._
+    val coreset = scope.cut(
+      Tables.lineitem(s, d).select(col("l_extendedprice").cast("double"))
+        .as[Double].mapPartitions { it =>
+          val arr = it.toArray
+          java.util.Arrays.sort(arr)
+          val n = arr.length
+          if (n == 0) Iterator.empty
+          else {
+            val st = math.max(1, n / 256)
+            val k = n / st
+            val full = (1 to k).iterator.map(i => (arr(i * st - 1), st.toLong))
+            val rem = n - k * st
+            if (rem > 0) full ++ Iterator((arr(n - 1), rem.toLong)) else full
+          }
+        }.toDF("v", "w"))
+    val wOrd = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = coreset.withColumn("cw", sum("w").over(wOrd))
+    val tot = coreset.agg(sum("w").as("n")) // Σw = exact row count
+    val qs = Seq(0.5, 0.9, 0.99).toDF("q")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qs))
+      .filter(col("cw") >= ceil(col("q") * col("n")))
+      .groupBy("q")
+      .agg(min("v").as("sketch_v"), first("n").as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_quantile_sketch" -> ((s, d) => scopedPersist { scope =>
+      // Sketch quantiles, tolerance-graded (the agg_approx_distinct
+      // discipline: each engine runs ITS OWN sketch — Spark the
+      // rank-stride coreset above, DuckDB t-digest approx_quantile —
+      // and grades it against the same exact rank-based truth; only
+      // engine-stable columns are emitted). Exact p-quantile = the
+      // value at rank ⌈p·n⌉ of the full sort — the truth leg, priced
+      // like every brute truth in the recall family. The coreset's
+      // rank-error theorem (≤ n/256 + P) puts the value error far
+      // inside the 5% band on this price distribution.
+      val sk = quantileSketch(s, d, scope)
+      val vals = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("v"))
+      val ranked = vals.withColumn("rn",
+        row_number().over(Window.orderBy("v")).cast("long"))
+      val exact = ranked.join(broadcast(sk),
+          col("rn") === ceil(col("q") * col("n")).cast("long"))
+        .select(col("q"), col("v").as("exact_v"), col("sketch_v"))
+      exact
+        .select((col("q") * 100).cast("long").as("q_pct"),
+          col("exact_v"),
+          (abs(col("sketch_v") - col("exact_v")) <=
+            col("exact_v") * lit(0.05)).as("within_5pct"))
+        .orderBy("q_pct")
+    }),
+
+
     "agg_winsorized" -> ((s, d) => {
       // Winsorized mean (r7): per-type mean of value after clamping
       // to the [p10, p90] band — the robust center that keeps every
@@ -704,6 +772,25 @@ object Aggregates extends OpModule {
       |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM v),
+        |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        |ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |exact AS (
+        |  SELECT qs.q, r.v AS exact_v
+        |  FROM ranked r, n, qs
+        |  WHERE r.rn = CAST(ceil(qs.q * n.n) AS BIGINT)),
+        |appx AS (
+        |  SELECT 0.5 AS q, approx_quantile(v, 0.5) AS av FROM v
+        |  UNION ALL SELECT 0.9, approx_quantile(v, 0.9) FROM v
+        |  UNION ALL SELECT 0.99, approx_quantile(v, 0.99) FROM v)
+        |SELECT CAST(e.q * 100 AS BIGINT) AS q_pct, e.exact_v,
+        |  (abs(a.av - e.exact_v) <= e.exact_v * 0.05) AS within_5pct
+        |FROM exact e JOIN appx a ON a.q = e.q
+        |ORDER BY q_pct""".stripMargin,
+
     "agg_winsorized" ->
       """WITH base AS (
         |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v

@@ -2025,6 +2025,37 @@ class InvariantsSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("quantile coreset rank error stays within the stride theorem bound") {
+    // Theorem of the construction: each partition's rank-stride
+    // coreset places an emitted element's cumulative weight at its
+    // EXACT local rank, so merging displaces any quantile's global
+    // rank by at most Σ_p stride_p ≤ n/256 + #partitions. Re-rank the
+    // sketch values against the raw data and assert the bound — this
+    // pins the mergeable-summary machinery itself, not the (looser)
+    // 5%-value band the graded query reports.
+    val scope = new operators.PersistScope
+    try {
+      val sk = operators.Aggregates.quantileSketch(spark, sf, scope)
+        .collect()
+      assert(sk.length === 3)
+      val arr = graft.Tables.lineitem(spark, sf)
+        .select(org.apache.spark.sql.functions
+          .col("l_extendedprice").cast("double"))
+        .collect().map(_.getDouble(0)).sorted
+      sk.foreach { r =>
+        val (qq, v, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+        assert(n === arr.length.toLong)
+        val target = math.ceil(qq * n).toLong
+        val lo = arr.count(_ < v).toLong + 1L
+        val hi = arr.count(_ <= v).toLong
+        val bound = n / 256 + 64
+        assert(target >= lo - bound && target <= hi + bound,
+          s"q=$qq sketch value $v has rank [$lo,$hi], target $target " +
+            s"outside ±$bound")
+      }
+    } finally scope.release()
+  }
+
   test("betweenness obeys the Brandes dependency-accumulation identity") {
     // Σ_v δ_s(v) over interior nodes must equal Σ_t (dist(t) − 1)
     // over targets at distance ≥ 1: for each target t, the σ-ratio
