@@ -140,6 +140,30 @@ class GraphSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("componentLabelsConverged stops before the cap on the diameter-15 path") {
+    // The driver-side residual loop must CONVERGE (labels all 0,
+    // residual 0) on the path 0-1-...-15 in strictly fewer rounds
+    // than the cap — the whole point of deciding rounds on the
+    // census instead of a fixed unroll: doubling coverage ~2^(r+1)
+    // reaches radius 15 around round 4, and one more round observes
+    // the zero census.
+    import spark.implicits._
+    val e2 = (0L to 14L).map(i => (i, i + 1)).toDF("a", "b")
+    val adj2 = e2.union(e2.select($"b", $"a")).toDF("a", "b")
+    val nodes2 = (0L to 15L).toDF("node")
+    val scope = new graft.operators.PersistScope
+    try {
+      val (lbl, rounds, residual) = graft.operators.Graph
+        .componentLabelsConverged(adj2, nodes2, 10, scope)
+      val labels = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L to 15L).forall(v => labels(v) === 0L),
+        s"convergence loop under-merged the diameter-15 path: $labels")
+      assert(residual === 0L, s"loop stopped with nonzero residual $residual")
+      assert(rounds < 10L,
+        s"diameter-15 path should converge before the cap, used $rounds")
+    } finally scope.release()
+  }
+
   test("graph_components_doubling matches graph_components on the converged fixture") {
     // dir2's diameter-2 graph converges under BOTH kernels -> same
     // histogram, both deltas 0.
