@@ -66,12 +66,19 @@ object Audit {
     benched.foreach { case (name, fn) =>
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L); jobMs.set(0L)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // Record failures instead of swallowing them (r14 advice #4): a
+      // throwing query otherwise emits a normal-looking row whose
+      // numbers are just the time-to-throw — it would read as a
+      // floor-bound fast query.
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       val wallSec = (System.nanoTime() - t0) / 1e9
       // listener bus is async; drain before reading counters
       org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
+      val errJson = err.map(c => s""","error":"$c"""").getOrElse("")
       val line =
-        f"""{"query":"$name","wall_sec":$wallSec%.3f,"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get},"task_time_sec":${taskMs.get / 1e3}%.3f,"task_over_cores_sec":${taskMs.get / 1e3 / cpus.toInt}%.3f,"in_job_sec":${jobMs.get / 1e3}%.3f,"driver_gap_sec":${math.max(0.0, wallSec - jobMs.get / 1e3)}%.3f}"""
+        f"""{"query":"$name","wall_sec":$wallSec%.3f,"jobs":${jobs.get},"stages":${stages.get},"tasks":${tasks.get},"task_time_sec":${taskMs.get / 1e3}%.3f,"task_over_cores_sec":${taskMs.get / 1e3 / cpus.toInt}%.3f,"in_job_sec":${jobMs.get / 1e3}%.3f,"driver_gap_sec":${math.max(0.0, wallSec - jobMs.get / 1e3)}%.3f$errJson}"""
       println("[audit] " + line)
       if (!first) out.append(",\n")
       out.append(line); first = false

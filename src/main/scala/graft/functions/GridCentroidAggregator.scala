@@ -24,11 +24,24 @@ object GridCentroidAggregator extends Aggregator[Array[Float], (Array[Long], Lon
 
   override def zero: (Array[Long], Long) = (Array.emptyLongArray, 0L)
 
+  // FIXED-DIMENSION CONTRACT (r14 advice): the buffer divides every
+  // position by the GLOBAL vector count, which is only the
+  // per-position mean when all inputs share one length — the old
+  // posexplode form would instead average each position over its own
+  // count on ragged input. Silent truncation to the shorter array
+  // would therefore produce a silently DIFFERENT centroid; fail
+  // loudly instead.
+  private def requireUniform(have: Int, got: Int): Unit =
+    require(have == got,
+      s"GridCentroidAggregator requires fixed-dimension vectors: " +
+        s"buffer has $have positions, input has $got")
+
   private def addInto(sums: Array[Long], v: Array[Float]): Array[Long] =
     if (sums.isEmpty) v.map(f => math.floor(f.toDouble * 1e6).toLong)
     else {
+      requireUniform(sums.length, v.length)
       var i = 0
-      while (i < sums.length && i < v.length) {
+      while (i < sums.length) {
         sums(i) += math.floor(v(i).toDouble * 1e6).toLong; i += 1
       }
       sums
@@ -41,8 +54,9 @@ object GridCentroidAggregator extends Aggregator[Array[Float], (Array[Long], Lon
     if (x._2 == 0) y
     else if (y._2 == 0) x
     else {
+      requireUniform(x._1.length, y._1.length)
       var i = 0
-      while (i < x._1.length && i < y._1.length) { x._1(i) += y._1(i); i += 1 }
+      while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
       (x._1, x._2 + y._2)
     }
 

@@ -428,8 +428,15 @@ object Graph extends OpModule {
           first(prev("es")).as("es"),
           first(prev("ap")).as("ap"), first(prev("hp")).as("hp"),
           first(prev("h")).as("h"),
-          first(transform(prev("araw"), x => round(x / aggregate(
-            prev("araw"), lit(0.0), (acc, y) => acc + y), 9))).as("a"))
+          // nullif-style zero-total guard (r14 advice #3): an empty
+          // trade graph leaves araw all-zero, and 0/0 would emit NaN
+          // where the r13 per-frame form produced NULL via its left
+          // join — divide by NULL instead so degenerate input stays
+          // NULL-aligned with the DuckDB twin.
+          first(transform(prev("araw"), x => round(x / when(aggregate(
+            prev("araw"), lit(0.0), (acc, y) => acc + y) === 0.0,
+            lit(null).cast("double")).otherwise(aggregate(
+            prev("araw"), lit(0.0), (acc, y) => acc + y)), 9))).as("a"))
         prev = df
         df = df.groupBy().agg(
           first(prev("es")).as("es"),
@@ -444,8 +451,10 @@ object Graph extends OpModule {
           first(prev("es")).as("es"),
           first(prev("ap")).as("ap"), first(prev("hp")).as("hp"),
           first(prev("a")).as("a"),
-          first(transform(prev("hraw"), x => round(x / aggregate(
-            prev("hraw"), lit(0.0), (acc, y) => acc + y), 9))).as("h"))
+          first(transform(prev("hraw"), x => round(x / when(aggregate(
+            prev("hraw"), lit(0.0), (acc, y) => acc + y) === 0.0,
+            lit(null).cast("double")).otherwise(aggregate(
+            prev("hraw"), lit(0.0), (acc, y) => acc + y)), 9))).as("h"))
       }
       val idx = (col("node") + 1).cast("int")
       Tables.nation(s, d)

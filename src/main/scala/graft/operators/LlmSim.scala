@@ -2831,7 +2831,7 @@ object LlmSim extends OpModule {
   /** Gated decode + average-hash frame (doc_id, width, height,
     * mean_lum, h0, h1) — REAL ImageIO decode of the synthesized PNGs,
     * shared by multimodal_ahash_dedup and multimodal_ahash_recall. */
-  private def ahashHashes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ahashHashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.{MediaRow, Multimodal}
     val media = Tables.documents(s, d)
@@ -2865,7 +2865,7 @@ object LlmSim extends OpModule {
   /** Band-bucketed near-pair census over a persisted hash frame:
     * 4 × 16-bit bands as LSH keys → distinct candidate pairs → exact
     * popcount filter hd ≤ 8. Returns (a_id, b_id, hd), a_id < b_id. */
-  private def ahashBandedNear(hashes: DataFrame): DataFrame = {
+  private[graft] def ahashBandedNear(hashes: DataFrame): DataFrame = {
     def banded(p: String) = hashes.select(
       col("doc_id").as(s"${p}_id"), col("h0").as(s"${p}_h0"),
       col("h1").as(s"${p}_h1"),

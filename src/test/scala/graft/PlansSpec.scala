@@ -848,15 +848,23 @@ class PlansSpec extends SparkSpec {
       assert(!abtt.contains("windowspecdefinition"),
         s"embed_abtt grew a window:\n$abtt")
     }
-    // multimodal_ahash_dedup: the hash self-join rides a broadcast
-    // (gate-bounded frame), never a shuffled cartesian; no window.
-    val ah = treeString(q("multimodal_ahash_dedup"))
-    assert(ah.toLowerCase.contains("broadcast"),
-      s"ahash_dedup lost its broadcast self-join:\n$ah")
-    assert(!ah.contains("CartesianProduct"),
-      s"ahash_dedup planned a shuffled cartesian:\n$ah")
-    assert(!ah.contains("windowspecdefinition"),
-      s"ahash_dedup grew a window:\n$ah")
+    // multimodal_ahash_dedup (r15, banded): near-pair candidates
+    // come from the (band, value) EQUI-join over the exploded 16-bit
+    // bands — never a cartesian or a nested-loop pairing; no window.
+    // Locked on the un-checkpointed banded frame (the scopedPersist
+    // terminal collapses to an RDD scan).
+    val ahScope = new graft.operators.PersistScope
+    try {
+      val ah = treeString(graft.operators.LlmSim.ahashBandedNear(
+        graft.operators.LlmSim.ahashHashes(spark, sf)))
+      assert(ah.contains("SortMergeJoin") || ah.contains("BroadcastHashJoin"),
+        s"ahash banded census lost its equi-join:\n$ah")
+      assert(!ah.contains("CartesianProduct") &&
+        !ah.contains("BroadcastNestedLoopJoin"),
+        s"ahash banded census degenerated to a pairing join:\n$ah")
+      assert(!ah.contains("windowspecdefinition"),
+        s"ahash banded census grew a window:\n$ah")
+    } finally ahScope.release()
   }
 
   test("round-10 fourth-batch operators keep their scale shapes") {
