@@ -1463,7 +1463,10 @@ object LlmSim extends OpModule {
       val ie = Tables.embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1e6).cast("double")).as("iv"))
-      val truth = scope.persist(
+      // cut, not persist (r15): three truncated-prefix legs left-join
+      // the truth inside one terminal union job — a lazy persist lets
+      // them race the cold cache (the tierUniverse race class).
+      val truth = scope.cut(
         queries("sim_knn")(s, d).select(col("q_id"), col("n_id")))
       def knnAt(m: Int): DataFrame = {
         val t = ie.select(col("vec_id"), slice(col("iv"), 1, m).as("tv"))
@@ -1714,9 +1717,15 @@ object LlmSim extends OpModule {
       // ONCE (persisted via the scope); both probe depths search the
       // same assignment, and the brute truth set is persisted because
       // each sweep row left-joins it.
-      val brute = scope.persist(
-        queries("sim_knn")(s, d).select(col("q_id"), col("n_id")))
-      val (cents, assign) = ivfTrain(s, d, scope)
+      // cut + par (r15, the tierUniverse race class): the truth set is
+      // joined by THREE probe-depth legs inside ONE terminal union job
+      // — lazily persisted, those stages race the cold cache and each
+      // materializes the brute scoring; the eager cut runs concurrently
+      // with the trained chain's own cuts.
+      val (brute, ta) = scope.par(
+        scope.cut(queries("sim_knn")(s, d).select(col("q_id"), col("n_id"))),
+        ivfTrain(s, d, scope))
+      val (cents, assign) = ta
       def recallAt(np: Int): DataFrame = {
         val ivf = ivfProbe(cents, assign, np)
           .select(col("q_id").as("i_q"), col("n_id").as("i_n"), lit(1).as("hit"))
