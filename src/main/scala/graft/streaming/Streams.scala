@@ -256,6 +256,45 @@ object Streams {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Streaming image near-dup screen — the 18th twin, the INGEST form
+    * of `multimodal_ahash_dedup`'s banded census: arriving image hash
+    * rows (media_id, h0, h1 — the decode/aHash happened upstream in
+    * the media pipeline; only the 16 B/image hash frame rides the
+    * stream, never pixels) explode into the same 4 × 16-bit bands and
+    * probe a STATIC banded index of the existing corpus by
+    * stream-static equi-join on (band, value) — the screenIngest
+    * discipline: the index is a batch-maintained table, no index data
+    * in task closures, a nightly rebuild is picked up on static-side
+    * refresh. A pair can collide in several bands, so pairs dedup
+    * with a streaming dropDuplicates before the per-arrival ledger
+    * (n_near / n_exact_dup / min_hd) aggregates — production bounds
+    * that dedup state with a watermark on arrival time; the parity
+    * replay runs unbounded. After replaying any image slice the
+    * ledger equals the batch banded census restricted to
+    * arrival × index pairs (StreamBatchParitySpec; integer columns,
+    * no tolerance). */
+  def ahashIngest(hashes: DataFrame, index: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def bands(df: DataFrame, idc: String, h0c: String, h1c: String) =
+      df.select(col(idc), col(h0c), col(h1c),
+        posexplode(array(col(h0c) % 65536, expr(s"$h0c div 65536"),
+          col(h1c) % 65536, expr(s"$h1c div 65536")))
+          .as(Seq("band", "bval")))
+    val arr = bands(hashes, "media_id", "h0", "h1")
+    val idx = bands(index.select(col("media_id").as("o_id"),
+      col("h0").as("o_h0"), col("h1").as("o_h1")), "o_id", "o_h0", "o_h1")
+    arr.join(idx, Seq("band", "bval"))
+      .filter(col("media_id") =!= col("o_id"))
+      .withColumn("hd", expr(
+        "CAST(bit_count(h0 ^ o_h0) + bit_count(h1 ^ o_h1) AS BIGINT)"))
+      .filter(col("hd") <= 8)
+      .dropDuplicates("media_id", "o_id")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_near"),
+        sum(when(col("hd") === 0, 1L).otherwise(0L)).as("n_exact_dup"),
+        min("hd").as("min_hd"))
+  }
+
   /** Cross-event view→click→purchase funnel as a per-user state
     * machine — twin of `evt_funnel`'s strict-ordering semantics. Emits
     * one FunnelHit the first time a user completes the chain. State is

@@ -468,6 +468,58 @@ class StreamBatchParitySpec extends SparkSpec {
         s"batch-only=${batch -- stream}")
   }
 
+  test("streaming ahash near-dup screen equals the batch banded census (18th twin)") {
+    // Split the 64 gated decode images into a STATIC banded index
+    // (even ids — the existing corpus) and arrivals (odd ids),
+    // replay the arrivals' hash rows in TWO micro-batches through
+    // ahashIngest, and assert the per-arrival ledger equals the
+    // batch banded census restricted to arrival × index pairs —
+    // same band keys, same popcount filter, integer columns, no
+    // tolerance. The hash frames come from the REAL ImageIO decode
+    // (shared LlmSim.ahashHashes), so the parity covers the decode
+    // contract too.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hs = graft.operators.LlmSim.ahashHashes(spark, sf)
+      .select("doc_id", "h0", "h1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (index, arrivals) = hs.partition(_._1 % 2 == 0)
+    val idxDf = index.toDF("media_id", "h0", "h1")
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = Streams.ahashIngest(
+        in.toDF().toDF("media_id", "h0", "h1"), idxDf)
+      .writeStream.format("memory").queryName("par_ahash")
+      .outputMode("complete").start()
+    try {
+      val (first, second) = arrivals.splitAt(arrivals.length / 2)
+      in.addData(first); q.processAllAvailable()
+      in.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("par_ahash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // Independent driver-side brute expectation: same band-position
+    // keys, same popcount filter, computed with plain Scala.
+    def bnd(h0: Long, h1: Long) =
+      Seq(h0 % 65536, h0 / 65536, h1 % 65536, h1 / 65536)
+    val brute = arrivals.flatMap { case (id, h0, h1) =>
+      val hds = index.collect { case (oid, o0, o1)
+          if oid != id &&
+            bnd(h0, h1).zip(bnd(o0, o1)).exists(p => p._1 == p._2) &&
+            java.lang.Long.bitCount(h0 ^ o0) +
+              java.lang.Long.bitCount(h1 ^ o1) <= 8 =>
+        java.lang.Long.bitCount(h0 ^ o0) + java.lang.Long.bitCount(h1 ^ o1)
+      }
+      if (hds.isEmpty) None
+      else Some((id, hds.size.toLong,
+        hds.count(_ == 0).toLong, hds.min.toLong))
+    }.toSet
+    assert(stream.nonEmpty, "ahash parity replay produced no near pairs")
+    assert(stream === brute,
+      s"ahash parity broke: stream-only=${stream -- brute}, " +
+        s"brute-only=${brute -- stream}")
+  }
+
   test("streaming user-cap quarantine equals the graded sample_user_cap ledger (17th twin)") {
     // Replay the sf0.01 events (sf0.001 has ZERO over-cap users — the
     // p99 cap quarantines ~1% by construction) in TWO micro-batches
