@@ -668,24 +668,30 @@ object LlmSim extends OpModule {
 
   /** Graph-ANN (NSW-lite) greedy beam search (r15 verdict #2) — the
     * fifth ANN serving family beside LSH / IVF / PQ / Hamming: search
-    * walks the mutual-kNN graph instead of scanning an index. Edge
-    * frame = the sim_knn_graph_stats directed top-3 graph (per-vector
-    * top-3 by rounded cosine among LSH-bucket co-residents — built
-    * once, persisted; at 100 TB this is THE navigable-small-world
-    * build shape: one bucket equi-join + a per-vector rank window).
-    * Search: every query (vec_id < 10) enters at one DETERMINISTIC
-    * entry node (the lowest non-query id — the fixed-entry-point
-    * discipline HNSW layer-0 uses), then 3 unrolled hop rounds:
-    * candidates = out-neighbors of the current beam via the edge
-    * frame, fresh candidates (anti-joined against everything already
-    * visited) are scored on the integer-grid rounded cosine, the
-    * top-3 fresh nodes (ties → lower id) become the next beam, and
-    * ALL scored nodes accumulate into the visited set. Answer =
-    * top-5 of the visited set. Scale shape: the beam is ≤ 3·|Q| rows
-    * (broadcast onto the edge frame — each hop is one map-side join),
-    * scoring touches only |fresh| ≤ 9·|Q| vectors per hop, and the
-    * unrolled rounds cut per superstep (the graph-kernel discipline).
-    * Recall vs the brute truth is graded by [[recallGraphBody]]. */
+    * walks the kNN graph instead of scanning an index. Edge frame =
+    * a directed per-vector top-5 graph over TWO-table LSH candidates
+    * (two independent 8-bit hyperplane tables — one table's bucket
+    * gate yields disconnected per-bucket cliques, measured recall 0),
+    * refined by ONE NN-descent round (Dong et al., WWW 2011):
+    * co-neighbor pairs (b, c both in a's top-5 ⇒ (b, c)) and two-hop
+    * pairs (a→b→c ⇒ (a, c)) become edge candidates, are scored on
+    * the same rounded cosine, and the per-node top-5 re-ranks over
+    * old ∪ new — ≤ 50 candidate rows per node, so the refinement
+    * stays in the base build's linear cost class while letting good
+    * edges cross LSH-bucket boundaries (the fragmentation that held
+    * r15 recall@5 at 0.22). Search: every query (vec_id < 10) seeds
+    * at its own refined top-5 shortlist (lowest-non-query-id fallback),
+    * then 3 unrolled hop rounds: candidates = out-neighbors of the
+    * current beam over the SYMMETRIZED edges, fresh candidates
+    * (anti-joined against everything already visited) are scored on
+    * the integer-grid rounded cosine, the top-5 fresh nodes (ties →
+    * lower id) become the next beam, and ALL scored nodes accumulate
+    * into the visited set. Answer = top-5 of the visited set. Scale
+    * shape: the beam is ≤ 5·|Q| rows (broadcast onto the edge frame —
+    * each hop is one map-side join), scoring touches only |fresh| ≤
+    * 25·|Q|-class vectors per hop, and the unrolled rounds cut per
+    * superstep (the graph-kernel discipline). Recall vs the brute
+    * truth is graded by [[recallGraphBody]]. */
   private[graft] def knnGraphBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
     // TWO independent 8-bit hyperplane tables from one 16-bit hash
@@ -729,10 +735,47 @@ object LlmSim extends OpModule {
       .withColumn("rk", row_number().over(we))
       .filter(col("rk") <= 5)
       .select(col("a_id"), col("b_id"), col("ecos")))
+    // NN-DESCENT refinement rounds (r16): co-neighbor candidates
+    // ((b, c) when a→b and a→c) ∪ two-hop candidates ((a, c) when
+    // a→b→c), anti-joined against existing edges, scored once, and
+    // the top-5 NEW edges per node UNIONED onto the base. AUGMENT,
+    // don't replace: re-ranking old ∪ new down to 5 makes the graph
+    // MORE like the exact kNN graph — which is itself
+    // cluster-fragmented (measured recall 0.22 → 0.14); keeping the
+    // base LSH edges AND the refinement edges (degree +5/round)
+    // preserves bucket-crossing diversity while adding true-neighbor
+    // shortcuts. Candidates stay ≤ deg²-per-node rows — the
+    // refinement cannot leave the base build's linear cost class.
+    def nnRound(base: DataFrame): DataFrame = {
+      val coN = base.select(col("a_id").as("src"), col("b_id").as("x"))
+        .join(base.select(col("a_id").as("src"), col("b_id").as("y")), "src")
+        .filter(col("x") =!= col("y"))
+        .select(col("x").as("a_id"), col("y").as("b_id"))
+      val twoHop = base.select(col("a_id"), col("b_id").as("mid"))
+        .join(base.select(col("a_id").as("mid"), col("b_id")), "mid")
+        .filter(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id")
+      val fresh = coN.unionAll(twoHop).distinct()
+        .join(base.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+      val scored = fresh
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("nrm").as("a_nrm")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+          col("nrm").as("b_nrm")), "b_id")
+        .withColumn("ecos", round(
+          dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
+        .select("a_id", "b_id", "ecos")
+      val w = Window.partitionBy("a_id").orderBy(col("ecos").desc, col("b_id"))
+      scope.cut(base.unionAll(scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("a_id"), col("b_id"), col("ecos"))))
+    }
+    val dir2 = nnRound(nnRound(dir))
     // SYMMETRIZED adjacency (kNN edges ∪ reverses) — NSW links are
     // undirected; the directed form dead-ends greedy walks.
-    val edges = scope.cut(dir.select("a_id", "b_id")
-      .unionAll(dir.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val edges = scope.cut(dir2.select("a_id", "b_id")
+      .unionAll(dir2.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .distinct())
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -746,25 +789,28 @@ object LlmSim extends OpModule {
         .withColumn("cos", round(
           dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4))
         .select("q_id", "n_id", "cos")
-    // DETERMINISTIC entries: the query's own directed top-3 edges —
-    // the index's shortlist for that query (ties → lower id), with a
-    // lowest-non-query-id fallback for a query with no candidates.
-    // Seeding from the shortlist and letting the hops expand across
-    // buckets is the hybrid (index-seed + graph-expansion) serving
-    // shape; a fixed global entry measured recall 0 at a 3-hop budget
-    // (navigating from one node needs HNSW's log-N layer stack, which
-    // this flat graph deliberately doesn't build).
-    val seeds = dir.filter(col("a_id") < 10)
+    // DETERMINISTIC MULTI-ENTRY seeds (r16): the query's own refined
+    // shortlist (the index's candidates for that query, ties → lower
+    // id) ∪ 32 global hub entries (the 32 lowest non-query ids — a
+    // FIXED-size entry set at any corpus scale, scored once per
+    // query). The r15 single-entry fallback left bucket-singleton
+    // queries (q8/q9 at sf0.01) marooned in one region — recall 0;
+    // multi-entry is the HNSW-style answer a flat graph can afford:
+    // 32·|Q| extra scored rows buys a start near every major region.
+    val seeds = dir2.filter(col("a_id") < 10)
       .select(col("a_id").as("q_id"), col("b_id").as("n_id"),
         col("ecos").as("cos"))
-    val gmin = e.filter(col("vec_id") >= 10).agg(min("vec_id").as("g_entry"))
-    val fallback = scoreOf(q.select("q_id")
-      .join(seeds.select("q_id").distinct(), Seq("q_id"), "left_anti")
-      .crossJoin(broadcast(gmin)).select(col("q_id"),
-        col("g_entry").as("n_id")))
-    var visited = scope.cut(seeds.unionAll(fallback))
-    var beam = visited
-    for (_ <- 1 to 3) {
+    val hubs = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("n_id")).orderBy("n_id").limit(32)
+    val hubSeeds = scoreOf(
+      q.select("q_id").crossJoin(broadcast(hubs)))
+    // distinct: a hub can coincide with a shortlist edge; the rounded
+    // cosine is identical on both legs, so pair-level dedup is exact.
+    var visited = scope.cut(seeds.unionAll(hubSeeds).distinct())
+    val wB0 = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    var beam = visited.withColumn("brk", row_number().over(wB0))
+      .filter(col("brk") <= 10).drop("brk")
+    for (_ <- 1 to 4) {
       val cand = broadcast(beam.select(col("q_id"), col("n_id")))
         .join(edges, col("n_id") === col("a_id"))
         .select(col("q_id"), col("b_id").as("n_id")).distinct()
@@ -773,7 +819,10 @@ object LlmSim extends OpModule {
       val scored = scoreOf(fresh)
       val wB = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
       val next = scope.cut(scored.withColumn("brk", row_number().over(wB)))
-      beam = next.filter(col("brk") <= 5).drop("brk")
+      beam = next.filter(col("brk") <= 10).drop("brk")
+      // visited is CUT per hop: a lazy union-of-cut-leaves was tried
+      // (r16) and measured ~1 s SLOWER — the per-hop anti-join over
+      // the growing union tree costs more than the saved eager jobs.
       visited = scope.cut(visited.unionAll(next.drop("brk")))
     }
     val wF = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
@@ -792,10 +841,14 @@ object LlmSim extends OpModule {
     * dimension-sized left join + agg. */
   private[graft] def recallGraphBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
-    val truth = scope.persist(
-      queries("sim_knn")(s, d).select(col("q_id"), col("n_id")))
-    val g = knnGraphBody(s, d)(scope)
-      .select(col("q_id").as("g_q"), col("n_id").as("g_n"), lit(1).as("hit"))
+    // truth chain ‖ graph chain (r16): the brute sim_knn truth and the
+    // NN-descent graph build share nothing — PersistScope.par overlaps
+    // their eager cut jobs instead of serializing the two chains.
+    val (truth, g) = scope.par(
+      scope.cut(queries("sim_knn")(s, d).select(col("q_id"), col("n_id"))),
+      knnGraphBody(s, d)(scope)
+        .select(col("q_id").as("g_q"), col("n_id").as("g_n"),
+          lit(1).as("hit")))
     truth
       .join(g, col("q_id") === col("g_q") && col("n_id") === col("g_n"),
         "left")
@@ -2872,8 +2925,22 @@ object LlmSim extends OpModule {
   }
 
   /** Band-bucketed near-pair census over a persisted hash frame:
-    * 4 × 16-bit bands as LSH keys → distinct candidate pairs → exact
-    * popcount filter hd ≤ 8. Returns (a_id, b_id, hd), a_id < b_id. */
+    * 4 × 16-bit bands as LSH keys, MULTI-PROBED at intra-band
+    * Hamming ≤ 1 (r16 verdict #3) → distinct candidate pairs → exact
+    * popcount filter hd ≤ 8. Returns (a_id, b_id, hd), a_id < b_id.
+    *
+    * Multi-probe: the probe side emits each band key AND its 16
+    * one-bit-flip neighbors (17 keys/band — the IVF nprobe idea
+    * applied to LSH bands). A pair whose SOME band carries ≤ 1 of
+    * its bit errors is then caught, so by pigeonhole every hd ≤ 7
+    * pair is guaranteed (7 errors over 4 bands leave a ≤ 1-error
+    * band) and hd = 8 misses only the exact (2,2,2,2) split — vs the
+    * plain banding's hd ≥ 4 guarantee (r15 measured 0.571/0.444 by
+    * bucket). XOR symmetry makes ONE-sided probing sufficient: a's
+    * probe set contains b's key iff the band keys differ ≤ 1 bit.
+    * Cost at scale: the probe side fans a 16 B hash row ×17 per
+    * band — still hash rows only, pixels never shuffle, and
+    * Σ|bucket|·|probe bucket| replaces |docs|². */
   private[graft] def ahashBandedNear(hashes: DataFrame): DataFrame = {
     def banded(p: String) = hashes.select(
       col("doc_id").as(s"${p}_id"), col("h0").as(s"${p}_h0"),
@@ -2881,7 +2948,12 @@ object LlmSim extends OpModule {
       posexplode(array(expr("h0 % 65536"), expr("h0 div 65536"),
         expr("h1 % 65536"), expr("h1 div 65536")))
         .as(Seq(s"${p}_band", s"${p}_val")))
-    banded("a").join(banded("b"),
+    val probes = banded("a").select(col("a_id"), col("a_h0"), col("a_h1"),
+      col("a_band"),
+      explode(array(((0 until 16).map(j =>
+        col("a_val").bitwiseXOR(lit(1L << j))) :+ col("a_val")): _*))
+        .as("a_val"))
+    probes.join(banded("b"),
         col("a_band") === col("b_band") && col("a_val") === col("b_val")
           && col("a_id") < col("b_id"))
       .select("a_id", "b_id", "a_h0", "a_h1", "b_h0", "b_h1").distinct()
@@ -3091,17 +3163,23 @@ object LlmSim extends OpModule {
       |)""".stripMargin
 
   /** Band-bucketed near-pair CTEs over `hs` (the Spark
-    * ahashBandedNear twin): `near` = (a_id, b_id, hd ≤ 8). */
+    * ahashBandedNear twin, multi-probed at intra-band Hamming ≤ 1 —
+    * r16): `near` = (a_id, b_id, hd ≤ 8). */
   private val AhashBandedSql =
     """bands AS (
       |  SELECT id, h0, h1, t.band,
       |    CASE t.band WHEN 0 THEN h0 % 65536 WHEN 1 THEN h0 // 65536
       |      WHEN 2 THEN h1 % 65536 ELSE h1 // 65536 END AS val
       |  FROM hs, unnest(range(0, 4)) t(band)
+      |), probes AS (
+      |  SELECT id, h0, h1, band,
+      |    CASE WHEN t.j = 16 THEN val
+      |      ELSE xor(val, CAST(1 AS BIGINT) << CAST(t.j AS INTEGER)) END AS val
+      |  FROM bands, unnest(range(0, 17)) t(j)
       |), cand AS (
       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
       |    a.h0 AS a_h0, a.h1 AS a_h1, b.h0 AS b_h0, b.h1 AS b_h1
-      |  FROM bands a
+      |  FROM probes a
       |  JOIN bands b ON a.band = b.band AND a.val = b.val AND a.id < b.id
       |), near AS (
       |  SELECT a_id, b_id, hd FROM (
@@ -3126,7 +3204,7 @@ object LlmSim extends OpModule {
        |GROUP BY p.q_id, p.n_id, nq.nrm, nn.nrm""".stripMargin
 
   /** One unrolled hop: candidates = out-neighbors of the previous
-    * beam, fresh = not yet visited, scored, beam = top-3 fresh,
+    * beam, fresh = not yet visited, scored, beam = top-10 fresh,
     * visited += all scored (the Spark twin's exact round shape). */
   private def gHopSql(r: Int): String = {
     val pv = s"gv${r - 1}"
@@ -3140,10 +3218,51 @@ object LlmSim extends OpModule {
        |gf$r AS (SELECT q_id, n_id FROM (
        |  SELECT q_id, n_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS brk
-       |  FROM gs$r) WHERE brk <= 5),
+       |  FROM gs$r) WHERE brk <= 10),
        |gv$r AS MATERIALIZED (
        |  SELECT * FROM $pv UNION ALL SELECT * FROM gs$r)""".stripMargin
   }
+
+  /** One unrolled NN-descent refinement round (the Spark twin's
+    * nnRound): co-neighbor ∪ two-hop candidates over `in`, minus
+    * existing edges, scored on the same rounded cosine, and the
+    * top-5 NEW edges per node UNIONED onto `in` (augment, never
+    * re-rank the base — see knnGraphBody). */
+  private def gNnSql(in: String, out: String, sfx: Int): String =
+    s"""gnn$sfx AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT DISTINCT a_id, b_id FROM (
+       |      SELECT x.b_id AS a_id, y.b_id AS b_id
+       |      FROM $in x JOIN $in y ON y.a_id = x.a_id
+       |      WHERE x.b_id <> y.b_id
+       |      UNION ALL
+       |      SELECT x.a_id AS a_id, y.b_id AS b_id
+       |      FROM $in x JOIN $in y ON y.a_id = x.b_id
+       |      WHERE x.a_id <> y.b_id
+       |    )
+       |  ) c
+       |  WHERE NOT EXISTS (SELECT 1 FROM $in d
+       |    WHERE d.a_id = c.a_id AND d.b_id = c.b_id)
+       |),
+       |gnns$sfx AS MATERIALIZED (
+       |  SELECT c.a_id, c.b_id,
+       |    round(sum(ua.v * ub.v) / (na.nrm * nb.nrm), 4) AS cos
+       |  FROM gnn$sfx c
+       |  JOIN ua ON ua.a_id = c.a_id
+       |  JOIN ub ON ub.b_id = c.b_id AND ub.pos = ua.pos
+       |  JOIN norms na ON na.vec_id = c.a_id
+       |  JOIN norms nb ON nb.vec_id = c.b_id
+       |  GROUP BY c.a_id, c.b_id, na.nrm, nb.nrm
+       |),
+       |$out AS MATERIALIZED (
+       |  SELECT * FROM $in
+       |  UNION ALL
+       |  SELECT a_id, b_id, cos FROM (
+       |    SELECT a_id, b_id, cos,
+       |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+       |    FROM gnns$sfx
+       |  ) WHERE rk <= 5
+       |)""".stripMargin
 
   /** Second 8-bit hyperplane table — hyperplanes j = 8..15 of the
     * shared arithmetic family (disjoint from [[BucketsSql]]'s 0..7,
@@ -3161,8 +3280,10 @@ object LlmSim extends OpModule {
       |  GROUP BY vec_id, j
       |) GROUP BY vec_id""".stripMargin
 
-  /** The full unrolled search: two-table candidate build + top-3 edge
-    * rank + symmetrization + seed + 3 hops, ending in CTE `gres`
+  /** The full unrolled search: two-table candidate build + top-5 edge
+    * rank + TWO NN-descent refinement rounds (top-5 new edges
+    * augmented per round) + symmetrization + multi-entry seed
+    * (shortlist ∪ 32 hubs) + 4 beam-10 hops, ending in CTE `gres`
     * (q_id, n_id, cos, rk) — shared by the sim_knn_graph and
     * sim_recall_graph oracles. */
   private def graphSearchSql: String =
@@ -3199,32 +3320,38 @@ object LlmSim extends OpModule {
        |    FROM gescored
        |  ) WHERE rk <= 5
        |),
+       |${gNnSql("gdir", "gdir2", 1)},
+       |${gNnSql("gdir2", "gdir3", 2)},
        |gedges AS MATERIALIZED (
        |  SELECT DISTINCT a_id, b_id FROM (
-       |    SELECT a_id, b_id FROM gdir
-       |    UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM gdir)
+       |    SELECT a_id, b_id FROM gdir3
+       |    UNION ALL SELECT b_id AS a_id, a_id AS b_id FROM gdir3)
        |),
        |gseed AS (
-       |  SELECT a_id AS q_id, b_id AS n_id, cos FROM gdir WHERE a_id < 10),
-       |gmin AS (
-       |  SELECT min(vec_id) AS g_entry FROM embeddings WHERE vec_id >= 10),
-       |gfb0 AS (SELECT e.vec_id AS q_id, g.g_entry AS n_id
-       |  FROM embeddings e CROSS JOIN gmin g
-       |  WHERE e.vec_id < 10
-       |    AND NOT EXISTS (SELECT 1 FROM gseed s WHERE s.q_id = e.vec_id)),
-       |gfb AS (${gscoreSql("gfb0")}),
+       |  SELECT a_id AS q_id, b_id AS n_id, cos FROM gdir3 WHERE a_id < 10),
+       |ghub0 AS (SELECT e.vec_id AS q_id, h.n_id
+       |  FROM embeddings e CROSS JOIN (
+       |    SELECT vec_id AS n_id FROM embeddings
+       |    WHERE vec_id >= 10 ORDER BY vec_id LIMIT 32) h
+       |  WHERE e.vec_id < 10),
+       |ghub AS (${gscoreSql("ghub0")}),
        |gv0 AS MATERIALIZED (
-       |  SELECT * FROM gseed UNION ALL SELECT * FROM gfb),
-       |gf0 AS (SELECT q_id, n_id FROM gv0),
+       |  SELECT DISTINCT * FROM (
+       |    SELECT * FROM gseed UNION ALL SELECT * FROM ghub)),
+       |gf0 AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS brk
+       |  FROM gv0) WHERE brk <= 10),
        |${gHopSql(1)},
        |${gHopSql(2)},
        |${gHopSql(3)},
+       |${gHopSql(4)},
        |gres AS (
        |  SELECT q_id, n_id, cos, rk FROM (
        |    SELECT q_id, n_id, cos,
        |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
        |        AS BIGINT) AS rk
-       |    FROM gv3 WHERE n_id <> q_id
+       |    FROM gv4 WHERE n_id <> q_id
        |  ) WHERE rk <= 5
        |)""".stripMargin
 

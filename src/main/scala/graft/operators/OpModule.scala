@@ -14,12 +14,19 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] final class PersistScope {
   private val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-  def persist(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+  private var closed = false
+  def persist(df: DataFrame): DataFrame = kept.synchronized {
     // synchronized: bodies may register from concurrent path-builder
-    // threads (see `par` / LlmSim.annRetrieved)
-    kept.synchronized { kept += p }
-    p
+    // threads (see `par` / LlmSim.annRetrieved). After release() the
+    // scope is closed: a straggler persist would leak a cached frame
+    // into the session CacheManager for the process lifetime, so the
+    // frame is returned un-persisted instead (correct, just uncached).
+    if (closed) df
+    else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      kept += p
+      p
+    }
   }
 
   /** Materialize two INDEPENDENT sub-chains' eager cuts concurrently
@@ -38,7 +45,14 @@ private[graft] final class PersistScope {
     import scala.concurrent.duration.Duration
     val fa = Future(a)
     val fb = Future(b)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    // Settle BOTH futures before propagating any failure: rethrowing
+    // while the sibling thread still runs would let scopedPersist's
+    // `finally release()` race a live builder — unpersisting frames
+    // the survivor is using and (before the closed-scope guard)
+    // leaking any late persist past the ledger.
+    val ra = Await.ready(fa, Duration.Inf).value.get
+    val rb = Await.ready(fb, Duration.Inf).value.get
+    (ra.get, rb.get)
   }
   /** Materialize NOW and truncate lineage to the computed blocks
     * (`localCheckpoint(eager = true)`). REQUIRED (not optional) for
@@ -60,7 +74,8 @@ private[graft] final class PersistScope {
     * DataFrame becomes unreachable; no ledger entry needed.
     */
   def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
-  def release(): Unit = {
+  def release(): Unit = kept.synchronized {
+    closed = true
     kept.foreach(_.unpersist(blocking = false))
     kept.clear()
   }

@@ -280,7 +280,16 @@ object Streams {
         posexplode(array(col(h0c) % 65536, expr(s"$h0c div 65536"),
           col(h1c) % 65536, expr(s"$h1c div 65536")))
           .as(Seq("band", "bval")))
+    // MULTI-PROBE (r16, mirrors the batch ahashBandedNear): each
+    // arrival band row also probes its 16 one-bit-flip neighbor
+    // keys, so a pair is caught when SOME band carries ≤ 1 of its
+    // bit errors — the static index stays exact-keyed (XOR symmetry
+    // makes one-sided probing sufficient).
     val arr = bands(hashes, "media_id", "h0", "h1")
+      .select(col("media_id"), col("h0"), col("h1"), col("band"),
+        explode(array(((0 until 16).map(j =>
+          col("bval").bitwiseXOR(lit(1L << j))) :+ col("bval")): _*))
+          .as("bval"))
     val idx = bands(index.select(col("media_id").as("o_id"),
       col("h0").as("o_h0"), col("h1").as("o_h1")), "o_id", "o_h0", "o_h1")
     arr.join(idx, Seq("band", "bval"))

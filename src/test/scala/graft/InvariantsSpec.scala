@@ -2056,6 +2056,33 @@ class InvariantsSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("quantile sketch value error sits well inside the graded 5% band") {
+    // The graded within_5pct boolean is computed per-engine from its
+    // OWN sketch (Spark rank-stride coreset vs DuckDB t-digest), so
+    // the hash grade is stable only while both sketches land on the
+    // same side of the 5% band (ADVICE r15). Pin the coreset's value
+    // margin at < 2.5% of the exact quantile so a data change that
+    // narrows the margin fails HERE instead of flipping the oracle
+    // hash (the t-digest side is tighter still; rehearsal covers it).
+    val scope = new operators.PersistScope
+    try {
+      val sk = operators.Aggregates.quantileSketch(spark, sf, scope)
+        .collect()
+      val arr = graft.Tables.lineitem(spark, sf)
+        .select(org.apache.spark.sql.functions
+          .col("l_extendedprice").cast("double"))
+        .collect().map(_.getDouble(0)).sorted
+      sk.foreach { r =>
+        val (qq, v, n) = (r.getDouble(0), r.getDouble(1), r.getLong(2))
+        val exact = arr(math.ceil(qq * n).toInt - 1)
+        assert(math.abs(v - exact) <= 0.025 * exact,
+          s"q=$qq sketch value $v is ${math.abs(v - exact) / exact * 100}%" +
+            s" from exact $exact — inside the graded 5% band but past " +
+            "the 2.5% stability margin")
+      }
+    } finally scope.release()
+  }
+
   test("betweenness obeys the Brandes dependency-accumulation identity") {
     // Σ_v δ_s(v) over interior nodes must equal Σ_t (dist(t) − 1)
     // over targets at distance ≥ 1: for each target t, the σ-ratio

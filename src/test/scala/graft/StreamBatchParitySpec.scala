@@ -499,13 +499,15 @@ class StreamBatchParitySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     // Independent driver-side brute expectation: same band-position
-    // keys, same popcount filter, computed with plain Scala.
+    // keys at the r16 multi-probe rule (candidate iff SOME band
+    // differs by ≤ 1 bit), same popcount filter, plain Scala.
     def bnd(h0: Long, h1: Long) =
       Seq(h0 % 65536, h0 / 65536, h1 % 65536, h1 / 65536)
     val brute = arrivals.flatMap { case (id, h0, h1) =>
       val hds = index.collect { case (oid, o0, o1)
           if oid != id &&
-            bnd(h0, h1).zip(bnd(o0, o1)).exists(p => p._1 == p._2) &&
+            bnd(h0, h1).zip(bnd(o0, o1)).exists(p =>
+              java.lang.Long.bitCount(p._1 ^ p._2) <= 1) &&
             java.lang.Long.bitCount(h0 ^ o0) +
               java.lang.Long.bitCount(h1 ^ o1) <= 8 =>
         java.lang.Long.bitCount(h0 ^ o0) + java.lang.Long.bitCount(h1 ^ o1)
