@@ -150,7 +150,23 @@ object LlmSim extends OpModule {
     * rollup — would otherwise re-derive the full embedding scan +
     * assignment lineage per reference. Returns (trained centroids,
     * assignment incl. embedding and norm). */
+  // ---- session-level trained-index memo (r16 verdict #4/#6) ---------
+
+  /** Cross-QUERY memo of trained-index frames (see [[SessionMemo]]
+    * for the contract): the heavy eval band (rrf / ndcg / ivfpq /
+    * recall_*) re-trained bit-identical quantizer chains per query;
+    * the serving reality is FAISS's — ONE index built, many queries
+    * served. Memoized chains here: `ivfTrain` (coarse quantizer),
+    * `pqDists` (trained PQ distance table), `annEval` (tier universe
+    * + four-path retrieved union). */
+  private def memoed[T <: AnyRef](s: SparkSession, d: String, key: String)(
+      build: => T): T = SessionMemo.memo(s, d, key)(build)
+
   private[graft] def ivfTrain(s: SparkSession, d: String,
+      scope: PersistScope): (DataFrame, DataFrame) =
+    memoed(s, d, "ivfTrain")(ivfTrainBuild(s, d, scope))
+
+  private def ivfTrainBuild(s: SparkSession, d: String,
       scope: PersistScope): (DataFrame, DataFrame) = {
     val C = 16
     val e = Tables.embeddings(s, d).select(col("vec_id"),
@@ -417,11 +433,12 @@ object LlmSim extends OpModule {
       scope: PersistScope): DataFrame = {
     val Q = 10
     // The coarse (IVF) and fine (PQ) quantizers train on disjoint
-    // lineages — their eager cut chains build concurrently (r15).
+    // lineages — their eager cut chains build concurrently (r15) and
+    // are memoized across queries (r16): the rrf/ndcg/pq consumers
+    // reuse the same cut frames instead of re-training.
     val ((cents, assign), dists) = scope.par(
       ivfTrain(s, d, scope),
-      { val e = scope.persist(pqElems(s, d))
-        scope.cut(pqDists(e, pqCodebook(e, scope))) })
+      pqDistsShared(s, d, scope))
     val qv = assign.filter(col("vec_id") < Q)
       .select(col("vec_id"), col("embedding"), col("nrm"))
     val qcells = kmAssignTopN(qv, cents, 2)
@@ -548,12 +565,23 @@ object LlmSim extends OpModule {
           col("rk")))
   }
 
+  /** The (tier universe, four-path retrieved) pair — bit-identical
+    * across sim_ndcg_eval and sim_rrf_fusion by construction, built
+    * once per session via the memo (r16 verdict #4); the retrieved
+    * union is cut so the memoized frame references no scope-persisted
+    * path internals. */
+  private def annEvalShared(s: SparkSession, d: String,
+      scope: PersistScope): (DataFrame, DataFrame) =
+    memoed(s, d, "annEval") {
+      scope.par(tierUniverse(s, d, scope),
+        scope.cut(annRetrieved(s, d)(scope)))
+    }
+
   private[graft] def ndcgBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
-    val (tiers, ann) = scope.par(tierUniverse(s, d, scope),
-      annRetrieved(s, d)(scope))
+    val (tiers, ann) = annEvalShared(s, d, scope)
     val idcgT = idealDcg(tiers)
     val retr = ann
       .join(tiers, Seq("q_id", "n_id"))
@@ -595,8 +623,7 @@ object LlmSim extends OpModule {
   private[graft] def rrfBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val (tiers, ann) = scope.par(tierUniverse(s, d, scope),
-      annRetrieved(s, d)(scope))
+    val (tiers, ann) = annEvalShared(s, d, scope)
     val idcgT = idealDcg(tiers)
     // cut: `rrf` is referenced by BOTH `fused` and `cands` below —
     // unregistered, the un-cut portions of the four-path retrieval
@@ -638,7 +665,7 @@ object LlmSim extends OpModule {
 
   private[graft] def knnPqBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame =
-    knnPqOn(scope.persist(pqElems(s, d)), scope)
+    knnPqFrom(pqDistsShared(s, d, scope))
 
   /** Hamming-path quality gate (r9): per-query recall@5 of the
     * 1-bit sign-quantized search against the exact cosine truth —
@@ -1132,9 +1159,20 @@ object LlmSim extends OpModule {
     * once collapses those to a single materialization — the same
     * share-the-trained-index discipline ivfpqBody already applies to
     * its IVF leg). */
-  private def knnPqOn(e: DataFrame, scope: PersistScope): DataFrame = {
+  /** The trained PQ distance table (vec_id, m, k, dist) over the full
+    * corpus — codebook training + distance evaluation, memoized
+    * across queries (r16): every PQ consumer (sim_knn_pq, recall_pq,
+    * ivfpq, the ndcg/rrf retrieval) derives from this one cut. */
+  private def pqDistsShared(s: SparkSession, d: String,
+      scope: PersistScope): DataFrame =
+    memoed(s, d, "pqDists") {
+      val e = scope.persist(pqElems(s, d))
+      scope.cut(pqDists(e, pqCodebook(e, scope)))
+    }
+
+  /** ADC top-3 search over a prebuilt PQ distance table. */
+  private def knnPqFrom(dists: DataFrame): DataFrame = {
     val Q = 10
-    val dists = scope.cut(pqDists(e, pqCodebook(e, scope)))
     val adc = adcScores(pqCodesPivot(pqArgmin(dists)), qDistMap(dists, Q))
     val w = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
     adc.withColumn("rnk", row_number().over(w).cast("long"))
@@ -2383,7 +2421,7 @@ object LlmSim extends OpModule {
       val truth = exact.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("vec_id").as("n_id"))
-      val adc = knnPqOn(u, scope)
+      val adc = knnPqFrom(pqDistsShared(s, d, scope))
         .select(col("q_id").as("a_q"), col("n_id").as("a_n"), lit(1).as("hit"))
       truth
         .join(adc, col("q_id") === col("a_q") && col("n_id") === col("a_n"),

@@ -102,6 +102,17 @@ case class CapDecision(user_id: Long, event_id: Long, rank: Long,
 case class IngestDecision(vec_id: Long, label: Long, cell: Long, sub: Long,
                           is_dup: Boolean)
 
+/** Per-stream-partition quantile-coreset state: value/weight arrays
+  * sorted by value, the accumulated rank-slack certificate, and the
+  * state-update epoch — ≤ cap+1 entries forever. */
+case class QCoreset(vs: Array[Double], ws: Array[Long], slack: Long,
+                    epoch: Long)
+
+/** One emitted coreset entry — the per-partition summary re-emitted
+  * each epoch; the reader keeps each partition's max epoch. */
+case class QuantilePoint(pkey: Int, epoch: Long, v: Double, w: Long,
+                         slack: Long)
+
 /** Structured Streaming twins of the batch event-time operators in
   * `graft.operators.Events` (SURVEY.md §2.8 "ungraded twin" row — the
   * DuckDB oracle can't execute streams, so these are spec-verified via
@@ -254,6 +265,86 @@ object Streams {
     graft.operators.LlmText.cmsPairs(docs)
       .groupBy("r", "bucket")
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** Streaming quantile coreset — the 19th twin, the INGEST form of
+    * `agg_quantile_sketch`'s rank-stride summary (Aggregates.scala):
+    * arriving values hash into `parts` stream partitions (murmur3 on
+    * the value — deterministic, key-skew-free); each partition's
+    * state is a bounded weighted coreset maintained by
+    * flatMapGroupsWithState. Per micro-batch: merge the sorted
+    * incoming weight-1 values into the held (value, weight) summary;
+    * if it exceeds `cap` entries, COMPACT by weighted stride — walk
+    * in value order, emit an element each time the accumulated mass
+    * since the last emission reaches st = ⌈W/cap⌉ (carrying the
+    * exact accumulated mass as the emitted weight, so ΣW is
+    * conserved EXACTLY — the readout's total weight always equals
+    * the ingested row count). Each compaction can displace a rank by
+    * at most its stride, so the state carries a SELF-CERTIFYING
+    * slack counter (Σ strides applied): after any replay, a
+    * p-quantile read from the merged summaries is within
+    * Σ_partitions slack + parts ranks of exact — the bound
+    * StreamBatchParitySpec pins against the graded percentiles. The
+    * batch coreset's one-shot theorem (n/256 + P) is the B = 1
+    * special case; the streaming price is one extra stride per
+    * compaction epoch. State: ≤ (cap+1)·parts rows forever — the
+    * stream never retains raw values past the batch that carried
+    * them. Update-mode emission re-publishes a partition's summary
+    * (with its epoch) only when it absorbed data. */
+  def quantileIngest(values: DataFrame, parts: Int = 32,
+      cap: Int = 256): Dataset[QuantilePoint] = {
+    val s = values.sparkSession
+    import s.implicits._
+    val keyed = values
+      .select(pmod(hash(col("v")), lit(parts)).cast("int").as("pkey"),
+        col("v").cast("double").as("v"))
+      .as[(Int, Double)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[QCoreset, QuantilePoint](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val prev = state.getOption
+            .getOrElse(QCoreset(Array.empty, Array.empty, 0L, 0L))
+          val in = it.map(_._2).toArray
+          if (in.isEmpty) Iterator.empty
+          else {
+            java.util.Arrays.sort(in)
+            // merge two value-sorted runs (state summary + batch)
+            val n = prev.vs.length + in.length
+            val mv = new Array[Double](n)
+            val mw = new Array[Long](n)
+            var i = 0; var j = 0; var k = 0
+            while (i < prev.vs.length || j < in.length) {
+              val takeOld = j >= in.length ||
+                (i < prev.vs.length && prev.vs(i) <= in(j))
+              if (takeOld) { mv(k) = prev.vs(i); mw(k) = prev.ws(i); i += 1 }
+              else { mv(k) = in(j); mw(k) = 1L; j += 1 }
+              k += 1
+            }
+            var (cv, cw, slack) = (mv, mw, prev.slack)
+            if (n > cap) {
+              val total = mw.sum
+              val st = math.max(1L, (total + cap - 1) / cap)
+              val ev = Array.newBuilder[Double]
+              val ew = Array.newBuilder[Long]
+              var acc = 0L
+              var idx = 0
+              while (idx < n) {
+                acc += mw(idx)
+                if (acc >= st || idx == n - 1) {
+                  ev += mv(idx); ew += acc; acc = 0L
+                }
+                idx += 1
+              }
+              cv = ev.result(); cw = ew.result(); slack += st
+            }
+            val next = QCoreset(cv, cw, slack, prev.epoch + 1L)
+            state.update(next)
+            cv.iterator.zip(cw.iterator).map { case (v, w) =>
+              QuantilePoint(key, next.epoch, v, w, next.slack)
+            }
+          }
+      }
   }
 
   /** Streaming image near-dup screen — the 18th twin, the INGEST form

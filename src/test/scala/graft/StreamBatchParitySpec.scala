@@ -522,6 +522,66 @@ class StreamBatchParitySpec extends SparkSpec {
         s"brute-only=${brute -- stream}")
   }
 
+  test("streaming quantile coreset matches the graded percentiles within its slack certificate (19th twin)") {
+    // Replay the real sf0.001 lineitem price column in THREE
+    // micro-batches through quantileIngest and assert, against the
+    // same exact ranks the graded agg_quantile_sketch is judged on:
+    //   1. total summary weight == ingested row count EXACTLY (the
+    //      compaction conserves mass by construction);
+    //   2. per-partition state stays <= cap+1 entries;
+    //   3. each graded percentile read from the merged summaries sits
+    //      within the SELF-CERTIFIED rank bound (Sigma per-partition
+    //      slack + #partitions) of its exact rank;
+    //   4. the read values pass the graded query's own 5% value band.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice").cast("double"))
+      .collect().map(_.getDouble(0)).toSeq
+    val in = MemoryStream[Double]
+    val q = Streams.quantileIngest(
+        in.toDF().select(col("value").as("v")), parts = 32, cap = 256)
+      .writeStream.format("memory").queryName("par_quant")
+      .outputMode("update").start()
+    try {
+      val third = vals.length / 3
+      in.addData(vals.take(third)); q.processAllAvailable()
+      in.addData(vals.slice(third, 2 * third)); q.processAllAvailable()
+      in.addData(vals.drop(2 * third)); q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.table("par_quant")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    // keep each partition's LAST epoch (update mode re-publishes)
+    val lastEpoch = all.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.filter(_._2 == rs.map(_._2).max)
+    }
+    val entries = lastEpoch.values.flatten.toArray
+    val n = vals.length.toLong
+    assert(entries.map(_._4).sum === n,
+      "summary mass must equal the ingested row count exactly")
+    lastEpoch.foreach { case (k, rs) =>
+      assert(rs.length <= 257, s"partition $k state grew past cap+1")
+    }
+    val slackSum = lastEpoch.values.map(_.head._5).sum
+    val bound = slackSum + 32
+    val sorted = vals.sorted.toArray
+    val merged = entries.sortBy(e => (e._3, e._1)) // by value
+    Seq(0.5, 0.9, 0.99).foreach { p =>
+      val target = math.ceil(p * n).toLong
+      var cum = 0L
+      val vq = merged.find { e => cum += e._4; cum >= target }.get._3
+      val lo = sorted.count(_ < vq).toLong + 1L
+      val hi = sorted.count(_ <= vq).toLong
+      assert(target >= lo - bound && target <= hi + bound,
+        s"p=$p stream value $vq has rank [$lo,$hi], target $target " +
+          s"outside the certified +-$bound")
+      val exact = sorted(target.toInt - 1)
+      assert(math.abs(vq - exact) <= 0.05 * exact,
+        s"p=$p stream value $vq outside the graded 5% band of $exact")
+    }
+  }
+
   test("streaming user-cap quarantine equals the graded sample_user_cap ledger (17th twin)") {
     // Replay the sf0.01 events (sf0.001 has ZERO over-cap users — the
     // p99 cap quarantines ~1% by construction) in TWO micro-batches
