@@ -677,10 +677,25 @@ object LlmSim extends OpModule {
     * persists via the scope, one dimension-sized left join + agg.
     * Body factored out (un-checkpointed) for PlansSpec plan locks.
     */
+  /** Session-memoized CUT of the brute-truth top-5 pair set
+    * (sim_knn's (q_id, n_id) projection) — every recall gate
+    * left-joins this same frame (r16, see [[SessionMemo]]). */
+  private def knnTruthShared(s: SparkSession, d: String): DataFrame =
+    SessionMemo.memo(s, d, "knnTruth")(
+      queries("sim_knn")(s, d).select(col("q_id"), col("n_id"))
+        .localCheckpoint(true))
+
+  /** Session-memoized CUT of the NSW-lite search answer — shared by
+    * sim_knn_graph and its recall gate (the graph build is the
+    * expensive half of both queries). */
+  private def knnGraphShared(s: SparkSession, d: String,
+      scope: PersistScope): DataFrame =
+    SessionMemo.memo(s, d, "knnGraph")(
+      scope.cut(knnGraphBody(s, d)(scope)))
+
   private[graft] def recallHammingBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
-    val truth = scope.persist(
-      queries("sim_knn")(s, d).select(col("q_id"), col("n_id")))
+    val truth = knnTruthShared(s, d)
     val ham = queries("sim_knn_hamming")(s, d)
       .select(col("q_id").as("h_q"), col("n_id").as("h_n"), lit(1).as("hit"))
     truth
@@ -870,10 +885,11 @@ object LlmSim extends OpModule {
       scope: PersistScope): DataFrame = {
     // truth chain ‖ graph chain (r16): the brute sim_knn truth and the
     // NN-descent graph build share nothing — PersistScope.par overlaps
-    // their eager cut jobs instead of serializing the two chains.
+    // their eager cut jobs instead of serializing the two chains (both
+    // sides memo-hit instantly when another query already built them).
     val (truth, g) = scope.par(
-      scope.cut(queries("sim_knn")(s, d).select(col("q_id"), col("n_id"))),
-      knnGraphBody(s, d)(scope)
+      knnTruthShared(s, d),
+      knnGraphShared(s, d, scope)
         .select(col("q_id").as("g_q"), col("n_id").as("g_n"),
           lit(1).as("hit")))
     truth
@@ -1557,8 +1573,7 @@ object LlmSim extends OpModule {
       // cut, not persist (r15): three truncated-prefix legs left-join
       // the truth inside one terminal union job — a lazy persist lets
       // them race the cold cache (the tierUniverse race class).
-      val truth = scope.cut(
-        queries("sim_knn")(s, d).select(col("q_id"), col("n_id")))
+      val truth = knnTruthShared(s, d)
       def knnAt(m: Int): DataFrame = {
         val t = ie.select(col("vec_id"), slice(col("iv"), 1, m).as("tv"))
           .withColumn("tnrm", sqrt(dot(col("tv"), col("tv"))))
@@ -1773,7 +1788,7 @@ object LlmSim extends OpModule {
       // left-joins LSH hits onto the brute truth set, and aggregates
       // hit counts per query. Cost is the two kNN plans + dimension-
       // sized joins; no new scan of the embedding table.
-      val brute = queries("sim_knn")(s, d).select(col("q_id"), col("n_id"))
+      val brute = knnTruthShared(s, d)
       val lsh = queries("sim_knn_lsh")(s, d)
         .select(col("q_id").as("l_q"), col("n_id").as("l_n"), lit(1).as("hit"))
       val lshCnt = lsh.groupBy("l_q").agg(count(lit(1)).as("n_lsh0"))
@@ -1793,7 +1808,8 @@ object LlmSim extends OpModule {
 
     // NSW-lite greedy beam search over the mutual-kNN graph (r15) +
     // its recall gate; bodies factored out for PlansSpec plan locks.
-    "sim_knn_graph" -> ((s, d) => scopedPersist(knnGraphBody(s, d))),
+    "sim_knn_graph" -> ((s, d) =>
+      scopedPersist(scope => knnGraphShared(s, d, scope))),
     "sim_recall_graph" -> ((s, d) => scopedPersist(recallGraphBody(s, d))),
 
     "sim_recall_ivf" -> ((s, d) => scopedPersist { scope =>
@@ -1814,7 +1830,7 @@ object LlmSim extends OpModule {
       // materializes the brute scoring; the eager cut runs concurrently
       // with the trained chain's own cuts.
       val (brute, ta) = scope.par(
-        scope.cut(queries("sim_knn")(s, d).select(col("q_id"), col("n_id"))),
+        knnTruthShared(s, d),
         ivfTrain(s, d, scope))
       val (cents, assign) = ta
       def recallAt(np: Int): DataFrame = {
