@@ -160,7 +160,19 @@ trait OpModule {
     */
   protected def scopedPersist(body: PersistScope => DataFrame): DataFrame = {
     val scope = new PersistScope
-    try body(scope).localCheckpoint(eager = true)
-    finally scope.release()
+    if (OpModule.planOnly.get()) body(scope) // PlanDump: skip terminal
+    else
+      try body(scope).localCheckpoint(eager = true)
+      finally scope.release()
+  }
+}
+
+private[graft] object OpModule {
+  /** PlanDump-only (r16): when set, `scopedPersist` returns the raw
+    * body frame (no terminal checkpoint, no release) so its formatted
+    * plan shows the terminal assembly instead of one RDD scan. Never
+    * set on the bench/verify path — explain evidence only. */
+  val planOnly = new java.lang.ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
   }
 }
