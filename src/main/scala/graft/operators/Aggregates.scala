@@ -73,11 +73,28 @@ object Aggregates extends OpModule {
       // like every brute truth in the recall family. The coreset's
       // rank-error theorem (≤ n/256 + P) puts the value error far
       // inside the 5% band on this price distribution.
+      // r16 (ADVICE r15 #3): the truth rank was the suite's only
+      // full-corpus single-partition window (row_number over a global
+      // orderBy). It now rides the agg_gini TWO-PASS PARTITION-OFFSET
+      // sort: a coarse price bucket splits the corpus, per-bucket
+      // counts (dimension-sized) become exclusive prefix offsets
+      // broadcast back, and row_number runs PARTITIONED by bucket —
+      // offset + local rank equals the global rank exactly (bucket
+      // order aligns with v order; ties share a bucket, and the value
+      // AT a rank is tie-order-free). The rank-k join picks identical
+      // exact_v, so the graded output is unchanged.
       val sk = quantileSketch(s, d, scope)
       val vals = Tables.lineitem(s, d)
         .select(col("l_extendedprice").cast("double").as("v"))
-      val ranked = vals.withColumn("rn",
-        row_number().over(Window.orderBy("v")).cast("long"))
+        .withColumn("bk", floor(col("v") / 1000).cast("long"))
+      val wPrev = Window.orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = vals.groupBy("bk").agg(count(lit(1)).as("c"))
+        .select(col("bk"),
+          coalesce(sum("c").over(wPrev), lit(0L)).as("off"))
+      val w = Window.partitionBy("bk").orderBy("v")
+      val ranked = vals.join(broadcast(offs), Seq("bk"))
+        .withColumn("rn", row_number().over(w).cast("long") + col("off"))
       val exact = ranked.join(broadcast(sk),
           col("rn") === ceil(col("q") * col("n")).cast("long"))
         .select(col("q"), col("v").as("exact_v"), col("sketch_v"))

@@ -42,8 +42,11 @@ object Graph extends OpModule {
       .select(col("l_orderkey").as("ok"), (col("l_partkey") % 5000).as("node"))
       .distinct()
 
-  /** Distinct undirected co-purchase edges, stored with u < v. */
-  private def edges(s: SparkSession, d: String): DataFrame = {
+  /** Distinct undirected co-purchase edges, stored with u < v.
+    * private[graft]: PlansSpec locks the build plan's pushdown here
+    * (consumers read the memoized cut, so their plans no longer show
+    * the parquet scan — r16). */
+  private[graft] def edges(s: SparkSession, d: String): DataFrame = {
     val ob = incidence(s, d)
     val a = ob.select(col("ok"), col("node").as("u"))
     val b = ob.select(col("ok").as("ok2"), col("node").as("v"))
@@ -73,10 +76,9 @@ object Graph extends OpModule {
     * caps the edge table at 5000²/2 rows AT ANY corpus scale, while
     * 32-partition cached frames multiplied every downstream stage
     * into 350+ near-empty ~100 ms tasks (r14 audit). */
-  private def sharedEdges(s: SparkSession, d: String,
-      scope: PersistScope): DataFrame =
+  private def sharedEdges(s: SparkSession, d: String): DataFrame =
     SessionMemo.memo(s, d, "graphEdges")(
-      scope.cut(edges(s, d).coalesce(4)))
+      edges(s, d).coalesce(4).localCheckpoint(true))
 
   /** Nation→nation trade edges (customer nation buys from supplier
     * nation, weight = lineitem count) — the directed weighted graph
@@ -128,7 +130,7 @@ object Graph extends OpModule {
   private def sigmaChainBuild(s: SparkSession, d: String,
       scope: PersistScope)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val e = sharedEdges(s, d, scope)
+    val e = sharedEdges(s, d)
     val deg = degrees(e)
     val adj = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
@@ -275,7 +277,7 @@ object Graph extends OpModule {
       // category nodes have k co-purchase partners. The shape (heavy
       // tail vs uniform) is what an affinity model checks before
       // trusting pair statistics.
-      degrees(edges(s, d))
+      degrees(sharedEdges(s, d)) // r16: session-memoized edge rollup
         .groupBy(col("d").as("degree"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")),
@@ -288,7 +290,7 @@ object Graph extends OpModule {
       // equi-join against the undirected edge list. Output is one
       // summary row: node/edge/wedge counts, triangles, and the global
       // clustering coefficient 3·tri / wedges.
-      val e = edges(s, d)
+      val e = sharedEdges(s, d) // r16: session-memoized edge rollup
       val deg = degrees(e)
       val du = deg.select(col("node").as("u"), col("d").as("du"))
       val dv = deg.select(col("node").as("v"), col("d").as("dv"))
@@ -324,7 +326,7 @@ object Graph extends OpModule {
       // REGULAR graph (all degrees equal) zeroes the variance — 0/0
       // diverges between engines, so the exact integer comparison
       // m·sxx = sx² guards the degenerate case to NULL on both sides.
-      val e = edges(s, d)
+      val e = sharedEdges(s, d) // r16: session-memoized edge rollup
       val deg = degrees(e)
       val du = deg.select(col("node").as("u"), col("d").as("xu"))
       val dv = deg.select(col("node").as("v"), col("d").as("xv"))
@@ -501,7 +503,7 @@ object Graph extends OpModule {
       // pairs; top-50 by rounded score with (a, b) tiebreak.
       // (deg(w) ≥ 2 for any common neighbor, so ln never hits 0;
       // a capped-out hub simply stops generating wedges.)
-      val e = edges(s, d)
+      val e = sharedEdges(s, d) // r16: session-memoized edge rollup
       val adj = e.select(col("u").as("node"), col("v").as("nbr"))
         .union(e.select(col("v").as("node"), col("u").as("nbr")))
       // Wedges expand IN-ROW from each hub's sorted neighbor list with
@@ -562,7 +564,7 @@ object Graph extends OpModule {
       // kernels read side by side; labels only ever decrease within a
       // component, so every jump target is a real node (the left join
       // is defensive, not semantic).
-      val e = sharedEdges(s, d, scope) // session-memoized bounded universe
+      val e = sharedEdges(s, d) // session-memoized bounded universe
       val adj = e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b")))
       val (lbl, changed) =
@@ -585,7 +587,7 @@ object Graph extends OpModule {
       // residual make the decision auditable. Oracle: converged
       // rounds are identity, so the cap-depth unroll + per-round
       // change censuses reproduce both the labels and the counters.
-      val e = sharedEdges(s, d, scope) // session-memoized bounded universe
+      val e = sharedEdges(s, d) // session-memoized bounded universe
       val adj = e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b")))
       val (lbl, rounds, residual) =
@@ -670,8 +672,8 @@ object Graph extends OpModule {
       // partial-agged groupBys (label count, then per-node struct-max
       // argmax — no window over the adjacency); rounds persist via
       // cut, the iterative-kernel discipline.
-      val e = sharedEdges(s, d, scope) // session-memoized bounded universe
-      val (l1, l2) = lpaLabels(e, scope)
+      val e = sharedEdges(s, d) // session-memoized bounded universe
+      val (l1, l2) = lpaLabels(s, d, scope) // r16: session-memoized
       val changed = l2.select(col("node").as("n2"), col("lbl").as("lb2"))
         .join(l1, col("n2") === col("node"))
         .filter(col("lb2") =!= col("lbl"))
@@ -689,37 +691,27 @@ object Graph extends OpModule {
       // left unreached — the "how far does influence travel"
       // diagnostic behind spread/recommendation models, and the
       // level-synchronous BFS every distributed graph engine runs.
-      // Seed = max-(degree, node) (deterministic argmax, no rand()).
-      // Each round is ONE adjacency equi-join against the frontier +
-      // a set-difference against the visited set — frontier and
-      // visited are node-sized, the join is the only edge-sized op,
-      // and every round is lineage-cut (the iterative-kernel
-      // discipline). The result folds all layers through a single
-      // union → groupBy, not per-layer scalar aggs (the kcore trace
-      // lesson).
-      val e = sharedEdges(s, d, scope) // session-memoized bounded universe
+      // r16 (guide §2.4 — remove work outright): the σ-BFS chain
+      // (sigmaChain, session-memoized, already built for
+      // path_counts / stress / closeness / betweenness) computes
+      // EXACTLY these frontiers from the top-5 (degree, node) hubs —
+      // its per-src layers are anti-joined against the same visited
+      // sets, and this query's seed (argmax by (d, node) struct-max)
+      // IS hub 0 of that chain's top-5 (same (d DESC, node DESC)
+      // order). Filtering each shared layer to the seed src replaces
+      // the private 4-superstep build (4 eager cuts + 4 edge-sized
+      // joins per query) with four node-sized filters; outputs are
+      // bit-identical because the frontier sets are the same sets.
+      val (e, _, l0, l1, l2, l3) = sigmaChain(s, d, scope)
       val deg = degrees(e)
-      val adj = e.select(col("u").as("a"), col("v").as("b"))
-        .union(e.select(col("v").as("a"), col("u").as("b")))
-      // r14 cut trim (see sigmaChain): cut only the multi-referenced
-      // layers, coalesce(1)'d (node-sized at any scale); the visited
-      // unions of cut frames stay lineage — 2 fewer eager actions.
-      val l0 = scope.cut(deg.agg(max(struct(col("d"), col("node"))).as("m"))
-        .select(col("m.node").as("node")))
-      def nextLayer(frontier: DataFrame, visited: DataFrame): DataFrame =
-        scope.cut(
-          adj.join(frontier.select(col("node").as("fn")), col("a") === col("fn"))
-            .select(col("b").as("node")).distinct()
-            .except(visited).coalesce(1))
-      val v0 = l0
-      val l1 = nextLayer(l0, v0)
-      val v1 = v0.union(l1)
-      val l2 = nextLayer(l1, v1)
-      val v2 = v1.union(l2)
-      val l3 = nextLayer(l2, v2)
-      val v3 = v2.union(l3)
-      val unreached = deg.select("node").except(v3)
-      Seq(l0 -> 0L, l1 -> 1L, l2 -> 2L, l3 -> 3L, unreached -> -1L)
+      val seed = deg.agg(max(struct(col("d"), col("node"))).as("m"))
+        .select(col("m.node").as("seed"))
+      def at(l: DataFrame): DataFrame =
+        l.join(broadcast(seed), col("src") === col("seed")).select("node")
+      val (s0, s1, s2, s3) = (at(l0), at(l1), at(l2), at(l3))
+      val unreached = deg.select("node")
+        .except(s0.union(s1).union(s2).union(s3))
+      Seq(s0 -> 0L, s1 -> 1L, s2 -> 2L, s3 -> 3L, unreached -> -1L)
         .map { case (df, r) => df.select(lit(r).as("distance"), col("node")) }
         .reduce(_ union _)
         .groupBy("distance").agg(count(lit(1)).as("n_nodes"))
@@ -741,7 +733,7 @@ object Graph extends OpModule {
       // exact ·10⁶ div scaled integer (numerator/denominator pure
       // counts; φ ≤ 1e6 is a theorem InvariantsSpec pins, as is
       // monotone non-increasing N_k/E_k over k).
-      val e = sharedEdges(s, d, scope) // session-memoized bounded universe
+      val e = sharedEdges(s, d) // session-memoized bounded universe
       val deg = scope.persist(degrees(e).coalesce(1)) // node-sized
       val spine = s.range(1).select(explode(
         array(lit(1L), lit(2L), lit(4L), lit(8L), lit(16L))).as("k"))
@@ -867,8 +859,8 @@ object Graph extends OpModule {
       // without tolerance games. Plan: the label join is the only
       // edge-sized op after the LPA supersteps; community rollups are
       // node-sized, the scalars broadcast-cross into one row.
-      val e = sharedEdges(s, d, scope) // session-memoized bounded universe
-      val (_, l2) = lpaLabels(e, scope)
+      val e = sharedEdges(s, d) // session-memoized bounded universe
+      val (_, l2) = lpaLabels(s, d, scope) // r16: session-memoized
       val lu = l2.select(col("node").as("u2"), col("lbl").as("lu"))
       val lv = l2.select(col("node").as("v2"), col("lbl").as("lv"))
       val lab = e.join(lu, col("u") === col("u2"))
@@ -948,7 +940,7 @@ object Graph extends OpModule {
       // link-predict family. The coefficient is bucketed on the EXACT
       // integer decile (10·t) div pairs ∈ 0..10 — no double ever
       // crosses engines; per-bucket sums stay exact longs.
-      val e = sharedEdges(s, d, scope) // session-memoized bounded universe
+      val e = sharedEdges(s, d) // session-memoized bounded universe
       val adj = e.select(col("u").as("ctr"), col("v").as("nb"))
         .union(e.select(col("v").as("ctr"), col("u").as("nb")))
       val w1 = adj.select(col("ctr"), col("nb").as("a"))
@@ -974,8 +966,15 @@ object Graph extends OpModule {
     * graph_label_propagation (histogram + churn) and graph_modularity
     * (the quality gate scoring the same partition). Returns (l1, l2);
     * each round is one |adj| equi-join + two partial-agged groupBys,
-    * lineage-cut. */
-  private[graft] def lpaLabels(e: DataFrame, scope: PersistScope)
+    * lineage-cut. Session-memoized since r16 (both consumers trained
+    * the identical 2-round chain; the rounds are cuts, so the memo
+    * outlives any one query's scope). */
+  private[graft] def lpaLabels(s: SparkSession, d: String,
+      scope: PersistScope): (DataFrame, DataFrame) =
+    SessionMemo.memo(s, d, "lpaLabels")(
+      lpaLabelsBuild(sharedEdges(s, d), scope))
+
+  private def lpaLabelsBuild(e: DataFrame, scope: PersistScope)
       : (DataFrame, DataFrame) = {
     val adj = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
@@ -1015,7 +1014,7 @@ object Graph extends OpModule {
     // logical plan ~3^r and AQE's per-stage plan render made this
     // query 17–22 s (and OOMed a 1 GiB driver); per-round lineage
     // truncation measures ~2 s steady-state at sf0.1 local[32].
-    var e = scope.cut(edges(s, d))
+    var e = sharedEdges(s, d) // r16: seed the peel from the shared cut
     // Convergence trace via ONE union-all + groupBy(round) agg (r5
     // advice): the former shape cross-joined 8 separate 1-row scalar
     // aggs — 8 extra stages whose scheduling floor dominated at
@@ -1179,7 +1178,7 @@ object Graph extends OpModule {
     * last-round convergence delta broadcast onto every row. */
   private[graft] def componentsBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
-    val e = sharedEdges(s, d, scope) // session-memoized bounded universe
+    val e = sharedEdges(s, d) // session-memoized bounded universe
     val adj = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
     val (lbl, changed) =
@@ -1214,7 +1213,7 @@ object Graph extends OpModule {
     // two endpoint-degree joins) — both are dimension-bounded, so one
     // persist each stops the shared subtree from re-deriving the
     // incidence join per reference.
-    val e = sharedEdges(s, d, scope) // session-memoized bounded universe
+    val e = sharedEdges(s, d) // session-memoized bounded universe
     val deg = scope.persist(degrees(e).coalesce(1)) // node-sized
     val adj = e.select(col("u").as("node"), col("v").as("nbr"))
       .union(e.select(col("v").as("node"), col("u").as("nbr")))

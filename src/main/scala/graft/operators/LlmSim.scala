@@ -166,6 +166,22 @@ object LlmSim extends OpModule {
       scope: PersistScope): (DataFrame, DataFrame) =
     memoed(s, d, "ivfTrain")(ivfTrainBuild(s, d, scope))
 
+  /** Trained C=8 k-means chain — (centroids after 2 Lloyd rounds,
+    * round-2 assignment), both eager cuts. Session-memoized (r16):
+    * embed_kmeans and embed_silhouette trained bit-identical chains;
+    * one build serves both (the ivfTrain discipline at C=8). */
+  private def km8Shared(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    memoed(s, d, "km8") {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      var cents = kmInit(s, d, 8)
+      // round 1 single-reference -> uncut (r14 cut-trim, see ivfTrain)
+      cents = kmUpdate(e, kmAssign(e, cents))
+      val a2 = kmAssign(e, cents)
+      (kmUpdate(e, a2).localCheckpoint(true), a2.localCheckpoint(true))
+    }
+
   private def ivfTrainBuild(s: SparkSession, d: String,
       scope: PersistScope): (DataFrame, DataFrame) = {
     val C = 16
@@ -1131,13 +1147,12 @@ object LlmSim extends OpModule {
     */
   private[graft] def silhouetteBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
-    val C = 8
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    var cents = kmInit(s, d, C)
-    // round 1 single-reference -> uncut (r14 cut-trim, see ivfTrain)
-    cents = kmUpdate(e, kmAssign(e, cents))
-    cents = scope.cut(kmUpdate(e, kmAssign(e, cents)))
+    // r16: the trained C=8 centroids are the session-memoized km8Shared
+    // chain (bit-identical to the private 2-round train this replaced;
+    // embed_kmeans emits the same centroids as its graded surface).
+    val cents = km8Shared(s, d)._1
     val cwn = cents.withColumn("cnrm", norm(col("c_emb")))
     val scores = e.crossJoin(broadcast(cwn))
       .withColumn("kcos", round(
@@ -2397,10 +2412,14 @@ object LlmSim extends OpModule {
       // order-independent and engine-exact; no window ever touches the
       // distance matrix.
       // Persist-scoped (r5): the Lloyd passes persist per round and
-      // release once the code table materializes.
+      // release once the code table materializes. r16: the trained
+      // per-(vector, subspace, code) distance table is the SAME frame
+      // the ADC searches ride (pqDistsShared) — the argmin here is one
+      // extra aggregation over the shared cut instead of a private
+      // re-train of the identical codebook (bit-identical by
+      // construction; embed_pq_distortion composes this entry).
       scopedPersist { scope =>
-        val e = scope.persist(pqElems(s, d))
-        pqArgmin(pqDists(e, pqCodebook(e, scope)))
+        pqArgmin(pqDistsShared(s, d, scope))
           .select(col("vec_id"), col("m").as("subspace"),
             col("k").as("code"), col("dist_sq"))
           .orderBy("vec_id", "subspace")
@@ -2515,19 +2534,13 @@ object LlmSim extends OpModule {
       // the posexploded vectors to the centroid table on pos and
       // partial-aggregates the per-(vec, cell) dot products: shuffle
       // volume is |V|·C rows, never a window over the score matrix.
-      val C = 8
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       // Centroids, assignment, and update are the shared
       // kmInit/kmAssign/kmUpdate machinery (see the k-means section at
       // the top of this object) — sim_knn_ivf trains its coarse
-      // quantizer with the same passes.
-      var cents = kmInit(s, d, C)
-      var assign: DataFrame = null
-      for (_ <- 1 to 2) {
-        assign = kmAssign(e, cents)
-        cents = kmUpdate(e, assign)
-      }
+      // quantizer with the same passes. r16: the trained C=8 chain is
+      // session-memoized (km8Shared) — embed_silhouette scores the
+      // same centroids, so the 2-round training runs once per session.
+      val (cents, assign) = km8Shared(s, d)
       val members = assign.groupBy("cell").agg(count(lit(1)).as("n"))
       // c is emitted UNROUNDED: s/(1e6·n) over integer s,n is one IEEE
       // division — bit-identical in both engines, while round() at a

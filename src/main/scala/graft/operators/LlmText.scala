@@ -316,6 +316,14 @@ object LlmText extends OpModule {
     * applied compression readout) train ONE chain each rather than
     * diverging copies — the annEvalChain sharing discipline. */
   private[graft] def bpeChain(s: SparkSession, d: String)(
+      scope: PersistScope): (Seq[DataFrame], DataFrame) =
+    // Session-memoized (r16): text_bpe_merges and text_bpe_encode each
+    // trained the identical 6-round chain. Every stored frame is (or
+    // derives only from) an eager cut, so the memo outlives any one
+    // query's scope (see SessionMemo).
+    SessionMemo.memo(s, d, "bpeChain")(bpeChainBuild(s, d)(scope))
+
+  private def bpeChainBuild(s: SparkSession, d: String)(
       scope: PersistScope): (Seq[DataFrame], DataFrame) = {
     val words = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
@@ -1750,27 +1758,7 @@ object LlmText extends OpModule {
     "dedup_minhash_sig" -> ((s, d) =>
       minhashSigs(s, d).orderBy("doc_id")),
 
-    "dedup_near_minhash" -> ((s, d) => {
-      // LSH candidate pairs WITHOUT a self-join: explode the 4 band
-      // signatures from one array (computing `sigs` once — a DataFrame
-      // self-join would re-evaluate the whole signature subplan per
-      // branch), bucket docs by (band, bsig), and enumerate pairs
-      // inside each bucket via `bucketPairs` (collect_list for normal
-      // buckets, grid-salted exact enumeration for degenerate ones —
-      // bounded task memory at any bucket size). One shuffle on the
-      // bucket key + one on the pair key; candidate volume is
-      // Σ|bucket|², kept sub-quadratic by the shingled signatures.
-      val sigs = minhashSigs(s, d)
-      val banded = sigs.select(col("doc_id"),
-        posexplode(array((0 until NSig / 2).map(j =>
-          col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")): _*))
-          .as(Seq("band", "bsig")))
-      bucketPairs(banded)
-        .groupBy("a_id", "b_id")
-        .agg(count(lit(1)).as("n_bands"))
-        .filter(col("n_bands") >= 2)
-        .orderBy("a_id", "b_id")
-    }),
+    "dedup_near_minhash" -> ((s, d) => nearMinhashShared(s, d)),
 
     "dedup_incremental_exact" -> ((s, d) => {
       // Exact-hash leg of the incremental-dedup trio (r10; lexical
@@ -1923,7 +1911,10 @@ object LlmText extends OpModule {
     "dedup_simhash" -> ((s, d) =>
       simhashDf(s, d, 16).orderBy("doc_id")),
 
-    "dedup_simhash_pairs" -> ((s, d) => {
+    // Session-memoized result (r16): dedup_methods_agreement re-ran
+    // this full pipeline; the eager scopedPersist checkpoint serves
+    // both consumers (the bench drops the memo per timed pass).
+    "dedup_simhash_pairs" -> ((s, d) => SessionMemo.memo(s, d, "simhashPairs") {
       // Simhash near-dup PAIRING — the step dedup_simhash feeds. The
       // pairing fingerprint is 48-bit over the 3-SHINGLE set (same
       // reasoning as the minhash path): on a small-vocab corpus every
@@ -1973,7 +1964,7 @@ object LlmText extends OpModule {
     }),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
-      ngramJaccardPairs(s, d)
+      jaccardPairsShared(s, d) // r16: session-memoized exact pair set
         .select("a_id", "b_id", "n_common", "jaccard")
         .orderBy("a_id", "b_id")),
 
@@ -2008,7 +1999,12 @@ object LlmText extends OpModule {
         .orderBy("a_id", "b_id")
     }),
 
-    "dedup_components" -> ((s, d) => scopedPersist { scope =>
+    // Session-memoized result (r16): rep_select / keep_stats /
+    // sample_dedup_aware compose these labels and re-ran the pair
+    // pipeline + 3 propagation rounds each; the eager scopedPersist
+    // checkpoint serves all four consumers.
+    "dedup_components" -> ((s, d) =>
+      SessionMemo.memo(s, d, "dedupComponents")(scopedPersist { scope =>
       // Canonical-doc assignment: connected components over the
       // near-dup pair graph via 3 unrolled rounds of min-label
       // propagation (label(d) ← min over neighbors∪self of label(n)).
@@ -2021,7 +2017,7 @@ object LlmText extends OpModule {
       // fixpoint counter stops changing). Persist-scoped (r5): the
       // edge cache is released once the assignment materializes.
       val docs = Tables.documents(s, d).filter(col("doc_id") < 1000).select("doc_id")
-      val p = ngramJaccardPairs(s, d)
+      val p = jaccardPairsShared(s, d) // r16: session-memoized pair set
       // The edge list feeds every superstep's join — persist it so the
       // pair pipeline materializes once instead of once per round (the
       // production superstep pattern; blocks are LRU-evictable and
@@ -2040,7 +2036,7 @@ object LlmText extends OpModule {
       }
       labels.select(col("doc_id"), col("label").as("canonical"))
         .orderBy("doc_id")
-    }),
+    })),
 
     "dedup_lsh_scurve" -> ((s, d) => {
       // LSH S-curve tuning eval (r7): empirical candidate rate per
@@ -2333,6 +2329,49 @@ object LlmText extends OpModule {
           .orderBy("lang")
       }),
   )
+
+  /** Session-memoized CUT of [[ngramJaccardPairs]] (r16): the exact
+    * pair set feeds dedup_ngram_jaccard, dedup_components (and through
+    * it rep_select / keep_stats / sample_dedup_aware) and the
+    * methods-agreement matrix — each re-ran the 1000-doc bigram
+    * self-join per query. One cut serves every consumer in a session;
+    * the bench drops the memo at the start of each timed pass (see
+    * [[SessionMemo]] / Bench), so a pass still computes it from the
+    * parquet inputs exactly once. */
+  private[graft] def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
+    SessionMemo.memo(s, d, "jaccardPairs")(
+      ngramJaccardPairs(s, d).localCheckpoint(true))
+
+  /** Session-memoized result of the minhash-LSH candidate generator
+    * (r16) — dedup_minhash_eval, dedup_cross_lang and
+    * dedup_methods_agreement each re-ran the full banded-signature
+    * pipeline. */
+  private[graft] def nearMinhashShared(s: SparkSession, d: String): DataFrame =
+    SessionMemo.memo(s, d, "nearMinhash")(
+      nearMinhashBody(s, d).localCheckpoint(true))
+
+  /** dedup_near_minhash body (factored r16 for the session memo).
+    * LSH candidate pairs WITHOUT a self-join: explode the 4 band
+    * signatures from one array (computing `sigs` once — a DataFrame
+    * self-join would re-evaluate the whole signature subplan per
+    * branch), bucket docs by (band, bsig), and enumerate pairs
+    * inside each bucket via `bucketPairs` (collect_list for normal
+    * buckets, grid-salted exact enumeration for degenerate ones —
+    * bounded task memory at any bucket size). One shuffle on the
+    * bucket key + one on the pair key; candidate volume is
+    * Σ|bucket|², kept sub-quadratic by the shingled signatures. */
+  private[graft] def nearMinhashBody(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(s, d)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until NSig / 2).map(j =>
+        col(s"sig${2 * j}") * P + col(s"sig${2 * j + 1}")): _*))
+        .as(Seq("band", "bsig")))
+    bucketPairs(banded)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+      .orderBy("a_id", "b_id")
+  }
 
   /** Near-dup pairs among docs < 1000 by bigram-set Jaccard ≥ 0.2 —
     * the declared brute-force correctness baseline (gated input), also

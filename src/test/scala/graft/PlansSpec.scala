@@ -231,11 +231,15 @@ class PlansSpec extends SparkSpec {
   }
 
   test("graph_triangles pushes the order window into the scan and broadcasts degrees") {
-    val plan = treeString(q("graph_triangles"))
-    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+    // r16: triangles reads the session-memoized edge cut, so the
+    // parquet pushdown is locked on the EDGE BUILD plan; the consumer
+    // plan keeps the broadcast/no-cartesian locks.
+    val build = treeString(graft.operators.Graph.edges(spark, sf))
+    val pushed = build.linesIterator.filter(_.contains("PushedFilters"))
       .mkString("\n")
     assert(pushed.contains("o_orderdate"),
       s"order-date window not pushed to the parquet scan:\n$pushed")
+    val plan = treeString(q("graph_triangles"))
     assert(plan.contains("BroadcastHashJoin"),
       s"degree table not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct"),
