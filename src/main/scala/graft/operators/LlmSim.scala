@@ -730,26 +730,32 @@ object LlmSim extends OpModule {
     * a directed per-vector top-5 graph over TWO-table LSH candidates
     * (two independent 8-bit hyperplane tables — one table's bucket
     * gate yields disconnected per-bucket cliques, measured recall 0),
-    * refined by ONE NN-descent round (Dong et al., WWW 2011):
+    * refined by TWO NN-descent rounds (Dong et al., WWW 2011):
     * co-neighbor pairs (b, c both in a's top-5 ⇒ (b, c)) and two-hop
     * pairs (a→b→c ⇒ (a, c)) become edge candidates, are scored on
-    * the same rounded cosine, and the per-node top-5 re-ranks over
-    * old ∪ new — ≤ 50 candidate rows per node, so the refinement
-    * stays in the base build's linear cost class while letting good
-    * edges cross LSH-bucket boundaries (the fragmentation that held
-    * r15 recall@5 at 0.22). Search: every query (vec_id < 10) seeds
-    * at its own refined top-5 shortlist (lowest-non-query-id fallback),
-    * then 3 unrolled hop rounds: candidates = out-neighbors of the
-    * current beam over the SYMMETRIZED edges, fresh candidates
-    * (anti-joined against everything already visited) are scored on
-    * the integer-grid rounded cosine, the top-5 fresh nodes (ties →
-    * lower id) become the next beam, and ALL scored nodes accumulate
-    * into the visited set. Answer = top-5 of the visited set. Scale
-    * shape: the beam is ≤ 5·|Q| rows (broadcast onto the edge frame —
-    * each hop is one map-side join), scoring touches only |fresh| ≤
-    * 25·|Q|-class vectors per hop, and the unrolled rounds cut per
-    * superstep (the graph-kernel discipline). Recall vs the brute
-    * truth is graded by [[recallGraphBody]]. */
+    * the same rounded cosine, and the top-5 NEW edges per node are
+    * AUGMENTED onto the base (degree 5 → 10 → 15) — augment, never
+    * re-rank: re-ranking old ∪ new toward the exact kNN graph makes
+    * the graph MORE cluster-fragmented (measured recall 0.22 → 0.14;
+    * augmentation measured 0.84). Candidates stay ≤ deg² rows per
+    * node per round, so the refinement stays in the base build's
+    * linear cost class while letting good edges cross LSH-bucket
+    * boundaries (the fragmentation that held r15 recall@5 at 0.22).
+    * Search: every query (vec_id < 10) seeds MULTI-ENTRY — its own
+    * refined shortlist ∪ 32 fixed global hub entries (the r15
+    * single-entry form marooned bucket-singleton queries at recall
+    * 0) — then 4 unrolled beam-10 hops: candidates = out-neighbors
+    * of the current beam over the SYMMETRIZED edges, fresh
+    * candidates (anti-joined against everything already visited) are
+    * scored on the integer-grid rounded cosine, the top-10 fresh
+    * nodes (ties → lower id) become the next beam, and ALL scored
+    * nodes accumulate into the visited set. Answer = top-5 of the
+    * visited set. Scale shape: the beam is ≤ 10·|Q| rows (broadcast
+    * onto the edge frame — each hop is one map-side join), scoring
+    * touches only the fresh frontier per hop, and the unrolled
+    * rounds cut per superstep (the graph-kernel discipline). Recall
+    * vs the brute truth is graded by [[recallGraphBody]];
+    * session-memoized via [[knnGraphShared]]. */
   private[graft] def knnGraphBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
     // TWO independent 8-bit hyperplane tables from one 16-bit hash
