@@ -772,30 +772,36 @@ object LlmSim extends OpModule {
           .as("b16"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         expr("b16 % 256").as("bucket1"), expr("b16 div 256").as("bucket2"))
-    def side(t: Int, p: String, idc: String) =
-      e.select(col(s"bucket$t").as("bucket"), col("vec_id").as(idc),
-        col("embedding").as(s"${p}_emb"), col("nrm").as(s"${p}_nrm"))
-    // candidate ids from either table (UNION dedupes), then ONE
-    // re-join to the vector sides for scoring — arrays never ride
-    // through the distinct.
-    val cand = side(1, "a", "a_id").select(col("bucket"), col("a_id"))
-      .join(side(1, "b", "b_id").select(col("bucket"), col("b_id")), Seq("bucket"))
-      .select("a_id", "b_id")
-      .union(side(2, "a", "a_id").select(col("bucket"), col("a_id"))
-        .join(side(2, "b", "b_id").select(col("bucket"), col("b_id")), Seq("bucket"))
-        .select("a_id", "b_id"))
-      .filter(col("a_id") =!= col("b_id")).distinct()
+    // BUCKET-LOCAL scoring (r16, guide §8 — move heavy bytes once):
+    // the r15 form collected skinny candidate pairs, distinct'ed, and
+    // re-joined BOTH embedding arrays at PAIR grain — two sort-merge
+    // joins whose second sorted Σ|bucket|² rows carrying a 64-float
+    // array (~300 GB of sort spill at the sf10 probe; the leg died on
+    // disk). Scoring now happens INSIDE the bucket join, where both
+    // vectors already co-reside (the dedup_semdedup shape): the only
+    // exchanges carrying arrays are the corpus-grain bucket shuffles
+    // (|V| rows per table), the pair-grain frame is projected to
+    // (a_id, b_id, ecos) in the same pipelined stage, and the
+    // cross-table dedup is a skinny groupBy-max (ecos is identical in
+    // both tables, so max = the r15 distinct's value — outputs
+    // bit-identical, rehearsed green).
+    def scoredSide(t: Int) = {
+      val a = e.select(col(s"bucket$t").as("bucket"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+      val b = e.select(col(s"bucket$t").as("bucket"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+      a.join(b, Seq("bucket")).filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), round(
+          dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4)
+          .as("ecos"))
+    }
+    val cand = scoredSide(1).unionAll(scoredSide(2))
+      .groupBy("a_id", "b_id").agg(max("ecos").as("ecos"))
     val we = Window.partitionBy("a_id").orderBy(col("ecos").desc, col("b_id"))
-    // Directed top-3 kNN edges over the multi-table candidates;
+    // Directed top-5 kNN edges over the multi-table candidates;
     // queries are nodes too, so their out-edges double as the walk's
     // deterministic seeds below.
     val dir = scope.cut(cand
-      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("nrm").as("a_nrm")), "a_id")
-      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        col("nrm").as("b_nrm")), "b_id")
-      .withColumn("ecos", round(
-        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
       .withColumn("rk", row_number().over(we))
       .filter(col("rk") <= 5)
       .select(col("a_id"), col("b_id"), col("ecos")))
@@ -821,11 +827,18 @@ object LlmSim extends OpModule {
         .select("a_id", "b_id")
       val fresh = coN.unionAll(twoHop).distinct()
         .join(base.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+      // SHUFFLE_HASH on both vector attachments (r16, guide §3.1):
+      // the NN-descent candidates are pair-grain and one vector per
+      // pair must travel (inherent to distributed NN-descent), but a
+      // sort-merge join would SORT the array-laden stream — the
+      // sf10-killer shape above. A shuffled-hash join moves the
+      // payload through one hash exchange and the very next operator
+      // projects it down to ecos in the same pipelined stage.
       val scored = fresh
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-          col("nrm").as("a_nrm")), "a_id")
+          col("nrm").as("a_nrm")).hint("shuffle_hash"), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-          col("nrm").as("b_nrm")), "b_id")
+          col("nrm").as("b_nrm")).hint("shuffle_hash"), "b_id")
         .withColumn("ecos", round(
           dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
         .select("a_id", "b_id", "ecos")
@@ -849,7 +862,7 @@ object LlmSim extends OpModule {
     // pairs (q_id, n_id) -> scored (q_id, n_id, cos); the query side
     // is |Q| rows, always broadcast.
     def scoreOf(pairs: DataFrame): DataFrame =
-      pairs.join(nside, "n_id").join(broadcast(q), "q_id")
+      pairs.join(nside.hint("shuffle_hash"), "n_id").join(broadcast(q), "q_id")
         .withColumn("cos", round(
           dot(col("q_emb"), col("n_emb")) / (col("q_nrm") * col("n_nrm")), 4))
         .select("q_id", "n_id", "cos")
