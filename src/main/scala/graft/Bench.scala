@@ -88,7 +88,14 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(25)
     val compact = s"""{"metric":"total","value":${BigDecimal(total)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"layout":"$layout","queries":${jmap(slowest)},"queries_note":"slowest 25 of ${results.size}; full map in /root/repo/bench_out.json","sf":"$sfDir"}"""
+    // Printed TWICE (r17, the r16 verdict's #7): BENCH_r15 went
+    // "parsed": null because the single compact line sat exactly on
+    // the driver's captured-tail boundary. Two identical copies mean
+    // a truncated last line still leaves one whole line in the tail
+    // window; identical content makes either parse correct.
     println(compact)
+    println(compact)
+    Console.out.flush()
     spark.stop()
   }
 }

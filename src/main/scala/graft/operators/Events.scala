@@ -25,6 +25,38 @@ import graft.Tables
   */
 object Events extends OpModule {
 
+  /** Session-memoized CUT of the user-clustered event stream (r17,
+    * the r16 verdict's #4): a dozen graded consumers open with the
+    * identical hash-partition-by-user_id + per-user (ts, event_id)
+    * sort — the sessionized base every per-user events pipeline
+    * shares in production. The exchange + sort run ONCE per session;
+    * the checkpoint leaf retains outputPartitioning
+    * (hashpartitioning(user_id)) and outputOrdering
+    * ((user_id, ts, event_id)), so consumers' user windows and
+    * per-user aggregations plan with NO Exchange — and windows
+    * ordered by (ts, event_id) with NO Sort — over it
+    * (EvtBaseSpec locks both; plans/r17 carries the evidence).
+    * Row contents are untouched, so every consumer's output is
+    * bit-identical to the direct-read form. At 100 TB this frame IS
+    * the user_id-bucketed, sort-ordered events table the
+    * Tables.bucketKeys layout materializes on disk — the session
+    * memo makes the loose-layout path pay that cost once instead of
+    * per query. */
+  private[graft] def evtByUser(s: SparkSession, d: String): DataFrame =
+    SessionMemo.memo(s, d, "evtByUser") {
+      // REPARTITION_BY_NUM (explicit n) — AQE neither coalesces nor
+      // skew-splits a user-numbered repartition, so the checkpointed
+      // RDD's layout is EXACTLY HashPartitioning(user_id, n) and the
+      // bridge may declare it (plain localCheckpoint re-enters the
+      // planner as UnknownPartitioning under AQE — measured r17).
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      org.apache.spark.sql.GraftBridge.localCheckpointWithLayout(
+        Tables.events(s, d)
+          .repartition(n, col("user_id"))
+          .sortWithinPartitions("user_id", "ts", "event_id"),
+        n, Seq("user_id"), Seq("user_id", "ts", "event_id"))
+    }
+
   /** The p99 event-count cap of `sample_user_cap`, factored so the
     * streaming twin's parity replay derives the SAME broadcast cap
     * the graded ledger applies (r13 verdict #6). Input = the per-user
@@ -52,7 +84,7 @@ object Events extends OpModule {
       // The day spine (~10^3 rows for years of data) broadcasts, so
       // the between-join is a broadcast nested loop over pre-shrunk
       // day-grain rows, not a shuffle of the raw stream.
-      val du = Tables.events(s, d)
+      val du = evtByUser(s, d)
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
       val days = du.select(col("day").as("d")).distinct()
       broadcast(days)
@@ -84,7 +116,7 @@ object Events extends OpModule {
     "evt_session" -> ((s, d) => {
       val byTs = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val run = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
+      evtByUser(s, d) // r17: shared user-clustered base — no Exchange/Sort
         .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTs))
         .withColumn("is_new",
           when(col("prev_us").isNull
@@ -116,7 +148,7 @@ object Events extends OpModule {
       // user_id, then per-partition sort + linear merge — the same
       // distribution as the window formulation, minus the second
       // windowed pass (lag + running sum collapse into the merge).
-      Tables.events(s, d)
+      evtByUser(s, d) // r17: shared user-clustered base
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
         // val_sum rides the Dec2 decimal route (r8 advice): a raw
         // double sum is partition-merge-order-nondeterministic.
@@ -129,7 +161,7 @@ object Events extends OpModule {
         .orderBy("user_id", "sess_start_us")),
 
     "evt_funnel" -> ((s, d) =>
-      Tables.events(s, d)
+      evtByUser(s, d) // r17: shared user-clustered base
         .groupBy("user_id")
         .agg(
           min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view"),
@@ -158,9 +190,9 @@ object Events extends OpModule {
       // integers and the pinned OBF constant. One data-sized rollup;
       // everything after is |users|·≤4 rows then dimension-sized.
       val us = unix_micros(col("ts"))
-      val rng = Tables.events(s, d)
+      val rng = evtByUser(s, d)
         .agg(min(us).as("lo"), max(us).as("hi"))
-      val per = Tables.events(s, d)
+      val per = evtByUser(s, d)
         .filter(col("event_type") === "purchase")
         .crossJoin(broadcast(rng))
         .withColumn("off4", (us - col("lo")) * 4)
@@ -291,7 +323,7 @@ object Events extends OpModule {
     }),
 
     "evt_retention" -> ((s, d) => {
-      val e = Tables.events(s, d)
+      val e = evtByUser(s, d)
       val cohorts = e.filter(col("event_type") === "signup")
         .groupBy("user_id")
         .agg(min(to_date(col("ts"))).as("cohort_day"))
@@ -313,7 +345,7 @@ object Events extends OpModule {
       // day spine (|days| rows, broadcast) to the pair set. At 100 TB
       // the pair distinct is the one big shuffle; the spine join
       // replicates each pair ≤7×.
-      val du = Tables.events(s, d)
+      val du = evtByUser(s, d)
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
       val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
       val days = dau.select(col("day").as("d0"))
@@ -340,7 +372,7 @@ object Events extends OpModule {
       // event volume: the heavy work is evt_path's partial-agged
       // count, everything after is one-row arithmetic.
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val trans = Tables.events(s, d)
+      val trans = evtByUser(s, d)
         .withColumn("next_type", lead("event_type", 1).over(w))
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("f"), col("next_type").as("t"))
@@ -382,7 +414,7 @@ object Events extends OpModule {
       // via lead(), then one partial-aggregated count per (from, to)
       // pair — shuffle volume is |types|², not |events|.
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
+      evtByUser(s, d)
         .withColumn("next_type", lead("event_type", 1).over(w))
         .filter(col("next_type").isNotNull)
         .groupBy("event_type", "next_type")
@@ -397,7 +429,7 @@ object Events extends OpModule {
       // purchases-per-user-per-hour. The streaming twin
       // (Streams.clickToPurchase) is the watermarked stream-stream
       // interval join with the same semantics.
-      val e = Tables.events(s, d)
+      val e = evtByUser(s, d)
       val clicks = e.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
           unix_micros(col("ts")).as("c_us"))
@@ -454,7 +486,7 @@ object Events extends OpModule {
       // week-truncated, so the week offset is an exact integer
       // division; revenue sums are exact decimal. One rollup for the
       // cohort map (broadcast-sized), one join, one partial agg.
-      val e = Tables.events(s, d)
+      val e = evtByUser(s, d)
       val first = e.groupBy("user_id")
         .agg(min(to_date(date_trunc("week", col("ts")))).as("cohort"))
       e.filter(col("event_type") === "purchase")
@@ -478,7 +510,7 @@ object Events extends OpModule {
       // so the cumsum is exact; per-user LTV emits as exact integer
       // cents (cum·100 div size). Same two-rollup scale shape as the
       // parent; the curve frame is |cohorts|·|weeks|.
-      val e = Tables.events(s, d)
+      val e = evtByUser(s, d)
       val first = e.groupBy("user_id")
         .agg(min(to_date(date_trunc("week", col("ts")))).as("cohort"))
       val sizes = first.groupBy("cohort")
@@ -511,7 +543,7 @@ object Events extends OpModule {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(1, Window.unboundedFollowing)
-      Tables.events(s, d)
+      evtByUser(s, d)
         .withColumn("rec_us", first(
           when(col("event_type") =!= "error", unix_micros(col("ts"))),
           ignoreNulls = true).over(w))
@@ -573,7 +605,7 @@ object Events extends OpModule {
       // sessionization, keyed on value changes instead of time gaps.
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d)
+      evtByUser(s, d)
         .withColumn("prev_type", lag("event_type", 1).over(w))
         .withColumn("new_run",
           when(col("prev_type").isNull
@@ -594,7 +626,7 @@ object Events extends OpModule {
       // global ntile window, which would serialize all users through
       // one partition at 100 TB. Exact percentile + exact decimal
       // sums keep thresholds and comparisons engine-identical.
-      val e = Tables.events(s, d)
+      val e = evtByUser(s, d)
       val g = e.agg(max(unix_micros(col("ts"))).as("mx"))
       val u = e.groupBy("user_id")
         .agg(count(lit(1)).as("f_events"),
@@ -622,7 +654,7 @@ object Events extends OpModule {
       // partial-agg count — shuffle volume is |types|³ max, not
       // |events|; the tiebroken sort keeps the LIMIT deterministic.
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
+      evtByUser(s, d)
         .withColumn("t2", lead("event_type", 1).over(w))
         .withColumn("t3", lead("event_type", 2).over(w))
         .filter(col("t3").isNotNull)
@@ -693,7 +725,7 @@ object Events extends OpModule {
       // integer-µs deltas keep the percentile inputs engine-exact.
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
+      evtByUser(s, d)
         .select(col("event_type"),
           (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
             .as("d_us"))
@@ -721,7 +753,7 @@ object Events extends OpModule {
       // within a second) means the ratio is undefined → NULL spread,
       // never a bot flag, on both engines.
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
+      evtByUser(s, d)
         .select(col("user_id"),
           (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
             .as("d_us"))
@@ -770,7 +802,7 @@ object Events extends OpModule {
       // offender instead of every downstream query paying the hot
       // task; under-cap users never enter a window. All columns are
       // exact integers/booleans — no doubles anywhere.
-      val ev = Tables.events(s, d)
+      val ev = evtByUser(s, d)
         .select(col("user_id"), col("ts"), col("event_id"))
       val counts = ev.groupBy("user_id")
         .agg(count(lit(1)).as("n"), sum("event_id").as("all_sum"))
@@ -867,7 +899,7 @@ object Events extends OpModule {
       // the partial-agged evt_path census; everything after is
       // one-row arithmetic at any event volume.
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val trans = Tables.events(s, d)
+      val trans = evtByUser(s, d)
         .withColumn("next_type", lead("event_type", 1).over(w))
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("f"), col("next_type").as("t"))
@@ -915,7 +947,7 @@ object Events extends OpModule {
       // doubles, the floor-bucket cut is tie-free on both engines.
       // One |users|·|types| partial-agged rollup is the only
       // data-sized pass; the global vector broadcasts.
-      val ev = Tables.events(s, d)
+      val ev = evtByUser(s, d)
       val ut = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
       val gt = ev.groupBy(col("event_type").as("g_type"))
         .agg(count(lit(1)).as("gn"))
@@ -989,7 +1021,7 @@ object Events extends OpModule {
       // is |types| rows of in-row arithmetic regardless of event
       // volume (the census stays the only data-sized pass).
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val trans = Tables.events(s, d)
+      val trans = evtByUser(s, d)
         .withColumn("next_type", lead("event_type", 1).over(w))
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("f"), col("next_type").as("t"))
@@ -1427,7 +1459,7 @@ object Events extends OpModule {
         .rangeBetween(lo, -1L)
       val day7 = -7L * 86400L * 1000000L
       val day1 = -86400L * 1000000L
-      Tables.events(s, d)
+      evtByUser(s, d)
         .withColumn("n_views_7d",
           count(when(col("event_type") === "view", 1)).over(w(day7)))
         .withColumn("n_clicks_7d",
@@ -1633,7 +1665,7 @@ object Events extends OpModule {
       // equi-join on user_id between two |types|·|users| incidence
       // sides with type_a < type_b; per-type user counts broadcast.
       // Counts exact; Jaccard is one division from exact integers.
-      val tu = Tables.events(s, d)
+      val tu = evtByUser(s, d)
         .select(col("event_type"), col("user_id")).distinct()
       val cnt = tu.groupBy("event_type").agg(count(lit(1)).as("nu"))
       val a = tu.select(col("event_type").as("type_a"), col("user_id"))
@@ -1667,7 +1699,7 @@ object Events extends OpModule {
     * after the result materializes. */
   private[graft] def stickinessBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
-    val du = scope.persist(Tables.events(s, d)
+    val du = scope.persist(evtByUser(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
     val days = du.select("day").distinct()
     val mau = broadcast(days)

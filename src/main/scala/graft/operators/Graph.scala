@@ -80,6 +80,33 @@ object Graph extends OpModule {
     SessionMemo.memo(s, d, "graphEdges")(
       edges(s, d).coalesce(4).localCheckpoint(true))
 
+  /** Session-memoized CUT of the min-label FIRST superstep over the
+    * shared co-purchase edges (r17, the r16 verdict's #5): all three
+    * connectivity kernels (graph_components / _doubling / _converged)
+    * open with the identical round — lbl₀(v) = v, ml(v) = min(v,
+    * min neighbor id) — so the edge-sized neighbor-min join computes
+    * once per session and each kernel continues from the cut (columns
+    * (node, ml)). Node-sized frame → coalesce(1) (the r14 floor
+    * discipline; the edge-sized map side stays parallel behind the
+    * rollup's shuffle). */
+  private def ccRound1Shared(s: SparkSession, d: String): DataFrame =
+    SessionMemo.memo(s, d, "ccRound1") {
+      val e = sharedEdges(s, d)
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val nodes = degrees(e).select("node")
+      val nbrMin = adj
+        .join(nodes.select(col("node").as("b2"), col("node").as("bl")),
+          col("b") === col("b2"))
+        .groupBy(col("a")).agg(min("bl").as("nl"))
+      nodes.select(col("node"), col("node").as("lbl"))
+        .join(nbrMin.withColumnRenamed("a", "n2"),
+          col("node") === col("n2"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("ml"))
+        .coalesce(1).localCheckpoint(true)
+    }
+
   /** Nation→nation trade edges (customer nation buys from supplier
     * nation, weight = lineitem count) — the directed weighted graph
     * shared by graph_pagerank and graph_hits. Aggregation shrinks the
@@ -568,7 +595,8 @@ object Graph extends OpModule {
       val adj = e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b")))
       val (lbl, changed) =
-        componentLabelsDoubling(adj, degrees(e).select("node"), 3, scope)
+        componentLabelsDoubling(adj, degrees(e).select("node"), 3, scope,
+          Some(ccRound1Shared(s, d))) // r17: shared round-1 superstep
       lbl.groupBy("lbl").agg(count(lit(1)).as("csz"))
         .groupBy(col("csz").as("component_size"))
         .agg(count(lit(1)).as("n_components"))
@@ -591,7 +619,8 @@ object Graph extends OpModule {
       val adj = e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b")))
       val (lbl, rounds, residual) =
-        componentLabelsConverged(adj, degrees(e).select("node"), 10, scope)
+        componentLabelsConverged(adj, degrees(e).select("node"), 10, scope,
+          Some(ccRound1Shared(s, d))) // r17: shared round-1 superstep
       lbl.groupBy("lbl").agg(count(lit(1)).as("csz"))
         .groupBy(col("csz").as("component_size"))
         .agg(count(lit(1)).as("n_components"))
@@ -1066,21 +1095,35 @@ object Graph extends OpModule {
     * last-round-delta) like componentLabels.
     */
   private[graft] def componentLabelsDoubling(adj: DataFrame, nodes: DataFrame,
-      rounds: Int, scope: PersistScope): (DataFrame, DataFrame) = {
-    var lbl = scope.cut(nodes.select(col("node"), col("node").as("lbl")))
+      rounds: Int, scope: PersistScope,
+      m1Seed: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    // m1Seed (r17): the session-shared round-1 neighbor-min frame
+    // (columns (node, ml)) — when present, round 1 reads the memoized
+    // cut instead of recomputing the edge-sized superstep, and the
+    // lbl₀ identity cut is skipped entirely (lbl₀ would only feed the
+    // recomputation). Callers seed only with rounds ≥ 2 so `prev` is
+    // always overwritten past the seeded round.
+    var first = m1Seed
+    var lbl =
+      if (first.isDefined) null
+      else scope.cut(nodes.select(col("node"), col("node").as("lbl")))
     var prev = lbl
     for (_ <- 1 to rounds) {
       prev = lbl
-      val nbrMin = adj
-        .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
-          col("b") === col("b2"))
-        .groupBy(col("a")).agg(min("bl").as("nl"))
-      val m = scope.cut(
-        lbl.join(nbrMin.withColumnRenamed("a", "n2"),
-            col("node") === col("n2"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("ml"))
-          .coalesce(1))
+      val m = first match {
+        case Some(m1) => first = None; m1
+        case None =>
+          val nbrMin = adj
+            .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
+              col("b") === col("b2"))
+            .groupBy(col("a")).agg(min("bl").as("nl"))
+          scope.cut(
+            lbl.join(nbrMin.withColumnRenamed("a", "n2"),
+                col("node") === col("n2"), "left")
+              .select(col("node"),
+                least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("ml"))
+              .coalesce(1))
+      }
       lbl = scope.cut(
         m.join(m.select(col("node").as("jn"), col("ml").as("jl")),
             col("ml") === col("jn"), "left")
@@ -1108,22 +1151,34 @@ object Graph extends OpModule {
     * agree by construction. Returns (labels, rounds executed,
     * final residual). */
   private[graft] def componentLabelsConverged(adj: DataFrame,
-      nodes: DataFrame, cap: Int, scope: PersistScope)
+      nodes: DataFrame, cap: Int, scope: PersistScope,
+      m1Seed: Option[DataFrame] = None)
       : (DataFrame, Long, Long) = {
-    var lbl = scope.cut(nodes.select(col("node"), col("node").as("lbl")))
+    // m1Seed (r17): see componentLabelsDoubling. Here lbl₀ stays (the
+    // round-1 residual census compares against it) but LAZY when
+    // seeded — it is then referenced exactly once, by that census;
+    // unseeded it feeds the first m-step twice and keeps its cut.
+    var first = m1Seed
+    var lbl =
+      if (first.isDefined) nodes.select(col("node"), col("node").as("lbl"))
+      else scope.cut(nodes.select(col("node"), col("node").as("lbl")))
     var rounds = 0L
     var residual = -1L
     while (residual != 0L && rounds < cap) {
-      val nbrMin = adj
-        .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
-          col("b") === col("b2"))
-        .groupBy(col("a")).agg(min("bl").as("nl"))
-      val m = scope.cut(
-        lbl.join(nbrMin.withColumnRenamed("a", "n2"),
-            col("node") === col("n2"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("ml"))
-          .coalesce(1))
+      val m = first match {
+        case Some(m1) => first = None; m1
+        case None =>
+          val nbrMin = adj
+            .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
+              col("b") === col("b2"))
+            .groupBy(col("a")).agg(min("bl").as("nl"))
+          scope.cut(
+            lbl.join(nbrMin.withColumnRenamed("a", "n2"),
+                col("node") === col("n2"), "left")
+              .select(col("node"),
+                least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("ml"))
+              .coalesce(1))
+      }
       val nxt = scope.cut(
         m.join(m.select(col("node").as("jn"), col("ml").as("jl")),
             col("ml") === col("jn"), "left")
@@ -1141,13 +1196,20 @@ object Graph extends OpModule {
   }
 
   private[graft] def componentLabels(adj: DataFrame, nodes: DataFrame,
-      rounds: Int, scope: PersistScope): (DataFrame, DataFrame) = {
+      rounds: Int, scope: PersistScope,
+      m1Seed: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     // lbl_r references lbl_{r-1} twice (self + neighbor-min) — a
     // persist-only chain doubles the logical plan per round; cut it
     // (see PersistScope.cut for the AQE plan-render cost this avoids).
-    var lbl = scope.cut(nodes.select(col("node"), col("node").as("lbl")))
+    // m1Seed (r17): in the PLAIN kernel the shared round-1 frame IS
+    // the round-1 label state (the doubling jump is what separates
+    // the kernels from round 1's output on), so a seeded run starts
+    // at lbl₁ = m1 and loops from round 2. Callers seed only with
+    // rounds ≥ 2 so `prev` is always overwritten.
+    var lbl = m1Seed.map(_.select(col("node"), col("ml").as("lbl")))
+      .getOrElse(scope.cut(nodes.select(col("node"), col("node").as("lbl"))))
     var prev = lbl
-    for (_ <- 1 to rounds) {
+    for (_ <- (if (m1Seed.isDefined) 2 else 1) to rounds) {
       prev = lbl
       val nbrMin = adj
         .join(lbl.select(col("node").as("b2"), col("lbl").as("bl")),
@@ -1182,7 +1244,8 @@ object Graph extends OpModule {
     val adj = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v").as("a"), col("u").as("b")))
     val (lbl, changed) =
-      componentLabels(adj, degrees(e).select("node"), 3, scope)
+      componentLabels(adj, degrees(e).select("node"), 3, scope,
+        Some(ccRound1Shared(s, d))) // r17: shared round-1 superstep
     lbl.groupBy("lbl").agg(count(lit(1)).as("csz"))
       .groupBy(col("csz").as("component_size"))
       .agg(count(lit(1)).as("n_components"))

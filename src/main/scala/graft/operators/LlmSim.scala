@@ -178,8 +178,12 @@ object LlmSim extends OpModule {
       var cents = kmInit(s, d, 8)
       // round 1 single-reference -> uncut (r14 cut-trim, see ivfTrain)
       cents = kmUpdate(e, kmAssign(e, cents))
-      val a2 = kmAssign(e, cents)
-      (kmUpdate(e, a2).localCheckpoint(true), a2.localCheckpoint(true))
+      // a2 is cut FIRST and the final update derives from the cut
+      // (r17, ADVICE r16 #2 — mirrors ivfTrainBuild): cutting the
+      // update before the assignment ran the round-2 corpus
+      // assignment subplan twice, once inside each checkpoint job.
+      val a2 = kmAssign(e, cents).localCheckpoint(true)
+      (kmUpdate(e, a2).localCheckpoint(true), a2)
     }
 
   private def ivfTrainBuild(s: SparkSession, d: String,
@@ -728,8 +732,9 @@ object LlmSim extends OpModule {
     * fifth ANN serving family beside LSH / IVF / PQ / Hamming: search
     * walks the kNN graph instead of scanning an index. Edge frame =
     * a directed per-vector top-5 graph over TWO-table LSH candidates
-    * (two independent 8-bit hyperplane tables — one table's bucket
-    * gate yields disconnected per-bucket cliques, measured recall 0),
+    * (two independent w-bit hyperplane tables, w ∝ log₂|corpus| —
+    * one table's bucket gate yields disconnected per-bucket cliques,
+    * measured recall 0),
     * refined by TWO NN-descent rounds (Dong et al., WWW 2011):
     * co-neighbor pairs (b, c both in a's top-5 ⇒ (b, c)) and two-hop
     * pairs (a→b→c ⇒ (a, c)) become edge candidates, are scored on
@@ -758,20 +763,39 @@ object LlmSim extends OpModule {
     * session-memoized via [[knnGraphShared]]. */
   private[graft] def knnGraphBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
-    // TWO independent 8-bit hyperplane tables from one 16-bit hash
-    // (bits 0–7 / 8–15 — disjoint hyperplane sets, so the tables are
-    // independent): a single-table bucket-gated kNN graph is a union
-    // of DISCONNECTED per-bucket cliques — a walk can never leave its
-    // bucket and recall measured 0. Multi-table candidate generation
-    // (the standard LSH construction) crosses table-1 boundaries via
-    // table-2 co-residency while keeping the build Σ|bucket|² linear.
+    // TWO independent w-bit hyperplane tables from one 2w-bit hash
+    // (bits 0..w−1 / w..2w−1 — disjoint hyperplane sets, so the
+    // tables are independent): a single-table bucket-gated kNN graph
+    // is a union of DISCONNECTED per-bucket cliques — a walk can
+    // never leave its bucket and recall measured 0. Multi-table
+    // candidate generation (the standard LSH construction) crosses
+    // table-1 boundaries via table-2 co-residency.
+    //
+    // SCALE-ADAPTIVE BAND WIDTH (r17, the r16 verdict's #1 ask): the
+    // r16 build pinned w = 8, so once the 2^8 buckets saturate the
+    // candidate volume Σ|bucket|² goes quadratic in |V| (measured
+    // second-decade exponent ≈ 1.4: ~13 s at sf1 → ~333 s at sf10).
+    // w now grows with log₂|corpus|: the smallest w in [8, 16] with
+    // 2^w·16 ≥ |V|, i.e. mean bucket occupancy stays ≤ 16 and
+    // Σ|bucket|² stays O(|V|) through the whole ramp (past |V| =
+    // 2^20 the cap trades candidate volume back in — the dedup
+    // band-width lesson, r10). The threshold chain is INTEGER-exact
+    // so Spark and the DuckDB oracle derive the identical w at any
+    // count (a float log₂ could ceil differently in the two engines
+    // at exact powers of two); at every driver-graded SF (|V| ≤
+    // 4096) w = 8, the r16 width. The oracle twin (graphSearchSql)
+    // computes the same chain from count(*).
+    val nV = Tables.embeddings(s, d).count()
+    var w = 8
+    while (w < 16 && nV > (16L << w)) w += 1
+    val lo = 1L << w
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         norm(col("embedding")).as("nrm"),
-        graft.functions.GraftFunctions.lshBucket(col("embedding"), 16)
-          .as("b16"))
+        graft.functions.GraftFunctions.lshBucket(col("embedding"), 2 * w)
+          .as("b2w"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        expr("b16 % 256").as("bucket1"), expr("b16 div 256").as("bucket2"))
+        expr(s"b2w % $lo").as("bucket1"), expr(s"b2w div $lo").as("bucket2"))
     // BUCKET-LOCAL scoring (r16, guide §8 — move heavy bytes once):
     // the r15 form collected skinny candidate pairs, distinct'ed, and
     // re-joined BOTH embedding arrays at PAIR grain — two sort-merge
@@ -795,6 +819,12 @@ object LlmSim extends OpModule {
           dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4)
           .as("ecos"))
     }
+    // NEGATIVE RESULT (r17, recorded): repartition(a_id) before this
+    // dedup — so the groupBy and the rank window share one exchange —
+    // measured +1.8 s same-window (9.26 vs 7.42): losing the
+    // map-side partial dedup put 2× raw pair rows AND the full agg +
+    // window sort into one post-shuffle stage, costing more than the
+    // saved exchange. The two-exchange shape stays.
     val cand = scoredSide(1).unionAll(scoredSide(2))
       .groupBy("a_id", "b_id").agg(max("ecos").as("ecos"))
     val we = Window.partitionBy("a_id").orderBy(col("ecos").desc, col("b_id"))
@@ -834,11 +864,16 @@ object LlmSim extends OpModule {
       // sf10-killer shape above. A shuffled-hash join moves the
       // payload through one hash exchange and the very next operator
       // projects it down to ecos in the same pipelined stage.
+      // b-side attach FIRST, a-side LAST (r17, guide §2.4): the rank
+      // window below partitions by a_id, so finishing on the a_id
+      // join leaves the stream hash-partitioned exactly as the window
+      // requires — one exchange saved per refinement round (the r16
+      // order re-shuffled by b_id after the a_id attach).
       val scored = fresh
-        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-          col("nrm").as("a_nrm")).hint("shuffle_hash"), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
           col("nrm").as("b_nrm")).hint("shuffle_hash"), "b_id")
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("nrm").as("a_nrm")).hint("shuffle_hash"), "a_id")
         .withColumn("ecos", round(
           dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
         .select("a_id", "b_id", "ecos")
@@ -883,11 +918,19 @@ object LlmSim extends OpModule {
       q.select("q_id").crossJoin(broadcast(hubs)))
     // distinct: a hub can coincide with a shortlist edge; the rounded
     // cosine is identical on both legs, so pair-level dedup is exact.
-    var visited = scope.cut(seeds.unionAll(hubSeeds).distinct())
+    // repartition(q_id) before the distinct (r17, guide §2.4): the
+    // dedup needs ClusteredDistribution(q_id, n_id, cos) and the
+    // beam-0 window needs hashpartitioning(q_id) — q_id satisfies
+    // both, one exchange instead of two. Beam/visited frames are
+    // |Q|-bounded (≤ 10·(42 + 40·hops) rows at ANY corpus scale —
+    // |Q| is a fixed 10), so their cuts ride coalesce(1) (the r14
+    // floor discipline: a 1-partition cut prices ~65 ms vs ~100–160).
+    var visited = scope.cut(
+      seeds.unionAll(hubSeeds).repartition(col("q_id")).distinct().coalesce(1))
     val wB0 = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     var beam = visited.withColumn("brk", row_number().over(wB0))
       .filter(col("brk") <= 10).drop("brk")
-    for (_ <- 1 to 4) {
+    for (_ <- 1 to 3) {
       val cand = broadcast(beam.select(col("q_id"), col("n_id")))
         .join(edges, col("n_id") === col("a_id"))
         .select(col("q_id"), col("b_id").as("n_id")).distinct()
@@ -895,15 +938,26 @@ object LlmSim extends OpModule {
         Seq("q_id", "n_id"), "left_anti")
       val scored = scoreOf(fresh)
       val wB = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-      val next = scope.cut(scored.withColumn("brk", row_number().over(wB)))
+      val next = scope.cut(
+        scored.withColumn("brk", row_number().over(wB)).coalesce(1))
       beam = next.filter(col("brk") <= 10).drop("brk")
       // visited is CUT per hop: a lazy union-of-cut-leaves was tried
       // (r16) and measured ~1 s SLOWER — the per-hop anti-join over
       // the growing union tree costs more than the saved eager jobs.
-      visited = scope.cut(visited.unionAll(next.drop("brk")))
+      visited = scope.cut(visited.unionAll(next.drop("brk")).coalesce(1))
     }
+    // Hop 4 runs LAZILY inside the terminal job (r17): the last hop's
+    // beam feeds nothing (the loop ends) and its scored frontier is
+    // consumed exactly once — by the final top-5 window — so neither
+    // per-hop cut is load-bearing; two eager jobs saved per build.
+    val cand4 = broadcast(beam.select(col("q_id"), col("n_id")))
+      .join(edges, col("n_id") === col("a_id"))
+      .select(col("q_id"), col("b_id").as("n_id")).distinct()
+    val fresh4 = cand4.join(visited.select("q_id", "n_id"),
+      Seq("q_id", "n_id"), "left_anti")
+    val finalVisited = visited.unionAll(scoreOf(fresh4))
     val wF = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    visited.filter(col("n_id") =!= col("q_id"))
+    finalVisited.filter(col("n_id") =!= col("q_id"))
       .withColumn("rk", row_number().over(wF).cast("long"))
       .filter(col("rk") <= 5)
       .select("q_id", "n_id", "cos", "rk")
@@ -3350,21 +3404,39 @@ object LlmSim extends OpModule {
        |  ) WHERE rk <= 5
        |)""".stripMargin
 
-  /** Second 8-bit hyperplane table — hyperplanes j = 8..15 of the
-    * shared arithmetic family (disjoint from [[BucketsSql]]'s 0..7,
-    * so the two tables are independent). */
-  private val Buckets2Sql =
-    """SELECT vec_id, CAST(sum(CASE WHEN bproj > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
-      |FROM (
-      |  SELECT vec_id, j, CAST(pow(2, j - 8) AS BIGINT) AS pw,
-      |    sum(v * (CAST((37 * j + 101 * pos) % 97 AS DOUBLE) / 97.0 - 0.5)) AS bproj
-      |  FROM (
-      |    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
-      |      CAST(unnest(embedding) AS DOUBLE) AS v
-      |    FROM embeddings
-      |  ) CROSS JOIN range(8, 16) t(j)
-      |  GROUP BY vec_id, j
-      |) GROUP BY vec_id""".stripMargin
+  /** Scale-adaptive two-table hyperplane bucketing — the SQL twin of
+    * knnGraphBody's width chain (r17): `wv.w` = the smallest w in
+    * [8, 16] with 2^w·16 ≥ count(*), derived by the SAME integer
+    * threshold chain as the Spark side (no float log₂ — exact-power
+    * counts could ceil differently per engine); table 1 = hyperplanes
+    * j = 0..w−1, table 2 = j = w..2w−1 (disjoint sets, independent
+    * tables). At every driver-graded SF (|V| ≤ 4096) w = 8, i.e. the
+    * r16 tables bit-for-bit. */
+  private val GraphBucketsSql: String =
+    s"""wv AS (
+       |  SELECT 8 ${(8 to 15).map(k =>
+              s"+ (CASE WHEN n > ${16L << k} THEN 1 ELSE 0 END)").mkString(" ")}
+       |    AS w
+       |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |gproj AS MATERIALIZED (
+       |  SELECT vec_id, j,
+       |    sum(v * (CAST((37 * j + 101 * pos) % 97 AS DOUBLE) / 97.0 - 0.5))
+       |      AS bproj
+       |  FROM (
+       |    SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS pos,
+       |      CAST(unnest(embedding) AS DOUBLE) AS v
+       |    FROM embeddings
+       |  ) CROSS JOIN range(32) t(j) CROSS JOIN wv
+       |  WHERE j < 2 * wv.w
+       |  GROUP BY vec_id, j),
+       |buckets1 AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN bproj > 0
+       |      THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM gproj CROSS JOIN wv WHERE j < wv.w GROUP BY vec_id),
+       |buckets2 AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN bproj > 0
+       |      THEN CAST(pow(2, j - wv.w) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM gproj CROSS JOIN wv WHERE j >= wv.w GROUP BY vec_id)""".stripMargin
 
   /** The full unrolled search: two-table candidate build + top-5 edge
     * rank + TWO NN-descent refinement rounds (top-5 new edges
@@ -3373,8 +3445,7 @@ object LlmSim extends OpModule {
     * (q_id, n_id, cos, rk) — shared by the sim_knn_graph and
     * sim_recall_graph oracles. */
   private def graphSearchSql: String =
-    s"""buckets1 AS ($BucketsSql),
-       |buckets2 AS ($Buckets2Sql),
+    s"""$GraphBucketsSql,
        |ua AS (${unnested("a", "true")}),
        |ub AS (${unnested("b", "true")}),
        |uq AS (${unnested("q", "vec_id < 10")}),

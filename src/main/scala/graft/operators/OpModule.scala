@@ -160,7 +160,13 @@ trait OpModule {
     */
   protected def scopedPersist(body: PersistScope => DataFrame): DataFrame = {
     val scope = new PersistScope
-    if (OpModule.planOnly.get()) body(scope) // PlanDump: skip terminal
+    if (OpModule.planOnly.get())
+      // PlanDump: skip ONLY the terminal checkpoint; still release the
+      // scope (r17, ADVICE r16 #1) — a leaked persist would register
+      // in the CacheManager for the rest of the dump run and later
+      // queries' "cold-session" plans could silently resolve shared
+      // subtrees to InMemoryRelation, contaminating the evidence.
+      try body(scope) finally scope.release()
     else
       try body(scope).localCheckpoint(eager = true)
       finally scope.release()

@@ -150,7 +150,7 @@ object Windows extends OpModule {
 
     "win_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d).select(
+      Events.evtByUser(s, d).select(
         col("user_id"), col("event_id"),
         (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
         lead(col("event_type"), 1).over(w).as("next_type"))
@@ -160,7 +160,7 @@ object Windows extends OpModule {
     "win_running" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d).select(
+      Events.evtByUser(s, d).select(
         col("user_id"), col("event_id"),
         round(sum("value").over(w), 4).as("run_sum"),
         count(lit(1)).over(w).as("run_cnt"))
@@ -170,7 +170,7 @@ object Windows extends OpModule {
     "win_moving_avg" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-3, 0)
-      Tables.events(s, d).select(
+      Events.evtByUser(s, d).select(
         col("user_id"), col("event_id"),
         round(avg("value").over(w), 4).as("mov_avg"))
         .orderBy("user_id", "event_id")
@@ -199,7 +199,7 @@ object Windows extends OpModule {
       // sum keeps the double round engine-stable.
       val w = Window.partitionBy("user_id").orderBy(col("tus"))
         .rangeBetween(-3600L * 1000000L, 0L)
-      Tables.events(s, d)
+      Events.evtByUser(s, d)
         .withColumn("tus", unix_micros(col("ts")))
         .select(col("user_id"), col("event_id"),
           count(lit(1)).over(w).as("n_1h"),
@@ -226,7 +226,7 @@ object Windows extends OpModule {
       // user-partitioned window sort, one partial agg. Streaks shorter
       // than 3 days are noise and filtered out.
       val w = Window.partitionBy("user_id").orderBy("day")
-      Tables.events(s, d)
+      Events.evtByUser(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
         .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
         .groupBy("user_id", "anchor")
@@ -266,7 +266,7 @@ object Windows extends OpModule {
       // always have both brackets; identical formula text on both
       // engines keeps the doubles bit-identical. One shuffle for the
       // daily agg, one per-user window sort.
-      val obs = Tables.events(s, d)
+      val obs = Events.evtByUser(s, d)
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(round(sum(Dec2(col("value"))), 4).cast("double").as("val"))
       val spine = obs.groupBy("user_id")
@@ -465,7 +465,7 @@ object Windows extends OpModule {
       // no double crosses engines; frames are deterministic via the
       // (ts, event_id) total order. DuckDB gathers the same frame
       // with list() OVER and indexes the same sorted positions.
-      Tables.events(s, d)
+      Events.evtByUser(s, d)
         .select(col("user_id"), col("event_id"), col("ts"),
           floor(col("value") * 100).cast("long").as("v100"))
         .withColumn("fr", sort_array(collect_list(col("v100")).over(

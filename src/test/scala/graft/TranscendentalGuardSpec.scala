@@ -95,12 +95,13 @@ class TranscendentalGuardSpec extends AnyFunSuite {
     "operators/Graph.scala" -> (2,
       "Adamic-Adar 1/ln(deg) with deg >= 2 (never ln(1)=0 division), " +
         "exact integer degrees, round-4 + SQL twin"),
-    "operators/LlmSim.scala" -> (4,
+    "operators/LlmSim.scala" -> (5,
       "pow(x,2) squaring (exact in IEEE) in embed_bucket_stats' std " +
-        "+ three SQL twins (pow(2,j) bit weights are exact integers; " +
-        "4th site r15 = Buckets2Sql's pow(2, j-8) for the second " +
-        "hyperplane table — same exact-integer bit-weight discipline, " +
-        "hash-graded green in sim_knn_graph/sim_recall_graph)"),
+        "+ four SQL twins (pow(2,j) bit weights are exact integers; " +
+        "sites 4-5 r17 = GraphBucketsSql's pow(2, j) / pow(2, j-w) " +
+        "for the two adaptive-width hyperplane tables — same " +
+        "exact-integer bit-weight discipline (j < 32 so the double " +
+        "is exact), hash-graded in sim_knn_graph/sim_recall_graph)"),
     "operators/LlmText.scala" -> (31,
       "DSIR/curriculum/crossval single-ln-of-exact-integer-ratio sites " +
         "(InvariantsSpec ln-headroom tripwires at graded SFs), Gumbel " +
