@@ -761,6 +761,19 @@ object LlmSim extends OpModule {
     * rounds cut per superstep (the graph-kernel discipline). Recall
     * vs the brute truth is graded by [[recallGraphBody]];
     * session-memoized via [[knnGraphShared]]. */
+  /** Per-table band width of the graph-ANN LSH build (r17): the
+    * smallest w in [8, 16] with 2^w·16 ≥ nV — mean bucket occupancy
+    * stays ≤ 16 so candidate volume Σ|bucket|² stays O(|V|). The
+    * INTEGER threshold chain (w = 8 + |{k ∈ 8..15 : nV > 16·2^k}|)
+    * is mirrored term-for-term by the oracle's [[GraphBucketsSql]]
+    * `wv` CTE — no float log₂, which could ceil differently across
+    * engines at exact powers of two. */
+  private[graft] def graphBandBits(nV: Long): Int = {
+    var w = 8
+    while (w < 16 && nV > (16L << w)) w += 1
+    w
+  }
+
   private[graft] def knnGraphBody(s: SparkSession, d: String)(
       scope: PersistScope): DataFrame = {
     // TWO independent w-bit hyperplane tables from one 2w-bit hash
@@ -785,9 +798,7 @@ object LlmSim extends OpModule {
     // at exact powers of two); at every driver-graded SF (|V| ≤
     // 4096) w = 8, the r16 width. The oracle twin (graphSearchSql)
     // computes the same chain from count(*).
-    val nV = Tables.embeddings(s, d).count()
-    var w = 8
-    while (w < 16 && nV > (16L << w)) w += 1
+    val w = graphBandBits(Tables.embeddings(s, d).count())
     val lo = 1L << w
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),

@@ -73,8 +73,15 @@ class BucketedLayoutSpec extends SparkSpec {
     // shuffle (at sf0.001 AQE would otherwise broadcast the small
     // side and hide it).
     Tables.materializeBucketed(spark, sf, buckets = 4)
-    val band = Seq("join_inner_equi", "join_multiway", "evt_session",
-      "evt_session_native", "evt_funnel", "win_lag_lead")
+    // r17 split: the per-user events band now rides the session-shared
+    // user-clustered base (Events.evtByUser), which absorbs the
+    // user_id exchange ONCE per session in BOTH layouts — so for those
+    // queries the graded property is stronger: ZERO consumer-side hash
+    // exchanges either way (the orderkey joins keep the strict
+    // bucketed < loose contract).
+    val joinBand = Seq("join_inner_equi", "join_multiway")
+    val evtBand = Seq("evt_session", "evt_session_native", "evt_funnel",
+      "win_lag_lead")
     def hashExchanges(n: String): Int = {
       val df = SparkEntry.queries(n)(spark, sf)
       df.count()
@@ -85,12 +92,19 @@ class BucketedLayoutSpec extends SparkSpec {
       val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
+        val band = joinBand ++ evtBand
         val loose = band.map(n => n -> hashExchanges(n)).toMap
         val bucketed = withBucketed { band.map(n => n -> hashExchanges(n)).toMap }
-        band.foreach { n =>
+        joinBand.foreach { n =>
           assert(bucketed(n) < loose(n),
             s"$n: ${bucketed(n)} hash exchanges bucketed vs ${loose(n)} loose — " +
               "expected at least one eliminated")
+        }
+        evtBand.foreach { n =>
+          assert(loose(n) == 0 && bucketed(n) == 0,
+            s"$n: expected zero consumer-side hash exchanges over the " +
+              s"shared user-clustered base (loose=${loose(n)}, " +
+              s"bucketed=${bucketed(n)})")
         }
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally Tables.dropBucketed(spark, sf)
